@@ -1,0 +1,98 @@
+"""Minimal from-scratch PNG codec (8-bit RGB, stdlib zlib only).
+
+Pillow is not installed in this environment (and the graft rule is
+from-scratch anyway), so the Lance-style image table's ``bytes`` column
+is produced/validated by this codec. Encoder emits filter-0 scanlines;
+decoder handles all five standard filters so any conforming 8-bit RGB
+PNG round-trips.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes (color type 2, bit depth 8, filter 0)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = px.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8. Supports 8-bit RGB, filters 0-4,
+    no interlace, no palette."""
+    if data[:8] != _MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype != 2 or inter != 0:
+                raise ValueError(f"unsupported PNG: depth={depth} ctype={ctype} interlace={inter}")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    raw = raw.reshape(h, stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    bpp = 3
+    for row in range(h):
+        f = filters[row]
+        cur = raw[row, 1:].astype(np.int32)
+        prev = out[row - 1].astype(np.int32) if row > 0 else np.zeros(w * 3, dtype=np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a scalar scan
+            rec = np.zeros(w * 3, dtype=np.int32)
+            for i in range(w * 3):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    rec[i] = (cur[i] + a) & 0xFF
+                elif f == 3:
+                    rec[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        out[row] = rec.astype(np.uint8)
+    return out.reshape(h, w, 3)
