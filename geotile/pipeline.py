@@ -1,0 +1,156 @@
+"""Pipeline driver — reference gtfsToGeoJSON (src/lib/gtfs-to-geojson.ts:251-348).
+
+Per agency: build a GtfsContext (import stage analog), prep the output
+directory, fan out by outputType (agency / route / shape), write one
+``.geojson`` per output unit plus a ``log.txt`` metrics file, optionally
+zip. Fan-out units map to queries exactly like the reference's loops
+(§3.1-3.3); each query's heavy lifting runs as Ray Data stages inside
+the ops modules.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import shutil
+import zipfile
+from pathlib import Path
+
+from geotile.config import PipelineConfig
+from geotile.formats import get_geojson_by_format
+from geotile.geojson import dumps
+from geotile.ops.gtfs import GtfsContext
+
+_SANITIZE_RE = re.compile(r'[/\\?<>\\:*|"\x00-\x1f]')
+
+
+def sanitize(name: str) -> str:
+    """Filename sanitization (reference uses npm sanitize-filename)."""
+    return _SANITIZE_RE.sub("", name)[:255]
+
+
+def prep_directory(path: Path, overwrite: bool) -> None:
+    """Reference prepDirectory (src/lib/file-utils.ts:82-112): fail if
+    non-empty and overwrite disabled, else clear."""
+    path.mkdir(parents=True, exist_ok=True)
+    existing = list(path.iterdir())
+    if existing:
+        if not overwrite:
+            raise FileExistsError(
+                f"Output directory {path} not empty and overwriteExistingFiles=false"
+            )
+        for p in existing:
+            shutil.rmtree(p) if p.is_dir() else p.unlink()
+
+
+def _write(path: Path, geojson: dict, stats: dict) -> None:
+    path.write_text(dumps(geojson))
+    stats["files"] += 1
+
+
+def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
+                  stats: dict) -> None:
+    base_query: dict = {}
+    if config.output_type == "shape":
+        shape_ids = sorted(
+            {s for s in (ctx.dims["trips"]["shape_id"].to_pylist() if ctx.dims.get("trips") is not None else []) if s}
+        )
+        if ctx.has_shapes_file():
+            import pyarrow.parquet as pq
+
+            shape_ids = sorted(
+                set(pq.read_table(ctx.feed_dir / "shapes.parquet", columns=["shape_id"])["shape_id"].to_pylist())
+            )
+        if not shape_ids:
+            raise RuntimeError(
+                "No shapes found in shapes.txt, unable to create geoJSON with outputType = shape"
+            )
+        for sid in shape_ids:
+            gj = get_geojson_by_format(ctx, config, {**base_query, "shape_id": sid})
+            if gj is None:
+                continue
+            stats["shapes"] += 1
+            _write(output_path / sanitize(f"{sid}.geojson"), gj, stats)
+    elif config.output_type == "route":
+        routes = ctx.dims["routes"].to_pylist()
+        for index, route in enumerate(routes):
+            stats["routes"] += 1
+            trips = ctx.trips_for(route["route_id"]).to_pylist()
+            # uniqBy(trip_headsign) — first occurrence wins (reference :189)
+            seen: set[str] = set()
+            directions = []
+            for t in trips:
+                if t["trip_headsign"] not in seen:
+                    seen.add(t["trip_headsign"])
+                    directions.append(t)
+            for d in directions:
+                gj = get_geojson_by_format(
+                    ctx, config,
+                    {**base_query, "route_id": route["route_id"],
+                     "direction_id": d["direction_id"]},
+                )
+                if gj is None:
+                    continue
+                parts = []
+                if route.get("agency_id") is not None:
+                    parts.append(str(route["agency_id"]))
+                parts.append(str(route["route_id"]))
+                if d["direction_id"] is not None:
+                    parts.append(str(d["direction_id"]))
+                identical = [
+                    r for r in routes
+                    if r.get("agency_id") == route.get("agency_id")
+                    and r["route_id"] == route["route_id"]
+                ]
+                if len(identical) > 1:
+                    parts.append(str(index))
+                _write(output_path / sanitize("_".join(parts) + ".geojson"), gj, stats)
+    else:  # agency
+        gj = get_geojson_by_format(ctx, config, base_query)
+        _write(output_path / sanitize(f"{ctx_key(ctx)}.geojson"), gj, stats)
+
+
+def ctx_key(ctx: GtfsContext) -> str:
+    return getattr(ctx, "agency_key", None) or ctx.agency_name
+
+
+def log_text(ctx: GtfsContext, config: PipelineConfig, stats: dict) -> str:
+    """Reference generateLogText (src/lib/log-utils.ts:12-36), minus the
+    timestamp (excluded from golden comparisons, SURVEY §7.4)."""
+    lines = [
+        f"Feed Version: {ctx.feed_version or 'unknown'}",
+        f"Output Type: {config.output_type}",
+        f"Output Format: {config.output_format}",
+        f"Routes: {stats['routes']}",
+        f"Shapes: {stats['shapes']}",
+        f"Files: {stats['files']}",
+    ]
+    return "\n".join(lines)
+
+
+def run_pipeline(config: PipelineConfig) -> list[str]:
+    """Reference gtfsToGeoJSON: returns output paths (or [zip_path] when
+    zipOutput, :335-345)."""
+    out_root = Path(config.output_path or "geojson")
+    written_dirs: list[Path] = []
+    for agency in config.agencies:
+        ctx = GtfsContext(
+            agency.path, start_date=config.start_date, end_date=config.end_date,
+            exclude=agency.exclude,
+        )
+        ctx.agency_key = agency.agency_key or ctx.agency_name  # type: ignore[attr-defined]
+        output_path = out_root / ctx.agency_key
+        prep_directory(output_path, config.overwrite_existing_files)
+        stats = {"files": 0, "routes": 0, "shapes": 0}
+        build_geojson(ctx, config, output_path, stats)
+        (output_path / "log.txt").write_text(log_text(ctx, config, stats))
+        written_dirs.append(output_path)
+    if config.zip_output:
+        zip_path = out_root / "geojson.zip"
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for d in written_dirs:
+                for p in sorted(d.rglob("*")):
+                    if p.suffix in (".geojson", ".json", ".txt"):
+                        zf.write(p, p.relative_to(out_root))
+        return [str(zip_path)]
+    return [str(d) for d in written_dirs]
