@@ -34,8 +34,9 @@ def _edges(rings: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, np.ndarray,
 def points_in_polygon(
     px: np.ndarray,
     py: np.ndarray,
-    rings: list[np.ndarray],
+    rings: list[np.ndarray] | None,
     chunk: int = 1 << 22,
+    edges: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None = None,
 ) -> np.ndarray:
     """Boolean mask: point i is inside the polygon defined by ``rings``
     (ring 0 = outer, rest = holes; each ring is an (n, 2) array, closed
@@ -46,7 +47,7 @@ def points_in_polygon(
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    x1, y1, x2, y2 = _edges(rings)
+    x1, y1, x2, y2 = edges if edges is not None else _edges(rings)
     if len(x1) == 0 or len(px) == 0:
         return np.zeros(len(px), dtype=bool)
     inside = np.zeros(len(px), dtype=bool)

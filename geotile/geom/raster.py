@@ -255,12 +255,19 @@ def _contains(pt: np.ndarray, ring: np.ndarray) -> bool:
 # polygon ↔ cell-id set (the H3-mask side of raster↔vector)
 # ---------------------------------------------------------------------------
 
-def polygon_cover_cells(rings: list[np.ndarray], res: int) -> np.ndarray:
+def polygon_cover_cells(
+    rings: list[np.ndarray], res: int, return_interior: bool = False
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """uint64 cell ids (cells.py, resolution ``res``) that the polygon
     touches: all cells whose center is inside (scanline) plus every cell
     crossed by a boundary edge (supercover grid traversal) — a superset
     of the true intersection set is fine for join candidate generation;
-    the exact PIP test runs on candidates afterwards."""
+    the exact PIP test runs on candidates afterwards.
+
+    With ``return_interior=True`` also returns the FULLY-INSIDE subset
+    (center inside and not crossed by any boundary edge): points in
+    those cells are inside the polygon with no further test — the
+    "full containment" fast path of the spatial join."""
     dlon, dlat = cellmod.cell_size_degrees(res)
     allx = np.concatenate([np.asarray(r)[:, 0] for r in rings])
     ally = np.concatenate([np.asarray(r)[:, 1] for r in rings])
@@ -281,31 +288,50 @@ def polygon_cover_cells(rings: list[np.ndarray], res: int) -> np.ndarray:
     sy = dlon / dlat
     scaled = [np.column_stack([np.asarray(r)[:, 0], np.asarray(r)[:, 1] * sy]) for r in rings]
     g = Grid(x0=grid.x0, y0=(-90.0 + iy_min * dlat) * sy, step=dlon, nx=nx, ny=ny)
-    m = polygon_mask(scaled, g)
+    inside = polygon_mask(scaled, g)
     # boundary supercover: mark every cell an edge passes through
+    # (exact parametric traversal — no false negatives, no dilation)
+    edge = np.zeros_like(inside)
     for r in rings:
         r = np.asarray(r, dtype=np.float64)
         for k in range(len(r) - 1):
-            _supercover_mark(m, r[k], r[k + 1], ix_min, iy_min, dlon, dlat)
-    jy, jx = np.nonzero(m)
-    gx = (jx + ix_min) % n
-    gy = np.clip(jy + iy_min, 0, n - 1)
-    return np.unique(cellmod.from_ixy(gx.astype(np.uint64), gy.astype(np.uint64), res))
+            _supercover_mark(edge, r[k], r[k + 1], ix_min, iy_min, dlon, dlat)
+    m = inside | edge
+
+    def _ids(mm: np.ndarray) -> np.ndarray:
+        jy, jx = np.nonzero(mm)
+        gx = (jx + ix_min) % n
+        gy = np.clip(jy + iy_min, 0, n - 1)
+        return np.unique(cellmod.from_ixy(gx.astype(np.uint64), gy.astype(np.uint64), res))
+
+    if return_interior:
+        return _ids(m), _ids(inside & ~edge)
+    return _ids(m)
 
 
 def _supercover_mark(
     m: np.ndarray, a: np.ndarray, b: np.ndarray,
     ix_min: int, iy_min: int, dlon: float, dlat: float,
 ) -> None:
-    """Mark all grid cells the segment a→b passes through (DDA walk)."""
+    """Mark ALL grid cells the segment a→b passes through — exact: split
+    the segment at every grid-line crossing (parametric) and mark the
+    cell containing each sub-segment midpoint."""
     ax = (a[0] + 180.0) / dlon - ix_min
     ay = (a[1] + 90.0) / dlat - iy_min
     bx = (b[0] + 180.0) / dlon - ix_min
     by = (b[1] + 90.0) / dlat - iy_min
-    steps = int(np.ceil(max(abs(bx - ax), abs(by - ay)) * 2)) + 1
-    t = np.linspace(0.0, 1.0, steps)
-    xs = np.floor(ax + (bx - ax) * t).astype(np.int64)
-    ys = np.floor(ay + (by - ay) * t).astype(np.int64)
+    dx, dy = bx - ax, by - ay
+    ts = [np.array([0.0, 1.0])]
+    if dx != 0.0:
+        gx = np.arange(np.ceil(min(ax, bx)), np.floor(max(ax, bx)) + 1)
+        ts.append((gx - ax) / dx)
+    if dy != 0.0:
+        gy = np.arange(np.ceil(min(ay, by)), np.floor(max(ay, by)) + 1)
+        ts.append((gy - ay) / dy)
+    t = np.unique(np.clip(np.concatenate(ts), 0.0, 1.0))
+    tm = (t[:-1] + t[1:]) / 2.0
+    xs = np.floor(ax + dx * tm).astype(np.int64)
+    ys = np.floor(ay + dy * tm).astype(np.int64)
     ok = (xs >= 0) & (xs < m.shape[1]) & (ys >= 0) & (ys < m.shape[0])
     m[ys[ok], xs[ok]] = True
 

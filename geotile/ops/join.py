@@ -1,0 +1,417 @@
+"""The graft flagship: H3-style cell-indexed spatial join of image tiles
+against route buffer polygons, plus kNN and skew-salted cell aggregation.
+
+North-star shape (BASELINE.json): tile centroids (the "stops" of the
+reference's stop→route assignment, SURVEY §2.4 J1) are cell-encoded per
+batch, candidate route polygons come from a broadcast cell→polygon index
+built ONCE per actor (``ray.put`` on the driver, ``ray.get`` in
+``__init__``), and the exact even-odd PIP test runs vectorized on the
+candidates. No shuffle touches the 10^12-row side: the polygon side is
+dimension-scale and broadcast, which is the explicit skew strategy for
+the join itself; the per-cell aggregation demonstrates two-level
+salted reduction for the wide step.
+
+Join resolution: cells are dilated one ring at build time so candidate
+pruning has NO false negatives (verified in tests against a brute-force
+oracle).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from geotile.geom import cells
+from geotile.geom.buffer import meter_frame
+from geotile.geom.pip import points_in_polygon, points_to_polyline_distance
+from geotile.geom.raster import polygon_cover_cells
+from geotile.geom.strtree import STRtree
+from geotile.ops.tiles import georef_batch
+
+DEFAULT_JOIN_RES = 18  # ~120m × 76m cells: fine enough that most cover
+                       # cells are fully inside a 400 m buffer (PIP-free)
+
+# local meter frame anchor for kNN distances (corridor-local)
+_ANCHOR_LAT = 37.4
+_ANCHOR_LON = -122.1
+
+
+@dataclass
+class RouteIndex:
+    """Broadcastable cell→polygon index + STRtree + raw rings.
+
+    polygons[i] = list of rings (outer + holes) as float64 arrays;
+    poly_route[i] = route_id. CSR layout: for sorted unique cell key
+    ``cell_keys[j]``, candidate polygon ids are
+    ``cell_polys[cell_offsets[j]:cell_offsets[j+1]]``.
+    """
+
+    res: int
+    route_ids: list[str]
+    polygons: list[list[np.ndarray]]
+    poly_route: np.ndarray  # int32 → index into route_ids
+    cell_keys: np.ndarray   # uint64 sorted
+    cell_offsets: np.ndarray
+    cell_polys: np.ndarray
+    cell_full: np.ndarray = field(default=None)  # parallel to cell_polys: fully-inside flag
+    poly_edges: list[tuple] = field(default=None)  # precomputed PIP edge arrays
+    bboxes: np.ndarray = field(default=None)
+    tree: STRtree = field(default=None)
+
+    def candidates(self, cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(point_idx, poly_idx, fully_inside) candidate pairs for a
+        batch of cells. ``fully_inside`` pairs need no PIP test."""
+        cell = np.asarray(cell, dtype=np.uint64)
+        empty = np.empty(0, np.int64)
+        if len(self.cell_keys) == 0 or len(cell) == 0:
+            return empty, empty, np.empty(0, bool)
+        j = np.searchsorted(self.cell_keys, cell)
+        j = np.clip(j, 0, len(self.cell_keys) - 1)
+        hit = self.cell_keys[j] == cell
+        pts = np.nonzero(hit)[0]
+        jj = j[hit]
+        counts = (self.cell_offsets[jj + 1] - self.cell_offsets[jj]).astype(np.int64)
+        point_idx = np.repeat(pts, counts)
+        if len(point_idx) == 0:
+            return empty, empty, np.empty(0, bool)
+        # gather CSR ranges vectorized: flat positions for each pair
+        starts = self.cell_offsets[jj]
+        pos = np.repeat(starts, counts) + (
+            np.arange(len(point_idx)) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        return point_idx, self.cell_polys[pos], self.cell_full[pos]
+
+
+def build_route_index(
+    route_polygons: dict[str, list[tuple[np.ndarray, list[np.ndarray]]]],
+    res: int = DEFAULT_JOIN_RES,
+) -> RouteIndex:
+    """Driver-side build (the polygon side is dimension-scale): cover
+    cells per polygon, dilated one k-ring so centroid candidates are a
+    superset of true hits; CSR-pack cell→polys; STRtree over bboxes."""
+    route_ids = sorted(route_polygons)
+    polygons: list[list[np.ndarray]] = []
+    poly_route: list[int] = []
+    pairs_cell: list[np.ndarray] = []
+    pairs_poly: list[np.ndarray] = []
+    pairs_full: list[np.ndarray] = []
+    for ri, rid in enumerate(route_ids):
+        for outer, holes in route_polygons[rid]:
+            pid = len(polygons)
+            polygons.append([np.asarray(outer, np.float64)] + [np.asarray(h, np.float64) for h in holes])
+            poly_route.append(ri)
+            rings = polygons[pid]
+            cov, interior = polygon_cover_cells(rings, res, return_interior=True)
+            cov = np.unique(cells.k_ring(cov, 1).ravel())  # dilate 1 ring
+            full = np.isin(cov, interior)
+            pairs_cell.append(cov)
+            pairs_poly.append(np.full(len(cov), pid, dtype=np.int32))
+            pairs_full.append(full)
+    cell_all = np.concatenate(pairs_cell) if pairs_cell else np.empty(0, np.uint64)
+    poly_all = np.concatenate(pairs_poly) if pairs_poly else np.empty(0, np.int32)
+    full_all = np.concatenate(pairs_full) if pairs_full else np.empty(0, bool)
+    order = np.argsort(cell_all, kind="stable")
+    cell_all, poly_all, full_all = cell_all[order], poly_all[order], full_all[order]
+    keys, starts = np.unique(cell_all, return_index=True)
+    offsets = np.concatenate([starts, [len(cell_all)]]).astype(np.int64)
+    bboxes = np.array(
+        [
+            [p[0][:, 0].min(), p[0][:, 1].min(), p[0][:, 0].max(), p[0][:, 1].max()]
+            for p in polygons
+        ]
+        if polygons
+        else np.empty((0, 4))
+    )
+    from geotile.geom.pip import _edges
+
+    return RouteIndex(
+        res=res,
+        route_ids=route_ids,
+        polygons=polygons,
+        poly_route=np.asarray(poly_route, dtype=np.int32),
+        cell_keys=keys,
+        cell_offsets=offsets,
+        cell_polys=poly_all,
+        cell_full=full_all,
+        poly_edges=[_edges(p) for p in polygons],
+        bboxes=bboxes,
+        tree=STRtree(bboxes) if len(bboxes) else None,
+    )
+
+
+class SpatialJoinStage:
+    """Actor-pool ``map_batches`` stage: image rows → (image_id, caption,
+    lon, lat, cell, route_id) assignment rows (inner join; tiles outside
+    every buffer are dropped, like the reference's usage semi-join).
+
+    ``__init__`` fetches the broadcast index once per actor; ``__call__``
+    is batch-vectorized: derive georef → cell lookup (searchsorted CSR)
+    → exact PIP on candidates grouped per polygon.
+    """
+
+    def __init__(self, index_ref):
+        self.index: RouteIndex = ray.get(index_ref) if not isinstance(index_ref, RouteIndex) else index_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idxd = self.index
+        geo = georef_batch(batch, idxd.res)
+        lon = geo["lon"].to_numpy()
+        lat = geo["lat"].to_numpy()
+        cell = geo["cell"].to_numpy().view(np.uint64)
+        pt, pl, full = idxd.candidates(cell)
+        keep_pt: list[np.ndarray] = []
+        keep_route: list[np.ndarray] = []
+        if len(pt):
+            # fully-inside cells: accept without PIP (the fast path —
+            # typically the large majority of candidate pairs)
+            keep_pt.append(pt[full])
+            keep_route.append(idxd.poly_route[pl[full]].astype(np.int32))
+            pt, pl = pt[~full], pl[~full]
+            order = np.argsort(pl, kind="stable")
+            pt, pl = pt[order], pl[order]
+            bounds = np.searchsorted(pl, np.arange(len(idxd.polygons) + 1))
+            for pid in np.unique(pl):
+                s, e = bounds[pid], bounds[pid + 1]
+                cand = pt[s:e]
+                inside = points_in_polygon(
+                    lon[cand], lat[cand], None, edges=idxd.poly_edges[pid]
+                )
+                hits = cand[inside]
+                if len(hits):
+                    keep_pt.append(hits)
+                    keep_route.append(np.full(len(hits), idxd.poly_route[pid], np.int32))
+            keep_pt = [a for a in keep_pt if len(a)]
+            keep_route = [a for a in keep_route if len(a)]
+        if keep_pt:
+            kp = np.concatenate(keep_pt)
+            kr = np.concatenate(keep_route)
+            # a tile can hit several polygons of one route — dedup pairs
+            key = kp.astype(np.int64) * len(idxd.route_ids) + kr
+            _, first = np.unique(key, return_index=True)
+            kp, kr = kp[first], kr[first]
+            order = np.lexsort((kr, kp))
+            kp, kr = kp[order], kr[order]
+        else:
+            kp = np.empty(0, np.int64)
+            kr = np.empty(0, np.int32)
+        taken = geo.select(["image_id", "caption"]).take(pa.array(kp, pa.int64()))
+        route_dict = pa.DictionaryArray.from_arrays(
+            pa.array(kr, pa.int32()), pa.array(idxd.route_ids, pa.string())
+        )
+        return (
+            taken.append_column("lon", pa.array(lon[kp]))
+            .append_column("lat", pa.array(lat[kp]))
+            .append_column("cell", pa.array(cell[kp].view(np.int64)))
+            .append_column("route_id", route_dict.cast(pa.string()))
+        )
+
+
+def spatial_join(
+    ds: rd.Dataset,
+    index: RouteIndex,
+    batch_size: int = 32768,
+    concurrency: int | tuple | None = None,
+) -> rd.Dataset:
+    """The join pipeline stage. Pass a Dataset read with ONLY the join
+    columns (image_id, caption) — bytes must be pruned at the read."""
+    index_ref = ray.put(index)
+    return ds.map_batches(
+        SpatialJoinStage,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN: k nearest route geometries per tile (cell-ring expansion at scale,
+# exact vectorized distance here where the polygon side is small)
+# ---------------------------------------------------------------------------
+
+class KnnStage:
+    """Actor-pool stage: per tile, the k nearest route polylines by
+    point-to-segment distance in a corridor-local meter frame. The route
+    side is broadcast; distances are vectorized points × segments per
+    route. For huge polygon sets the candidate routes would come from
+    expanding cell rings around the tile's cell until k routes are seen
+    (the index's k_ring supports this); with dimension-scale routes the
+    exact scan is faster and is the oracle the tests check against."""
+
+    def __init__(self, routes_ref, k: int = 3):
+        routes: dict[str, np.ndarray] = (
+            ray.get(routes_ref) if not isinstance(routes_ref, dict) else routes_ref
+        )
+        self.k = k
+        mx, my = meter_frame(_ANCHOR_LAT)
+        self.route_ids = sorted(routes)
+        self.lines = [
+            np.column_stack(
+                [(routes[r][:, 0] - _ANCHOR_LON) * mx, (routes[r][:, 1] - _ANCHOR_LAT) * my]
+            )
+            for r in self.route_ids
+        ]
+        self.mx, self.my = mx, my
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        geo = georef_batch(batch, DEFAULT_JOIN_RES)
+        px = (geo["lon"].to_numpy() - _ANCHOR_LON) * self.mx
+        py = (geo["lat"].to_numpy() - _ANCHOR_LAT) * self.my
+        n = len(px)
+        dists = np.stack(
+            [points_to_polyline_distance(px, py, line) for line in self.lines], axis=1
+        )
+        k = min(self.k, dists.shape[1])
+        part = np.argpartition(dists, k - 1, axis=1)[:, :k]
+        pd_ = np.take_along_axis(dists, part, axis=1)
+        order = np.argsort(pd_, axis=1, kind="stable")
+        top = np.take_along_axis(part, order, axis=1)
+        topd = np.take_along_axis(pd_, order, axis=1)
+        ids = pc.take(
+            geo["image_id"].combine_chunks(),
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), k)),
+        )
+        route_dict = pa.DictionaryArray.from_arrays(
+            pa.array(top.ravel().astype(np.int32)), pa.array(self.route_ids, pa.string())
+        )
+        return pa.table(
+            {
+                "image_id": ids,
+                "rank": pa.array(np.tile(np.arange(k, dtype=np.int32), n)),
+                "route_id": route_dict.cast(pa.string()),
+                "dist_m": pa.array(topd.ravel()),
+            }
+        )
+
+
+def knn_routes(ds: rd.Dataset, route_lines: dict[str, np.ndarray], k: int = 3,
+               batch_size: int = 32768, concurrency=None) -> rd.Dataset:
+    ref = ray.put(route_lines)
+    return ds.map_batches(
+        KnnStage,
+        fn_constructor_kwargs={"routes_ref": ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew-salted per-cell aggregation (the wide step)
+# ---------------------------------------------------------------------------
+
+def _partial_cell_counts(batch: pa.Table, res: int, coarse_res: int, salt: int) -> pa.Table:
+    geo = georef_batch(batch, res)
+    cell = geo["cell"].to_numpy().view(np.uint64)
+    coarse = cells.parent(cell, coarse_res)
+    uniq, counts = np.unique(coarse, return_counts=True)
+    # salt spreads ONE hot key over `salt` reducers; partial pre-agg per
+    # batch already collapsed duplicates, salt bounds any residual skew
+    s = (uniq % np.uint64(max(salt, 1))).astype(np.int64) if salt > 1 else np.zeros(len(uniq), np.int64)
+    return pa.table(
+        {
+            "cell": pa.array(uniq.view(np.int64)),
+            "salt": pa.array(s),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def cell_tile_counts(
+    ds: rd.Dataset, res: int = DEFAULT_JOIN_RES, coarse_res: int = 12, salt: int = 8
+) -> rd.Dataset:
+    """Tiles per coarse cell: per-batch partial aggregation (the combiner
+    — each batch emits ≤ #unique cells rows), then a salted two-level
+    groupby reduce. The all-to-all only ever moves partial counts."""
+    partial = ds.map_batches(
+        lambda b: _partial_cell_counts(b, res, coarse_res, salt),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    lvl1 = partial.groupby(["cell", "salt"]).sum("n")
+    lvl1 = lvl1.map_batches(
+        lambda t: t.select(["cell", "sum(n)"]).rename_columns(["cell", "n"]),
+        batch_format="pyarrow",
+    )
+    out = lvl1.groupby("cell").sum("n")
+    return out.map_batches(
+        lambda t: t.rename_columns(["cell", "n_tiles"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-route FeatureCollection assembly (groupby-aggregate-sort)
+# ---------------------------------------------------------------------------
+
+def _route_fc(df: pd.DataFrame, max_features: int) -> pd.DataFrame:
+    from geotile.synth import TILE_SIDE_M, tile_footprints
+    from geotile.synth import image_index as _ii
+
+    df = df.sort_values("image_id", kind="stable").head(max_features)
+    quads = tile_footprints(_ii(df["image_id"].to_numpy()).astype(np.uint64))
+    feats = []
+    for (iid, cap, cell), quad in zip(
+        zip(df["image_id"], df["caption"], df["cell"]), np.round(quads, 7).tolist()
+    ):
+        feats.append(
+            '{"type":"Feature","properties":{"image_id":"%s","caption":"%s","cell":%d},'
+            '"geometry":{"type":"Polygon","coordinates":[%s]}}'
+            % (iid, cap, cell, quad)
+        )
+    fc = '{"type":"FeatureCollection","features":[' + ",".join(feats) + "]}"
+    return pd.DataFrame(
+        {"route_id": [df["route_id"].iloc[0]], "n_tiles": [len(df)], "fc_json": [fc]}
+    )
+
+
+def assemble_route_fcs(joined: rd.Dataset, max_features_per_route: int = 100_000) -> rd.Dataset:
+    """groupby(route_id) → one FeatureCollection row per route, features
+    ordered by image_id, captions as properties (north_star). The cap
+    bounds single-row size at extreme scale (logged, not silent — row
+    carries the true n_tiles count)."""
+    return joined.groupby("route_id").map_groups(
+        lambda df: _route_fc(df, max_features_per_route), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# route geometry sources (the small side of the join)
+# ---------------------------------------------------------------------------
+
+def route_buffer_polygons(ctx, config) -> dict[str, list[tuple[np.ndarray, list[np.ndarray]]]]:
+    """Route buffer polygons from the GTFS fixture (reference lines-buffer
+    semantics) keyed by route_id — the broadcast side of the join."""
+    from geotile.formats import fmt_lines_buffer
+
+    gj = fmt_lines_buffer(ctx, config, {})
+    out: dict[str, list] = {}
+    for f in gj["features"]:
+        rid = f["properties"]["route_id"]
+        g = f["geometry"]
+        polys = [g["coordinates"]] if g["type"] == "Polygon" else g["coordinates"]
+        for rings in polys:
+            outer = np.asarray(rings[0], np.float64)
+            holes = [np.asarray(r, np.float64) for r in rings[1:]]
+            out.setdefault(rid, []).append((outer, holes))
+    return out
+
+
+def route_polylines(ctx) -> dict[str, np.ndarray]:
+    """Route centerlines (concatenated shape points) for kNN."""
+    from geotile.ops.lines import route_lines
+
+    out = {}
+    for f in route_lines(ctx, {}) or []:
+        rid = f["properties"]["route_id"]
+        g = f["geometry"]
+        parts = [g["coordinates"]] if g["type"] == "LineString" else g["coordinates"]
+        out[rid] = np.vstack([np.asarray(p, np.float64) for p in parts])
+    return out

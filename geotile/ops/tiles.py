@@ -1,0 +1,131 @@
+"""Image-tile stages over the Lance-style image+caption table.
+
+All stages are ``map_batches`` transforms over zero-copy Arrow batches.
+The georeference is DERIVED (pure function of image_id — synth.py), so
+the hot path reads only the columns it needs: the join/tiling pipeline
+prunes ``bytes`` at the read and touches it in no stage; only the
+invariant-check / feature-extract stages (actor pools, bounded batch
+size) ever decode pixels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from geotile.geom import cells
+from geotile.png import decode_png
+from geotile.synth import (
+    image_index,
+    phash_from_pixels,
+    pixel_pattern,
+    tile_centers,
+)
+
+JOIN_COLUMNS = ["image_id", "caption"]  # bytes/w/h/fmt pruned at the read
+
+
+def read_image_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Pluggable reader for the Lance-style table. Parquet stands in for
+    Lance here (pylance is unavailable offline); swap to
+    ``ray.data.read_lance`` where it exists — the downstream stages only
+    see Arrow batches either way."""
+    return rd.read_parquet(path, columns=columns)
+
+
+def georef_batch(batch: pa.Table, res: int) -> pa.Table:
+    """Attach derived (lon, lat) + uint64 cell id at resolution ``res``.
+    Fully vectorized: id→index parse, splitmix64 placement, Morton
+    encode — no Python loop over rows."""
+    idx = image_index(batch["image_id"].to_numpy(zero_copy_only=False))
+    lon, lat = tile_centers(idx.astype(np.uint64))
+    cell = cells.encode(lon, lat, res)
+    return batch.append_column("lon", pa.array(lon)).append_column(
+        "lat", pa.array(lat)
+    ).append_column("cell", pa.array(cell.view(np.int64)))  # int64 view: parquet/duckdb-friendly
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: decode the binary payload and (optionally)
+    verify the per-row invariants from BASELINE input_hint — decoded
+    pixels match the regenerated pattern (raw/png are lossless, so
+    allclose degenerates to exact; PSNR would apply to lossy formats)
+    and the stored phash matches the recomputed one.
+
+    Holds no model but demonstrates the stateful-stage shape: decoder
+    dispatch is built once per actor; batches stay small because rows
+    carry image payloads.
+    """
+
+    def __init__(self, verify: bool = True):
+        self.verify = verify
+        self.decoders = {
+            "raw": lambda b, w, h: np.frombuffer(b, dtype=np.uint8).reshape(h, w, 3),
+            "png": lambda b, w, h: decode_png(b),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        phash_stored = np.asarray(batch["phash"].to_pylist(), dtype=np.int64)
+        px = np.stack(
+            [self.decoders[f](b, w, h) for f, b, w, h in zip(fmts, payloads, ws, hs)]
+        )
+        ph = phash_from_pixels(px)
+        ok = ph == phash_stored
+        if self.verify:
+            idx = image_index(np.asarray(ids))
+            expect = pixel_pattern(idx.astype(np.uint64), ws[0], hs[0])
+            pix_ok = (px == expect).all(axis=(1, 2, 3))
+            ok = ok & pix_ok
+        mean_rgb = px.astype(np.float64).mean(axis=(1, 2))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "phash_ok": pa.array(ok),
+                "mean_r": pa.array(mean_rgb[:, 0]),
+                "mean_g": pa.array(mean_rgb[:, 1]),
+                "mean_b": pa.array(mean_rgb[:, 2]),
+            }
+        )
+
+
+class ImageResizeStage:
+    """Actor-pool stage: area-mean downsample to (out_w, out_h) and
+    re-encode. The Ray-side plumbing (schema in/out, bounded batches,
+    actor state) is real; for formats beyond raw/png a codec library
+    would slot into ``self.decoders`` (Pillow isn't installed here —
+    the from-scratch codec covers raw/png, others raise)."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.decoders = ImageDecodeStage(verify=False).decoders
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for b, f, w, h in zip(
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["w"].to_pylist(),
+            batch["h"].to_pylist(),
+        ):
+            if f not in self.decoders:
+                raise NotImplementedError(f"no codec for fmt={f!r} in this environment")
+            px = self.decoders[f](b, w, h).astype(np.float64)
+            fy, fx = h // self.out_h, w // self.out_w
+            small = px[: fy * self.out_h, : fx * self.out_w].reshape(
+                self.out_h, fy, self.out_w, fx, 3
+            ).mean(axis=(1, 3)).astype(np.uint8)
+            out.append(small.tobytes())
+        t = batch.select(["image_id", "caption"])
+        return (
+            t.append_column("bytes", pa.array(out, pa.binary()))
+            .append_column("w", pa.array([self.out_w] * len(out), pa.int32()))
+            .append_column("h", pa.array([self.out_h] * len(out), pa.int32()))
+            .append_column("fmt", pa.array(["raw"] * len(out), pa.string()))
+        )

@@ -399,20 +399,33 @@ def make_image_batch(indices: np.ndarray, w: int = 32, h: int = 32) -> pa.Table:
 
 
 def make_image_table(
-    n: int, out_path: str | Path, w: int = 32, h: int = 32, chunk: int = 4096
+    n: int,
+    out_dir: str | Path,
+    w: int = 32,
+    h: int = 32,
+    chunk: int = 4096,
+    rows_per_file: int = 65536,
 ) -> Path:
-    """Write n rows of the image+caption table as parquet (single file;
-    at bench scale the generator runs once and is cached)."""
-    out_path = Path(out_path)
-    out_path.parent.mkdir(parents=True, exist_ok=True)
-    writer = None
-    try:
-        for s in range(0, n, chunk):
-            t = make_image_batch(np.arange(s, min(n, s + chunk)), w, h)
-            if writer is None:
-                writer = pq.ParquetWriter(out_path, t.schema)
-            writer.write_table(t)
-    finally:
-        if writer is not None:
-            writer.close()
-    return out_path
+    """Write n rows of the image+caption table as a DIRECTORY of part
+    files (one per input shard — the checkpoint/resume unit). Skips parts
+    that already exist, so generation itself is resumable/cacheable."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for pstart in range(0, n, rows_per_file):
+        pend = min(n, pstart + rows_per_file)
+        part = out_dir / f"part-{pstart // rows_per_file:05d}.parquet"
+        if part.exists():
+            continue
+        tmp = part.with_suffix(".tmp")
+        writer = None
+        try:
+            for s in range(pstart, pend, chunk):
+                t = make_image_batch(np.arange(s, min(pend, s + chunk)), w, h)
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, t.schema)
+                writer.write_table(t)
+        finally:
+            if writer is not None:
+                writer.close()
+        tmp.rename(part)
+    return out_dir

@@ -32,7 +32,7 @@ def caltrain_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
-def image_table_path(tmp_path_factory):
+def image_table_dir(tmp_path_factory):
     from geotile.synth import make_image_table
 
-    return make_image_table(2000, tmp_path_factory.mktemp("img") / "images.parquet")
+    return make_image_table(2000, tmp_path_factory.mktemp("img") / "images")

@@ -1,0 +1,219 @@
+"""Graft tests: cell-indexed spatial join vs brute-force oracle, kNN vs
+exact oracle, salted cell counts, FC assembly, image decode invariants,
+and checkpoint/resume."""
+
+import json
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from geotile.config import PipelineConfig
+from geotile.geom.buffer import meter_frame
+from geotile.geom.pip import points_in_polygon, points_to_polyline_distance
+from geotile.ops.gtfs import GtfsContext
+from geotile.ops.join import (
+    assemble_route_fcs,
+    build_route_index,
+    cell_tile_counts,
+    knn_routes,
+    route_buffer_polygons,
+    route_polylines,
+    spatial_join,
+)
+from geotile.ops.tiles import JOIN_COLUMNS, ImageDecodeStage, ImageResizeStage, read_image_table
+from geotile.synth import N_STOPS, tile_centers
+
+N_IMG = 2000
+
+
+@pytest.fixture(scope="module")
+def ctx(ray_session, caltrain_dir):
+    return GtfsContext(caltrain_dir)
+
+
+@pytest.fixture(scope="module")
+def polys(ctx):
+    return route_buffer_polygons(ctx, PipelineConfig(coordinate_precision=5))
+
+
+@pytest.fixture(scope="module")
+def index(polys):
+    return build_route_index(polys)
+
+
+@pytest.fixture(scope="module")
+def joined_df(ray_session, image_table_dir, index):
+    ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS)
+    return spatial_join(ds, index, concurrency=2).to_pandas()
+
+
+class TestSpatialJoin:
+    def test_matches_bruteforce_oracle(self, joined_df, polys):
+        lon, lat = tile_centers(np.arange(N_IMG).astype(np.uint64))
+        expect = set()
+        for rid, plist in polys.items():
+            for outer, holes in plist:
+                inside = points_in_polygon(lon, lat, [outer] + holes)
+                for i in np.nonzero(inside)[0]:
+                    expect.add((f"img-{i:08d}", rid))
+        got = set(zip(joined_df.image_id, joined_df.route_id))
+        assert got == expect
+
+    def test_captions_ride_through(self, joined_df):
+        for iid, cap in zip(joined_df.image_id[:50], joined_df.caption[:50]):
+            i = int(iid[4:])
+            assert cap == f"tile {i} near stop {i % N_STOPS}"
+
+    def test_hit_rate_sane(self, joined_df):
+        # ~2/3 of tiles land inside some buffer by construction
+        hit_tiles = joined_df.image_id.nunique()
+        assert 0.4 * N_IMG < hit_tiles <= N_IMG
+
+    def test_cell_column_resolution(self, joined_df, index):
+        from geotile.geom import cells
+
+        cell = joined_df.cell.to_numpy().view(np.uint64)
+        assert (cells.resolution(cell) == index.res).all()
+        # cell re-encodes the tile centroid
+        lon, lat = joined_df.lon.to_numpy(), joined_df.lat.to_numpy()
+        assert (cells.encode(lon, lat, index.res) == cell).all()
+
+
+class TestKnn:
+    def test_matches_exact_oracle(self, ray_session, image_table_dir, ctx):
+        lines = route_polylines(ctx)
+        k = 2
+        ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS).limit(200)
+        got = knn_routes(ds, lines, k=k, concurrency=2).to_pandas()
+        assert len(got) == 200 * k
+        # exact distances per route in the same meter frame
+        from geotile.ops.join import _ANCHOR_LAT, _ANCHOR_LON
+
+        mx, my = meter_frame(_ANCHOR_LAT)
+        lon, lat = tile_centers(np.arange(200).astype(np.uint64))
+        px, py = (lon - _ANCHOR_LON) * mx, (lat - _ANCHOR_LAT) * my
+        rids = sorted(lines)
+        D = np.stack(
+            [
+                points_to_polyline_distance(
+                    px, py,
+                    np.column_stack([(lines[r][:, 0] - _ANCHOR_LON) * mx,
+                                     (lines[r][:, 1] - _ANCHOR_LAT) * my]),
+                )
+                for r in rids
+            ],
+            axis=1,
+        )
+        for i in range(200):
+            exp_order = [rids[j] for j in np.argsort(D[i], kind="stable")[:k]]
+            rows = got[got.image_id == f"img-{i:08d}"].sort_values("rank")
+            assert rows.route_id.tolist() == exp_order
+            assert np.allclose(np.sort(D[i])[:k], rows.dist_m.to_numpy())
+
+
+class TestCellCounts:
+    def test_total_and_skew(self, ray_session, image_table_dir):
+        ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS)
+        df = cell_tile_counts(ds, coarse_res=12, salt=8).to_pandas()
+        assert df.n_tiles.sum() == N_IMG
+        # the hot-stop cluster concentrates ~20% in one coarse cell
+        assert df.n_tiles.max() > 0.1 * N_IMG
+        # matches a driver-side oracle
+        from geotile.geom import cells
+
+        lon, lat = tile_centers(np.arange(N_IMG).astype(np.uint64))
+        coarse = cells.parent(cells.encode(lon, lat, 18), 12)
+        uniq, counts = np.unique(coarse, return_counts=True)
+        oracle = dict(zip(uniq.view(np.int64).tolist(), counts.tolist()))
+        got = dict(zip(df.cell.tolist(), df.n_tiles.tolist()))
+        assert got == oracle
+
+
+class TestFcAssembly:
+    def test_per_route_fc(self, ray_session, image_table_dir, index):
+        ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS)
+        joined = spatial_join(ds, index, concurrency=2)
+        fcs = assemble_route_fcs(joined).to_pandas()
+        assert set(fcs.route_id) == set(index.route_ids)
+        fc = json.loads(fcs.fc_json.iloc[0])
+        assert fc["type"] == "FeatureCollection"
+        f0 = fc["features"][0]
+        assert f0["geometry"]["type"] == "Polygon"
+        assert "caption" in f0["properties"]
+        ids = [f["properties"]["image_id"] for f in fc["features"]]
+        assert ids == sorted(ids)  # deterministic in-file order
+
+
+class TestImageStages:
+    def test_decode_invariants_all_ok(self, ray_session, image_table_dir):
+        ds = read_image_table(str(image_table_dir))
+        out = ds.map_batches(
+            ImageDecodeStage, fn_constructor_kwargs={"verify": True},
+            batch_format="pyarrow", batch_size=256, concurrency=2,
+        ).to_pandas()
+        assert len(out) == N_IMG
+        assert out.phash_ok.all()
+
+    def test_resize_stage(self, ray_session, image_table_dir):
+        ds = read_image_table(str(image_table_dir)).limit(64)
+        out = ds.map_batches(
+            ImageResizeStage, fn_constructor_kwargs={"out_w": 8, "out_h": 8},
+            batch_format="pyarrow", batch_size=32, concurrency=2,
+        ).to_pandas()
+        assert len(out) == 64
+        assert (out.w == 8).all() and (out.h == 8).all()
+        assert all(len(b) == 8 * 8 * 3 for b in out["bytes"])
+
+
+class TestCheckpoint:
+    def _pipeline(self, index):
+        def fn(ds):
+            return spatial_join(ds, index, concurrency=2)
+
+        return fn
+
+    def test_kill_and_resume(self, ray_session, tmp_path, index):
+        from geotile.checkpoint import read_manifests, run_checkpointed
+        from geotile.synth import make_image_table
+
+        inp = make_image_table(3000, tmp_path / "img", rows_per_file=1000)
+        out = tmp_path / "out"
+        # "killed" run: only 1 partition completes
+        s1 = run_checkpointed(inp, out, self._pipeline(index),
+                              columns=JOIN_COLUMNS, max_partitions=1)
+        assert s1["partitions_run"] == 1
+        m1 = read_manifests(out)
+        assert len(m1) == 1
+        # resume: the finished partition is skipped, rest complete
+        s2 = run_checkpointed(inp, out, self._pipeline(index), columns=JOIN_COLUMNS)
+        assert s2["partitions_skipped"] == 1
+        assert s2["partitions_run"] == 2
+        m2 = read_manifests(out)
+        assert len(m2) == 3
+        # the first manifest is untouched byte-identically
+        assert m2[0] == m1[0]
+        # total output equals a fresh full run
+        out2 = tmp_path / "out_full"
+        s3 = run_checkpointed(inp, out2, self._pipeline(index), columns=JOIN_COLUMNS)
+        assert s3["rows"] == s1["rows"] + s2["rows"]
+        a = pq.read_table(sorted(str(p) for p in out.glob("part=*/[!_]*.parquet")))
+        b = pq.read_table(sorted(str(p) for p in out2.glob("part=*/[!_]*.parquet")))
+        assert a.sort_by("image_id").equals(b.sort_by("image_id"))
+
+    def test_stale_input_reruns(self, ray_session, tmp_path, index):
+        import time
+
+        from geotile.checkpoint import completed_partitions, run_checkpointed
+        from geotile.synth import make_image_table
+        from pathlib import Path
+
+        inp = make_image_table(1000, tmp_path / "img", rows_per_file=1000)
+        out = tmp_path / "out"
+        run_checkpointed(inp, out, self._pipeline(index), columns=JOIN_COLUMNS)
+        parts = sorted(Path(inp).glob("*.parquet"))
+        assert completed_partitions(out, parts) == {parts[0].stem}
+        # touch the input → fingerprint changes → partition is dirty
+        time.sleep(1.1)
+        parts[0].touch()
+        assert completed_partitions(out, parts) == set()

@@ -29,8 +29,8 @@ class TestPng:
 
 class TestImageTable:
     def test_schema_is_input_hint(self, tmp_path):
-        p = synth.make_image_table(100, tmp_path / "img.parquet")
-        t = pq.read_table(p)
+        d = synth.make_image_table(100, tmp_path / "img")
+        t = pq.read_table(d)
         assert t.num_rows == 100
         assert [(f.name, str(f.type)) for f in t.schema] == [
             ("image_id", "string"), ("bytes", "binary"), ("w", "int32"),
