@@ -1,0 +1,132 @@
+"""Text-analysis stages for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All stages are vectorized ``map_batches`` transforms (pyarrow.compute
+string kernels / numpy); the language-ID stage is an actor pool holding
+compiled tables. Tokenization is plain single-space split so the DuckDB
+oracle (``string_split(text, ' ')``) states the identical semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "a", "in", "that", "it", "for"},
+    "es": {"el", "la", "de", "que", "y", "los", "las", "un", "una", "es"},
+    "fr": {"le", "la", "les", "des", "et", "un", "une", "est", "du", "que"},
+    "de": {"der", "die", "das", "und", "ein", "eine", "ist", "nicht", "mit", "zu"},
+}
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized token/quality metrics: n_tokens (single-space split),
+    n_chars, stopword count, punctuation count."""
+    text = batch[text_col]
+    toks = pc.split_pattern(text, " ")
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, pa.array(list(STOPWORDS)))
+    # per-row stopword counts: reduce the flattened mask by list offsets
+    offsets = np.zeros(len(batch) + 1, dtype=np.int64)
+    lens = n_tokens.to_numpy(zero_copy_only=False)
+    np.cumsum(lens, out=offsets[1:])
+    stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(stop_np)])
+    n_stop = csum[offsets[1:]] - csum[offsets[:-1]]
+    n_punct = pc.count_substring_regex(text, r"[\.,;:!\?]").cast(pa.int64())
+    return (
+        batch.append_column("n_tokens", n_tokens)
+        .append_column("n_chars_calc", n_chars)
+        .append_column("n_stopwords", pa.array(n_stop))
+        .append_column("n_punct", n_punct)
+    )
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Composite quality score in [0, 1] from the token stats (length,
+    stopword ratio, mean token length bands) — the heuristic-scoring
+    operator of a pretraining data pipeline."""
+    t = batch if "n_tokens" in batch.column_names else token_stats_batch(batch)
+    n_tok = t["n_tokens"].to_numpy().astype(np.float64)
+    n_chars = t["n_chars_calc"].to_numpy().astype(np.float64)
+    n_stop = t["n_stopwords"].to_numpy().astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stop_ratio = np.where(n_tok > 0, n_stop / n_tok, 0.0)
+        mean_len = np.where(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok, 0.0)
+    len_ok = np.clip((n_tok - 5) / 45.0, 0.0, 1.0)
+    stop_ok = 1.0 - np.abs(stop_ratio - 0.08) * 4.0
+    word_ok = 1.0 - np.abs(mean_len - 4.5) / 4.5
+    score = np.clip(0.4 * len_ok + 0.3 * np.clip(stop_ok, 0, 1) + 0.3 * np.clip(word_ok, 0, 1), 0, 1)
+    return t.append_column("quality", pa.array(np.round(score, 6)))
+
+
+class LangIdStage:
+    """Actor-pool language ID: CJK codepoint check, then marker-word
+    voting (state — the marker tables — built once per actor)."""
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in batch["text"]:
+            if any("一" <= ch <= "鿿" for ch in text[:400]):
+                out.append("zh")
+                continue
+            words = set(text[:2000].lower().split())
+            best, best_n = "en", -1
+            for lang, marks in self.markers.items():
+                n = len(words & marks)
+                if n > best_n:
+                    best, best_n = lang, n
+            out.append(best)
+        batch = batch.copy()
+        batch["lang_pred"] = out
+        return batch
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_tokens(token_hashes: np.ndarray) -> np.uint64:
+    h = _FNV_OFFSET
+    for t in token_hashes:
+        h = (h ^ np.uint64(t)) * _FNV_PRIME
+    return h
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit rolling document fingerprint: FNV-1a over the token hash
+    sequence (order-sensitive — reordered near-dups get different
+    fingerprints, unlike simhash)."""
+    from geotile.ops.hashing import stable_hash64
+    from geotile.synth import splitmix64
+
+    texts = batch[text_col].to_pylist()
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, s in enumerate(texts):
+        th = np.array([stable_hash64(w) for w in s.split()], dtype=np.uint64)
+        th = splitmix64(th)
+        out[i] = fnv1a_tokens(th)
+    return batch.append_column("fingerprint", pa.array(out.view(np.int64)))
+
+
+def doc_stats(ds: rd.Dataset) -> rd.Dataset:
+    """documents → per-doc token/quality stats (vectorized)."""
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_id(ds: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(
+        LangIdStage, batch_format="pandas", batch_size=2048, concurrency=concurrency
+    )
