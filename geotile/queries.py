@@ -1,0 +1,745 @@
+"""Driver-contract query battery (CORRECTNESS gate).
+
+Each ``q_*`` function takes ``sf_dir`` (a /root/testdata/sf* directory)
+and returns a Dataset / pandas DataFrame; ``ORACLE_SQL`` holds the
+DuckDB-equivalent ANSI SQL for every SQL-expressible query, with
+IDENTICAL column names and float rounding on both sides (the driver
+hashes values after sorting columns by name).
+
+Mapping to SURVEY §2 operators is noted per query. Scale disciplines
+demonstrated: column pruning at the read, per-batch partial aggregation
+before every groupby, broadcast small sides (never a fact-side
+shuffle join), vectorized pyarrow/numpy batch bodies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+_R = 4  # float rounding for driver value-hash comparability
+
+
+def _e(col, scale: int):
+    """Exact-integer lattice for a float aggregate: round(x*scale) as
+    int64. Raw rounded doubles can differ by 1 ULP between pyarrow and
+    DuckDB; the integer lattice makes the driver value-hash exact."""
+    return pc.round(pc.multiply(col, pa.scalar(float(scale)))).cast(pa.int64())
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _rename(ds: rd.Dataset, names: list[str]) -> rd.Dataset:
+    return ds.map_batches(lambda t: t.rename_columns(names), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary — the partial+final aggregation pattern (SURVEY A4/M)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1995-09-02", "us"))))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("rev", rev)
+        df = t.select(["l_returnflag", "l_linestatus", "l_quantity", "rev"]).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), sum_rev=("rev", "sum"), n=("rev", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).sum(["sum_qty", "sum_rev", "n"])
+    out = _rename(out, ["l_returnflag", "l_linestatus", "sum_qty", "sum_rev", "n"])
+    # exact-integer lattice: double rounding differs by 1 ULP between
+    # engines, so hashable float outputs are scaled to BIGINT instead
+    return out.map_batches(
+        lambda t: t.set_column(2, "sum_qty", _e(t["sum_qty"], 100))
+        .set_column(3, "sum_rev", _e(t["sum_rev"], 10000))
+        .rename_columns(["l_returnflag", "l_linestatus", "sum_qty_e2", "sum_rev_e4", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# stop→route assignment analog: orders fact grouped, dims broadcast (J1/J2)
+# ---------------------------------------------------------------------------
+
+def q_cust_nation_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    # partial per-batch combine, then one small groupby (same shape as J1)
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_orderkey", "size"), total=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = orders.map_batches(partial, batch_format="pyarrow").groupby("o_custkey").sum(
+        ["n_orders", "total"]
+    )
+    agg = _rename(agg, ["custkey", "n_orders", "total"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).take_all()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    nat = {r["n_nationkey"]: r["n_name"] for r in nation}
+    cmap_ref = ray.put({r["c_custkey"]: (r["c_name"], nat[r["c_nationkey"]]) for r in cust})
+
+    class Attach:
+        def __init__(self):
+            self.cmap = ray.get(cmap_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["custkey"].to_pylist()
+            names, nats = zip(*[self.cmap[k] for k in keys]) if keys else ((), ())
+            return (
+                t.append_column("c_name", pa.array(list(names), pa.string()))
+                .append_column("nation", pa.array(list(nats), pa.string()))
+                .set_column(2, "total", _e(t["total"], 100))
+                .rename_columns(["custkey", "n_orders", "total_e2", "c_name", "nation"])
+            )
+
+    return agg.map_batches(Attach, batch_format="pyarrow", concurrency=2)
+
+
+def q_broadcast_join_brand_revenue(sf_dir: str):
+    """J2-style broadcast join: lineitem fact × part dim (ray.put once)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).take_all()
+    bmap_ref = ray.put({r["p_partkey"]: r["p_brand"] for r in part})
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    class Partial:
+        def __init__(self):
+            self.bmap = ray.get(bmap_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            brands = [self.bmap[k] for k in t["l_partkey"].to_pylist()]
+            rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            df = pd.DataFrame({"p_brand": brands, "rev": rev.to_numpy()})
+            g = df.groupby("p_brand", as_index=False).agg(revenue=("rev", "sum"), n=("rev", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(Partial, batch_format="pyarrow", concurrency=2).groupby(
+        "p_brand"
+    ).sum(["revenue", "n"])
+    out = _rename(out, ["p_brand", "revenue", "n"])
+    return out.map_batches(
+        lambda t: t.set_column(1, "revenue", _e(t["revenue"], 10000)).rename_columns(
+            ["p_brand", "revenue_e4", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_semi_join_date_filter(sf_dir: str):
+    """J5 analog: date-ranged orders → broadcast keyset semi-join on the
+    lineitem fact (the reference's service_id filter)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    keys = orders.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(np.datetime64("1995-01-01", "us"))),
+                pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+            )
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    ).take_all()
+    keyset_ref = ray.put(pa.array(sorted(r["o_orderkey"] for r in keys)))
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    class Semi:
+        def __init__(self):
+            self.keys = ray.get(keyset_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            f = t.filter(pc.is_in(t["l_orderkey"], self.keys))
+            return pa.table(
+                {"n_items": pa.array([len(f)], pa.int64()),
+                 "sum_qty": pa.array([pc.sum(f["l_quantity"]).as_py() or 0.0], pa.float64())}
+            )
+
+    out = ds.map_batches(Semi, batch_format="pyarrow", concurrency=2)
+    df = out.to_pandas().sum()
+    return pd.DataFrame(
+        {"n_items": [int(df.n_items)], "sum_qty_e2": [int(round(float(df.sum_qty) * 100))]}
+    )
+
+
+def q_left_join_customer_orders(sf_dir: str):
+    """J4-style LEFT join: every customer row survives with n_orders=0."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    counts = orders.groupby("o_custkey").count()
+    counts = _rename(counts, ["custkey", "cnt"])
+    cmap_ref = ray.put({r["custkey"]: r["cnt"] for r in counts.take_all()})
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    class Attach:
+        def __init__(self):
+            self.m = ray.get(cmap_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = [self.m.get(k, 0) for k in t["c_custkey"].to_pylist()]
+            return pa.table(
+                {"custkey": t["c_custkey"], "n_orders": pa.array(n, pa.int64())}
+            )
+
+    return cust.map_batches(Attach, batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# distinct / dedup / union / sort-limit (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+def q_distinct_parts_per_flag(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+    # per-batch dedup (combiner) → exact distinct per flag
+    pre = ds.map_batches(
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = pre.groupby(["l_returnflag", "l_partkey"]).count()
+    out = pairs.groupby("l_returnflag").count()
+    return _rename(out, ["l_returnflag", "n_parts"])
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    from geotile.ops.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_union_order_subsets(sf_dir: str):
+    a = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 200000.0)), batch_format="pyarrow"
+    )
+    b = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_totalprice"], 50000.0)), batch_format="pyarrow"
+    )
+    u = a.union(b)
+    out = u.groupby("o_orderstatus").count()
+    return _rename(out, ["o_orderstatus", "n"])
+
+
+def q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.select_columns(["o_orderkey", "o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# geometry-flavored, SQL-checkable (cells / bbox / PIP / spatial join)
+# ---------------------------------------------------------------------------
+
+def q_envelope_events(sf_dir: str):
+    """A1 envelope as partial+final min/max over derived x/y points."""
+    ds = _read(sf_dir, "events", ["value", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["value"].to_numpy()
+        y = t["user_id"].to_numpy().astype(np.float64)
+        return pa.table(
+            {"min_x": [float(x.min())], "max_x": [float(x.max())],
+             "min_y": [float(y.min())], "max_y": [float(y.max())]}
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "min_x": [p.min_x.min()],
+            "max_x": [p.max_x.max()],
+            "min_y": [p.min_y.min()],
+            "max_y": [p.max_y.max()],
+        }
+    )
+
+
+def q_cell_quantize_events(sf_dir: str):
+    """Cell encoding (SQL-checkable square grid; the Morton packing of
+    the same (ix, iy) is covered by geom unit tests)."""
+    ds = _read(sf_dir, "events", ["value", "user_id"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        ix = np.floor(t["value"].to_numpy() / 5.0).astype(np.int64)
+        iy = (t["user_id"].to_numpy() // 10).astype(np.int64)
+        df = pd.DataFrame({"ix": ix, "iy": iy})
+        g = df.groupby(["ix", "iy"], as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(enc, batch_format="pyarrow").groupby(["ix", "iy"]).sum("n")
+    return _rename(out, ["ix", "iy", "n"])
+
+
+_TRI = ((1.0, 1.0), (9.0, 2.0), (5.0, 9.0))  # CCW triangle
+
+
+def _derived_points(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic synthetic points, expressible identically in SQL."""
+    x = (doc_id * 2654435761 % 4294967296).astype(np.float64) / 4294967296.0 * 10.0
+    y = ((doc_id * 40503 + 7) % 65536).astype(np.float64) / 65536.0 * 10.0
+    return x, y
+
+
+def q_pip_triangle_docs(sf_dir: str):
+    """Point-in-polygon spatial join with a SQL oracle: strict half-plane
+    containment of derived points in a fixed CCW triangle."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pip(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        x, y = _derived_points(d)
+        (ax, ay), (bx, by), (cx, cy) = _TRI
+        s1 = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+        s2 = (cx - bx) * (y - by) - (cy - by) * (x - bx)
+        s3 = (ax - cx) * (y - cy) - (ay - cy) * (x - cx)
+        inside = (s1 > 0) & (s2 > 0) & (s3 > 0)
+        return pa.table({"doc_id": pa.array(d[inside])})
+
+    return ds.map_batches(pip, batch_format="pyarrow")
+
+
+def q_spatial_grid_join_docs(sf_dir: str):
+    """Grid-cell spatial aggregation of the derived points: count per
+    occupied unit cell — the tile-assignment shape with a SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        x, y = _derived_points(d)
+        ix = np.floor(x).astype(np.int64)
+        iy = np.floor(y).astype(np.int64)
+        df = pd.DataFrame({"ix": ix, "iy": iy})
+        g = df.groupby(["ix", "iy"], as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(enc, batch_format="pyarrow").groupby(["ix", "iy"]).sum("n")
+    return _rename(out, ["ix", "iy", "n"])
+
+
+# ---------------------------------------------------------------------------
+# events windowing (streaming-shaped; ray_guide pattern)
+# ---------------------------------------------------------------------------
+
+def q_window_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy()
+        w = ts_us // 300_000_000  # 5-minute tumbling windows
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "w": w, "value": t["value"].to_numpy()}
+        )
+        g = df.groupby(["event_type", "w"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(win, batch_format="pyarrow").groupby(["event_type", "w"]).sum(
+        ["n", "sum_value"]
+    )
+    out = _rename(out, ["event_type", "w", "n", "sum_value"])
+    return out.map_batches(
+        lambda t: t.set_column(3, "sum_value", _e(t["sum_value"], 100)).rename_columns(
+            ["event_type", "w", "n", "sum_value_e2"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# text + vector queries
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(sf_dir: str):
+    from geotile.ops.text import token_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(token_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "n_tokens", "n_stopwords", "n_punct"])
+
+
+def q_doc_stats_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("lang", as_index=False).agg(
+            n=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").sum(
+        ["n", "sum_chars"]
+    )
+    return _rename(out, ["lang", "n", "sum_chars"])
+
+
+def q_knn_embeddings(sf_dir: str):
+    from geotile.ops.ann import topk_bruteforce
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).take_all()
+    qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q], dtype=np.float64)
+    order = np.argsort(qids)
+    out = topk_bruteforce(emb, qids[order], Q[order], k=3)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t["query_id"],
+                "vec_id": t["vec_id"],
+                "cosine_e6": _e(t["cosine"], 1_000_000),
+                "rank": t["rank"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible; driver records weaker check)
+# ---------------------------------------------------------------------------
+
+def q_lang_id_docs(sf_dir: str):
+    from geotile.ops.text import lang_id
+
+    return lang_id(_read(sf_dir, "documents", ["doc_id", "text", "lang"])).select_columns(
+        ["doc_id", "lang", "lang_pred"]
+    )
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from geotile.ops.text import fingerprint_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+def q_minhash_pairs_docs(sf_dir: str):
+    from geotile.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.35)
+
+
+def q_simhash_docs(sf_dir: str):
+    from geotile.ops.dedup import simhash_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "simhash"])
+
+
+def q_embedding_dups(sf_dir: str):
+    from geotile.ops.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.35)
+
+
+def q_ivf_ann(sf_dir: str):
+    from geotile.ops.ann import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).take_all()
+    qids = np.array(sorted(r["vec_id"] for r in q), dtype=np.int64)
+    Q = np.array([r["embedding"] for r in sorted(q, key=lambda r: r["vec_id"])], dtype=np.float64)
+    return ivf_topk(emb, qids, Q, k=3, n_centroids=8, nprobe=4)
+
+
+# -- graft flagship over the synthesized image table (cached per sf) --------
+
+_SF_IMAGE_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def _image_dir_for(sf_dir: str) -> str:
+    import os
+    from pathlib import Path
+
+    from geotile.synth import make_image_table
+
+    sf_name = Path(sf_dir).name
+    n = _SF_IMAGE_ROWS.get(sf_name, 2_000)
+    out = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache")) / f"images_{sf_name}"
+    make_image_table(n, out)  # skips parts that already exist
+    return str(out)
+
+
+def _fixture_ctx():
+    import os
+    from pathlib import Path
+
+    from geotile.ops.gtfs import GtfsContext
+    from geotile.synth import make_caltrain_fixture
+
+    d = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache")) / "caltrain"
+    if not (d / "agency.parquet").exists():
+        make_caltrain_fixture(d)
+    return GtfsContext(d)
+
+
+def q_tile_assignments(sf_dir: str):
+    """THE flagship: image tiles → route buffers spatial join."""
+    from geotile.config import PipelineConfig
+    from geotile.ops.join import build_route_index, route_buffer_polygons, spatial_join
+    from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+
+    ctx = _fixture_ctx()
+    idx = build_route_index(route_buffer_polygons(ctx, PipelineConfig(coordinate_precision=5)))
+    ds = read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS)
+    return spatial_join(ds, idx).select_columns(["image_id", "route_id", "cell", "caption"])
+
+
+def q_tile_knn(sf_dir: str):
+    from geotile.ops.join import knn_routes, route_polylines
+    from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+
+    ctx = _fixture_ctx()
+    ds = read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS)
+    return knn_routes(ds, route_polylines(ctx), k=2)
+
+
+def q_tile_cell_counts(sf_dir: str):
+    from geotile.ops.join import cell_tile_counts
+    from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+
+    return cell_tile_counts(read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS))
+
+
+def q_route_feature_collections(sf_dir: str):
+    from geotile.config import PipelineConfig
+    from geotile.ops.join import (
+        assemble_route_fcs,
+        build_route_index,
+        route_buffer_polygons,
+        spatial_join,
+    )
+    from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+
+    ctx = _fixture_ctx()
+    idx = build_route_index(route_buffer_polygons(ctx, PipelineConfig(coordinate_precision=5)))
+    ds = read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS)
+    fcs = assemble_route_fcs(spatial_join(ds, idx))
+    return fcs.select_columns(["route_id", "n_tiles"])
+
+
+def q_image_invariants(sf_dir: str):
+    """Per-row payload invariants (decode + phash) on a sample."""
+    from geotile.ops.tiles import ImageDecodeStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(1000)
+    return ds.map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"verify": True},
+        batch_format="pyarrow", batch_size=256, concurrency=2,
+    ).select_columns(["image_id", "phash_ok"])
+
+
+def q_gtfs_stop_features(sf_dir: str):
+    """GTFS stop→route assignment summarized (parity gate is the golden
+    pytest suite; this exposes it to the driver as rows)."""
+    from geotile.ops.stops import stop_features
+
+    feats = stop_features(_fixture_ctx(), {})
+    return pd.DataFrame(
+        {
+            "stop_id": [f["properties"]["stop_id"] for f in feats],
+            "n_routes": [
+                len(f["properties"]["routes"]) if isinstance(f["properties"]["routes"], list) else 0
+                for f in feats
+            ],
+        }
+    )
+
+
+def q_gtfs_line_features(sf_dir: str):
+    from geotile.ops.lines import route_lines
+
+    feats = route_lines(_fixture_ctx(), {}) or []
+    return pd.DataFrame(
+        {
+            "route_id": [f["properties"]["route_id"] for f in feats],
+            "n_parts": [len(f["geometry"]["coordinates"]) for f in feats],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "cust_nation_orders": q_cust_nation_orders,
+    "broadcast_join_brand_revenue": q_broadcast_join_brand_revenue,
+    "semi_join_date_filter": q_semi_join_date_filter,
+    "left_join_customer_orders": q_left_join_customer_orders,
+    "distinct_parts_per_flag": q_distinct_parts_per_flag,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "union_order_subsets": q_union_order_subsets,
+    "topk_orders": q_topk_orders,
+    "envelope_events": q_envelope_events,
+    "cell_quantize_events": q_cell_quantize_events,
+    "pip_triangle_docs": q_pip_triangle_docs,
+    "spatial_grid_join_docs": q_spatial_grid_join_docs,
+    "window_events": q_window_events,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "knn_embeddings": q_knn_embeddings,
+    # rows-only (non-SQL-expressible)
+    "lang_id_docs": q_lang_id_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "minhash_pairs_docs": q_minhash_pairs_docs,
+    "simhash_docs": q_simhash_docs,
+    "embedding_dups": q_embedding_dups,
+    "ivf_ann": q_ivf_ann,
+    "tile_assignments": q_tile_assignments,
+    "tile_knn": q_tile_knn,
+    "tile_cell_counts": q_tile_cell_counts,
+    "route_feature_collections": q_route_feature_collections,
+    "image_invariants": q_image_invariants,
+    "gtfs_stop_features": q_gtfs_stop_features,
+    "gtfs_line_features": q_gtfs_line_features,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_rev_e4,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1995-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "cust_nation_orders": """
+        SELECT o.o_custkey AS custkey,
+               count(*) AS n_orders,
+               CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS total_e2,
+               c.c_name AS c_name,
+               n.n_name AS nation
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY o.o_custkey, c.c_name, n.n_name
+    """,
+    "broadcast_join_brand_revenue": """
+        SELECT p.p_brand AS p_brand,
+               CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) AS BIGINT) AS revenue_e4,
+               count(*) AS n
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    """,
+    "semi_join_date_filter": """
+        SELECT count(*) AS n_items,
+               CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01')
+    """,
+    "left_join_customer_orders": """
+        SELECT c.c_custkey AS custkey, count(o.o_custkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+    "distinct_parts_per_flag": """
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "exact_dedup_docs": """
+        SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "union_order_subsets": """
+        SELECT o_orderstatus, count(*) AS n FROM (
+            SELECT o_orderstatus FROM orders WHERE o_totalprice > 200000
+            UNION ALL
+            SELECT o_orderstatus FROM orders WHERE o_totalprice < 50000
+        ) GROUP BY o_orderstatus
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "envelope_events": """
+        SELECT min(value) AS min_x, max(value) AS max_x,
+               min(CAST(user_id AS DOUBLE)) AS min_y,
+               max(CAST(user_id AS DOUBLE)) AS max_y
+        FROM events
+    """,
+    "cell_quantize_events": """
+        SELECT CAST(floor(value / 5.0) AS BIGINT) AS ix,
+               CAST(user_id // 10 AS BIGINT) AS iy,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "pip_triangle_docs": """
+        WITH pts AS (
+            SELECT doc_id,
+                   (doc_id * 2654435761 % 4294967296) / 4294967296.0 * 10.0 AS x,
+                   ((doc_id * 40503 + 7) % 65536) / 65536.0 * 10.0 AS y
+            FROM documents)
+        SELECT doc_id FROM pts
+        WHERE (9.0-1.0)*(y-1.0) - (2.0-1.0)*(x-1.0) > 0
+          AND (5.0-9.0)*(y-2.0) - (9.0-2.0)*(x-9.0) > 0
+          AND (1.0-5.0)*(y-9.0) - (1.0-9.0)*(x-5.0) > 0
+    """,
+    "spatial_grid_join_docs": """
+        WITH pts AS (
+            SELECT doc_id,
+                   (doc_id * 2654435761 % 4294967296) / 4294967296.0 * 10.0 AS x,
+                   ((doc_id * 40503 + 7) % 65536) / 65536.0 * 10.0 AS y
+            FROM documents)
+        SELECT CAST(floor(x) AS BIGINT) AS ix, CAST(floor(y) AS BIGINT) AS iy,
+               count(*) AS n
+        FROM pts GROUP BY 1, 2
+    """,
+    "window_events": """
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 300) AS BIGINT) AS w,
+               count(*) AS n,
+               CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2
+        FROM events GROUP BY 1, 2
+    """,
+    "doc_token_stats": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','and','of','a','to','in','is','it'))) AS n_stopwords,
+               len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS n_punct
+        FROM documents
+    """,
+    "doc_stats_by_lang": """
+        SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+        FROM documents GROUP BY lang
+    """,
+    "knn_embeddings": """
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 5),
+             s AS (SELECT q.qid AS query_id, e.vec_id AS vec_id,
+                          round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+                          row_number() OVER (
+                              PARTITION BY q.qid
+                              ORDER BY round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                                       e.vec_id ASC) AS rn
+                   FROM q CROSS JOIN embeddings e
+                   WHERE e.vec_id <> q.qid)
+        SELECT query_id, vec_id,
+               CAST(round(cosine * 1000000) AS BIGINT) AS cosine_e6,
+               CAST(rn - 1 AS BIGINT) AS rank
+        FROM s WHERE rn <= 3
+    """,
+}
