@@ -1,0 +1,175 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Headline: spatial-join + tile-assignment throughput (rows/s) over the
+Lance-style image+caption table (BASELINE.json metric). The image table
+is synthesized once per scale and cached under /tmp/geotile_cache; the
+timed join reads the part-file list repeated REPEATS× (same bytes, OS
+page cache warm) so the measured window is tens of seconds of steady-
+state compute, not generation or first-touch I/O.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32). ``--scaling`` reruns this script in two fresh processes
+at 8 and 32 CPUs on identical input and reports scaling efficiency
+(the sandbox stand-in for the N→4N cluster rule, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache"))
+
+_BENCH_ROWS = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 400_000}
+_REPEATS = {"sf0.001": 8, "sf0.01": 24, "sf0.1": 32}
+
+
+def main() -> None:
+    sf_name = Path(SF_DIR).name
+    n_rows = _BENCH_ROWS.get(sf_name, 100_000)
+    repeats = _REPEATS.get(sf_name, 8)
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from geotile.config import PipelineConfig
+    from geotile.ops.join import (
+        assemble_route_fcs,
+        build_route_index,
+        cell_tile_counts,
+        knn_routes,
+        route_buffer_polygons,
+        route_polylines,
+        spatial_join,
+    )
+    from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+    from geotile.queries import _fixture_ctx
+    from geotile.synth import make_image_table
+
+    img_dir = CACHE / f"bench_images_{sf_name}"
+    make_image_table(n_rows, img_dir, w=16, h=16)  # cached across runs
+    parts = sorted(str(p) for p in img_dir.glob("*.parquet"))
+
+    ctx = _fixture_ctx()
+    cfg = PipelineConfig(coordinate_precision=5)
+    index = build_route_index(route_buffer_polygons(ctx, cfg))
+    lines = route_polylines(ctx)
+
+    def consume(ds) -> int:
+        """Distributed row-count consumption (nothing funnels to driver)."""
+        return int(
+            ds.map_batches(
+                lambda t: pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
+            ).sum("n")
+        )
+
+    # warm the page cache + actor pools with one untimed pass
+    consume(spatial_join(read_image_table(parts, columns=JOIN_COLUMNS), index))
+
+    timings: dict[str, float] = {}
+
+    # headline: join + tile assignment over repeats× the part list
+    big = read_image_table(parts * repeats, columns=JOIN_COLUMNS)
+    t0 = time.time()
+    joined_rows = consume(spatial_join(big, index))
+    headline = time.time() - t0
+    timings["spatial_join_tiles"] = round(headline, 3)
+    input_rows = n_rows * repeats
+
+    t0 = time.time()
+    consume(knn_routes(read_image_table(parts * max(1, repeats // 4), columns=JOIN_COLUMNS), lines, k=3))
+    timings["knn_routes"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    consume(cell_tile_counts(read_image_table(parts * repeats, columns=JOIN_COLUMNS)))
+    timings["cell_tile_counts"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    fcs = assemble_route_fcs(
+        spatial_join(read_image_table(parts, columns=JOIN_COLUMNS), index),
+        max_features_per_route=200_000,
+    )
+    consume(fcs.select_columns(["route_id", "n_tiles"]))
+    timings["route_fc_assembly"] = round(time.time() - t0, 3)
+
+    # sf-dir table pipelines (documents / embeddings / lineitem / events)
+    from geotile.queries import (
+        q_doc_token_stats,
+        q_knn_embeddings,
+        q_minhash_pairs_docs,
+        q_pricing_summary,
+        q_window_events,
+    )
+
+    for name, fn in [
+        ("pricing_summary", q_pricing_summary),
+        ("window_events", q_window_events),
+        ("doc_token_stats", q_doc_token_stats),
+        ("minhash_pairs_docs", q_minhash_pairs_docs),
+        ("knn_embeddings", q_knn_embeddings),
+    ]:
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "spatial-join + tile-assignment throughput",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "rows_per_s": round(input_rows / headline),
+        "input_rows": input_rows,
+        "joined_rows": joined_rows,
+        "queries": timings,
+        "sf": sf_name,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """Two fresh processes at 8 and 32 CPUs on identical input — the
+    sandbox evidence for the N→4N ≥0.8 scaling-efficiency rule."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, __file__], env=env,
+                           capture_output=True, text=True, check=True)
+        results[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    out = {
+        "sec_8": t8,
+        "sec_32": t32,
+        "rows_per_s_8": results[8]["rows_per_s"],
+        "rows_per_s_32": results[32]["rows_per_s"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": results[32]["sf"],
+        "input_rows": results[32]["input_rows"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,77 @@
+"""CLI — parity with the reference bin (src/bin/gtfs-to-geojson.ts:13-27).
+
+Usage:
+    python -m geotile.cli --configPath ./config.json
+    python -m geotile.cli --fixture /tmp/fix --output /tmp/out \
+        --format lines-and-stops --type agency --precision 5
+
+``--fixture DIR`` synthesizes the caltrain feed into DIR and runs on it
+(offline stand-in for the reference's download+import stage). Owns the
+Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="geotile", description=__doc__)
+    p.add_argument("--configPath", help="path to a reference-style config.json")
+    p.add_argument("--skipImport", action="store_true",
+                   help="kept for reference CLI parity (import == parquet read here)")
+    p.add_argument("--fixture", help="synthesize the caltrain fixture feed into this dir")
+    p.add_argument("--output", default="./geojson_out")
+    p.add_argument("--format", default="lines-and-stops")
+    p.add_argument("--type", default="agency", choices=["agency", "route", "shape"])
+    p.add_argument("--precision", type=int, default=None)
+    p.add_argument("--buffer-meters", type=float, default=400.0)
+    p.add_argument("--zip", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    try:
+        from geotile.config import AgencyConfig, PipelineConfig
+        from geotile.pipeline import run_pipeline
+
+        if args.configPath:
+            cfg = PipelineConfig.from_json(args.configPath)
+            if args.output != "./geojson_out" or not cfg.output_path:
+                cfg.output_path = cfg.output_path or args.output
+        elif args.fixture:
+            from geotile.synth import make_caltrain_fixture
+
+            feed = make_caltrain_fixture(args.fixture)
+            cfg = PipelineConfig(
+                agencies=[AgencyConfig(agency_key="caltrain-synth", path=str(feed))],
+                output_format=args.format,
+                output_type=args.type,
+                coordinate_precision=args.precision,
+                buffer_size_meters=args.buffer_meters,
+                output_path=args.output,
+                zip_output=args.zip,
+            )
+        else:
+            p.error("one of --configPath / --fixture is required")
+        paths = run_pipeline(cfg)
+        print(json.dumps({"outputs": paths}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

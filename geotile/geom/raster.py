@@ -336,6 +336,28 @@ def _supercover_mark(
     m[ys[ok], xs[ok]] = True
 
 
+def segment_cover_cells(a, b, res: int) -> np.ndarray:
+    """uint64 cell ids (cells.py) that segment a→b passes through —
+    exact parametric traversal in the global cell lattice."""
+    dlon, dlat = cellmod.cell_size_degrees(res)
+    n = 1 << res
+    ax, ay = (a[0] + 180.0) / dlon, (a[1] + 90.0) / dlat
+    bx, by = (b[0] + 180.0) / dlon, (b[1] + 90.0) / dlat
+    dx, dy = bx - ax, by - ay
+    ts = [np.array([0.0, 1.0])]
+    if dx != 0.0:
+        gx = np.arange(np.ceil(min(ax, bx)), np.floor(max(ax, bx)) + 1)
+        ts.append((gx - ax) / dx)
+    if dy != 0.0:
+        gy = np.arange(np.ceil(min(ay, by)), np.floor(max(ay, by)) + 1)
+        ts.append((gy - ay) / dy)
+    t = np.unique(np.clip(np.concatenate(ts), 0.0, 1.0))
+    tm = (t[:-1] + t[1:]) / 2.0
+    ix = np.clip(np.floor(ax + dx * tm).astype(np.int64), 0, n - 1)
+    iy = np.clip(np.floor(ay + dy * tm).astype(np.int64), 0, n - 1)
+    return np.unique(cellmod.from_ixy(ix.astype(np.uint64), iy.astype(np.uint64), res))
+
+
 def cells_to_mask(cell_ids: np.ndarray) -> tuple[np.ndarray, Grid, float]:
     """Distinct same-resolution cell ids → (mask, grid, lat_scale) in a
     lon-degree frame where lat is scaled by lat_scale so pixels are

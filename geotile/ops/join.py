@@ -43,6 +43,59 @@ _ANCHOR_LON = -122.1
 
 
 @dataclass
+class BoundaryPip:
+    """Grid-localized PIP for ONE polygon's boundary cells: each
+    boundary cell stores the edges passing through it plus the
+    inside/outside parity of an epsilon-inset cell corner. A point's
+    status = corner parity XOR (# local edges properly crossed by the
+    corner→point segment) — O(edges-in-cell)≈2 tests per point instead
+    of O(ring length)≈800."""
+
+    keys: np.ndarray        # sorted uint64 boundary-cell ids
+    corner_x: np.ndarray
+    corner_y: np.ndarray
+    corner_in: np.ndarray   # bool, PIP of the inset corner (build time)
+    offs: np.ndarray        # CSR per cell into the edge-pair arrays
+    ex1: np.ndarray
+    ey1: np.ndarray
+    ex2: np.ndarray
+    ey2: np.ndarray
+
+    def contains(self, cell: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        j = np.searchsorted(self.keys, cell)
+        j = np.clip(j, 0, max(len(self.keys) - 1, 0))
+        found = self.keys[j] == cell if len(self.keys) else np.zeros(len(cell), bool)
+        inside = np.zeros(len(px), dtype=bool)
+        if not found.any():
+            return inside
+        jj = j[found]
+        cx, cy = self.corner_x[jj], self.corner_y[jj]
+        cin = self.corner_in[jj].copy()
+        cnt = (self.offs[jj + 1] - self.offs[jj]).astype(np.int64)
+        if cnt.sum():
+            pi = np.repeat(np.arange(len(jj)), cnt)
+            pos = np.repeat(self.offs[jj], cnt) + (
+                np.arange(len(pi)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            x1, y1 = self.ex1[pos], self.ey1[pos]
+            x2, y2 = self.ex2[pos], self.ey2[pos]
+            Cx, Cy = cx[pi], cy[pi]
+            Px, Py = px[found][pi], py[found][pi]
+            ex, ey = x2 - x1, y2 - y1
+            d1 = ex * (Cy - y1) - ey * (Cx - x1)
+            d2 = ex * (Py - y1) - ey * (Px - x1)
+            sx, sy = Px - Cx, Py - Cy
+            d3 = sx * (y1 - Cy) - sy * (x1 - Cx)
+            d4 = sx * (y2 - Cy) - sy * (x2 - Cx)
+            crosses = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+            flips = np.zeros(len(jj), dtype=np.int64)
+            np.add.at(flips, pi, crosses.astype(np.int64))
+            cin ^= (flips & 1).astype(bool)
+        inside[found] = cin
+        return inside
+
+
+@dataclass
 class RouteIndex:
     """Broadcastable cell→polygon index + STRtree + raw rings.
 
@@ -60,7 +113,8 @@ class RouteIndex:
     cell_offsets: np.ndarray
     cell_polys: np.ndarray
     cell_full: np.ndarray = field(default=None)  # parallel to cell_polys: fully-inside flag
-    poly_edges: list[tuple] = field(default=None)  # precomputed PIP edge arrays
+    poly_edges: list[tuple] = field(default=None)  # full-ring PIP edge arrays (fallback/tests)
+    boundary_pip: list[BoundaryPip] = field(default=None)  # grid-localized PIP per polygon
     bboxes: np.ndarray = field(default=None)
     tree: STRtree = field(default=None)
 
@@ -88,6 +142,66 @@ class RouteIndex:
         return point_idx, self.cell_polys[pos], self.cell_full[pos]
 
 
+def _build_boundary_pip(rings: list[np.ndarray], boundary: np.ndarray, res: int) -> BoundaryPip:
+    """Build the grid-localized PIP structure for one polygon: map each
+    ring edge to the boundary cells it passes through (exact supercover),
+    CSR-pack per cell, and evaluate the epsilon-inset corner of every
+    boundary cell against the full rings ONCE (driver-side)."""
+    from geotile.geom.raster import segment_cover_cells
+
+    boundary = np.sort(np.asarray(boundary, dtype=np.uint64))
+    seg_a, seg_b = [], []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        seg_a.append(r[:-1])
+        seg_b.append(r[1:])
+    A = np.vstack(seg_a)
+    B = np.vstack(seg_b)
+    pc_cells, pc_eids = [], []
+    nb = len(boundary)
+    for e in range(len(A)):
+        cc = segment_cover_cells(A[e], B[e], res)
+        if nb:  # sorted-membership test (np.isin would re-sort per edge)
+            pos = np.searchsorted(boundary, cc)
+            pos_c = np.minimum(pos, nb - 1)
+            cc = cc[boundary[pos_c] == cc]
+        else:
+            cc = cc[:0]
+        pc_cells.append(cc)
+        pc_eids.append(np.full(len(cc), e, dtype=np.int64))
+    cellcol = np.concatenate(pc_cells) if pc_cells else np.empty(0, np.uint64)
+    eidcol = np.concatenate(pc_eids) if pc_eids else np.empty(0, np.int64)
+    order = np.argsort(cellcol, kind="stable")
+    cellcol, eidcol = cellcol[order], eidcol[order]
+    starts = np.searchsorted(cellcol, boundary, side="left")
+    ends = np.searchsorted(cellcol, boundary, side="right")
+    # re-pack pairs so they are contiguous per boundary cell
+    counts = ends - starts
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    take = np.concatenate(
+        [np.arange(s, e) for s, e in zip(starts, ends)]
+    ) if counts.sum() else np.empty(0, np.int64)
+    eids = eidcol[take]
+    # epsilon-inset lower-left corners + their inside status
+    w, s_, e_, n_ = cells.cell_bounds(boundary)
+    eps_x = (e_ - w) * 1e-6
+    eps_y = (n_ - s_) * 1e-6
+    cx = w + eps_x
+    cy = s_ + eps_y
+    corner_in = points_in_polygon(cx, cy, rings)
+    return BoundaryPip(
+        keys=boundary,
+        corner_x=cx,
+        corner_y=cy,
+        corner_in=corner_in,
+        offs=offs,
+        ex1=A[eids, 0].copy(),
+        ey1=A[eids, 1].copy(),
+        ex2=B[eids, 0].copy(),
+        ey2=B[eids, 1].copy(),
+    )
+
+
 def build_route_index(
     route_polygons: dict[str, list[tuple[np.ndarray, list[np.ndarray]]]],
     res: int = DEFAULT_JOIN_RES,
@@ -101,6 +215,7 @@ def build_route_index(
     pairs_cell: list[np.ndarray] = []
     pairs_poly: list[np.ndarray] = []
     pairs_full: list[np.ndarray] = []
+    boundary_pips: list[BoundaryPip] = []
     for ri, rid in enumerate(route_ids):
         for outer, holes in route_polygons[rid]:
             pid = len(polygons)
@@ -113,6 +228,7 @@ def build_route_index(
             pairs_cell.append(cov)
             pairs_poly.append(np.full(len(cov), pid, dtype=np.int32))
             pairs_full.append(full)
+            boundary_pips.append(_build_boundary_pip(rings, cov[~full], res))
     cell_all = np.concatenate(pairs_cell) if pairs_cell else np.empty(0, np.uint64)
     poly_all = np.concatenate(pairs_poly) if pairs_poly else np.empty(0, np.int32)
     full_all = np.concatenate(pairs_full) if pairs_full else np.empty(0, bool)
@@ -131,6 +247,7 @@ def build_route_index(
     from geotile.geom.pip import _edges
 
     return RouteIndex(
+        boundary_pip=boundary_pips,
         res=res,
         route_ids=route_ids,
         polygons=polygons,
@@ -145,18 +262,45 @@ def build_route_index(
     )
 
 
-class SpatialJoinStage:
-    """Actor-pool ``map_batches`` stage: image rows → (image_id, caption,
-    lon, lat, cell, route_id) assignment rows (inner join; tiles outside
-    every buffer are dropped, like the reference's usage semi-join).
+# per-worker-process cache of deserialized broadcast objects: Ray worker
+# processes persist across tasks, so stateless map_batches TASKS get the
+# same once-per-process amortization as an actor pool WITHOUT reserving
+# CPUs (a fixed actor pool sized to the node starves the read stage —
+# observed as a 50× slowdown on an 8-CPU run)
+_BROADCAST_CACHE: dict[str, object] = {}
 
-    ``__init__`` fetches the broadcast index once per actor; ``__call__``
-    is batch-vectorized: derive georef → cell lookup (searchsorted CSR)
-    → exact PIP on candidates grouped per polygon.
+
+def _get_broadcast(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    obj = _BROADCAST_CACHE.get(key)
+    if obj is None:
+        obj = ray.get(ref) if not isinstance(ref, (RouteIndex, dict)) else ref
+        _BROADCAST_CACHE[key] = obj
+    return obj
+
+
+def _cached_stage(key, factory):
+    stage = _BROADCAST_CACHE.get(key)
+    if stage is None:
+        stage = factory()
+        _BROADCAST_CACHE[key] = stage
+    return stage
+
+
+class SpatialJoinStage:
+    """The join kernel: image rows → (image_id, caption, lon, lat, cell,
+    route_id) assignment rows (inner join; tiles outside every buffer are
+    dropped, like the reference's usage semi-join).
+
+    Used as a plain function over batches (fused with the read, no
+    reserved CPUs); the broadcast index is fetched once per worker
+    process via ``_get_broadcast`` (zero-copy numpy out of plasma).
+    ``__call__`` is batch-vectorized: derive georef → cell lookup
+    (searchsorted CSR) → exact PIP on boundary candidates only.
     """
 
     def __init__(self, index_ref):
-        self.index: RouteIndex = ray.get(index_ref) if not isinstance(index_ref, RouteIndex) else index_ref
+        self.index: RouteIndex = _get_broadcast(index_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         idxd = self.index
@@ -179,9 +323,7 @@ class SpatialJoinStage:
             for pid in np.unique(pl):
                 s, e = bounds[pid], bounds[pid + 1]
                 cand = pt[s:e]
-                inside = points_in_polygon(
-                    lon[cand], lat[cand], None, edges=idxd.poly_edges[pid]
-                )
+                inside = idxd.boundary_pip[pid].contains(cell[cand], lon[cand], lat[cand])
                 hits = cand[inside]
                 if len(hits):
                     keep_pt.append(hits)
@@ -219,14 +361,22 @@ def spatial_join(
     concurrency: int | tuple | None = None,
 ) -> rd.Dataset:
     """The join pipeline stage. Pass a Dataset read with ONLY the join
-    columns (image_id, caption) — bytes must be pruned at the read."""
+    columns (image_id, caption) — bytes must be pruned at the read.
+
+    Runs as stateless TASKS (fused with the read by the streaming
+    executor, scales to every free CPU); the index is broadcast once via
+    ``ray.put`` and cached per worker process."""
     index_ref = ray.put(index)
+
+    def join_fn(batch: pa.Table) -> pa.Table:
+        return _cached_stage(
+            ("join", index_ref.hex()), lambda: SpatialJoinStage(index_ref)
+        )(batch)
+
     return ds.map_batches(
-        SpatialJoinStage,
-        fn_constructor_kwargs={"index_ref": index_ref},
+        join_fn,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
         zero_copy_batch=True,
     )
 
@@ -246,9 +396,7 @@ class KnnStage:
     exact scan is faster and is the oracle the tests check against."""
 
     def __init__(self, routes_ref, k: int = 3):
-        routes: dict[str, np.ndarray] = (
-            ray.get(routes_ref) if not isinstance(routes_ref, dict) else routes_ref
-        )
+        routes: dict[str, np.ndarray] = _get_broadcast(routes_ref)
         self.k = k
         mx, my = meter_frame(_ANCHOR_LAT)
         self.route_ids = sorted(routes)
@@ -293,13 +441,17 @@ class KnnStage:
 
 def knn_routes(ds: rd.Dataset, route_lines: dict[str, np.ndarray], k: int = 3,
                batch_size: int = 32768, concurrency=None) -> rd.Dataset:
+    """Stateless-task kNN stage (same broadcast/caching discipline as
+    spatial_join; ``concurrency`` retained for API compat, unused)."""
     ref = ray.put(route_lines)
+
+    def knn_fn(batch: pa.Table) -> pa.Table:
+        return _cached_stage(("knn", ref.hex(), k), lambda: KnnStage(ref, k))(batch)
+
     return ds.map_batches(
-        KnnStage,
-        fn_constructor_kwargs={"routes_ref": ref, "k": k},
+        knn_fn,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
         zero_copy_batch=True,
     )
 
@@ -334,6 +486,7 @@ def cell_tile_counts(
     partial = ds.map_batches(
         lambda b: _partial_cell_counts(b, res, coarse_res, salt),
         batch_format="pyarrow",
+        batch_size=65536,  # coalesce tiny read blocks before the shuffle
         zero_copy_batch=True,
     )
     lvl1 = partial.groupby(["cell", "salt"]).sum("n")
@@ -352,21 +505,25 @@ def cell_tile_counts(
 # ---------------------------------------------------------------------------
 
 def _route_fc(df: pd.DataFrame, max_features: int) -> pd.DataFrame:
-    from geotile.synth import TILE_SIDE_M, tile_footprints
     from geotile.synth import image_index as _ii
+    from geotile.synth import tile_footprints
 
     df = df.sort_values("image_id", kind="stable").head(max_features)
-    quads = tile_footprints(_ii(df["image_id"].to_numpy()).astype(np.uint64))
-    feats = []
-    for (iid, cap, cell), quad in zip(
-        zip(df["image_id"], df["caption"], df["cell"]), np.round(quads, 7).tolist()
-    ):
-        feats.append(
-            '{"type":"Feature","properties":{"image_id":"%s","caption":"%s","cell":%d},'
-            '"geometry":{"type":"Polygon","coordinates":[%s]}}'
-            % (iid, cap, cell, quad)
-        )
-    fc = '{"type":"FeatureCollection","features":[' + ",".join(feats) + "]}"
+    quads = np.round(tile_footprints(_ii(df["image_id"].to_numpy()).astype(np.uint64)), 7)
+    # vectorized feature-string assembly (no per-row Python formatting)
+    num = quads.reshape(len(df), 10).astype(str).astype(object)  # x0 y0 ... x4 y4
+    ring = (
+        "[[" + num[:, 0] + "," + num[:, 1] + "],[" + num[:, 2] + "," + num[:, 3]
+        + "],[" + num[:, 4] + "," + num[:, 5] + "],[" + num[:, 6] + "," + num[:, 7]
+        + "],[" + num[:, 8] + "," + num[:, 9] + "]]"
+    )
+    feats = (
+        '{"type":"Feature","properties":{"image_id":"' + df["image_id"].to_numpy(dtype=object)
+        + '","caption":"' + df["caption"].to_numpy(dtype=object)
+        + '","cell":' + df["cell"].to_numpy().astype(str).astype(object)
+        + '},"geometry":{"type":"Polygon","coordinates":[' + ring.astype(object) + "]}}"
+    )
+    fc = '{"type":"FeatureCollection","features":[' + ",".join(feats.tolist()) + "]}"
     return pd.DataFrame(
         {"route_id": [df["route_id"].iloc[0]], "n_tiles": [len(df)], "fc_json": [fc]}
     )
@@ -404,8 +561,11 @@ def route_buffer_polygons(ctx, config) -> dict[str, list[tuple[np.ndarray, list[
     return out
 
 
-def route_polylines(ctx) -> dict[str, np.ndarray]:
-    """Route centerlines (concatenated shape points) for kNN."""
+def route_polylines(ctx, tolerance_deg: float = 1e-5) -> dict[str, np.ndarray]:
+    """Route centerlines (concatenated shape points) for kNN, RDP-
+    simplified at ~1 m so per-tile distance scans touch fewer segments
+    (the kNN semantics are defined over this simplified centerline)."""
+    from geotile.geom.rdp import rdp
     from geotile.ops.lines import route_lines
 
     out = {}
@@ -413,5 +573,6 @@ def route_polylines(ctx) -> dict[str, np.ndarray]:
         rid = f["properties"]["route_id"]
         g = f["geometry"]
         parts = [g["coordinates"]] if g["type"] == "LineString" else g["coordinates"]
-        out[rid] = np.vstack([np.asarray(p, np.float64) for p in parts])
+        simplified = [rdp(np.asarray(p, np.float64), tolerance_deg) for p in parts]
+        out[rid] = np.vstack(simplified)
     return out

@@ -26,12 +26,21 @@ from geotile.synth import (
 JOIN_COLUMNS = ["image_id", "caption"]  # bytes/w/h/fmt pruned at the read
 
 
-def read_image_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_image_table(
+    path: str | list[str],
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> rd.Dataset:
     """Pluggable reader for the Lance-style table. Parquet stands in for
     Lance here (pylance is unavailable offline); swap to
     ``ray.data.read_lance`` where it exists — the downstream stages only
-    see Arrow batches either way."""
-    return rd.read_parquet(path, columns=columns)
+    see Arrow batches either way.
+
+    ``override_num_blocks``: Ray sizes blocks from the FULL file size,
+    so pruning the wide ``bytes`` column leaves hundreds of tiny blocks
+    (observed: 208 blocks of ~4k rows → shuffle scheduling dominated a
+    12s aggregate). Pass ~2-4× the CPU count for pruned reads."""
+    return rd.read_parquet(path, columns=columns, override_num_blocks=override_num_blocks)
 
 
 def georef_batch(batch: pa.Table, res: int) -> pa.Table:
