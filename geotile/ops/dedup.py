@@ -98,12 +98,21 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+MAX_BUCKET = 512  # pair blow-up guard: an LSH bucket larger than this is
+                  # a degenerate hot key (e.g. empty docs); pairs are
+                  # emitted for the first MAX_BUCKET ids (deterministic,
+                  # logged via the truncated flag) rather than O(n²)
+
+
 def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     ids = sorted(set(df["doc_id"].tolist()))
+    truncated = len(ids) > MAX_BUCKET
+    ids = ids[:MAX_BUCKET]
     if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                             "truncated": pd.Series(dtype="bool")})
     a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-    return pd.DataFrame({"a": list(a), "b": list(b)})
+    return pd.DataFrame({"a": list(a), "b": list(b), "truncated": truncated})
 
 
 def minhash_lsh_pairs(
@@ -194,7 +203,7 @@ def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
         )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df.drop_duplicates("doc_id").sort_values("doc_id")
+        rows = df.drop_duplicates("doc_id").sort_values("doc_id").head(MAX_BUCKET)
         ids = rows["doc_id"].to_numpy()
         hs = rows["simhash"].to_numpy().view(np.uint64)
         out_a, out_b, out_d = [], [], []

@@ -103,6 +103,63 @@ class ImageDecodeStage:
         )
 
 
+class ImageEmbedStage:
+    """Actor-pool feature-extraction stage: image rows → fixed-dim
+    embedding (list<float32>). No vision model ships in this container,
+    so the "model" is a deterministic stand-in (per-image block means +
+    phash bits, L2-normalized) — the Ray-side plumbing (actor state,
+    bounded batches, list-column output schema) is the real deliverable
+    and is what a real encoder would slot into."""
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+        self.decoders = ImageDecodeStage(verify=False).decoders
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.zeros((len(batch), self.dim), dtype=np.float32)
+        for i, (b, f, w, h) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist(),
+                batch["w"].to_pylist(), batch["h"].to_pylist())
+        ):
+            px = self.decoders[f](b, w, h).astype(np.float32)
+            fy = max(1, h // 4)
+            fx = max(1, w // 4)
+            blocks = px[: fy * 4, : fx * 4].reshape(4, fy, 4, fx, 3).mean(axis=(1, 3))
+            v = blocks.ravel()[: self.dim]
+            out[i, : len(v)] = v
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        out = out / np.maximum(norms, 1e-9)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "embedding": pa.array(list(out), pa.list_(pa.float32())),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool video frame-sampling stage — STUB: video codecs are
+    not installed in this container. The batch plumbing (schema in:
+    bytes/fmt rows with fmt='video'; schema out: one row per sampled
+    frame) is real; decoding raises NotImplementedError so a codec can
+    be dropped in without touching the pipeline shape."""
+
+    def __init__(self, every_n: int = 30):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = set(batch["fmt"].to_pylist())
+        if fmts - {"raw", "png"}:
+            raise NotImplementedError(
+                f"no video codec available for fmt(s) {sorted(fmts - {'raw', 'png'})} "
+                "in this environment — install a decoder and implement _decode_frames"
+            )
+        # still-image inputs: pass through as single-frame samples
+        return batch.append_column(
+            "frame_idx", pa.array(np.zeros(len(batch), dtype=np.int32))
+        )
+
+
 class ImageResizeStage:
     """Actor-pool stage: area-mean downsample to (out_w, out_h) and
     re-encode. The Ray-side plumbing (schema in/out, bounded batches,

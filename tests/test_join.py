@@ -155,6 +155,40 @@ class TestImageStages:
         assert len(out) == N_IMG
         assert out.phash_ok.all()
 
+    def test_embed_stage(self, ray_session, image_table_dir):
+        from geotile.ops.tiles import ImageEmbedStage
+
+        ds = read_image_table(str(image_table_dir)).limit(64)
+        out = ds.map_batches(
+            ImageEmbedStage, fn_constructor_kwargs={"dim": 64},
+            batch_format="pyarrow", batch_size=32, concurrency=2,
+        ).to_pandas()
+        assert len(out) == 64
+        M = np.array(out.embedding.tolist())
+        assert M.shape == (64, 64)
+        assert np.allclose(np.linalg.norm(M, axis=1), 1.0, atol=1e-5)
+        # deterministic: same image -> same embedding
+        out2 = ds.map_batches(
+            ImageEmbedStage, fn_constructor_kwargs={"dim": 64},
+            batch_format="pyarrow", batch_size=32, concurrency=2,
+        ).to_pandas()
+        assert np.allclose(M, np.array(out2.embedding.tolist()))
+
+    def test_frame_sample_stub(self, ray_session, image_table_dir):
+        from geotile.ops.tiles import FrameSampleStage
+
+        ds = read_image_table(str(image_table_dir)).limit(16)
+        out = ds.map_batches(
+            FrameSampleStage, batch_format="pyarrow", batch_size=8, concurrency=2,
+        ).to_pandas()
+        assert (out.frame_idx == 0).all()
+        # a genuinely-video fmt raises the documented stub error
+        stage = FrameSampleStage()
+        import pyarrow as pa
+
+        with pytest.raises(NotImplementedError):
+            stage(pa.table({"fmt": ["mp4"], "bytes": [b""], "image_id": ["x"]}))
+
     def test_resize_stage(self, ray_session, image_table_dir):
         ds = read_image_table(str(image_table_dir)).limit(64)
         out = ds.map_batches(

@@ -1,0 +1,74 @@
+"""Driver-contract guard: a subset of queries() vs their DuckDB oracles
+at sf0.001 (the full battery runs via the external driver; this keeps
+the contract from drifting between rounds)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+CHECKED = [
+    "pricing_summary",
+    "broadcast_join_brand_revenue",
+    "distinct_parts_per_flag",
+    "pip_triangle_docs",
+    "window_events",
+    "doc_token_stats",
+    "knn_embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(ray_session, con, name):
+    from geotile.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES[name](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = con.execute(ORACLE_SQL[name]).df()
+    got, exp = _canon(got), _canon(exp)
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b.astype(float), atol=0, rtol=0), c
+        else:
+            assert (a == b).all(), c
+
+
+def test_every_query_has_callable(ray_session):
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    assert len(qs) >= 30
+    oracle = e.oracle_sql()
+    assert set(oracle) <= set(qs)
+    assert len(oracle) >= 17
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    n = res.count() if hasattr(res, "count") else len(res)
+    assert n > 0
+    cols = set(res.schema().names if hasattr(res, "schema") else res.columns)
+    assert {"image_id", "route_id", "cell", "caption"} <= cols
