@@ -547,6 +547,106 @@ def q_image_invariants(sf_dir: str):
     ).select_columns(["image_id", "phash_ok"])
 
 
+def q_gtfs_envelope(sf_dir: str):
+    """A1 envelope over the fixture's route lines (rows-only)."""
+    from geotile.config import PipelineConfig
+    from geotile.formats import fmt_envelope
+
+    f = fmt_envelope(_fixture_ctx(), PipelineConfig(coordinate_precision=5), {})
+    w, s, e, n = f["bbox"]
+    return pd.DataFrame({"west": [w], "south": [s], "east": [e], "north": [n]})
+
+
+def q_gtfs_convex_hull(sf_dir: str):
+    """A2 convex hull vertices over the fixture stops (rows-only)."""
+    from geotile.config import PipelineConfig
+    from geotile.formats import fmt_convex
+
+    f = fmt_convex(_fixture_ctx(), PipelineConfig(coordinate_precision=5), {})
+    ring = f["geometry"]["coordinates"][0]
+    return pd.DataFrame(
+        {"idx": range(len(ring)), "lon": [p[0] for p in ring], "lat": [p[1] for p in ring]}
+    )
+
+
+def _shoelace(ring) -> float:
+    a = np.asarray(ring, dtype=np.float64)
+    return 0.5 * abs(float(np.sum(a[:-1, 0] * a[1:, 1] - a[1:, 0] * a[:-1, 1])))
+
+
+def q_gtfs_buffer_stats(sf_dir: str):
+    """G1/G2 buffers summarized: per-route ring size + area (rows-only)."""
+    from geotile.config import PipelineConfig
+    from geotile.formats import fmt_lines_buffer
+
+    gj = fmt_lines_buffer(_fixture_ctx(), PipelineConfig(coordinate_precision=5), {})
+    rows = []
+    for f in gj["features"]:
+        outer = f["geometry"]["coordinates"][0]
+        rows.append(
+            {
+                "route_id": f["properties"]["route_id"],
+                "n_ring_points": len(outer),
+                "area_e9": int(round(_shoelace(outer) * 1e9)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_gtfs_dissolved_stats(sf_dir: str):
+    """G3 raster-union dissolve summarized (rows-only)."""
+    from geotile.config import PipelineConfig
+    from geotile.formats import fmt_stops_dissolved
+
+    gj = fmt_stops_dissolved(_fixture_ctx(), PipelineConfig(coordinate_precision=5), {})
+    rows = [
+        {"poly_idx": i, "area_e9": int(round(_shoelace(f["geometry"]["coordinates"][0]) * 1e9))}
+        for i, f in enumerate(gj["features"])
+    ]
+    return pd.DataFrame(rows)
+
+
+def q_doc_quality(sf_dir: str):
+    from geotile.ops.text import doc_stats
+
+    out = doc_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return out.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "quality_e6": _e(t["quality"], 1_000_000)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_image_embeddings(sf_dir: str):
+    from geotile.ops.tiles import ImageEmbedStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(512)
+    out = ds.map_batches(
+        ImageEmbedStage, fn_constructor_kwargs={"dim": 64},
+        batch_format="pyarrow", batch_size=128, concurrency=2,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "image_id": t["image_id"],
+                "dim": pa.array(
+                    np.asarray([len(v) for v in t["embedding"].to_pylist()], dtype=np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_embedding_buckets(sf_dir: str):
+    from geotile.ops.ann import hyperplane_buckets
+
+    ds = hyperplane_buckets(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_planes=8)
+    out = ds.groupby("bucket").count()
+    return out.map_batches(lambda t: t.rename_columns(["bucket", "n"]), batch_format="pyarrow")
+
+
 def q_gtfs_stop_features(sf_dir: str):
     """GTFS stop→route assignment summarized (parity gate is the golden
     pytest suite; this exposes it to the driver as rows)."""
@@ -612,6 +712,13 @@ QUERIES = {
     "image_invariants": q_image_invariants,
     "gtfs_stop_features": q_gtfs_stop_features,
     "gtfs_line_features": q_gtfs_line_features,
+    "gtfs_envelope": q_gtfs_envelope,
+    "gtfs_convex_hull": q_gtfs_convex_hull,
+    "gtfs_buffer_stats": q_gtfs_buffer_stats,
+    "gtfs_dissolved_stats": q_gtfs_dissolved_stats,
+    "doc_quality": q_doc_quality,
+    "image_embeddings": q_image_embeddings,
+    "embedding_buckets": q_embedding_buckets,
 }
 
 ORACLE_SQL = {
