@@ -78,13 +78,19 @@ def main() -> None:
             ).sum("n")
         )
 
-    # warm the page cache + actor pools with one untimed pass
-    consume(spatial_join(read_image_table(parts, columns=JOIN_COLUMNS), index))
+    def read_parts(plist):
+        # one block per file: Ray block-splits from FULL file size, and a
+        # pruned 2-column read otherwise fans into ~13x tiny blocks whose
+        # scheduling dominates (halves scaling efficiency)
+        return read_image_table(plist, columns=JOIN_COLUMNS, override_num_blocks=len(plist))
+
+    # warm the page cache + worker pools with one untimed pass
+    consume(spatial_join(read_parts(parts), index))
 
     timings: dict[str, float] = {}
 
     # headline: join + tile assignment over repeats× the part list
-    big = read_image_table(parts * repeats, columns=JOIN_COLUMNS)
+    big = read_parts(parts * repeats)
     t0 = time.time()
     joined_rows = consume(spatial_join(big, index))
     headline = time.time() - t0
@@ -92,16 +98,16 @@ def main() -> None:
     input_rows = n_rows * repeats
 
     t0 = time.time()
-    consume(knn_routes(read_image_table(parts * max(1, repeats // 4), columns=JOIN_COLUMNS), lines, k=3))
+    consume(knn_routes(read_parts(parts * max(1, repeats // 4)), lines, k=3))
     timings["knn_routes"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    consume(cell_tile_counts(read_image_table(parts * repeats, columns=JOIN_COLUMNS)))
+    consume(cell_tile_counts(read_parts(parts * repeats)))
     timings["cell_tile_counts"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     fcs = assemble_route_fcs(
-        spatial_join(read_image_table(parts, columns=JOIN_COLUMNS), index),
+        spatial_join(read_parts(parts), index),
         max_features_per_route=200_000,
     )
     consume(fcs.select_columns(["route_id", "n_tiles"]))

@@ -52,10 +52,19 @@ class PipelineConfig:
     end_date: str | None = None
     verbose: bool = True
     zip_output: bool = False
+    # injectable logger (reference config.logFunction,
+    # src/lib/log-utils.ts:46-48); None → print when verbose
+    log_function: object = None
     # engine knobs (no reference equivalent)
     cell_resolution: int = 15          # join cell resolution (see geom.cells)
     raster_cells_per_radius: int = 8   # raster resolution for buffer/dissolve
     batch_size: int = 65536
+
+    def log(self, msg: str) -> None:
+        if self.log_function is not None:
+            self.log_function(msg)
+        elif self.verbose:
+            print(msg)
 
     def __post_init__(self) -> None:
         if self.output_format not in OUTPUT_FORMATS:

@@ -106,6 +106,7 @@ def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
                     parts.append(str(index))
                 _write(output_path / sanitize("_".join(parts) + ".geojson"), gj, stats)
     else:  # agency
+        config.log(f"{ctx_key(ctx)}: Generating geoJSON")
         gj = get_geojson_by_format(ctx, config, base_query)
         _write(output_path / sanitize(f"{ctx_key(ctx)}.geojson"), gj, stats)
 
