@@ -1,0 +1,98 @@
+"""Relational building blocks the Dataset API lacks natively.
+
+``bucketed_join`` — the both-sides-large hash join: add ``bucket =
+hash(key) % B`` to both sides, co-partition with one groupby each, and
+merge matching buckets pairwise. The shuffle moves each row once;
+``B`` bounds per-task memory; salt a hot key by raising B. (The small-
+side case should use broadcast instead — see queries.q_broadcast_*.)
+
+``sessionize`` — streaming-shaped per-key sessionization: groupby(key)
+→ in-group sort by ts → split on gaps > ``gap``. Ordering assumption:
+within one group all rows are present (groupby guarantees it); no
+cross-batch watermarking is needed for batch inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from geotile.synth import splitmix64
+
+
+def _with_bucket(ds: rd.Dataset, key: str, n_buckets: int) -> rd.Dataset:
+    def add(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bucketed_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Hash-partitioned join of two LARGE datasets on an int64 key.
+    Each side is bucketed, tagged, unioned, then each bucket group joins
+    its two sides with a pandas merge inside ``map_groups`` — one
+    shuffle per side, no broadcast."""
+    lcols = [n for n in left.schema().names]
+    rcols = [n for n in right.schema().names]
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    all_fields = [(n, lschema.field(n).type) for n in lcols] + [
+        (n, rschema.field(n).type) for n in rcols if n not in lcols
+    ]
+
+    def pad(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for n, typ in all_fields:
+                cols[n] = t[n] if n in t.column_names else pa.nulls(len(t), typ)
+            cols["bucket"] = t["bucket"]
+            cols["__side"] = pa.array(np.full(len(t), side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    lb = _with_bucket(left, left_key, n_buckets).map_batches(pad(0), batch_format="pyarrow")
+    rb = _with_bucket(right, right_key, n_buckets).map_batches(pad(1), batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][lcols]
+        r = df[df["__side"] == 1][rcols]
+        if len(l) == 0 or (len(r) == 0 and how == "inner"):
+            return pd.DataFrame({n: pd.Series(dtype="object") for n, _ in all_fields})
+        return l.merge(r, left_on=left_key, right_on=right_key, how=how)
+
+    return lb.union(rb).groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def sessionize(
+    ds: rd.Dataset,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_s: float = 1800.0,
+) -> rd.Dataset:
+    """Per-key session assignment: rows sorted by ts within the key
+    group; a gap > ``gap_s`` starts a new session. Returns rows with
+    ``session_idx`` appended."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts, kind="stable").reset_index(drop=True)
+        # normalize to ns regardless of the incoming datetime64 unit
+        t = df[ts].to_numpy().astype("datetime64[ns]").astype(np.int64) / 1e9
+        new = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            new[1:] = np.diff(t) > gap_s
+        df["session_idx"] = np.cumsum(new).astype(np.int64)
+        return df
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")

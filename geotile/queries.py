@@ -327,6 +327,53 @@ def q_spatial_grid_join_docs(sf_dir: str):
     return _rename(out, ["ix", "iy", "n"])
 
 
+def q_bucket_join_priority_revenue(sf_dir: str):
+    """Both-sides-large hash join (bucketed co-partition, no broadcast):
+    lineitem ⋈ orders on orderkey → revenue per order priority."""
+    from geotile.ops.relational import bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("rev", "sum"), n=("rev", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderpriority"
+    ).sum(["revenue", "n"])
+    out = _rename(out, ["o_orderpriority", "revenue", "n"])
+    return out.map_batches(
+        lambda t: t.set_column(1, "revenue", _e(t["revenue"], 10000)).rename_columns(
+            ["o_orderpriority", "revenue_e4", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_user_sessions(sf_dir: str):
+    """Streaming-shaped sessionization: per user, 30-min-gap sessions."""
+    from geotile.ops.relational import sessionize
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    s = sessionize(ev, key="user_id", ts="ts", gap_s=1800.0)
+    out = s.groupby("user_id").max("session_idx")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_sessions": pc.add(t["max(session_idx)"], pa.scalar(1, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # events windowing (streaming-shaped; ray_guide pattern)
 # ---------------------------------------------------------------------------
@@ -690,6 +737,8 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "union_order_subsets": q_union_order_subsets,
     "topk_orders": q_topk_orders,
+    "bucket_join_priority_revenue": q_bucket_join_priority_revenue,
+    "user_sessions": q_user_sessions,
     "envelope_events": q_envelope_events,
     "cell_quantize_events": q_cell_quantize_events,
     "pip_triangle_docs": q_pip_triangle_docs,
@@ -780,6 +829,23 @@ ORACLE_SQL = {
     "topk_orders": """
         SELECT o_orderkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "bucket_join_priority_revenue": """
+        SELECT o.o_orderpriority AS o_orderpriority,
+               CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000) AS BIGINT) AS revenue_e4,
+               count(*) AS n
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    "user_sessions": """
+        SELECT user_id, count(*) AS n_sessions FROM (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ) WHERE is_new = 1 GROUP BY user_id
     """,
     "envelope_events": """
         SELECT min(value) AS min_x, max(value) AS max_x,
