@@ -27,7 +27,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache"))
 
 _BENCH_ROWS = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 400_000}
-_REPEATS = {"sf0.001": 8, "sf0.01": 24, "sf0.1": 32}
+_REPEATS = {"sf0.001": 8, "sf0.01": 24, "sf0.1": 96}  # sf0.1: ~38M join
+# rows so the headline window is long enough to amortize plan/startup
+# overhead at 32 cpus (shorter windows made the efficiency reading swing
+# 0.75-1.12 run to run on this noisy host)
 
 
 def main() -> None:
