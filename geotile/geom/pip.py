@@ -106,12 +106,20 @@ def points_to_polyline_distance(
     dx, dy = bx - ax, by - ay
     L2 = dx * dx + dy * dy
     L2 = np.where(L2 == 0.0, 1.0, L2)
+    inv_L2 = 1.0 / L2
     out = np.full(len(px), np.inf)
     step = max(1, chunk // max(1, len(ax)))
     for s in range(0, len(px), step):
         X = px[s:s + step, None]
         Y = py[s:s + step, None]
-        t = np.clip(((X - ax) * dx + (Y - ay) * dy) / L2, 0.0, 1.0)
-        d = np.hypot(X - (ax + t * dx), Y - (ay + t * dy))
-        out[s:s + step] = d.min(axis=1)
-    return out
+        rx = X - ax
+        ry = Y - ay
+        t = (rx * dx + ry * dy) * inv_L2
+        np.clip(t, 0.0, 1.0, out=t)
+        rx -= t * dx
+        ry -= t * dy
+        rx *= rx
+        ry *= ry
+        rx += ry
+        out[s:s + step] = rx.min(axis=1)  # squared distance
+    return np.sqrt(out)

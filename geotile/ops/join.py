@@ -561,10 +561,11 @@ def route_buffer_polygons(ctx, config) -> dict[str, list[tuple[np.ndarray, list[
     return out
 
 
-def route_polylines(ctx, tolerance_deg: float = 1e-5) -> dict[str, np.ndarray]:
+def route_polylines(ctx, tolerance_deg: float = 1e-4) -> dict[str, np.ndarray]:
     """Route centerlines (concatenated shape points) for kNN, RDP-
-    simplified at ~1 m so per-tile distance scans touch fewer segments
-    (the kNN semantics are defined over this simplified centerline)."""
+    simplified at ~11 m so per-tile distance scans touch few segments
+    (the kNN semantics are defined over this simplified centerline;
+    distance error ≤ tolerance, far below route spacing)."""
     from geotile.geom.rdp import rdp
     from geotile.ops.lines import route_lines
 
