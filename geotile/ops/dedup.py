@@ -104,15 +104,26 @@ MAX_BUCKET = 512  # pair blow-up guard: an LSH bucket larger than this is
                   # logged via the truncated flag) rather than O(n²)
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(df["doc_id"].tolist()))
-    truncated = len(ids) > MAX_BUCKET
-    ids = ids[:MAX_BUCKET]
-    if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                             "truncated": pd.Series(dtype="bool")})
-    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-    return pd.DataFrame({"a": list(a), "b": list(b), "truncated": truncated})
+def _band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs for ONE band: group by band_hash IN PANDAS (a
+    Ray map_groups per 2-member bucket costs ~0.5 ms of scheduling each;
+    with millions of buckets that dominates everything — one group per
+    BAND keeps the Ray group count at `bands` while pandas handles the
+    within-band buckets in C)."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    dup = df[df.duplicated("band_hash", keep=False)]
+    for _, g in dup.groupby("band_hash", sort=False):
+        ids = np.unique(g["doc_id"].to_numpy())[:MAX_BUCKET]
+        n = len(ids)
+        if n < 2:
+            continue
+        iu = np.triu_indices(n, k=1)
+        out_a.append(ids[iu[0]])
+        out_b.append(ids[iu[1]])
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
 def minhash_lsh_pairs(
@@ -134,9 +145,7 @@ def minhash_lsh_pairs(
         batch_size=1024,
         concurrency=concurrency,
     )
-    cand = band_rows.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    cand = band_rows.groupby("band").map_groups(_band_pairs, batch_format="pandas")
     texts_ref = ray.put(
         {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
     )
@@ -202,21 +211,30 @@ def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             }
         )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df.drop_duplicates("doc_id").sort_values("doc_id").head(MAX_BUCKET)
-        ids = rows["doc_id"].to_numpy()
-        hs = rows["simhash"].to_numpy().view(np.uint64)
+    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """One Ray group per BAND; within-band band_val buckets handled
+        by pandas (same scheduling argument as minhash _band_pairs)."""
         out_a, out_b, out_d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = int(bin(int(hs[i] ^ hs[j])).count("1"))
-                if d <= max_hamming:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_d.append(d)
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_d})
+        dup = df[df.duplicated("band_val", keep=False)]
+        for _, g in dup.groupby("band_val", sort=False):
+            rows = g.drop_duplicates("doc_id").sort_values("doc_id").head(MAX_BUCKET)
+            ids = rows["doc_id"].to_numpy()
+            hs = rows["simhash"].to_numpy().view(np.uint64)
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1:]
+                dists = np.array([bin(int(v)).count("1") for v in x])
+                ok = dists <= max_hamming
+                out_a.extend([ids[i]] * int(ok.sum()))
+                out_b.extend(ids[i + 1:][ok].tolist())
+                out_d.extend(dists[ok].tolist())
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
+             "hamming": pd.Series(out_d, dtype="int64")}
+        )
 
-    pairs = sh.map_batches(explode, batch_format="pyarrow").groupby(
-        ["band", "band_val"]
-    ).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = sh.map_batches(explode, batch_format="pyarrow").groupby("band").map_groups(
+        band_pairs, batch_format="pandas"
+    )
     return pairs.groupby(["a", "b"]).min("hamming").map_batches(
         lambda t: t.rename_columns(["a", "b", "hamming"]), batch_format="pyarrow"
     )

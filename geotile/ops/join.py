@@ -489,6 +489,10 @@ def cell_tile_counts(
         batch_size=65536,  # coalesce tiny read blocks before the shuffle
         zero_copy_batch=True,
     )
+    # coalesce the (tiny) partials into few blocks: the sort-based
+    # aggregate's cost scales with INPUT BLOCK COUNT, not rows — 672
+    # partial blocks made a trivial reduce take 40s
+    partial = partial.repartition(16)
     lvl1 = partial.groupby(["cell", "salt"]).sum("n")
     lvl1 = lvl1.map_batches(
         lambda t: t.select(["cell", "sum(n)"]).rename_columns(["cell", "n"]),
