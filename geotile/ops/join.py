@@ -505,6 +505,75 @@ def cell_tile_counts(
 
 
 # ---------------------------------------------------------------------------
+# distributed raster↔vector dissolve over tile footprints (north_rule:
+# rasterize into cell masks per partition, groupby(cell) OR-merge,
+# vectorize coverage back to polygons)
+# ---------------------------------------------------------------------------
+
+def _footprint_cells(batch: pa.Table, res: int) -> pa.Table:
+    """Per-batch rasterization: each tile's axis-aligned footprint quad →
+    the cell ids its bbox intersects (vectorized: spans are ≤2×2 cells
+    at res≈18 for 100 m tiles), pre-deduped per batch (the combiner)."""
+    from geotile.synth import image_index, tile_footprints
+
+    idx = image_index(batch["image_id"].to_numpy(zero_copy_only=False))
+    quads = tile_footprints(idx.astype(np.uint64))
+    dlon, dlat = cells.cell_size_degrees(res)
+    n = np.int64(1 << res)
+    ix0 = np.floor((quads[:, :, 0].min(axis=1) + 180.0) / dlon).astype(np.int64)
+    ix1 = np.floor((quads[:, :, 0].max(axis=1) + 180.0) / dlon).astype(np.int64)
+    iy0 = np.floor((quads[:, :, 1].min(axis=1) + 90.0) / dlat).astype(np.int64)
+    iy1 = np.floor((quads[:, :, 1].max(axis=1) + 90.0) / dlat).astype(np.int64)
+    out = []
+    max_dx = int((ix1 - ix0).max()) if len(ix0) else 0
+    max_dy = int((iy1 - iy0).max()) if len(iy0) else 0
+    for dx in range(max_dx + 1):
+        for dy in range(max_dy + 1):
+            m = (ix0 + dx <= ix1) & (iy0 + dy <= iy1)
+            if m.any():
+                out.append(
+                    cells.from_ixy(
+                        ((ix0[m] + dx) % n).astype(np.uint64),
+                        np.clip(iy0[m] + dy, 0, n - 1).astype(np.uint64),
+                        res,
+                    )
+                )
+    uniq = np.unique(np.concatenate(out)) if out else np.empty(0, np.uint64)
+    return pa.table({"cell": pa.array(uniq.view(np.int64))})
+
+
+def dissolve_tile_footprints(ds: rd.Dataset, res: int = DEFAULT_JOIN_RES):
+    """Distributed dissolve of ALL tile footprints: per-batch cell masks
+    → one groupby(cell) OR-merge (the shuffle carries distinct cells
+    only) → marching-squares vectorization of the merged coverage.
+    Returns (covered_cells_dataset, polygons) where polygons is the
+    final vector form [(outer, holes)] in lon/lat (driver-side final
+    step over the bounded distinct-cell set)."""
+    from geotile.geom.raster import cells_to_mask, mask_to_polygons
+
+    covered = ds.map_batches(
+        lambda b: _footprint_cells(b, res),
+        batch_format="pyarrow",
+        batch_size=65536,
+        zero_copy_batch=True,
+    ).repartition(16).groupby("cell").count()
+    cell_rows = covered.select_columns(["cell"]).take_all()
+    cell_ids = np.array([r["cell"] for r in cell_rows], dtype=np.int64).view(np.uint64)
+    if len(cell_ids) == 0:
+        return covered, []
+    mask, grid, sy = cells_to_mask(cell_ids)
+    polys = []
+    for outer, holes in mask_to_polygons(mask, grid):
+        o = outer.copy(); o[:, 1] /= sy
+        hs = []
+        for h in holes:
+            h = h.copy(); h[:, 1] /= sy
+            hs.append(h)
+        polys.append((o, hs))
+    return covered, polys
+
+
+# ---------------------------------------------------------------------------
 # per-route FeatureCollection assembly (groupby-aggregate-sort)
 # ---------------------------------------------------------------------------
 

@@ -583,6 +583,25 @@ def q_route_feature_collections(sf_dir: str):
     return fcs.select_columns(["route_id", "n_tiles"])
 
 
+def q_tile_dissolve(sf_dir: str):
+    """Distributed raster↔vector dissolve of all tile footprints:
+    returns per-polygon vertex count + area (rows-only; the covered-cell
+    set is oracle-checked in tests/test_join.py)."""
+    from geotile.ops.join import dissolve_tile_footprints
+    from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS)
+    _, polys = dissolve_tile_footprints(ds)
+    return pd.DataFrame(
+        {
+            "poly_idx": range(len(polys)),
+            "n_vertices": [len(o) for o, _ in polys],
+            "n_holes": [len(h) for _, h in polys],
+            "area_e9": [int(round(_shoelace(o) * 1e9)) for o, _ in polys],
+        }
+    )
+
+
 def q_image_invariants(sf_dir: str):
     """Per-row payload invariants (decode + phash) on a sample."""
     from geotile.ops.tiles import ImageDecodeStage, read_image_table
@@ -758,6 +777,7 @@ QUERIES = {
     "tile_knn": q_tile_knn,
     "tile_cell_counts": q_tile_cell_counts,
     "route_feature_collections": q_route_feature_collections,
+    "tile_dissolve": q_tile_dissolve,
     "image_invariants": q_image_invariants,
     "gtfs_stop_features": q_gtfs_stop_features,
     "gtfs_line_features": q_gtfs_line_features,

@@ -130,6 +130,46 @@ class TestCellCounts:
         assert got == oracle
 
 
+class TestDissolveTiles:
+    def test_cell_union_matches_oracle(self, ray_session, image_table_dir):
+        from geotile.geom import cells as cellmod
+        from geotile.ops.join import dissolve_tile_footprints
+        from geotile.synth import tile_footprints
+
+        ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS)
+        covered, polys = dissolve_tile_footprints(ds, res=18)
+        got = set(r["cell"] for r in covered.select_columns(["cell"]).take_all())
+        # oracle: every cell intersecting any footprint bbox
+        quads = tile_footprints(np.arange(N_IMG).astype(np.uint64))
+        dlon, dlat = cellmod.cell_size_degrees(18)
+        expect = set()
+        for q in quads:
+            ix0 = int(np.floor((q[:, 0].min() + 180) / dlon))
+            ix1 = int(np.floor((q[:, 0].max() + 180) / dlon))
+            iy0 = int(np.floor((q[:, 1].min() + 90) / dlat))
+            iy1 = int(np.floor((q[:, 1].max() + 90) / dlat))
+            for ix in range(ix0, ix1 + 1):
+                for iy in range(iy0, iy1 + 1):
+                    expect.add(int(cellmod.from_ixy(
+                        np.array([ix], dtype=np.uint64),
+                        np.array([iy], dtype=np.uint64), 18)[0].view(np.int64)))
+        assert got == expect
+        # vectorized polygons exist and tile centers are covered
+        assert len(polys) >= 1
+        from geotile.geom.pip import points_in_polygon
+        from geotile.synth import tile_centers
+
+        lon, lat = tile_centers(np.arange(200).astype(np.uint64))
+        sy = dlon / dlat
+        covered_pts = np.zeros(200, dtype=bool)
+        for outer, holes in polys:
+            rings = [np.column_stack([outer[:, 0], outer[:, 1] * sy])] + [
+                np.column_stack([h[:, 0], h[:, 1] * sy]) for h in holes
+            ]
+            covered_pts |= points_in_polygon(lon, lat * sy, rings)
+        assert covered_pts.mean() > 0.95  # centers inside the dissolved coverage
+
+
 class TestFcAssembly:
     def test_per_route_fc(self, ray_session, image_table_dir, index):
         ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS)
