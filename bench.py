@@ -116,6 +116,18 @@ def main() -> None:
     consume(fcs.select_columns(["route_id", "n_tiles"]))
     timings["route_fc_assembly"] = round(time.time() - t0, 3)
 
+    # payload-touching stage: decode+verify every image of one replica
+    from geotile.ops.tiles import ImageDecodeStage
+
+    t0 = time.time()
+    consume(
+        read_image_table(parts).map_batches(
+            ImageDecodeStage, fn_constructor_kwargs={"verify": False},
+            batch_format="pyarrow", batch_size=1024, concurrency=(1, max(2, NUM_CPUS - 2)),
+        )
+    )
+    timings["image_decode"] = round(time.time() - t0, 3)
+
     # sf-dir table pipelines (documents / embeddings / lineitem / events)
     from geotile.queries import (
         q_doc_token_stats,
