@@ -19,6 +19,10 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="geotile", description=__doc__)
+    p.add_argument("--mode", default="gtfs", choices=["gtfs", "join"],
+                   help="gtfs: reference-style GeoJSON pipeline; join: the "
+                        "checkpointed image-tile spatial join (resumable)")
+    p.add_argument("--images", help="[join] input image-table directory of parquet shards")
     p.add_argument("--configPath", help="path to a reference-style config.json")
     p.add_argument("--skipImport", action="store_true",
                    help="kept for reference CLI parity (import == parquet read here)")
@@ -46,6 +50,28 @@ def main(argv: list[str] | None = None) -> int:
     try:
         from geotile.config import AgencyConfig, PipelineConfig
         from geotile.pipeline import run_pipeline
+
+        if args.mode == "join":
+            if not args.images:
+                p.error("--mode join requires --images DIR")
+            from geotile.checkpoint import read_manifests, run_checkpointed
+            from geotile.ops.join import build_route_index, route_buffer_polygons, spatial_join
+            from geotile.ops.tiles import JOIN_COLUMNS
+            from geotile.queries import _fixture_ctx
+
+            idx = build_route_index(
+                route_buffer_polygons(_fixture_ctx(), PipelineConfig(coordinate_precision=5))
+            )
+            stats = run_checkpointed(
+                args.images, args.output,
+                lambda ds: spatial_join(ds, idx),
+                columns=JOIN_COLUMNS,
+                lineage=["read_parquet[image_id,caption]", "georef+cell_encode",
+                         "cell_index_candidates", "pip_exact", "write_parquet"],
+            )
+            stats["manifests"] = len(read_manifests(args.output))
+            print(json.dumps(stats))
+            return 0
 
         if args.configPath:
             cfg = PipelineConfig.from_json(args.configPath)
