@@ -95,7 +95,14 @@ def main() -> None:
     # headline: join + tile assignment over repeats× the part list
     big = read_parts(parts * repeats)
     t0 = time.time()
-    joined_rows = consume(spatial_join(big, index))
+    if os.environ.get("GEOTILE_STATS"):
+        j = spatial_join(big, index).map_batches(
+            lambda t: pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
+        ).materialize()
+        joined_rows = int(j.to_pandas().n.sum())
+        print(j.stats(), file=sys.stderr)
+    else:
+        joined_rows = consume(spatial_join(big, index))
     headline = time.time() - t0
     timings["spatial_join_tiles"] = round(headline, 3)
     input_rows = n_rows * repeats
