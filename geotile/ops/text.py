@@ -100,8 +100,9 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 def fnv1a_tokens(token_hashes: np.ndarray) -> np.uint64:
     h = _FNV_OFFSET
-    for t in token_hashes:
-        h = (h ^ np.uint64(t)) * _FNV_PRIME
+    with np.errstate(over="ignore"):  # uint64 wrap is the FNV definition
+        for t in token_hashes:
+            h = (h ^ np.uint64(t)) * _FNV_PRIME
     return h
 
 

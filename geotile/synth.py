@@ -416,16 +416,48 @@ def make_image_table(
         part = out_dir / f"part-{pstart // rows_per_file:05d}.parquet"
         if part.exists():
             continue
-        tmp = part.with_suffix(".tmp")
-        writer = None
-        try:
-            for s in range(pstart, pend, chunk):
-                t = make_image_batch(np.arange(s, min(pend, s + chunk)), w, h)
-                if writer is None:
-                    writer = pq.ParquetWriter(tmp, t.schema)
-                writer.write_table(t)
-        finally:
-            if writer is not None:
-                writer.close()
-        tmp.rename(part)
+        _write_image_part(pstart, pend, part, w, h, chunk)
+    return out_dir
+
+
+def _write_image_part(pstart: int, pend: int, part: Path, w: int, h: int, chunk: int) -> None:
+    tmp = part.with_suffix(".tmp")
+    writer = None
+    try:
+        for s in range(pstart, pend, chunk):
+            t = make_image_batch(np.arange(s, min(pend, s + chunk)), w, h)
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, t.schema)
+            writer.write_table(t)
+    finally:
+        if writer is not None:
+            writer.close()
+    tmp.rename(part)
+
+
+def make_image_table_ray(
+    n: int,
+    out_dir: str | Path,
+    w: int = 32,
+    h: int = 32,
+    chunk: int = 4096,
+    rows_per_file: int = 65536,
+) -> Path:
+    """Parallel generation: one Ray task per missing part file (requires
+    an active Ray session — callers that own one, e.g. bench.py; the
+    serial ``make_image_table`` never touches Ray)."""
+    import ray
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    gen = ray.remote(_write_image_part)
+    futs = []
+    for pstart in range(0, n, rows_per_file):
+        pend = min(n, pstart + rows_per_file)
+        part = out_dir / f"part-{pstart // rows_per_file:05d}.parquet"
+        if part.exists():
+            continue
+        futs.append(gen.remote(pstart, pend, part, w, h, chunk))
+    if futs:
+        ray.get(futs)
     return out_dir
