@@ -602,6 +602,28 @@ def _route_fc(df: pd.DataFrame, max_features: int) -> pd.DataFrame:
     )
 
 
+def write_route_fcs(fcs: rd.Dataset, out_dir: str) -> list[str]:
+    """Distributed GeoJSON sink for the per-route FeatureCollections:
+    each row written to ``<out_dir>/<route_id>.geojson`` inside the map
+    task that holds it (no driver funneling). Returns written paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        paths = []
+        for rid, fc in zip(t["route_id"].to_pylist(), t["fc_json"].to_pylist()):
+            p = os.path.join(out_dir, f"{rid}.geojson")
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(fc)
+            os.replace(tmp, p)
+            paths.append(p)
+        return pa.table({"path": pa.array(paths, pa.string())})
+
+    return [r["path"] for r in fcs.map_batches(write, batch_format="pyarrow").take_all()]
+
+
 def assemble_route_fcs(joined: rd.Dataset, max_features_per_route: int = 100_000) -> rd.Dataset:
     """groupby(route_id) → one FeatureCollection row per route, features
     ordered by image_id, captions as properties (north_star). The cap

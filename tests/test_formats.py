@@ -65,6 +65,27 @@ class TestRouteGoldens:
             assert got[name] == expect[name], f"{name} drifted from golden"
 
 
+class TestShapeGoldens:
+    def test_shape_output_matches_goldens(self, ray_session, caltrain_dir, tmp_path):
+        from geotile.config import AgencyConfig
+        from geotile.pipeline import run_pipeline
+
+        cfg = PipelineConfig(
+            agencies=[AgencyConfig(agency_key="ct", path=str(caltrain_dir))],
+            coordinate_precision=5,
+            output_format="lines",
+            output_type="shape",
+            output_path=str(tmp_path / "out"),
+        )
+        (out,) = run_pipeline(cfg)
+        golden_dir = Path(__file__).parent / "goldens" / "shape"
+        got = {p.name: p.read_text() for p in Path(out).glob("*.geojson")}
+        expect = {p.name: p.read_text() for p in golden_dir.glob("*.geojson")}
+        assert got.keys() == expect.keys()
+        for name in expect:
+            assert got[name] == expect[name], f"{name} drifted from golden"
+
+
 class TestSemantics:
     def test_stops_drops_unused_keeps_parents(self, ctx, config):
         gj = _build(ctx, config, "stops")

@@ -185,6 +185,20 @@ class TestFcAssembly:
         assert ids == sorted(ids)  # deterministic in-file order
 
 
+class TestFcSink:
+    def test_write_route_fcs(self, ray_session, image_table_dir, index, tmp_path):
+        from geotile.ops.join import assemble_route_fcs, write_route_fcs
+
+        ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS)
+        fcs = assemble_route_fcs(spatial_join(ds, index))
+        paths = write_route_fcs(fcs, str(tmp_path / "fc_out"))
+        assert len(paths) == len(index.route_ids)
+        for p in paths:
+            fc = json.loads(open(p).read())
+            assert fc["type"] == "FeatureCollection"
+            assert len(fc["features"]) > 0
+
+
 class TestImageStages:
     def test_decode_invariants_all_ok(self, ray_session, image_table_dir):
         ds = read_image_table(str(image_table_dir))
