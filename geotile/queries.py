@@ -533,8 +533,19 @@ def _fixture_ctx():
     from geotile.synth import make_caltrain_fixture
 
     d = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache")) / "caltrain"
-    if not (d / "agency.parquet").exists():
-        make_caltrain_fixture(d)
+    if not (d / "_COMPLETE").exists():
+        # atomic-ish cache fill: build aside, rename, then mark complete
+        # (a partially written cache must never be mistaken for a fixture)
+        import shutil
+
+        tmp = d.with_name(d.name + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        make_caltrain_fixture(tmp)
+        if d.exists():
+            shutil.rmtree(d)
+        tmp.rename(d)
+        (d / "_COMPLETE").touch()
     return GtfsContext(d)
 
 
