@@ -262,6 +262,30 @@ class TestPipeline:
         with zipfile.ZipFile(zip_path) as zf:
             assert any(n.endswith("ct.geojson") for n in zf.namelist())
 
+    def test_multi_agency_run(self, ray_session, caltrain_dir, tmp_path):
+        from geotile.config import AgencyConfig
+        from geotile.pipeline import run_pipeline
+
+        cfg = PipelineConfig(
+            agencies=[
+                AgencyConfig(agency_key="east", path=str(caltrain_dir)),
+                AgencyConfig(agency_key="west", path=str(caltrain_dir)),
+            ],
+            output_format="envelope",
+            output_path=str(tmp_path / "out"),
+        )
+        paths = run_pipeline(cfg)
+        assert len(paths) == 2
+        for key, p in zip(("east", "west"), paths):
+            assert (Path(p) / f"{key}.geojson").exists()
+            assert (Path(p) / "log.txt").exists()
+
+    def test_invalid_config_rejected(self):
+        with pytest.raises(ValueError, match="outputFormat"):
+            PipelineConfig(output_format="bogus")
+        with pytest.raises(ValueError, match="outputType"):
+            PipelineConfig(output_type="bogus")
+
     def test_overwrite_false_raises(self, ray_session, caltrain_dir, tmp_path):
         from geotile.pipeline import prep_directory
 
