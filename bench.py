@@ -123,6 +123,15 @@ def main() -> None:
     consume(fcs.select_columns(["route_id", "n_tiles"]))
     timings["route_fc_assembly"] = round(time.time() - t0, 3)
 
+    # many-polygon variant: same join with a 256-polygon index (the
+    # dimension side at metro scale; candidates per cell stay small)
+    from geotile.synth import synthetic_route_polygons
+
+    idx256 = build_route_index(synthetic_route_polygons(256))
+    t0 = time.time()
+    consume(spatial_join(read_parts(parts * max(1, repeats // 4)), idx256))
+    timings["spatial_join_256_polys"] = round(time.time() - t0, 3)
+
     # payload-touching stage: decode+verify every image of one replica
     from geotile.ops.tiles import ImageDecodeStage
 

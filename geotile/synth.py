@@ -338,6 +338,28 @@ def tile_footprints(indices: np.ndarray) -> np.ndarray:
     return quad
 
 
+def synthetic_route_polygons(n_routes: int, radius_m: float = 300.0):
+    """A dimension-side stress set: ``n_routes`` disc 'station buffers'
+    spread deterministically along the corridor (route ids R000…), for
+    exercising the spatial-join index with many polygons."""
+    from geotile.geom.buffer import disc
+
+    idx = np.arange(n_routes, dtype=np.uint64)
+    u = _unit(idx, 21)
+    seg = u * (N_STOPS - 1)
+    s0 = np.minimum(seg.astype(np.int64), N_STOPS - 2)
+    t = seg - s0
+    lon = STOP_LONS[s0] * (1 - t) + STOP_LONS[s0 + 1] * t
+    lat = STOP_LATS[s0] * (1 - t) + STOP_LATS[s0 + 1] * t
+    m_per_deg_lat = 6371008.8 * np.pi / 180.0
+    off = (_unit(idx, 22) * 2.0 - 1.0) * 500.0
+    lon = lon + off / (m_per_deg_lat * np.cos(np.radians(37.4)))
+    return {
+        f"R{i:03d}": [(disc(float(lon[i]), float(lat[i]), radius_m), [])]
+        for i in range(n_routes)
+    }
+
+
 def pixel_pattern(indices: np.ndarray, w: int = 32, h: int = 32) -> np.ndarray:
     """Row indices → (n, h, w, 3) uint8 deterministic gradient+noise."""
     idx = np.asarray(indices, dtype=np.uint64)

@@ -80,6 +80,25 @@ class TestSpatialJoin:
         assert (cells.encode(lon, lat, index.res) == cell).all()
 
 
+class TestManyPolygons:
+    def test_join_with_256_polygons_matches_oracle(self, ray_session, image_table_dir):
+        from geotile.synth import synthetic_route_polygons
+
+        polys = synthetic_route_polygons(256)
+        idx = build_route_index(polys)
+        ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS)
+        got_df = spatial_join(ds, idx).to_pandas()
+        got = set(zip(got_df.image_id, got_df.route_id))
+        lon, lat = tile_centers(np.arange(N_IMG).astype(np.uint64))
+        expect = set()
+        for rid, plist in polys.items():
+            for outer, holes in plist:
+                inside = points_in_polygon(lon, lat, [outer] + holes)
+                for i in np.nonzero(inside)[0]:
+                    expect.add((f"img-{i:08d}", rid))
+        assert got == expect
+
+
 class TestKnn:
     def test_matches_exact_oracle(self, ray_session, image_table_dir, ctx):
         lines = route_polylines(ctx)
