@@ -49,6 +49,8 @@ def image_index(image_id) -> np.ndarray:
     """'img-00000042' → 42 for an array of id strings (fast path: the
     fixed 'img-' prefix + zero-padded digits slice to a numpy cast)."""
     arr = np.asarray(image_id, dtype="U13")
+    if arr.size == 0:
+        return np.empty(0, dtype=np.int64)
     digits = arr.view("U1").reshape(len(arr), -1)[:, 4:12]
     return digits.view("U8").ravel().astype(np.int64)
 
