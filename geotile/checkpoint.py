@@ -94,6 +94,7 @@ def run_checkpointed(
         if part_dir.exists():
             shutil.rmtree(part_dir)  # stale partial output without manifest
         out.write_parquet(str(tmp_dir))
+        tmp_dir.mkdir(parents=True, exist_ok=True)  # zero-row outputs still checkpoint
         out_files = sorted(tmp_dir.glob("*.parquet"))
         out_rows = sum(_pq_rows(f) for f in out_files)
         out_bytes = sum(f.stat().st_size for f in out_files)

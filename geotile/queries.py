@@ -516,12 +516,18 @@ def _image_dir_for(sf_dir: str) -> str:
     import os
     from pathlib import Path
 
-    from geotile.synth import make_image_table
+    import ray
+
+    from geotile.synth import make_image_table, make_image_table_ray
 
     sf_name = Path(sf_dir).name
     n = _SF_IMAGE_ROWS.get(sf_name, 2_000)
     out = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache")) / f"images_{sf_name}"
-    make_image_table(n, out)  # skips parts that already exist
+    # skips parts that already exist; parallel when a Ray session is up
+    if ray.is_initialized():
+        make_image_table_ray(n, out)
+    else:
+        make_image_table(n, out)
     return str(out)
 
 
