@@ -62,10 +62,10 @@ def main() -> None:
     )
     from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
     from geotile.queries import _fixture_ctx
-    from geotile.synth import make_image_table_ray
+    from geotile.synth import make_image_table
 
     img_dir = CACHE / f"bench_images_{sf_name}"
-    make_image_table_ray(n_rows, img_dir, w=16, h=16)  # cached; parallel gen
+    make_image_table(n_rows, img_dir, w=16, h=16)  # cached; auto-parallel
     parts = sorted(str(p) for p in img_dir.glob("*.parquet"))
 
     ctx = _fixture_ctx()

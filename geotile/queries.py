@@ -516,18 +516,12 @@ def _image_dir_for(sf_dir: str) -> str:
     import os
     from pathlib import Path
 
-    import ray
-
-    from geotile.synth import make_image_table, make_image_table_ray
+    from geotile.synth import make_image_table
 
     sf_name = Path(sf_dir).name
     n = _SF_IMAGE_ROWS.get(sf_name, 2_000)
     out = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache")) / f"images_{sf_name}"
-    # skips parts that already exist; parallel when a Ray session is up
-    if ray.is_initialized():
-        make_image_table_ray(n, out)
-    else:
-        make_image_table(n, out)
+    make_image_table(n, out)  # skips existing parts; auto-parallel
     return str(out)
 
 

@@ -435,17 +435,41 @@ def make_image_table(
     that already exist, so generation itself is resumable/cacheable."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    missing = []
     for pstart in range(0, n, rows_per_file):
         pend = min(n, pstart + rows_per_file)
         part = out_dir / f"part-{pstart // rows_per_file:05d}.parquet"
-        if part.exists():
-            continue
-        _write_image_part(pstart, pend, part, w, h, chunk)
+        if not part.exists():
+            missing.append((pstart, pend, part))
+    # auto-parallel: Ray tasks only when >1 part is missing AND a session
+    # exists (single-node assumption: workers share /tmp — on a real
+    # multi-node cluster generation belongs on shared storage)
+    use_ray = len(missing) > 1
+    if use_ray:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            use_ray = False
+    if use_ray:
+        import ray
+
+        gen = ray.remote(_write_image_part)
+        ray.get([gen.remote(ps, pe, part, w, h, chunk) for ps, pe, part in missing])
+    else:
+        for ps, pe, part in missing:
+            _write_image_part(ps, pe, part, w, h, chunk)
     return out_dir
 
 
 def _write_image_part(pstart: int, pend: int, part: Path, w: int, h: int, chunk: int) -> None:
-    tmp = part.with_suffix(".tmp")
+    import os
+
+    # pid-unique temp: concurrent writers of the same part each write
+    # their own file; the atomic rename makes last-writer-wins safe
+    # (content is deterministic, so any winner is correct)
+    tmp = part.with_suffix(f".tmp-{os.getpid()}")
     writer = None
     try:
         for s in range(pstart, pend, chunk):
@@ -459,29 +483,6 @@ def _write_image_part(pstart: int, pend: int, part: Path, w: int, h: int, chunk:
     tmp.rename(part)
 
 
-def make_image_table_ray(
-    n: int,
-    out_dir: str | Path,
-    w: int = 32,
-    h: int = 32,
-    chunk: int = 4096,
-    rows_per_file: int = 65536,
-) -> Path:
-    """Parallel generation: one Ray task per missing part file (requires
-    an active Ray session — callers that own one, e.g. bench.py; the
-    serial ``make_image_table`` never touches Ray)."""
-    import ray
-
-    out_dir = Path(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    gen = ray.remote(_write_image_part)
-    futs = []
-    for pstart in range(0, n, rows_per_file):
-        pend = min(n, pstart + rows_per_file)
-        part = out_dir / f"part-{pstart // rows_per_file:05d}.parquet"
-        if part.exists():
-            continue
-        futs.append(gen.remote(pstart, pend, part, w, h, chunk))
-    if futs:
-        ray.get(futs)
-    return out_dir
+def make_image_table_ray(*args, **kwargs) -> Path:
+    """Back-compat alias: ``make_image_table`` now auto-parallelizes."""
+    return make_image_table(*args, **kwargs)
