@@ -62,9 +62,10 @@ def main(argv: list[str] | None = None) -> int:
             idx = build_route_index(
                 route_buffer_polygons(_fixture_ctx(), PipelineConfig(coordinate_precision=5))
             )
+            idx_ref = ray.put(idx)  # ONE broadcast across all partitions
             stats = run_checkpointed(
                 args.images, args.output,
-                lambda ds: spatial_join(ds, idx),
+                lambda ds: spatial_join(ds, idx_ref),
                 columns=JOIN_COLUMNS,
                 lineage=["read_parquet[image_id,caption]", "georef+cell_encode",
                          "cell_index_candidates", "pip_exact", "write_parquet"],
@@ -75,8 +76,10 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.configPath:
             cfg = PipelineConfig.from_json(args.configPath)
-            if args.output != "./geojson_out" or not cfg.output_path:
-                cfg.output_path = cfg.output_path or args.output
+            if args.output != "./geojson_out":
+                cfg.output_path = args.output  # explicit flag overrides config
+            elif not cfg.output_path:
+                cfg.output_path = args.output
         elif args.fixture:
             from geotile.synth import make_caltrain_fixture
 

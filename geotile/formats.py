@@ -99,9 +99,13 @@ def _dissolved(feats: list[dict], ctx: GtfsContext, config: PipelineConfig) -> d
         buffer_feature(f, config.buffer_size_meters, config.raster_cells_per_radius)
         for f in feats
     ]
-    # "Simplify geoJSON buffers before unioning" (lines-dissolved.ts:20-22)
-    simplified = _simplify(_fc(buffered), config)["features"] if config.coordinate_precision \
+    # "Simplify geoJSON buffers before unioning" (lines-dissolved.ts:20-22);
+    # precision == 0 is valid (round to whole degrees) — only None skips
+    simplified = (
+        _simplify(_fc(buffered), config)["features"]
+        if config.coordinate_precision is not None
         else buffered
+    )
     cell_m = config.buffer_size_meters / config.raster_cells_per_radius
     merged = dissolve_features(simplified, ctx.agency_name, cell_m=cell_m)
     return _simplify(_fc(merged), config)

@@ -18,6 +18,7 @@ oracle).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -266,24 +267,32 @@ def build_route_index(
 # processes persist across tasks, so stateless map_batches TASKS get the
 # same once-per-process amortization as an actor pool WITHOUT reserving
 # CPUs (a fixed actor pool sized to the node starves the read stage —
-# observed as a 50× slowdown on an 8-CPU run)
-_BROADCAST_CACHE: dict[str, object] = {}
+# observed as a 50× slowdown on an 8-CPU run). Bounded FIFO: a long
+# checkpointed run creates one ref per pipeline invocation; unbounded,
+# each worker would hoard one index copy per invocation.
+_BROADCAST_CACHE: "OrderedDict[object, object]" = OrderedDict()
+_BROADCAST_CACHE_MAX = 8
+
+
+def _cache_put(key, obj):
+    _BROADCAST_CACHE[key] = obj
+    while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_MAX:
+        _BROADCAST_CACHE.popitem(last=False)
+    return obj
 
 
 def _get_broadcast(ref):
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     obj = _BROADCAST_CACHE.get(key)
     if obj is None:
-        obj = ray.get(ref) if not isinstance(ref, (RouteIndex, dict)) else ref
-        _BROADCAST_CACHE[key] = obj
+        obj = _cache_put(key, ray.get(ref) if not isinstance(ref, (RouteIndex, dict)) else ref)
     return obj
 
 
 def _cached_stage(key, factory):
     stage = _BROADCAST_CACHE.get(key)
     if stage is None:
-        stage = factory()
-        _BROADCAST_CACHE[key] = stage
+        stage = _cache_put(key, factory())
     return stage
 
 
@@ -365,8 +374,11 @@ def spatial_join(
 
     Runs as stateless TASKS (fused with the read by the streaming
     executor, scales to every free CPU); the index is broadcast once via
-    ``ray.put`` and cached per worker process."""
-    index_ref = ray.put(index)
+    ``ray.put`` and cached per worker process. Pass an ``ObjectRef``
+    (from ``ray.put(index)``) instead of the index when calling
+    repeatedly (e.g. per checkpoint partition) so workers reuse ONE
+    cached copy instead of caching one per invocation."""
+    index_ref = index if isinstance(index, ray.ObjectRef) else ray.put(index)
 
     def join_fn(batch: pa.Table) -> pa.Table:
         return _cached_stage(
@@ -396,14 +408,19 @@ class KnnStage:
     exact scan is faster and is the oracle the tests check against."""
 
     def __init__(self, routes_ref, k: int = 3):
-        routes: dict[str, np.ndarray] = _get_broadcast(routes_ref)
+        routes: dict[str, list[np.ndarray] | np.ndarray] = _get_broadcast(routes_ref)
         self.k = k
         mx, my = meter_frame(_ANCHOR_LAT)
         self.route_ids = sorted(routes)
+        # each route is a LIST of parts; min distance is taken over parts
+        # (a single array is accepted for back-compat)
         self.lines = [
-            np.column_stack(
-                [(routes[r][:, 0] - _ANCHOR_LON) * mx, (routes[r][:, 1] - _ANCHOR_LAT) * my]
-            )
+            [
+                np.column_stack(
+                    [(p[:, 0] - _ANCHOR_LON) * mx, (p[:, 1] - _ANCHOR_LAT) * my]
+                )
+                for p in (routes[r] if isinstance(routes[r], list) else [routes[r]])
+            ]
             for r in self.route_ids
         ]
         self.mx, self.my = mx, my
@@ -414,7 +431,13 @@ class KnnStage:
         py = (geo["lat"].to_numpy() - _ANCHOR_LAT) * self.my
         n = len(px)
         dists = np.stack(
-            [points_to_polyline_distance(px, py, line) for line in self.lines], axis=1
+            [
+                np.minimum.reduce(
+                    [points_to_polyline_distance(px, py, part) for part in parts]
+                )
+                for parts in self.lines
+            ],
+            axis=1,
         )
         k = min(self.k, dists.shape[1])
         part = np.argpartition(dists, k - 1, axis=1)[:, :k]
@@ -461,13 +484,22 @@ def knn_routes(ds: rd.Dataset, route_lines: dict[str, np.ndarray], k: int = 3,
 # ---------------------------------------------------------------------------
 
 def _partial_cell_counts(batch: pa.Table, res: int, coarse_res: int, salt: int) -> pa.Table:
+    from geotile.synth import image_index, splitmix64
+
     geo = georef_batch(batch, res)
     cell = geo["cell"].to_numpy().view(np.uint64)
     coarse = cells.parent(cell, coarse_res)
     uniq, counts = np.unique(coarse, return_counts=True)
-    # salt spreads ONE hot key over `salt` reducers; partial pre-agg per
-    # batch already collapsed duplicates, salt bounds any residual skew
-    s = (uniq % np.uint64(max(salt, 1))).astype(np.int64) if salt > 1 else np.zeros(len(uniq), np.int64)
+    # salt spreads ONE hot key's partial rows over `salt` reducers: the
+    # salt must vary per BATCH (not per key — a key-derived salt maps a
+    # hot key's rows to the same reducer and is a no-op), so derive it
+    # from the batch's first row index (deterministic, batch-unique)
+    if salt > 1 and len(batch):
+        first = image_index(batch["image_id"].slice(0, 1).to_numpy(zero_copy_only=False))
+        sv = int(splitmix64(first.astype(np.uint64))[0] % np.uint64(salt))
+    else:
+        sv = 0
+    s = np.full(len(uniq), sv, dtype=np.int64)
     return pa.table(
         {
             "cell": pa.array(uniq.view(np.int64)),
@@ -577,10 +609,26 @@ def dissolve_tile_footprints(ds: rd.Dataset, res: int = DEFAULT_JOIN_RES):
 # per-route FeatureCollection assembly (groupby-aggregate-sort)
 # ---------------------------------------------------------------------------
 
+def _json_escape(s: pd.Series) -> np.ndarray:
+    """Vectorized JSON string-content escaping (backslash, quote, and
+    the common control chars; other control chars are absent from the
+    id/caption domain by construction)."""
+    return (
+        s.astype(str)
+        .str.replace("\\", "\\\\", regex=False)
+        .str.replace('"', '\\"', regex=False)
+        .str.replace("\n", "\\n", regex=False)
+        .str.replace("\r", "\\r", regex=False)
+        .str.replace("\t", "\\t", regex=False)
+        .to_numpy(dtype=object)
+    )
+
+
 def _route_fc(df: pd.DataFrame, max_features: int) -> pd.DataFrame:
     from geotile.synth import image_index as _ii
     from geotile.synth import tile_footprints
 
+    n_total = len(df)
     df = df.sort_values("image_id", kind="stable").head(max_features)
     quads = np.round(tile_footprints(_ii(df["image_id"].to_numpy()).astype(np.uint64)), 7)
     # vectorized feature-string assembly (no per-row Python formatting)
@@ -591,14 +639,19 @@ def _route_fc(df: pd.DataFrame, max_features: int) -> pd.DataFrame:
         + "],[" + num[:, 8] + "," + num[:, 9] + "]]"
     )
     feats = (
-        '{"type":"Feature","properties":{"image_id":"' + df["image_id"].to_numpy(dtype=object)
-        + '","caption":"' + df["caption"].to_numpy(dtype=object)
+        '{"type":"Feature","properties":{"image_id":"' + _json_escape(df["image_id"])
+        + '","caption":"' + _json_escape(df["caption"])
         + '","cell":' + df["cell"].to_numpy().astype(str).astype(object)
         + '},"geometry":{"type":"Polygon","coordinates":[' + ring.astype(object) + "]}}"
     )
     fc = '{"type":"FeatureCollection","features":[' + ",".join(feats.tolist()) + "]}"
     return pd.DataFrame(
-        {"route_id": [df["route_id"].iloc[0]], "n_tiles": [len(df)], "fc_json": [fc]}
+        {
+            "route_id": [df["route_id"].iloc[0]],
+            "n_tiles": [n_total],  # TRUE count, pre-truncation
+            "truncated": [n_total > len(df)],
+            "fc_json": [fc],
+        }
     )
 
 
@@ -611,9 +664,11 @@ def write_route_fcs(fcs: rd.Dataset, out_dir: str) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
 
     def write(t: pa.Table) -> pa.Table:
+        from geotile.pipeline import sanitize
+
         paths = []
         for rid, fc in zip(t["route_id"].to_pylist(), t["fc_json"].to_pylist()):
-            p = os.path.join(out_dir, f"{rid}.geojson")
+            p = os.path.join(out_dir, sanitize(f"{rid}.geojson"))
             tmp = p + ".tmp"
             with open(tmp, "w") as f:
                 f.write(fc)
@@ -656,19 +711,19 @@ def route_buffer_polygons(ctx, config) -> dict[str, list[tuple[np.ndarray, list[
     return out
 
 
-def route_polylines(ctx, tolerance_deg: float = 1e-4) -> dict[str, np.ndarray]:
-    """Route centerlines (concatenated shape points) for kNN, RDP-
-    simplified at ~11 m so per-tile distance scans touch few segments
-    (the kNN semantics are defined over this simplified centerline;
-    distance error ≤ tolerance, far below route spacing)."""
+def route_polylines(ctx, tolerance_deg: float = 1e-4) -> dict[str, list[np.ndarray]]:
+    """Route centerline PARTS for kNN (one array per LineString part —
+    concatenating parts would create phantom segments between disjoint
+    shapes), RDP-simplified at ~11 m so per-tile distance scans touch
+    few segments (kNN semantics are defined over this simplified
+    centerline; distance error ≤ tolerance, far below route spacing)."""
     from geotile.geom.rdp import rdp
     from geotile.ops.lines import route_lines
 
-    out = {}
+    out: dict[str, list[np.ndarray]] = {}
     for f in route_lines(ctx, {}) or []:
         rid = f["properties"]["route_id"]
         g = f["geometry"]
         parts = [g["coordinates"]] if g["type"] == "LineString" else g["coordinates"]
-        simplified = [rdp(np.asarray(p, np.float64), tolerance_deg) for p in parts]
-        out[rid] = np.vstack(simplified)
+        out[rid] = [rdp(np.asarray(p, np.float64), tolerance_deg) for p in parts]
     return out

@@ -73,6 +73,11 @@ def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
             _write(output_path / sanitize(f"{sid}.geojson"), gj, stats)
     elif config.output_type == "route":
         routes = ctx.dims["routes"].to_pylist()
+        if ctx.service_ids is not None:
+            # reference getRoutes(baseQuery) excludes routes with no
+            # in-range service (src/lib/gtfs-to-geojson.ts:168)
+            served = set(ctx.trips["route_id"].to_pylist())
+            routes = [r for r in routes if r["route_id"] in served]
         for index, route in enumerate(routes):
             stats["routes"] += 1
             trips = ctx.trips_for(route["route_id"]).to_pylist()

@@ -534,18 +534,25 @@ def _fixture_ctx():
 
     d = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache")) / "caltrain"
     if not (d / "_COMPLETE").exists():
-        # atomic-ish cache fill: build aside, rename, then mark complete
-        # (a partially written cache must never be mistaken for a fixture)
+        # atomic cache fill: build into a PID-unique dir, rename into
+        # place, mark complete. Concurrent fillers each build their own
+        # tmp (content is deterministic, so any winner is correct); a
+        # loser whose rename fails re-checks for the winner's marker.
         import shutil
 
-        tmp = d.with_name(d.name + ".tmp")
+        if d.exists():  # stale partial from a killed run
+            shutil.rmtree(d, ignore_errors=True)
+        tmp = d.with_name(f"{d.name}.tmp-{os.getpid()}")
         if tmp.exists():
             shutil.rmtree(tmp)
         make_caltrain_fixture(tmp)
-        if d.exists():
-            shutil.rmtree(d)
-        tmp.rename(d)
-        (d / "_COMPLETE").touch()
+        try:
+            tmp.rename(d)
+            (d / "_COMPLETE").touch()
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (d / "_COMPLETE").exists():
+                raise
     return GtfsContext(d)
 
 

@@ -115,10 +115,15 @@ class TestKnn:
         rids = sorted(lines)
         D = np.stack(
             [
-                points_to_polyline_distance(
-                    px, py,
-                    np.column_stack([(lines[r][:, 0] - _ANCHOR_LON) * mx,
-                                     (lines[r][:, 1] - _ANCHOR_LAT) * my]),
+                np.minimum.reduce(
+                    [
+                        points_to_polyline_distance(
+                            px, py,
+                            np.column_stack([(p[:, 0] - _ANCHOR_LON) * mx,
+                                             (p[:, 1] - _ANCHOR_LAT) * my]),
+                        )
+                        for p in lines[r]
+                    ]
                 )
                 for r in rids
             ],
