@@ -21,6 +21,77 @@ import ray.data as rd
 FACT_TABLES = ("stop_times", "shapes")
 DIM_TABLES = ("agency", "routes", "trips", "calendar", "stops", "route_attributes", "feed_info")
 
+# GTFS CSV columns that are numeric by spec; everything else reads as
+# string (matching the reference's node-gtfs import schema)
+_GTFS_NUMERIC = {
+    "stop_lat": pa.float64(), "stop_lon": pa.float64(),
+    "shape_pt_lat": pa.float64(), "shape_pt_lon": pa.float64(),
+    "shape_pt_sequence": pa.int32(), "stop_sequence": pa.int32(),
+    "direction_id": pa.int32(), "route_type": pa.int32(),
+    "location_type": pa.int32(), "category": pa.int32(),
+    "subcategory": pa.int32(), "running_way": pa.int32(),
+    **{d: pa.int32() for d in
+       ("monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday")},
+}
+
+
+def _csv_convert_options():
+    from pyarrow import csv as pacsv
+
+    return pacsv.ConvertOptions(
+        column_types=_GTFS_NUMERIC,
+        strings_can_be_null=True,
+        quoted_strings_can_be_null=False,
+    )
+
+
+def resolve_feed_dir(path: str | Path) -> Path:
+    """Accept a directory of parquet/CSV tables OR a GTFS .zip (the
+    reference's input form): zips are extracted once to a cache dir
+    keyed by size+mtime (the import-stage checkpoint, reference
+    ``skipImport`` analog)."""
+    import os
+    import zipfile
+
+    p = Path(path)
+    if p.is_file() and p.suffix == ".zip":
+        st = p.stat()
+        cache = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache"))
+        dest = cache / f"gtfs_{p.stem}_{st.st_size}_{int(st.st_mtime)}"
+        marker = dest / "_EXTRACTED"
+        if not marker.exists():
+            tmp = dest.with_name(dest.name + f".tmp-{os.getpid()}")
+            tmp.mkdir(parents=True, exist_ok=True)
+            with zipfile.ZipFile(p) as zf:
+                zf.extractall(tmp)
+            try:
+                tmp.rename(dest)
+                marker.touch()
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not marker.exists():
+                    raise
+        return dest
+    return p
+
+
+def _table_file(feed_dir: Path, name: str) -> Path | None:
+    for ext in (".parquet", ".txt", ".csv"):
+        p = feed_dir / f"{name}{ext}"
+        if p.exists():
+            return p
+    return None
+
+
+def _read_dim(path: Path) -> pa.Table:
+    if path.suffix == ".parquet":
+        return pq.read_table(path)
+    from pyarrow import csv as pacsv
+
+    return pacsv.read_csv(path, convert_options=_csv_convert_options())
+
 
 class GtfsContext:
     """Holds lazy fact Datasets + broadcast dimension tables for one
@@ -28,15 +99,12 @@ class GtfsContext:
 
     def __init__(self, feed_dir: str | Path, start_date: str | None = None,
                  end_date: str | None = None, exclude: list[str] | None = None):
-        self.feed_dir = Path(feed_dir)
+        self.feed_dir = resolve_feed_dir(feed_dir)
         exclude = set(exclude or [])
         self.dims: dict[str, pa.Table] = {}
         for name in DIM_TABLES:
-            p = self.feed_dir / f"{name}.parquet"
-            if name in exclude or not p.exists():
-                self.dims[name] = None
-                continue
-            self.dims[name] = pq.read_table(p)
+            p = None if name in exclude else _table_file(self.feed_dir, name)
+            self.dims[name] = _read_dim(p) if p is not None else None
         # J5: service_id set from the calendar date-range scan
         # (reference src/lib/gtfs-to-geojson.ts:49-71)
         self.service_ids: list[str] | None = None
@@ -72,20 +140,33 @@ class GtfsContext:
         return self._dim_refs[name]
 
     # -- facts ------------------------------------------------------------
+    def _read_fact(self, name: str, columns: list[str]) -> rd.Dataset:
+        p = _table_file(self.feed_dir, name)
+        if p is None:
+            raise FileNotFoundError(f"no {name} table under {self.feed_dir}")
+        if p.suffix == ".parquet":
+            return rd.read_parquet(str(p), columns=columns)
+        from pyarrow import csv as pacsv
+
+        ds = rd.read_csv(
+            str(p),
+            convert_options=_csv_convert_options(),
+            parse_options=pacsv.ParseOptions(newlines_in_values=False),
+        )
+        return ds.select_columns(columns)
+
     def stop_times(self, columns: list[str] | None = None) -> rd.Dataset:
-        return rd.read_parquet(
-            str(self.feed_dir / "stop_times.parquet"),
-            columns=columns or ["trip_id", "stop_id", "stop_sequence"],
+        return self._read_fact(
+            "stop_times", columns or ["trip_id", "stop_id", "stop_sequence"]
         )
 
     def shapes(self) -> rd.Dataset:
-        return rd.read_parquet(
-            str(self.feed_dir / "shapes.parquet"),
-            columns=["shape_id", "shape_pt_lat", "shape_pt_lon", "shape_pt_sequence"],
+        return self._read_fact(
+            "shapes", ["shape_id", "shape_pt_lat", "shape_pt_lon", "shape_pt_sequence"]
         )
 
     def has_shapes_file(self) -> bool:
-        return (self.feed_dir / "shapes.parquet").exists()
+        return _table_file(self.feed_dir, "shapes") is not None
 
     # -- small lookups ----------------------------------------------------
     @property

@@ -52,14 +52,14 @@ def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
                   stats: dict) -> None:
     base_query: dict = {}
     if config.output_type == "shape":
-        shape_ids = sorted(
-            {s for s in (ctx.dims["trips"]["shape_id"].to_pylist() if ctx.dims.get("trips") is not None else []) if s}
-        )
         if ctx.has_shapes_file():
-            import pyarrow.parquet as pq
-
+            # distributed distinct over the shapes fact (SELECT DISTINCT
+            # shape_id, reference src/lib/gtfs-to-geojson.ts:132)
+            shape_ids = sorted(ctx.shapes().unique("shape_id"))
+        else:
             shape_ids = sorted(
-                set(pq.read_table(ctx.feed_dir / "shapes.parquet", columns=["shape_id"])["shape_id"].to_pylist())
+                {s for s in (ctx.dims["trips"]["shape_id"].to_pylist()
+                             if ctx.dims.get("trips") is not None else []) if s}
             )
         if not shape_ids:
             raise RuntimeError(

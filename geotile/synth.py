@@ -340,6 +340,30 @@ def tile_footprints(indices: np.ndarray) -> np.ndarray:
     return quad
 
 
+def export_feed_csv(parquet_dir: str | Path, out: str | Path) -> Path:
+    """Convert a parquet feed directory to GTFS-style CSV .txt files
+    (or a .zip of them when ``out`` ends with .zip) — used to test the
+    reference-parity CSV/zip input path."""
+    import zipfile
+
+    from pyarrow import csv as pacsv
+
+    parquet_dir = Path(parquet_dir)
+    out = Path(out)
+    as_zip = out.suffix == ".zip"
+    csv_dir = out.with_suffix("") if as_zip else out
+    csv_dir.mkdir(parents=True, exist_ok=True)
+    for p in sorted(parquet_dir.glob("*.parquet")):
+        t = pq.read_table(p)
+        pacsv.write_csv(t, csv_dir / f"{p.stem}.txt")
+    if as_zip:
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for f in sorted(csv_dir.glob("*.txt")):
+                zf.write(f, f.name)
+        return out
+    return csv_dir
+
+
 def synthetic_route_polygons(n_routes: int, radius_m: float = 300.0):
     """A dimension-side stress set: ``n_routes`` disc 'station buffers'
     spread deterministically along the corridor (route ids R000…), for
