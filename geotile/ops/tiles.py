@@ -30,16 +30,29 @@ def read_image_table(
     path: str | list[str],
     columns: list[str] | None = None,
     override_num_blocks: int | None = None,
+    format: str = "auto",
 ) -> rd.Dataset:
-    """Pluggable reader for the Lance-style table. Parquet stands in for
-    Lance here (pylance is unavailable offline); swap to
-    ``ray.data.read_lance`` where it exists — the downstream stages only
-    see Arrow batches either way.
+    """Pluggable reader for the Lance-style image+caption table. When
+    pylance is installed (not in this offline container), ``format=
+    "lance"`` / a ``.lance`` path goes through ``ray.data.read_lance``;
+    otherwise parquet stands in — downstream stages only ever see Arrow
+    batches, so the swap is invisible to the pipeline.
 
     ``override_num_blocks``: Ray sizes blocks from the FULL file size,
     so pruning the wide ``bytes`` column leaves hundreds of tiny blocks
     (observed: 208 blocks of ~4k rows → shuffle scheduling dominated a
     12s aggregate). Pass ~2-4× the CPU count for pruned reads."""
+    first = path[0] if isinstance(path, list) else path
+    want_lance = format == "lance" or (format == "auto" and str(first).endswith(".lance"))
+    if want_lance:
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "pylance is not installed in this environment; use the "
+                "parquet stand-in (same schema, same downstream stages)"
+            ) from e
+        return rd.read_lance(first, columns=columns)
     return rd.read_parquet(path, columns=columns, override_num_blocks=override_num_blocks)
 
 
