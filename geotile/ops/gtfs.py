@@ -35,11 +35,23 @@ _GTFS_NUMERIC = {
 }
 
 
-def _csv_convert_options():
+def _csv_header(path: Path) -> list[str]:
+    with open(path, "r", encoding="utf-8-sig") as f:
+        return [c.strip() for c in f.readline().rstrip("\r\n").split(",")]
+
+
+def _csv_convert_options(path: Path, include_columns: list[str] | None = None):
+    """EVERY column is pinned: numeric per GTFS spec, string otherwise.
+    Leaving columns to pyarrow inference corrupts GTFS data (dates
+    '20240101' → int64 breaks the calendar date-range scan; zero-padded
+    ids '007' → 7 breaks joins and filenames)."""
     from pyarrow import csv as pacsv
 
+    cols = _csv_header(path)
+    types = {c: _GTFS_NUMERIC.get(c, pa.string()) for c in cols}
     return pacsv.ConvertOptions(
-        column_types=_GTFS_NUMERIC,
+        column_types=types,
+        include_columns=include_columns,
         strings_can_be_null=True,
         quoted_strings_can_be_null=False,
     )
@@ -60,16 +72,20 @@ def resolve_feed_dir(path: str | Path) -> Path:
         dest = cache / f"gtfs_{p.stem}_{st.st_size}_{int(st.st_mtime)}"
         marker = dest / "_EXTRACTED"
         if not marker.exists():
+            import shutil
+
+            if dest.exists():  # stale dir from a killed extraction
+                shutil.rmtree(dest, ignore_errors=True)
             tmp = dest.with_name(dest.name + f".tmp-{os.getpid()}")
             tmp.mkdir(parents=True, exist_ok=True)
             with zipfile.ZipFile(p) as zf:
                 zf.extractall(tmp)
+            # marker created INSIDE tmp before the rename: the rename is
+            # then fully atomic (no window where dest exists unmarked)
+            (tmp / "_EXTRACTED").touch()
             try:
                 tmp.rename(dest)
-                marker.touch()
             except OSError:
-                import shutil
-
                 shutil.rmtree(tmp, ignore_errors=True)
                 if not marker.exists():
                     raise
@@ -90,7 +106,7 @@ def _read_dim(path: Path) -> pa.Table:
         return pq.read_table(path)
     from pyarrow import csv as pacsv
 
-    return pacsv.read_csv(path, convert_options=_csv_convert_options())
+    return pacsv.read_csv(path, convert_options=_csv_convert_options(path))
 
 
 class GtfsContext:
@@ -148,12 +164,13 @@ class GtfsContext:
             return rd.read_parquet(str(p), columns=columns)
         from pyarrow import csv as pacsv
 
-        ds = rd.read_csv(
+        # include_columns prunes DURING parsing — the fact table's unused
+        # columns (times, headsigns) are never tokenized
+        return rd.read_csv(
             str(p),
-            convert_options=_csv_convert_options(),
+            convert_options=_csv_convert_options(p, include_columns=columns),
             parse_options=pacsv.ParseOptions(newlines_in_values=False),
         )
-        return ds.select_columns(columns)
 
     def stop_times(self, columns: list[str] | None = None) -> rd.Dataset:
         return self._read_fact(

@@ -45,6 +45,11 @@ def read_image_table(
     first = path[0] if isinstance(path, list) else path
     want_lance = format == "lance" or (format == "auto" and str(first).endswith(".lance"))
     if want_lance:
+        if isinstance(path, list) and len(path) > 1:
+            raise ValueError(
+                "read_lance takes ONE dataset URI; a Lance dataset is already "
+                "multi-fragment internally — pass the dataset root, not shards"
+            )
         try:
             import lance  # noqa: F401
         except ImportError as e:

@@ -546,9 +546,11 @@ def _fixture_ctx():
         if tmp.exists():
             shutil.rmtree(tmp)
         make_caltrain_fixture(tmp)
+        # marker inside tmp BEFORE the rename: dest can never exist in an
+        # unmarked state, so losers neither delete a winner nor raise
+        (tmp / "_COMPLETE").touch()
         try:
             tmp.rename(d)
-            (d / "_COMPLETE").touch()
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
             if not (d / "_COMPLETE").exists():

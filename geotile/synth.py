@@ -507,6 +507,3 @@ def _write_image_part(pstart: int, pend: int, part: Path, w: int, h: int, chunk:
     tmp.rename(part)
 
 
-def make_image_table_ray(*args, **kwargs) -> Path:
-    """Back-compat alias: ``make_image_table`` now auto-parallelizes."""
-    return make_image_table(*args, **kwargs)
