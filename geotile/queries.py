@@ -327,6 +327,19 @@ def q_spatial_grid_join_docs(sf_dir: str):
     return _rename(out, ["ix", "iy", "n"])
 
 
+def q_hash_sample_docs(sf_dir: str):
+    """Deterministic 10% hash sample (the reproducible, shard-stable way
+    to sample at scale — rng sampling can't be oracle-checked)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        keep = (d * 2654435761 % 4294967296) % 10 == 0
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_bucket_join_priority_revenue(sf_dir: str):
     """Both-sides-large hash join (bucketed co-partition, no broadcast):
     lineitem ⋈ orders on orderkey → revenue per order priority."""
@@ -778,6 +791,7 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "bucket_join_priority_revenue": q_bucket_join_priority_revenue,
     "user_sessions": q_user_sessions,
+    "hash_sample_docs": q_hash_sample_docs,
     "envelope_events": q_envelope_events,
     "cell_quantize_events": q_cell_quantize_events,
     "pip_triangle_docs": q_pip_triangle_docs,
@@ -876,6 +890,10 @@ ORACLE_SQL = {
                count(*) AS n
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
+    """,
+    "hash_sample_docs": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE (doc_id * 2654435761 % 4294967296) % 10 = 0
     """,
     "user_sessions": """
         SELECT user_id, count(*) AS n_sessions FROM (
