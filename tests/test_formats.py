@@ -193,6 +193,25 @@ class TestSemantics:
         assert any(round(x, 5) != x for x in xs)
 
 
+class TestRouteQueries:
+    @pytest.mark.parametrize("fmt", ALL_FORMATS)
+    def test_all_formats_route_query(self, ctx, config, fmt):
+        """Every format must handle a (route_id, direction_id) query —
+        the outputType=route fan-out unit (reference §3.2)."""
+        gj = _build(ctx, config, fmt, {"route_id": "L1", "direction_id": 0})
+        assert gj is not None
+        if gj.get("type") == "FeatureCollection":
+            assert len(gj["features"]) >= 1
+        else:
+            assert gj["type"] == "Feature"
+
+    @pytest.mark.parametrize("fmt", ["lines", "stops", "envelope"])
+    def test_formats_shapeless_route_query(self, ctx, config, fmt):
+        """The toposort-fallback route must also work across formats."""
+        gj = _build(ctx, config, fmt, {"route_id": "L3", "direction_id": 0})
+        assert gj is not None
+
+
 class TestPipeline:
     def test_run_pipeline_agency(self, ray_session, caltrain_dir, tmp_path):
         from geotile.config import AgencyConfig
