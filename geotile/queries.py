@@ -327,6 +327,63 @@ def q_spatial_grid_join_docs(sf_dir: str):
     return _rename(out, ["ix", "iy", "n"])
 
 
+def q_anti_join_customers(sf_dir: str):
+    """Anti-join via broadcast keyset (ray_guide: 'semi/anti join:
+    broadcast the key set and filter inside map_batches'): customers
+    with NO large (>$350k) orders."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 350000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    keys = pa.array(sorted({r["o_custkey"] for r in big.take_all()}))
+    keys_ref = ray.put(keys)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    class Anti:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t["c_custkey"], self.keys)))
+
+    return cust.map_batches(Anti, batch_format="pyarrow", concurrency=2)
+
+
+def q_sliding_window_events(sf_dir: str):
+    """Sliding windows (10-min window, 5-min slide): each event lands in
+    two windows — flat-map expansion per batch, then the same partial +
+    groupby reduce as the tumbling case."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy()
+        slot = ts_us // 300_000_000
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "slot": slot,
+             "value": t["value"].to_numpy()}
+        )
+        both = pd.concat(
+            [df.assign(w=df["slot"]), df.assign(w=df["slot"] - 1)], ignore_index=True
+        )
+        both = both[both["w"] >= 0]
+        g = both.groupby(["event_type", "w"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(expand, batch_format="pyarrow").groupby(["event_type", "w"]).sum(
+        ["n", "sum_value"]
+    )
+    out = _rename(out, ["event_type", "w", "n", "sum_value"])
+    return out.map_batches(
+        lambda t: t.set_column(3, "sum_value", _e(t["sum_value"], 100)).rename_columns(
+            ["event_type", "w", "n", "sum_value_e2"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_hash_sample_docs(sf_dir: str):
     """Deterministic 10% hash sample (the reproducible, shard-stable way
     to sample at scale — rng sampling can't be oracle-checked)."""
@@ -792,6 +849,8 @@ QUERIES = {
     "bucket_join_priority_revenue": q_bucket_join_priority_revenue,
     "user_sessions": q_user_sessions,
     "hash_sample_docs": q_hash_sample_docs,
+    "anti_join_customers": q_anti_join_customers,
+    "sliding_window_events": q_sliding_window_events,
     "envelope_events": q_envelope_events,
     "cell_quantize_events": q_cell_quantize_events,
     "pip_triangle_docs": q_pip_triangle_docs,
@@ -894,6 +953,24 @@ ORACLE_SQL = {
     "hash_sample_docs": """
         SELECT doc_id, n_chars FROM documents
         WHERE (doc_id * 2654435761 % 4294967296) % 10 = 0
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+    """,
+    "sliding_window_events": """
+        SELECT event_type, w, count(*) AS n,
+               CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2
+        FROM (
+            SELECT event_type, value,
+                   CAST(floor(epoch(ts) / 300) AS BIGINT) AS w FROM events
+            UNION ALL
+            SELECT event_type, value,
+                   CAST(floor(epoch(ts) / 300) AS BIGINT) - 1 AS w FROM events
+        )
+        WHERE w >= 0
+        GROUP BY event_type, w
     """,
     "user_sessions": """
         SELECT user_id, count(*) AS n_sessions FROM (
