@@ -1,0 +1,77 @@
+"""Mergeable sketches for approximate aggregation at scale.
+
+HyperLogLog (from scratch, numpy): each ``map_batches`` emits ONE
+serialized register array per batch; the merge is an elementwise max —
+the shuffle moves ``2^p`` bytes per batch instead of the key stream
+(ray_guide: "sketches are designed to be mergeable"). The reference has
+no approximate aggregates (SURVEY §2.5); this is part of the
+training-data toolkit where exact distinct counts over 10^12 keys are
+impractical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from geotile.synth import splitmix64
+
+
+class HLL:
+    """HyperLogLog with 2**p registers (standard bias-corrected
+    estimator with small/large-range corrections)."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> "HLL":
+        h = np.asarray(h, dtype=np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1)  # sentinel bit
+        # rank = leading zeros of the remaining 64-p bits, + 1
+        lz = np.zeros(len(h), dtype=np.uint8)
+        cur = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            cur[mask] = cur[mask] << np.uint64(shift)
+        rank = np.minimum(lz + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HLL") -> "HLL":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        am = 0.7213 / (1 + 1.079 / m)
+        E = am * m * m / np.sum(2.0 ** (-self.registers.astype(np.float64)))
+        if E <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)
+        return float(E)
+
+
+def hll_distinct(ds: rd.Dataset, column: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT column) for an int64 column: per-batch
+    partial HLLs (one 4KB row each) → driver-side register max-merge."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(v.view(np.uint64))
+        sk = HLL(p).add_hashes(h)
+        return pa.table({"registers": pa.array([sk.registers.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    merged = HLL(p)
+    for r in parts:
+        merged.merge(HLL(p, np.frombuffer(r["registers"], dtype=np.uint8).copy()))
+    return merged.estimate()

@@ -384,6 +384,16 @@ def q_sliding_window_events(sf_dir: str):
     )
 
 
+def q_hll_distinct_users(sf_dir: str):
+    """Approximate distinct users via mergeable HLL sketch (rows-only:
+    approximate by design; accuracy asserted in tests/test_sketch.py)."""
+    from geotile.ops.sketch import hll_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = hll_distinct(ds, "user_id")
+    return pd.DataFrame({"distinct_users_est": [int(round(est))]})
+
+
 def q_hash_sample_docs(sf_dir: str):
     """Deterministic 10% hash sample (the reproducible, shard-stable way
     to sample at scale — rng sampling can't be oracle-checked)."""
@@ -851,6 +861,7 @@ QUERIES = {
     "hash_sample_docs": q_hash_sample_docs,
     "anti_join_customers": q_anti_join_customers,
     "sliding_window_events": q_sliding_window_events,
+    "hll_distinct_users": q_hll_distinct_users,
     "envelope_events": q_envelope_events,
     "cell_quantize_events": q_cell_quantize_events,
     "pip_triangle_docs": q_pip_triangle_docs,
