@@ -60,6 +60,58 @@ class HLL:
         return float(E)
 
 
+class MisraGries:
+    """Heavy-hitters summary with k counters: any item with true
+    frequency > n/k survives, and each kept counter undercounts by at
+    most n/k. Merging = add counters, then trim back to k (summaries
+    stay mergeable, error bounds add)."""
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.counts: dict = {}
+        self.decremented = 0
+
+    def add(self, values: np.ndarray) -> "MisraGries":
+        uniq, cnt = np.unique(np.asarray(values), return_counts=True)
+        for v, c in zip(uniq.tolist(), cnt.tolist()):
+            self.counts[v] = self.counts.get(v, 0) + c
+        self._trim()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self.decremented += other.decremented
+        self._trim()
+        return self
+
+    def _trim(self) -> None:
+        while len(self.counts) > self.k:
+            dec = min(self.counts.values())
+            self.counts = {v: c - dec for v, c in self.counts.items() if c > dec}
+            self.decremented += dec
+
+    def topk(self, n: int) -> list[tuple]:
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+
+
+def mg_topk(ds: rd.Dataset, column: str, k: int = 64, top: int = 10) -> list[tuple]:
+    """Approximate top-``top`` heavy hitters of a column: per-batch
+    Misra-Gries partials (≤k counters each) merged on the driver."""
+    import pickle
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = MisraGries(k).add(t[column].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([pickle.dumps((sk.counts, sk.decremented))], pa.binary())})
+
+    merged = MisraGries(k)
+    for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        other = MisraGries(k)
+        other.counts, other.decremented = pickle.loads(r["sketch"])
+        merged.merge(other)
+    return merged.topk(top)
+
+
 def hll_distinct(ds: rd.Dataset, column: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT column) for an int64 column: per-batch
     partial HLLs (one 4KB row each) → driver-side register max-merge."""
