@@ -281,6 +281,28 @@ class TestPipeline:
         with zipfile.ZipFile(zip_path) as zf:
             assert any(n.endswith("ct.geojson") for n in zf.namelist())
 
+    def test_config_json_file(self, ray_session, caltrain_dir, tmp_path):
+        """S1: reference-style config.json drives the pipeline."""
+        import json as _json
+
+        from geotile.config import PipelineConfig
+        from geotile.pipeline import run_pipeline
+
+        cfg_path = tmp_path / "config.json"
+        cfg_path.write_text(_json.dumps({
+            "agencies": [{"agencyKey": "cfgct", "path": str(caltrain_dir)}],
+            "outputFormat": "envelope",
+            "outputType": "agency",
+            "coordinatePrecision": 5,
+            "bufferSizeMeters": 400,
+            "outputPath": str(tmp_path / "out"),
+        }))
+        cfg = PipelineConfig.from_json(cfg_path)
+        assert cfg.agencies[0].agency_key == "cfgct"
+        assert cfg.coordinate_precision == 5
+        (out,) = run_pipeline(cfg)
+        assert (Path(out) / "cfgct.geojson").exists()
+
     def test_multi_agency_run(self, ray_session, caltrain_dir, tmp_path):
         from geotile.config import AgencyConfig
         from geotile.pipeline import run_pipeline

@@ -313,6 +313,27 @@ class TestCheckpoint:
         b = pq.read_table(sorted(str(p) for p in out2.glob("part=*/[!_]*.parquet")))
         assert a.sort_by("image_id").equals(b.sort_by("image_id"))
 
+    def test_zero_row_partition_checkpoints(self, ray_session, tmp_path, index):
+        """A shard whose pipeline output is empty still gets a manifest
+        and is skipped on resume (no rename crash, no recompute)."""
+        from geotile.checkpoint import read_manifests, run_checkpointed
+        from geotile.synth import make_image_table
+
+        inp = make_image_table(1000, tmp_path / "img", rows_per_file=1000)
+        out = tmp_path / "out"
+
+        def drop_all(ds):
+            import pyarrow as pa
+
+            return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+
+        s1 = run_checkpointed(inp, out, drop_all, columns=JOIN_COLUMNS)
+        assert s1["partitions_run"] == 1 and s1["rows"] == 0
+        m = read_manifests(out)
+        assert len(m) == 1 and m[0]["output_rows"] == 0
+        s2 = run_checkpointed(inp, out, drop_all, columns=JOIN_COLUMNS)
+        assert s2["partitions_skipped"] == 1 and s2["partitions_run"] == 0
+
     def test_stale_input_reruns(self, ray_session, tmp_path, index):
         import time
 
