@@ -384,6 +384,25 @@ def q_sliding_window_events(sf_dir: str):
     )
 
 
+def q_event_props_stats(sf_dir: str):
+    """JSON-metadata extraction (training pipelines parse JSON sidecar
+    columns): pull ``k`` out of the props JSON with a vectorized regex
+    (pyarrow extract — no per-row json.loads), aggregate per type."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        kv = pc.struct_field(k, "k").cast(pa.int64())
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "k": kv.to_numpy(zero_copy_only=False)})
+        g = df.groupby("event_type", as_index=False).agg(sum_k=("k", "sum"), n=("k", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "event_type"
+    ).sum(["sum_k", "n"])
+    return _rename(out, ["event_type", "sum_k", "n"])
+
+
 def q_hll_distinct_users(sf_dir: str):
     """Approximate distinct users via mergeable HLL sketch (rows-only:
     approximate by design; accuracy asserted in tests/test_sketch.py)."""
@@ -862,6 +881,7 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "sliding_window_events": q_sliding_window_events,
     "hll_distinct_users": q_hll_distinct_users,
+    "event_props_stats": q_event_props_stats,
     "envelope_events": q_envelope_events,
     "cell_quantize_events": q_cell_quantize_events,
     "pip_triangle_docs": q_pip_triangle_docs,
@@ -964,6 +984,12 @@ ORACLE_SQL = {
     "hash_sample_docs": """
         SELECT doc_id, n_chars FROM documents
         WHERE (doc_id * 2654435761 % 4294967296) % 10 = 0
+    """,
+    "event_props_stats": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
     """,
     "anti_join_customers": """
         SELECT c_custkey, c_mktsegment FROM customer
