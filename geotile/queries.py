@@ -657,14 +657,28 @@ def _fixture_ctx():
     return GtfsContext(d)
 
 
+# in-process memos: each graft query re-ran the route-buffer raster +
+# index build (~5-9 s); one driver session runs many queries serially
+_MEMO: dict = {}
+
+
+def _fixture_route_index():
+    if "route_index" not in _MEMO:
+        from geotile.config import PipelineConfig
+        from geotile.ops.join import build_route_index, route_buffer_polygons
+
+        _MEMO["route_index"] = build_route_index(
+            route_buffer_polygons(_fixture_ctx(), PipelineConfig(coordinate_precision=5))
+        )
+    return _MEMO["route_index"]
+
+
 def q_tile_assignments(sf_dir: str):
     """THE flagship: image tiles → route buffers spatial join."""
-    from geotile.config import PipelineConfig
-    from geotile.ops.join import build_route_index, route_buffer_polygons, spatial_join
+    from geotile.ops.join import spatial_join
     from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
 
-    ctx = _fixture_ctx()
-    idx = build_route_index(route_buffer_polygons(ctx, PipelineConfig(coordinate_precision=5)))
+    idx = _fixture_route_index()
     ds = read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS)
     return spatial_join(ds, idx).select_columns(["image_id", "route_id", "cell", "caption"])
 
@@ -686,17 +700,10 @@ def q_tile_cell_counts(sf_dir: str):
 
 
 def q_route_feature_collections(sf_dir: str):
-    from geotile.config import PipelineConfig
-    from geotile.ops.join import (
-        assemble_route_fcs,
-        build_route_index,
-        route_buffer_polygons,
-        spatial_join,
-    )
+    from geotile.ops.join import assemble_route_fcs, spatial_join
     from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
 
-    ctx = _fixture_ctx()
-    idx = build_route_index(route_buffer_polygons(ctx, PipelineConfig(coordinate_precision=5)))
+    idx = _fixture_route_index()
     ds = read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS)
     fcs = assemble_route_fcs(spatial_join(ds, idx))
     return fcs.select_columns(["route_id", "n_tiles"])
