@@ -19,21 +19,41 @@ def convex_hull(points: np.ndarray) -> np.ndarray | None:
     pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
     if len(pts) < 3:
         return None
-    # lexicographic sort by (x, y) — np.unique on axis=0 already did this
-    def cross(o, a, b):
-        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+    # Run the chain on min-max-normalized coordinates: a positive per-axis
+    # affine map preserves lexicographic order and the sign of every cross
+    # product, but keeps operands O(1) so subnormal spans (e.g. 5e-324) can't
+    # underflow a cross product to 0 and pop a true extreme vertex.
+    lo = pts.min(axis=0)
+    span = pts.max(axis=0) - lo
+    span[span == 0.0] = 1.0
+    q = (pts - lo) / span
 
-    lower: list[np.ndarray] = []
-    for p in pts:
-        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+    def cross(o, a, b):
+        return (q[a, 0] - q[o, 0]) * (q[b, 1] - q[o, 1]) - (
+            q[a, 1] - q[o, 1]
+        ) * (q[b, 0] - q[o, 0])
+
+    # lexicographic sort by (x, y) — np.unique on axis=0 already did this
+    idx = range(len(pts))
+    lower: list[int] = []
+    for i in idx:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], i) <= 0:
             lower.pop()
-        lower.append(p)
-    upper: list[np.ndarray] = []
-    for p in pts[::-1]:
-        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+        lower.append(i)
+    upper: list[int] = []
+    for i in reversed(idx):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], i) <= 0:
             upper.pop()
-        upper.append(p)
-    hull = np.array(lower[:-1] + upper[:-1])
+        upper.append(i)
+    hull = pts[lower[:-1] + upper[:-1]]
     if len(hull) < 3:
         return None
-    return np.vstack([hull, hull[:1]])
+    ring = np.vstack([hull, hull[:1]])
+    # A sliver whose shoelace area underflows to 0 in the ORIGINAL coordinate
+    # frame is indistinguishable from a collinear set downstream — treat it as
+    # collinear (None), matching the reference's null-on-degenerate behavior.
+    from .pip import signed_area
+
+    if signed_area(ring) <= 0.0:
+        return None
+    return ring

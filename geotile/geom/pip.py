@@ -53,7 +53,7 @@ def points_in_polygon(
     inside = np.zeros(len(px), dtype=bool)
     # chunk over points so the (points × edges) broadcast stays < ~32 MB
     step = max(1, chunk // max(1, len(x1)))
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         for s in range(0, len(px), step):
             X = px[s:s + step, None]
             Y = py[s:s + step, None]

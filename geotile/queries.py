@@ -1075,7 +1075,7 @@ ORACLE_SQL = {
         FROM documents
     """,
     "doc_stats_by_lang": """
-        SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+        SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang
     """,
     "knn_embeddings": """
