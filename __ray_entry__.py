@@ -31,6 +31,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from geotile.queries import ORACLE_SQL
+    from geotile.queries import oracle_sql as _oracle_sql
 
-    return dict(ORACLE_SQL)
+    return _oracle_sql()

@@ -1095,3 +1095,234 @@ ORACLE_SQL = {
         FROM s WHERE rn <= 3
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the flagship graft queries (driver CORRECTNESS gate)
+#
+# The synth image parquet materializes the derived (lon, lat) georef as
+# columns (geotile/synth.py make_image_batch), and two tiny sidecars are
+# written under GEOTILE_CACHE:
+#   oracle_route_edges.parquet    — every edge of every route-buffer
+#       polygon ring (pip._edges layout), keyed (poly_id, route_id)
+#   oracle_route_segments.parquet — RDP-simplified centerline segments
+#       in the kNN meter frame, with precomputed (dx, dy, inv_l2)
+#       mirroring geom/pip.points_to_polyline_distance
+# so pure ANSI SQL can replay the even-odd PIP join, the Morton cell
+# encode (bit ops), the coarse cell counts, and the k-nearest-route
+# distances with DOUBLE arithmetic in the SAME operation order as the
+# numpy kernels (bit-identical results, verified in tests).
+# ---------------------------------------------------------------------------
+
+_MORTON_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _sql_spread(expr: str) -> str:
+    """SQL mirror of geom.cells._spread (bit-interleave prep)."""
+    for shift, mask in _MORTON_MASKS:
+        expr = f"(({expr} | ({expr} << {shift})) & {mask})"
+    return expr
+
+
+def _sql_quant(col: str, off: str, span: str, res: int) -> str:
+    """SQL mirror of geom.cells._quantize for one axis: floor in DOUBLE
+    with numpy's exact operation order, clamp, cast."""
+    n = 1 << res
+    return (
+        f"CAST(least(greatest(floor(({col} + {off}) / {span} * {float(n)!r}), 0.0), "
+        f"{float(n - 1)!r}) AS BIGINT)"
+    )
+
+
+def _sql_cell(lon: str, lat: str, res: int) -> str:
+    """SQL mirror of geom.cells.encode (int64 view of the uint64 id)."""
+    ix = _sql_quant(lon, "180.0", "360.0", res)
+    iy = _sql_quant(lat, "90.0", "180.0", res)
+    return f"(({_sql_spread(ix)} | ({_sql_spread(iy)} << 1)) | {res << 58})"
+
+
+def _oracle_cache_dir():
+    import os
+    from pathlib import Path
+
+    return Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache"))
+
+
+def _atomic_write_table(t: pa.Table, path) -> None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    tmp = path.with_suffix(f".tmp-{os.getpid()}")
+    pq.write_table(t, tmp)
+    tmp.rename(path)
+
+
+def _oracle_edges_path() -> str:
+    """Sidecar: route-buffer polygon edges, exactly as pip._edges builds
+    them from build_route_index's ring list ([outer] + holes)."""
+    p = _oracle_cache_dir() / "oracle_route_edges.parquet"
+    if not p.exists():
+        from geotile.config import PipelineConfig
+        from geotile.geom.pip import _edges
+        from geotile.ops.join import route_buffer_polygons
+
+        polys = route_buffer_polygons(_fixture_ctx(), PipelineConfig(coordinate_precision=5))
+        pid = 0
+        cols = {"poly_id": [], "route_id": [], "x1": [], "y1": [], "x2": [], "y2": []}
+        for rid in sorted(polys):
+            for outer, holes in polys[rid]:
+                x1, y1, x2, y2 = _edges([outer] + list(holes))
+                cols["poly_id"].append(np.full(len(x1), pid, dtype=np.int64))
+                cols["route_id"].extend([rid] * len(x1))
+                cols["x1"].append(x1)
+                cols["y1"].append(y1)
+                cols["x2"].append(x2)
+                cols["y2"].append(y2)
+                pid += 1
+        t = pa.table(
+            {
+                "poly_id": pa.array(np.concatenate(cols["poly_id"])),
+                "route_id": pa.array(cols["route_id"], pa.string()),
+                **{k: pa.array(np.concatenate(cols[k])) for k in ("x1", "y1", "x2", "y2")},
+            }
+        )
+        _atomic_write_table(t, p)
+    return str(p)
+
+
+def _oracle_segments_path() -> str:
+    """Sidecar: kNN centerline segments in the meter frame with the same
+    precomputation as points_to_polyline_distance (ax/ay, dx/dy,
+    inv_l2 with the L2==0 -> 1.0 substitution)."""
+    p = _oracle_cache_dir() / "oracle_route_segments.parquet"
+    if not p.exists():
+        from geotile.geom.buffer import meter_frame
+        from geotile.ops.join import _ANCHOR_LAT, _ANCHOR_LON, route_polylines
+
+        mx, my = meter_frame(_ANCHOR_LAT)
+        lines = route_polylines(_fixture_ctx())
+        cols = {"route_id": [], "ax": [], "ay": [], "dx": [], "dy": [], "inv_l2": []}
+        for rid in sorted(lines):
+            for part in lines[rid]:
+                assert len(part) >= 2, "single-point centerline part"
+                m = np.column_stack(
+                    [(part[:, 0] - _ANCHOR_LON) * mx, (part[:, 1] - _ANCHOR_LAT) * my]
+                )
+                ax, ay = m[:-1, 0], m[:-1, 1]
+                dx, dy = m[1:, 0] - ax, m[1:, 1] - ay
+                L2 = dx * dx + dy * dy
+                L2 = np.where(L2 == 0.0, 1.0, L2)
+                cols["route_id"].extend([rid] * len(ax))
+                cols["ax"].append(ax)
+                cols["ay"].append(ay)
+                cols["dx"].append(dx)
+                cols["dy"].append(dy)
+                cols["inv_l2"].append(1.0 / L2)
+        t = pa.table(
+            {
+                "route_id": pa.array(cols["route_id"], pa.string()),
+                **{
+                    k: pa.array(np.concatenate(cols[k]))
+                    for k in ("ax", "ay", "dx", "dy", "inv_l2")
+                },
+            }
+        )
+        _atomic_write_table(t, p)
+    return str(p)
+
+
+def tile_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """Build the DuckDB oracle SQL for the graft flagship queries over
+    ``sf_dir``'s synthesized image table. Materializes the image parquet
+    and the two sidecars first (idempotent, cached)."""
+    from geotile.ops.join import DEFAULT_JOIN_RES, _ANCHOR_LAT, _ANCHOR_LON
+    from geotile.geom.buffer import meter_frame
+
+    img = _image_dir_for(sf_dir)
+    edges = _oracle_edges_path()
+    segs = _oracle_segments_path()
+    mx, my = meter_frame(_ANCHOR_LAT)
+    cell18 = _sql_cell("p.lon", "p.lat", DEFAULT_JOIN_RES)
+    cell12 = _sql_cell("lon", "lat", 12)
+
+    assignments = f"""
+        WITH pts AS (SELECT image_id, caption, lon, lat
+                     FROM read_parquet('{img}/part-*.parquet')),
+        par AS (
+            SELECT p.image_id, e.poly_id, e.route_id
+            FROM pts p JOIN read_parquet('{edges}') e
+              ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+             AND (p.lon < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1))
+            GROUP BY p.image_id, e.poly_id, e.route_id
+            HAVING count(*) % 2 = 1
+        ),
+        sel AS (SELECT DISTINCT image_id, route_id FROM par)
+        SELECT s.image_id, s.route_id, {cell18} AS cell, p.caption
+        FROM sel s JOIN pts p USING (image_id)
+    """
+    cell_counts = f"""
+        SELECT {cell12} AS cell, count(*) AS n_tiles
+        FROM read_parquet('{img}/part-*.parquet')
+        GROUP BY 1
+    """
+    route_fcs = f"""
+        WITH pts AS (SELECT image_id, lon, lat
+                     FROM read_parquet('{img}/part-*.parquet')),
+        par AS (
+            SELECT p.image_id, e.poly_id, e.route_id
+            FROM pts p JOIN read_parquet('{edges}') e
+              ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+             AND (p.lon < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1))
+            GROUP BY p.image_id, e.poly_id, e.route_id
+            HAVING count(*) % 2 = 1
+        )
+        SELECT route_id, count(DISTINCT image_id) AS n_tiles
+        FROM par GROUP BY route_id
+    """
+    knn = f"""
+        WITH p AS (SELECT image_id,
+                          (lon - ({_ANCHOR_LON!r})) * {mx!r} AS px,
+                          (lat - ({_ANCHOR_LAT!r})) * {my!r} AS py
+                   FROM read_parquet('{img}/part-*.parquet')),
+        ps AS (
+            SELECT p.image_id, s.route_id, p.px, p.py, s.ax, s.ay, s.dx, s.dy,
+                   greatest(0.0, least(1.0,
+                       ((p.px - s.ax) * s.dx + (p.py - s.ay) * s.dy) * s.inv_l2)) AS t
+            FROM p CROSS JOIN read_parquet('{segs}') s
+        ),
+        d AS (
+            SELECT image_id, route_id,
+                   min(((px - ax) - t * dx) * ((px - ax) - t * dx)
+                     + ((py - ay) - t * dy) * ((py - ay) - t * dy)) AS d2
+            FROM ps GROUP BY image_id, route_id
+        ),
+        r AS (
+            SELECT image_id, route_id, sqrt(d2) AS dist_m,
+                   row_number() OVER (
+                       PARTITION BY image_id ORDER BY sqrt(d2), route_id) AS rn
+            FROM d
+        )
+        SELECT image_id, CAST(rn - 1 AS INTEGER) AS rank, route_id, dist_m
+        FROM r WHERE rn <= 2
+    """
+    return {
+        "tile_assignments": assignments,
+        "tile_cell_counts": cell_counts,
+        "route_feature_collections": route_fcs,
+        "tile_knn": knn,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Full oracle dict for the driver: the static SQL-view oracles plus
+    the generated tile oracles at the driver's correctness sf (0.01)."""
+    out = dict(ORACLE_SQL)
+    out.update(tile_oracle_sql("/root/testdata/sf0.01"))
+    return out

@@ -424,10 +424,15 @@ def phash_from_pixels(px: np.ndarray) -> np.ndarray:
 
 
 def make_image_batch(indices: np.ndarray, w: int = 32, h: int = 32) -> pa.Table:
-    """Row indices → an Arrow table with the exact input_hint schema."""
+    """Row indices → an Arrow table with the exact input_hint schema,
+    plus the derived (lon, lat) georeference materialized as columns so
+    the driver's DuckDB oracles can verify the spatial join end-to-end
+    (the engine itself keeps deriving georef from image_id and never
+    reads these columns — the pruned join read stays 2 columns wide)."""
     idx = np.asarray(indices, dtype=np.int64)
     px = pixel_pattern(idx.astype(np.uint64), w, h)
     ph = phash_from_pixels(px)
+    lon, lat = tile_centers(idx.astype(np.uint64))
     fmts = np.where(idx % 2 == 0, "raw", "png")
     payloads = []
     for i in range(len(idx)):
@@ -442,6 +447,8 @@ def make_image_batch(indices: np.ndarray, w: int = 32, h: int = 32) -> pa.Table:
             "fmt": pa.array(fmts.tolist(), pa.string()),
             "caption": pa.array(captions, pa.string()),
             "phash": pa.array(ph, pa.int64()),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
         }
     )
 
@@ -459,6 +466,12 @@ def make_image_table(
     that already exist, so generation itself is resumable/cacheable."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    # schema migration: a cache written before the georef columns were
+    # materialized (no lon/lat) is stale — regenerate every part
+    existing = sorted(out_dir.glob("part-*.parquet"))
+    if existing and "lon" not in pq.read_schema(existing[0]).names:
+        for p in existing:
+            p.unlink()
     missing = []
     for pstart in range(0, n, rows_per_file):
         pend = min(n, pstart + rows_per_file)

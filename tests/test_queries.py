@@ -72,3 +72,34 @@ def test_entry_smoke(ray_session):
     assert n > 0
     cols = set(res.schema().names if hasattr(res, "schema") else res.columns)
     assert {"image_id", "route_id", "cell", "caption"} <= cols
+
+
+TILE_CHECKED = [
+    "tile_assignments",
+    "tile_cell_counts",
+    "route_feature_collections",
+    "tile_knn",
+]
+
+
+@pytest.mark.parametrize("name", TILE_CHECKED)
+def test_tile_query_matches_oracle(ray_session, con, name):
+    """Flagship graft queries vs generated DuckDB oracles (PIP replay
+    over the edge sidecar, SQL Morton encode, meter-frame kNN) — the
+    arithmetic mirrors the numpy kernels so floats match bit-exactly."""
+    from geotile.queries import QUERIES, tile_oracle_sql
+
+    sql = tile_oracle_sql(SF)[name]
+    got = QUERIES[name](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = con.execute(sql).df()
+    got, exp = _canon(got), _canon(exp)
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        if a.dtype.kind == "f":
+            # bit-exact: the SQL replays the same double ops in order
+            assert (a == b.astype(float)).all(), c
+        else:
+            assert (a == b).all(), c
