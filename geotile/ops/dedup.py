@@ -21,10 +21,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from geotile.ops.hashing import stable_hash64
+from geotile.ops.hashing import EMPTY_TOKEN_HASH, hashed_tokens
 from geotile.synth import splitmix64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -45,20 +46,64 @@ def exact_dedup(ds: rd.Dataset, key: str = "text", id_col: str = "doc_id") -> rd
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _token_hashes(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
-    base = np.array([stable_hash64(w) for w in toks], dtype=np.uint64)
-    sh = base.copy()
-    for i in range(1, k):  # k-gram shingle hash: xor of shifted token hashes
-        sh = sh[:-1] ^ (base[i:] * np.uint64(2 * i + 1))
-    return splitmix64(sh)
+def _shingle_flat(h: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k-gram shingle hashes over flat per-doc token-hash segments,
+    vectorized across every document at once. A shingle at token t is
+    xor_{j<k} hash[t+j] * (2j+1); docs with fewer than k tokens are
+    virtually padded with the empty-token hash and yield exactly one
+    shingle (so every doc has max(len-k+1, 1) shingles). Returns flat
+    splitmix64-finalized shingles + per-doc shingle offsets."""
+    counts = offsets[1:] - offsets[:-1]
+    n_docs = len(counts)
+    doc_start = offsets[:-1]
+    with np.errstate(over="ignore"):
+        acc = h.copy()
+        for j in range(1, k):
+            acc[: len(h) - j] ^= h[j:] * np.uint64(2 * j + 1)
+        # long docs: positions whose whole k-gram stays inside the doc
+        pos_in_doc = np.arange(len(h), dtype=np.int64) - np.repeat(doc_start, counts)
+        valid = pos_in_doc <= np.repeat(counts, counts) - k
+        long_sh = acc[valid]
+        # short docs (< k tokens): one shingle = xor of h[j]*(2j+1) over
+        # the real tokens, xor a precomputed empty-pad tail constant
+        short = counts < k
+        pad_tail = np.zeros(k + 1, dtype=np.uint64)  # tail[c] pads c..k-1
+        for c in range(k - 1, -1, -1):
+            pad_tail[c] = pad_tail[c + 1] ^ (EMPTY_TOKEN_HASH * np.uint64(2 * c + 1))
+        if short.any():
+            st = doc_start[short]
+            sc = counts[short]
+            xr = np.zeros(len(st), dtype=np.uint64)
+            for j in range(k - 1):  # short docs have < k tokens; k is tiny
+                sel = sc > j
+                xr[sel] ^= h[st[sel] + j] * np.uint64(2 * j + 1)
+            short_sh = xr ^ pad_tail[sc]
+        else:
+            short_sh = np.empty(0, np.uint64)
+    # interleave back into per-doc order
+    out_counts = np.where(short, 1, counts - (k - 1)).astype(np.int64)
+    out_off = np.concatenate([np.zeros(1, np.int64), np.cumsum(out_counts)])
+    out = np.empty(int(out_off[-1]), dtype=np.uint64)
+    long_docs = ~short
+    if long_sh.size:
+        li = (
+            np.arange(int(out_counts[long_docs].sum()), dtype=np.int64)
+            - np.repeat(
+                np.cumsum(out_counts[long_docs]) - out_counts[long_docs],
+                out_counts[long_docs],
+            )
+            + np.repeat(out_off[:-1][long_docs], out_counts[long_docs])
+        )
+        out[li] = long_sh
+    if short_sh.size:
+        out[out_off[:-1][short]] = short_sh
+    return splitmix64(out), out_off
 
 
 class MinHashStage:
     """Per-batch minhash signatures + band rows. Permutation parameters
-    are generated once per actor (deterministic seed)."""
+    are generated once per actor (deterministic seed); the whole batch
+    is signed with vectorized flat-segment kernels (no per-doc loop)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
         rng = np.random.default_rng(1234)
@@ -69,30 +114,59 @@ class MinHashStage:
         self.rows_per_band = num_perm // bands
         self.k = shingle_k
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _token_hashes(text, self.k)
-        # (perm, shingle) universal hash → min per perm
-        v = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
-        return v.min(axis=1)
+    def signatures(self, col) -> np.ndarray:
+        """(n_docs, num_perm) minhash signatures for a string column."""
+        h, off = hashed_tokens(col)
+        sh, sh_off = _shingle_flat(h, off, self.k)
+        with np.errstate(over="ignore"):
+            v = sh[None, :] * self.a[:, None] + self.b[:, None]
+            # Mersenne fold: 2^61 ≡ 1 (mod 2^61-1), so x mod M is the
+            # carry-folded (x & M) + (x >> 61) — ~5× faster than uint64 %
+            v = (v & _MERSENNE) + (v >> np.uint64(61))
+            v = (v & _MERSENNE) + (v >> np.uint64(61))
+        return np.minimum.reduceat(v, sh_off[:-1], axis=1).T
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bids, bhashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.signature(text)
-            bl = sig.reshape(self.bands, self.rows_per_band)
-            bh = splitmix64(
-                bl[:, 0] if self.rows_per_band == 1
-                else np.bitwise_xor.reduce(splitmix64(bl + np.arange(self.rows_per_band, dtype=np.uint64)), axis=1)
-            )
-            ids.extend([doc_id] * self.bands)
-            bids.extend(range(self.bands))
-            bhashes.extend(bh.view(np.int64).tolist())
-        return pd.DataFrame({"doc_id": ids, "band": bids, "band_hash": bhashes})
+    def signature(self, text: str) -> np.ndarray:
+        return self.signatures(pa.array([text], pa.string()))[0]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = self.signatures(batch["text"])
+        nd = len(batch)
+        bl = sigs.reshape(nd, self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            if self.rows_per_band == 1:
+                bh = splitmix64(bl[:, :, 0])
+            else:
+                bh = splitmix64(
+                    np.bitwise_xor.reduce(
+                        splitmix64(bl + np.arange(self.rows_per_band, dtype=np.uint64)),
+                        axis=2,
+                    )
+                )
+        ids = pc.take(
+            batch["doc_id"].combine_chunks()
+            if isinstance(batch["doc_id"], pa.ChunkedArray)
+            else batch["doc_id"],
+            pa.array(np.repeat(np.arange(nd, dtype=np.int64), self.bands)),
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int64), nd)),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            }
+        )
+
+
+def _shingles_one(text: str, k: int) -> np.ndarray:
+    h, off = hashed_tokens(pa.array([text], pa.string()))
+    sh, _ = _shingle_flat(h, off, k)
+    return sh
 
 
 def jaccard(a: str, b: str, k: int = 3) -> float:
-    sa = set(_token_hashes(a, k).tolist())
-    sb = set(_token_hashes(b, k).tolist())
+    sa = set(_shingles_one(a, k).tolist())
+    sb = set(_shingles_one(b, k).tolist())
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
@@ -136,35 +210,72 @@ def minhash_lsh_pairs(
 ) -> rd.Dataset:
     """documents(doc_id, text) → verified near-dup pairs
     (a, b, jaccard≥threshold). Candidates from band-bucket collisions;
-    Jaccard verified on the candidate pairs (texts broadcast — the
-    candidate set is dimension-scale by construction)."""
+    Jaccard verified on the candidate pairs. Only the texts of docs that
+    appear in a candidate pair are ever pulled to the driver/broadcast
+    (a semi-join on the candidate id set) — driver memory is bounded by
+    the candidate count, independent of corpus size."""
+    from geotile.ops.join import _cached_stage
+
+    def sign_fn(batch: pa.Table) -> pa.Table:
+        # stateless task + per-worker cached stage: no actor pool to
+        # start up or to starve the read (round-1 lesson); MinHashStage
+        # construction is one rng draw, cached per worker process
+        return _cached_stage(
+            ("minhash", num_perm, bands, shingle_k),
+            lambda: MinHashStage(num_perm, bands, shingle_k),
+        )(batch)
+
     band_rows = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
-        batch_format="pandas",
+        sign_fn,
+        batch_format="pyarrow",
         batch_size=1024,
-        concurrency=concurrency,
+        zero_copy_batch=True,
     )
     cand = band_rows.groupby("band").map_groups(_band_pairs, batch_format="pandas")
+    # candidate pairs are dimension-scale by construction (MAX_BUCKET
+    # caps per-bucket blow-up); dedup pairs that collided in many bands
+    cand_pairs = cand.to_pandas().drop_duplicates(subset=["a", "b"])
+    if not len(cand_pairs):
+        return rd.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        )
+    ids_ref = ray.put(
+        pa.array(np.unique(np.concatenate([cand_pairs["a"].to_numpy(), cand_pairs["b"].to_numpy()])))
+    )
+    # semi-join: read back ONLY candidate texts
     texts_ref = ray.put(
-        {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
+        {
+            r["doc_id"]: r["text"]
+            for r in ds.select_columns(["doc_id", "text"])
+            .map_batches(
+                lambda t: t.filter(pc.is_in(t["doc_id"], ray.get(ids_ref))),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        }
     )
 
     class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
+        def __init__(self, ref):
+            self.texts = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.drop_duplicates(subset=["a", "b"])
             js = [jaccard(self.texts[a], self.texts[b], shingle_k)
                   for a, b in zip(batch["a"], batch["b"])]
             batch = batch.assign(jaccard=np.round(js, 6))
             return batch[batch["jaccard"] >= threshold]
 
-    pairs = cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 2))
-    # dedup candidate pairs that collided in several bands
-    return pairs.groupby(["a", "b"]).max("jaccard").map_batches(
-        lambda t: t.rename_columns(["a", "b", "jaccard"]), batch_format="pyarrow"
+    def verify_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return _cached_stage(
+            ("minhash_verify", texts_ref.hex()), lambda: Verify(texts_ref)
+        )(batch)
+
+    pairs = rd.from_pandas(cand_pairs).map_batches(verify_fn, batch_format="pandas")
+    return pairs.map_batches(
+        lambda t: t.select(["a", "b", "jaccard"]), batch_format="pyarrow"
     )
 
 
@@ -173,27 +284,41 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """64-bit simhash over token hashes (vectorized bit-vote per doc)."""
-    texts = batch["text"].to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for i, s in enumerate(texts):
-        th = splitmix64(
-            np.array([stable_hash64(w) for w in s.split()], dtype=np.uint64)
-        )
-        if len(th) == 0:
-            out[i] = 0
-            continue
-        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-        votes = bits.sum(axis=0) * 2 > len(th)
-        out[i] = (weights[votes]).sum(dtype=np.uint64)
+    """64-bit simhash: per-bit majority vote over the doc's token
+    hashes. Vectorized across the whole batch — flat token hashes,
+    uint8 bit matrix, one segmented ``reduceat`` sum per doc."""
+    h, off = hashed_tokens(batch["text"])
+    counts = off[1:] - off[:-1]
+    nd = len(counts)
+    out = np.zeros(nd, dtype=np.uint64)
+    ne = counts > 0
+    if h.size and ne.any():
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int64)
+        # reduceat over non-empty docs only: consecutive non-empty starts
+        # delimit exactly each doc's tokens (empty docs contribute none)
+        votes = np.add.reduceat(bits, off[:-1][ne], axis=0)
+        maj = votes * 2 > counts[ne][:, None]
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        out[ne] = (maj.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
     return batch.append_column("simhash", pa.array(out.view(np.int64)))
 
 
 def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     """Near-dup pairs by simhash Hamming distance ≤ ``max_hamming``,
-    using the 4-band pigeonhole (any pair within Hamming 3 shares at
-    least one exact 16-bit band)."""
+    with pigeonhole-CORRECT banding: the 64 bits are split into
+    ``max_hamming + 1`` near-even contiguous bands, so any pair within
+    the distance bound must agree exactly on at least one band (no
+    recall luck). max_hamming=3 gives the classic 4×16-bit layout; a
+    larger bound means narrower bands → more bucket collisions, which
+    MAX_BUCKET caps."""
+    n_bands = max_hamming + 1
+    if n_bands > 32:
+        raise ValueError("max_hamming > 31 would need bands under 2 bits")
+    sizes = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    shifts = np.cumsum([0] + sizes[:-1]).astype(np.uint64)
+    masks = np.array([(1 << w) - 1 for w in sizes], dtype=np.uint64)
     sh = ds.select_columns(["doc_id", "text"]).map_batches(
         simhash_batch, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "simhash"])
@@ -201,12 +326,12 @@ def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     def explode(t: pa.Table) -> pa.Table:
         s = t["simhash"].to_numpy().view(np.uint64)
         ids = t["doc_id"].to_numpy()
-        bands = [(s >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)]
+        bands = [(s >> shifts[i]) & masks[i] for i in range(n_bands)]
         return pa.table(
             {
-                "doc_id": pa.array(np.tile(ids, 4)),
-                "simhash": pa.array(np.tile(s.view(np.int64), 4)),
-                "band": pa.array(np.repeat(np.arange(4, dtype=np.int64), len(ids))),
+                "doc_id": pa.array(np.tile(ids, n_bands)),
+                "simhash": pa.array(np.tile(s.view(np.int64), n_bands)),
+                "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int64), len(ids))),
                 "band_val": pa.array(np.concatenate(bands).view(np.int64)),
             }
         )
@@ -244,40 +369,121 @@ def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_dup_pairs(ds: rd.Dataset, tau: float = 0.9) -> rd.Dataset:
-    """Pairs (a < b) with cosine ≥ tau. The full normalized matrix is
-    broadcast once (fits comfortably for dimension-scale corpora; the
-    scale path buckets by random-hyperplane LSH first — see
-    ann.hyperplane_buckets) and each batch does one matmul block."""
-    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(ids)
-    ids, M = ids[order], M[order]
-    ref = ray.put((ids, M))
+def _pairs_from_sim(ida: np.ndarray, idb: np.ndarray, S: np.ndarray, tau: float) -> pa.Table:
+    """(a < b, cosine) rows from one similarity block."""
+    bi, cj = np.nonzero(S >= tau)
+    a, b = ida[bi], idb[cj]
+    keep = a < b
+    return pa.table(
+        {
+            "a": pa.array(a[keep]),
+            "b": pa.array(b[keep]),
+            "cosine": pa.array(np.round(S[bi, cj][keep], 6)),
+        }
+    )
 
-    class Block:
-        def __init__(self):
-            self.ids, self.M = ray.get(ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch["vec_id"].to_numpy()
-            V = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            S = V @ self.M.T
-            bi, cj = np.nonzero(S >= tau)
-            a = bids[bi]
-            b = self.ids[cj]
-            keep = a < b
-            return pa.table(
-                {
-                    "a": pa.array(a[keep]),
-                    "b": pa.array(b[keep]),
-                    "cosine": pa.array(np.round(S[bi, cj][keep], 6)),
-                }
+def embedding_dup_pairs(
+    ds: rd.Dataset,
+    tau: float = 0.9,
+    method: str = "exact",
+    block_rows: int = 4096,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> rd.Dataset:
+    """Pairs (a < b) with cosine ≥ tau over an embedding table.
+
+    ``method="exact"``: distributed block-pair matmul join. The table is
+    snapshotted into B object-store blocks (driver holds REFS only,
+    never the data) and one Ray task per (i ≤ j) block pair computes the
+    exact similarity tile — O(B²/2) tasks over O(N²) work, which is what
+    exact all-pairs costs; no step materializes the dataset in one
+    place, so it streams at any N that affords the quadratic compute.
+
+    ``method="lsh"``: the 100-TB path — multi-table random-hyperplane
+    bucketing (see ann.hyperplane_buckets); within-bucket exact cosine
+    (MAX_BUCKET-guarded), pairs deduped across tables. Precision is
+    exact (every emitted pair is cosine-verified); recall is the LSH
+    collision probability (1 - (1 - p^b)^L for angle-dependent p), so
+    it is meant for HIGH tau near-dup thresholds."""
+    emb = ds.select_columns(["vec_id", "embedding"])
+    if method == "lsh":
+        return _embedding_dup_pairs_lsh(emb, tau, n_planes, n_tables)
+    n = emb.count()
+    n_blocks = max(1, -(-n // block_rows))
+    mat = emb.repartition(n_blocks).materialize()
+    refs = mat.to_arrow_refs()
+    items = [
+        {"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))
+    ]
+
+    def _block(ref):
+        t = ray.get(ref)
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return ids, M
+
+    def cross(batch: pa.Table) -> pa.Table:
+        from geotile.ops.join import _cached_stage
+
+        out = []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ida, Va = _cached_stage(("embblk", refs[i].hex()), lambda: _block(refs[i]))
+            idb, Vb = _cached_stage(("embblk", refs[j].hex()), lambda: _block(refs[j]))
+            S = Va @ Vb.T
+            # a < b inside _pairs_from_sim keeps each unordered pair
+            # once and drops self-pairs (i == j diagonal has a == b)
+            out.append(_pairs_from_sim(ida, idb, S, tau))
+            if i != j:
+                out.append(_pairs_from_sim(idb, ida, S.T, tau))
+        return (
+            pa.concat_tables(out)
+            if out
+            else pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
             )
+        )
 
-    return ds.select_columns(["vec_id", "embedding"]).map_batches(
-        Block, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        cross, batch_size=1, batch_format="pyarrow"
+    )
+
+
+def _embedding_dup_pairs_lsh(
+    emb: rd.Dataset, tau: float, n_planes: int, n_tables: int
+) -> rd.Dataset:
+    """Bucketed near-dup: n_tables independent hyperplane codes, one
+    groupby over (table, bucket), exact within-bucket cosine, pair dedup
+    across tables. The shuffle moves (id, bucket, embedding) rows — no
+    whole-corpus broadcast or driver materialization anywhere."""
+    from geotile.ops.ann import hyperplane_buckets
+
+    tables = [
+        hyperplane_buckets(emb, n_planes=n_planes, seed=100 + t).map_batches(
+            lambda b, t=t: b.append_column("tbl", pa.array(np.full(len(b), t, np.int64))),
+            batch_format="pyarrow",
+        )
+        for t in range(n_tables)
+    ]
+    allb = tables[0].union(*tables[1:]) if len(tables) > 1 else tables[0]
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("vec_id").sort_values("vec_id").head(MAX_BUCKET)
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        M = np.array(df["embedding"].tolist(), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        t = _pairs_from_sim(ids, ids, np.triu(M @ M.T, 1), tau)
+        return t.to_pandas()
+
+    pairs = allb.groupby(["tbl", "bucket"]).map_groups(bucket_pairs, batch_format="pandas")
+    out = pairs.groupby(["a", "b"]).max("cosine")
+    return out.map_batches(
+        lambda t: t.rename_columns(["a", "b", "cosine"]), batch_format="pyarrow"
     )

@@ -1,7 +1,18 @@
-"""Stable 64-bit string hashing shared by dedup/fingerprint stages.
+"""Stable 64-bit hashing shared by dedup/fingerprint stages.
 
 Python's builtin ``hash()`` is salted per process — useless across Ray
-workers. blake2b(digest_size=8) is deterministic everywhere.
+workers. Two families live here:
+
+- ``stable_hash64``: blake2b(digest_size=8) for one-off string keys
+  (cold paths; deterministic everywhere).
+- ``hashed_tokens``: the HOT path — whitespace-tokenize a whole Arrow
+  string column and hash every token, fully vectorized. Tokenization is
+  ``pc.utf8_split_whitespace`` with empty tokens dropped (Python
+  ``str.split()`` semantics); each token is hashed with a polynomial
+  Rabin-Karp over its UTF-8 bytes (precomputed power table +
+  ``np.add.reduceat`` segment sums, uint64 wraparound) and finalized
+  with splitmix64. ~100× faster than per-token blake2b (the round-1
+  bottleneck: 6.4 s for 5k docs ⇒ ~800 docs/s/node).
 """
 
 from __future__ import annotations
@@ -9,6 +20,16 @@ from __future__ import annotations
 from hashlib import blake2b
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from geotile.synth import splitmix64
+
+_POLY_P = np.uint64(0x100000001B3)  # FNV prime as the polynomial base
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+# hash of the empty token under the scheme below: splitmix64(0 ^ 0*GOLD)
+EMPTY_TOKEN_HASH = np.uint64(splitmix64(np.zeros(1, dtype=np.uint64))[0])
 
 
 def stable_hash64(s: str) -> int:
@@ -17,3 +38,81 @@ def stable_hash64(s: str) -> int:
 
 def stable_hash64_tokens(tokens: list[str]) -> np.ndarray:
     return np.array([stable_hash64(t) for t in tokens], dtype=np.uint64)
+
+
+def _poly_powers(n: int) -> np.ndarray:
+    """[P^0, P^1, ..., P^(n-1)] in wraparound uint64."""
+    if n <= 1:
+        return np.ones(max(n, 1), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.multiply.accumulate(np.full(n - 1, _POLY_P, dtype=np.uint64))
+    return np.concatenate([np.ones(1, dtype=np.uint64), acc])
+
+
+def hashed_tokens(col) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize a string column and hash every (non-empty)
+    token to uint64, fully vectorized. Returns ``(hashes, offsets)``
+    where ``hashes`` is the flat per-token hash array and ``offsets``
+    (len = n_docs + 1) delimits each document's token segment.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lst = pc.utf8_split_whitespace(col)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    assert lst.offset == 0
+    lo = lst.offsets.to_numpy().astype(np.int64)  # (n_docs+1) into values
+    flat = lst.values
+    n_tok = len(flat)
+    if n_tok == 0:
+        return np.empty(0, np.uint64), np.zeros(len(col) + 1, np.int64)
+    off_buf = np.frombuffer(flat.buffers()[1], dtype=np.int32)
+    off = off_buf[flat.offset : flat.offset + n_tok + 1].astype(np.int64)
+    data = (
+        np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+        if flat.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    starts, lens = off[:-1], off[1:] - off[:-1]
+    keep = lens > 0  # split_whitespace emits "" at string edges; drop them
+    # per-doc kept-token counts via prefix sums (reduceat-safe for empties)
+    kc = np.concatenate([np.zeros(1, np.int64), np.cumsum(keep, dtype=np.int64)])
+    doc_counts = kc[lo[1:]] - kc[lo[:-1]]
+    offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(doc_counts)])
+    starts, lens = starts[keep], lens[keep]
+    if len(lens) == 0:
+        return np.empty(0, np.uint64), offsets
+    tok_start = np.cumsum(lens) - lens
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(tok_start, lens)
+    b = data[np.repeat(starts, lens) + pos].astype(np.uint64)
+    pw = _poly_powers(int(lens.max()))
+    with np.errstate(over="ignore"):
+        terms = b * pw[np.repeat(lens, lens) - 1 - pos]
+        sums = np.add.reduceat(terms, tok_start)
+        h = splitmix64(sums ^ (lens.astype(np.uint64) * _GOLD))
+    return h, offsets
+
+
+def rolling_fingerprints(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit document fingerprint per segment:
+    polynomial rolling hash over the token-hash sequence (wraparound
+    uint64), finalized with splitmix64. Vectorized across all documents
+    with one ``reduceat``; empty documents fingerprint to
+    splitmix64(0)."""
+    counts = offsets[1:] - offsets[:-1]
+    n_docs = len(counts)
+    out = np.empty(n_docs, dtype=np.uint64)
+    nonempty = counts > 0
+    if hashes.size:
+        st = offsets[:-1][nonempty]
+        ln = counts[nonempty]
+        pos = np.arange(int(ln.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(ln) - ln, ln
+        )
+        pw = _poly_powers(int(ln.max()))
+        with np.errstate(over="ignore"):
+            terms = hashes[np.repeat(st, ln) + pos] * pw[np.repeat(ln, ln) - 1 - pos]
+            sums = np.add.reduceat(terms, np.cumsum(ln) - ln)
+            out[nonempty] = splitmix64(sums ^ (ln.astype(np.uint64) * _GOLD))
+    out[~nonempty] = splitmix64(np.zeros(1, dtype=np.uint64))[0]
+    return out

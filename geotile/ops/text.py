@@ -107,18 +107,15 @@ def fnv1a_tokens(token_hashes: np.ndarray) -> np.uint64:
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit rolling document fingerprint: FNV-1a over the token hash
-    sequence (order-sensitive — reordered near-dups get different
-    fingerprints, unlike simhash)."""
-    from geotile.ops.hashing import stable_hash64
-    from geotile.synth import splitmix64
+    """64-bit rolling document fingerprint: polynomial rolling hash over
+    the token-hash sequence (order-sensitive — reordered near-dups get
+    different fingerprints, unlike simhash). Fully vectorized: one
+    tokenize-and-hash pass + one segmented reduce for the whole batch
+    (geotile.ops.hashing.hashed_tokens / rolling_fingerprints)."""
+    from geotile.ops.hashing import hashed_tokens, rolling_fingerprints
 
-    texts = batch[text_col].to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, s in enumerate(texts):
-        th = np.array([stable_hash64(w) for w in s.split()], dtype=np.uint64)
-        th = splitmix64(th)
-        out[i] = fnv1a_tokens(th)
+    h, off = hashed_tokens(batch[text_col])
+    out = rolling_fingerprints(h, off)
     return batch.append_column("fingerprint", pa.array(out.view(np.int64)))
 
 

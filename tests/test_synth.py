@@ -32,10 +32,13 @@ class TestImageTable:
         d = synth.make_image_table(100, tmp_path / "img")
         t = pq.read_table(d)
         assert t.num_rows == 100
+        # input_hint columns first, then the materialized georef the
+        # DuckDB oracles read (engine derives georef from image_id and
+        # never reads lon/lat)
         assert [(f.name, str(f.type)) for f in t.schema] == [
             ("image_id", "string"), ("bytes", "binary"), ("w", "int32"),
             ("h", "int32"), ("fmt", "string"), ("caption", "string"),
-            ("phash", "int64"),
+            ("phash", "int64"), ("lon", "double"), ("lat", "double"),
         ]
 
     def test_deterministic(self, tmp_path):

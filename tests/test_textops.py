@@ -156,3 +156,46 @@ class TestAnn:
         out = hyperplane_buckets(embeddings, n_planes=8).to_pandas()
         assert out.bucket.between(0, 255).all()
         assert out.bucket.nunique() > 4  # vectors actually spread
+
+
+class TestEmbeddingDedupScale:
+    def test_exact_multiblock_matches_single(self, ray_session, embeddings):
+        """Force several object-store blocks so cross-block tiles are
+        exercised; pairs must equal the single-block (brute) result."""
+        from geotile.ops.dedup import embedding_dup_pairs
+
+        df = embeddings.to_pandas()
+        M = np.array(df.embedding.tolist())
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        iu = np.triu_indices(len(S), k=1)
+        tau = float(np.quantile(S[iu], 0.995))
+        expect = {(int(df.vec_id[i]), int(df.vec_id[j]))
+                  for i, j in zip(*iu) if S[i, j] >= tau}
+        got_df = embedding_dup_pairs(embeddings, tau=tau, block_rows=64).to_pandas()
+        assert set(zip(got_df.a, got_df.b)) == expect
+
+    def test_lsh_path_planted_dups(self, ray_session):
+        """LSH method: exact precision always; recall checked on planted
+        high-similarity duplicates (the regime the method is for)."""
+        from geotile.ops.dedup import embedding_dup_pairs
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((60, 32))
+        dup = base[:20] + rng.standard_normal((20, 32)) * 0.02  # cos ≈ 1
+        M = np.vstack([base, dup])
+        ids = np.arange(len(M))
+        ds = rd.from_items(
+            [{"vec_id": int(i), "embedding": M[i].tolist()} for i in ids]
+        )
+        got = embedding_dup_pairs(ds, tau=0.98, method="lsh", n_planes=8,
+                                  n_tables=8).to_pandas()
+        pairs = set(zip(got.a, got.b))
+        planted = {(i, 60 + i) for i in range(20)}
+        # precision: every emitted pair really is >= tau
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        for a, b in pairs:
+            assert float(Mn[a] @ Mn[b]) >= 0.98 - 1e-9
+        # recall on planted dups: multi-table collision probability at
+        # cos≈1 makes misses vanishingly rare
+        assert len(planted & pairs) >= 18
