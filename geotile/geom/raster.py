@@ -224,27 +224,8 @@ def trace_mask(mask: np.ndarray, grid: Grid) -> list[np.ndarray]:
 def mask_to_polygons(mask: np.ndarray, grid: Grid) -> list[tuple[np.ndarray, list[np.ndarray]]]:
     """Mask → list of (outer_ring, [hole_rings]): orientation splits
     outers from holes; each hole is assigned to the smallest-area outer
-    that contains its first vertex."""
-    rings = trace_mask(mask, grid)
-    outers: list[tuple[float, np.ndarray]] = []
-    holes: list[np.ndarray] = []
-    for r in rings:
-        a = signed_area(r)
-        if a > 0:
-            outers.append((a, r))
-        elif a < 0:
-            holes.append(r)
-    outers.sort(key=lambda t: t[0])  # smallest first → innermost match wins
-    polys: list[tuple[np.ndarray, list[np.ndarray]]] = [(r, []) for _, r in outers]
-    for h in holes:
-        # test the hole's centroid-ish midpoint (vertices sit on mask edges
-        # shared with the outer boundary, so use an interior-leaning probe)
-        p0 = h[:-1].mean(axis=0)
-        for i, (_, outer) in enumerate(outers):
-            if _contains(p0, outer):
-                polys[i][1].append(h)
-                break
-    return polys
+    that contains its interior-leaning probe point."""
+    return rings_to_polygons(trace_mask(mask, grid))
 
 
 def _contains(pt: np.ndarray, ring: np.ndarray) -> bool:
@@ -384,3 +365,103 @@ def cells_to_mask(cell_ids: np.ndarray) -> tuple[np.ndarray, Grid, float]:
         ny=ny,
     )
     return mask, grid, sy
+
+
+# ---------------------------------------------------------------------------
+# distributed marching squares (global lattice)
+#
+# The same case table as trace_mask, but windows are computed in GLOBAL
+# cell coordinates so edge extraction can run per coarse parent cell on
+# workers (each covered cell contributes its presence bit to the 4
+# windows that see it) and only the directed contour segments — 
+# O(perimeter), not O(area) — travel to the driver for ring chaining.
+# Keys are translation-equal to trace_mask's local keys, so ring order,
+# start nodes and traversal are identical to the in-memory path.
+# ---------------------------------------------------------------------------
+
+def global_key_mult(res: int) -> np.int64:
+    """Packing multiplier for doubled global node coords at ``res``."""
+    return np.int64(2 * (1 << res) + 8)
+
+
+def window_segment_keys(
+    gx: np.ndarray, gy: np.ndarray, case: np.ndarray, res: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Directed contour segments for windows anchored at global cell
+    coords (gx, gy) with marching-squares ``case`` — vectorized over the
+    15 cases. Returns packed (from_keys, to_keys)."""
+    KM = global_key_mult(res)
+    fs: list[np.ndarray] = []
+    ts: list[np.ndarray] = []
+    for c, segs in _CASE_SEGMENTS.items():
+        m = case == c
+        if not m.any():
+            continue
+        cx, cy = gx[m], gy[m]
+        for frm, to in segs:
+            fx, fy = _midpoint_coords(frm, cx, cy)
+            tx, ty = _midpoint_coords(to, cx, cy)
+            fs.append((fx + 2) * KM + (fy + 2))
+            ts.append((tx + 2) * KM + (ty + 2))
+    if not fs:
+        z = np.empty(0, np.int64)
+        return z, z
+    return np.concatenate(fs), np.concatenate(ts)
+
+
+def chain_ring_keys(frm: np.ndarray, to: np.ndarray) -> list[np.ndarray]:
+    """Chain directed segments into closed rings — the same
+    smallest-start-key / follow-next discipline as trace_mask, so ring
+    order and vertex sequences match the in-memory trace exactly."""
+    nxt: dict[int, int] = dict(zip(frm.tolist(), to.tolist()))
+    rings: list[np.ndarray] = []
+    visited: set[int] = set()
+    for start in sorted(nxt):
+        if start in visited:
+            continue
+        ring_keys = [start]
+        visited.add(start)
+        cur = nxt[start]
+        while cur != start:
+            ring_keys.append(cur)
+            visited.add(cur)
+            cur = nxt[cur]
+        ring_keys.append(start)
+        rings.append(np.asarray(ring_keys, dtype=np.int64))
+    return rings
+
+
+def keys_to_lonlat(keys: np.ndarray, res: int) -> np.ndarray:
+    """Packed doubled-node keys → (lon, lat) ring vertices in degrees."""
+    KM = global_key_mult(res)
+    kx = keys // KM - 2
+    ky = keys % KM - 2
+    dlon, dlat = cellmod.cell_size_degrees(res)
+    lon = -180.0 + (kx / 2.0 + 0.5) * dlon
+    lat = -90.0 + (ky / 2.0 + 0.5) * dlat
+    return np.column_stack([lon, lat])
+
+
+def rings_to_polygons(
+    rings: list[np.ndarray],
+) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """Closed rings → (outer, [holes]) by orientation + containment —
+    the assignment half of mask_to_polygons, frame-agnostic (uniform
+    y-scaling preserves area order and containment)."""
+    outers: list[tuple[float, np.ndarray]] = []
+    holes: list[np.ndarray] = []
+    for r in rings:
+        a = signed_area(r)
+        if a > 0:
+            outers.append((a, r))
+        elif a < 0:
+            holes.append(r)
+    outers.sort(key=lambda t: t[0])  # smallest first → innermost match wins
+    polys: list[tuple[np.ndarray, list[np.ndarray]]] = [(r, []) for _, r in outers]
+    for h in holes:
+        p0 = h[:-1].mean(axis=0)
+        for i, (_, outer) in enumerate(outers):
+            if _contains(p0, outer):
+                polys[i][1].append(h)
+                break
+    return polys

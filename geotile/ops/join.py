@@ -398,20 +398,96 @@ def spatial_join(
 # exact vectorized distance here where the polygon side is small)
 # ---------------------------------------------------------------------------
 
-class KnnStage:
-    """Actor-pool stage: per tile, the k nearest route polylines by
-    point-to-segment distance in a corridor-local meter frame. The route
-    side is broadcast; distances are vectorized points × segments per
-    route. For huge polygon sets the candidate routes would come from
-    expanding cell rings around the tile's cell until k routes are seen
-    (the index's k_ring supports this); with dimension-scale routes the
-    exact scan is faster and is the oracle the tests check against."""
+KNN_RING_RES = 15      # cover/ring resolution: ~1.7 km lon cells here
+KNN_RING_THRESHOLD = 32  # above this many routes the ring path wins
 
-    def __init__(self, routes_ref, k: int = 3):
+
+class _KnnRingIndex:
+    """cell → candidate-route CSR over polyline cell covers, for the
+    ring-expansion kNN path. Built once per worker from the broadcast
+    routes; EXACT: ring expansion stops only when every unseen route is
+    provably farther than the current kth distance (an unseen route has
+    all cover cells at Chebyshev ring ≥ r+1, hence euclidean distance
+    ≥ r · min cell dimension)."""
+
+    def __init__(self, routes: dict, route_ids: list[str], res: int,
+                 mx: float, my: float):
+        from geotile.geom.raster import segment_cover_cells
+
+        self.res = res
+        dlon, dlat = cells.cell_size_degrees(res)
+        self.min_dim_m = min(dlon * mx, dlat * my)
+        pairs_cell, pairs_route = [], []
+        for ri, rid in enumerate(route_ids):
+            parts = routes[rid] if isinstance(routes[rid], list) else [routes[rid]]
+            cov = [
+                segment_cover_cells(p[i], p[i + 1], res)
+                for p in parts
+                for i in range(len(p) - 1)
+            ]
+            u = np.unique(np.concatenate(cov)) if cov else np.empty(0, np.uint64)
+            pairs_cell.append(u)
+            pairs_route.append(np.full(len(u), ri, dtype=np.int32))
+        cell_all = np.concatenate(pairs_cell) if pairs_cell else np.empty(0, np.uint64)
+        route_all = np.concatenate(pairs_route) if pairs_route else np.empty(0, np.int32)
+        order = np.argsort(cell_all, kind="stable")
+        cell_all, route_all = cell_all[order], route_all[order]
+        self.keys, starts = np.unique(cell_all, return_index=True)
+        self.offsets = np.concatenate([starts, [len(cell_all)]]).astype(np.int64)
+        self.routes = route_all
+        ix, iy = cells.to_ixy(self.keys)
+        self.ix_min, self.ix_max = (int(ix.min()), int(ix.max())) if len(ix) else (0, 0)
+        self.iy_min, self.iy_max = (int(iy.min()), int(iy.max())) if len(iy) else (0, 0)
+
+    def lookup(self, ring_cells: np.ndarray) -> np.ndarray:
+        """Route indices whose cover intersects any of ``ring_cells``."""
+        if not len(self.keys):
+            return np.empty(0, np.int64)
+        pos = np.searchsorted(self.keys, ring_cells)
+        pos = np.minimum(pos, len(self.keys) - 1)
+        hit = self.keys[pos] == ring_cells
+        if not hit.any():
+            return np.empty(0, np.int64)
+        out = [self.routes[self.offsets[p]:self.offsets[p + 1]] for p in pos[hit]]
+        return np.unique(np.concatenate(out)).astype(np.int64)
+
+    def r_cover(self, cell: np.uint64) -> int:
+        """Ring radius at which the whole index is inside the ring."""
+        cx, cy = cells.to_ixy(np.array([cell], np.uint64))
+        return int(
+            max(
+                abs(int(cx[0]) - self.ix_min), abs(int(cx[0]) - self.ix_max),
+                abs(int(cy[0]) - self.iy_min), abs(int(cy[0]) - self.iy_max),
+            )
+        )
+
+
+class KnnStage:
+    """Per tile, the k nearest route polylines by point-to-segment
+    distance in a corridor-local meter frame; the route side is
+    broadcast. Two paths with identical output:
+
+    - exact scan (≤ ring_threshold routes): vectorized points ×
+      segments distance to EVERY route — fastest when the polygon side
+      is dimension-scale, and the oracle the tests check against.
+    - cell-ring expansion (> ring_threshold routes): tiles grouped by
+      cell; rings around each cell expand over a polyline-cover CSR
+      until ≥ k candidates are found AND the ring lower bound
+      (r · min cell dim) exceeds the worst kth candidate distance —
+      per-tile distance work is then candidates, not all routes."""
+
+    def __init__(self, routes_ref, k: int = 3,
+                 ring_threshold: int = KNN_RING_THRESHOLD,
+                 ring_res: int = KNN_RING_RES):
         routes: dict[str, list[np.ndarray] | np.ndarray] = _get_broadcast(routes_ref)
         self.k = k
         mx, my = meter_frame(_ANCHOR_LAT)
         self.route_ids = sorted(routes)
+        self.ring = (
+            _KnnRingIndex(routes, self.route_ids, ring_res, mx, my)
+            if len(self.route_ids) > ring_threshold
+            else None
+        )
         # each route is a LIST of parts; min distance is taken over parts
         # (a single array is accepted for back-compat)
         self.lines = [
@@ -425,26 +501,72 @@ class KnnStage:
         ]
         self.mx, self.my = mx, my
 
+    def _route_dist(self, j: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        return np.minimum.reduce(
+            [points_to_polyline_distance(px, py, part) for part in self.lines[j]]
+        )
+
+    @staticmethod
+    def _select_topk(D: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        part = np.argpartition(D, k - 1, axis=1)[:, :k]
+        pd_ = np.take_along_axis(D, part, axis=1)
+        order = np.argsort(pd_, axis=1, kind="stable")
+        return np.take_along_axis(part, order, axis=1), np.take_along_axis(pd_, order, axis=1)
+
+    def _ring_topk(self, lon, lat, px, py, k):
+        """Cell-ring expansion: candidates per unique tile cell."""
+        idxr = self.ring
+        c = cells.encode(lon, lat, idxr.res)
+        uc, inv = np.unique(c, return_inverse=True)
+        n = len(px)
+        top = np.empty((n, k), np.int64)
+        topd = np.empty((n, k), np.float64)
+        n_routes = len(self.route_ids)
+        for ui, cell in enumerate(uc):
+            m = inv == ui
+            mpx, mpy = px[m], py[m]
+            computed: dict[int, np.ndarray] = {}
+            cand = np.empty(0, np.int64)
+            r_cov = idxr.r_cover(cell)
+            r = 0
+            while True:
+                full = r >= r_cov or len(cand) == n_routes
+                if full:
+                    cand = np.arange(n_routes, dtype=np.int64)
+                else:
+                    ring_cells = cells.k_ring(np.array([cell], np.uint64), r).ravel()
+                    cand = np.union1d(cand, idxr.lookup(np.unique(ring_cells)))
+                if len(cand) >= k or full:
+                    for j in cand:
+                        if j not in computed:
+                            computed[int(j)] = self._route_dist(int(j), mpx, mpy)
+                    D = np.stack([computed[int(j)] for j in cand], axis=1)
+                    kth = np.partition(D, k - 1, axis=1)[:, k - 1]
+                    # unseen routes are ≥ r·min_dim away from every tile
+                    if full or kth.max() <= r * idxr.min_dim_m:
+                        break
+                r += 1
+            ti, td = self._select_topk(D, k)
+            top[m] = cand[ti]  # cand ascending keeps exact-scan tie order
+            topd[m] = td
+        return top, topd
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         geo = georef_batch(batch, DEFAULT_JOIN_RES)
-        px = (geo["lon"].to_numpy() - _ANCHOR_LON) * self.mx
-        py = (geo["lat"].to_numpy() - _ANCHOR_LAT) * self.my
+        lon = geo["lon"].to_numpy()
+        lat = geo["lat"].to_numpy()
+        px = (lon - _ANCHOR_LON) * self.mx
+        py = (lat - _ANCHOR_LAT) * self.my
         n = len(px)
-        dists = np.stack(
-            [
-                np.minimum.reduce(
-                    [points_to_polyline_distance(px, py, part) for part in parts]
-                )
-                for parts in self.lines
-            ],
-            axis=1,
-        )
-        k = min(self.k, dists.shape[1])
-        part = np.argpartition(dists, k - 1, axis=1)[:, :k]
-        pd_ = np.take_along_axis(dists, part, axis=1)
-        order = np.argsort(pd_, axis=1, kind="stable")
-        top = np.take_along_axis(part, order, axis=1)
-        topd = np.take_along_axis(pd_, order, axis=1)
+        k = min(self.k, len(self.route_ids))
+        if self.ring is not None and n:
+            top, topd = self._ring_topk(lon, lat, px, py, k)
+        else:
+            dists = np.stack(
+                [self._route_dist(j, px, py) for j in range(len(self.route_ids))],
+                axis=1,
+            )
+            top, topd = self._select_topk(dists, k)
         ids = pc.take(
             geo["image_id"].combine_chunks(),
             pa.array(np.repeat(np.arange(n, dtype=np.int64), k)),
@@ -463,13 +585,18 @@ class KnnStage:
 
 
 def knn_routes(ds: rd.Dataset, route_lines: dict[str, np.ndarray], k: int = 3,
-               batch_size: int = 32768, concurrency=None) -> rd.Dataset:
+               batch_size: int = 32768, concurrency=None,
+               ring_threshold: int = KNN_RING_THRESHOLD,
+               ring_res: int = KNN_RING_RES) -> rd.Dataset:
     """Stateless-task kNN stage (same broadcast/caching discipline as
     spatial_join; ``concurrency`` retained for API compat, unused)."""
     ref = ray.put(route_lines)
 
     def knn_fn(batch: pa.Table) -> pa.Table:
-        return _cached_stage(("knn", ref.hex(), k), lambda: KnnStage(ref, k))(batch)
+        return _cached_stage(
+            ("knn", ref.hex(), k, ring_threshold, ring_res),
+            lambda: KnnStage(ref, k, ring_threshold, ring_res),
+        )(batch)
 
     return ds.map_batches(
         knn_fn,
@@ -574,14 +701,30 @@ def _footprint_cells(batch: pa.Table, res: int) -> pa.Table:
     return pa.table({"cell": pa.array(uniq.view(np.int64))})
 
 
-def dissolve_tile_footprints(ds: rd.Dataset, res: int = DEFAULT_JOIN_RES):
+def dissolve_tile_footprints(
+    ds: rd.Dataset, res: int = DEFAULT_JOIN_RES, parent_res: int | None = None
+):
     """Distributed dissolve of ALL tile footprints: per-batch cell masks
     → one groupby(cell) OR-merge (the shuffle carries distinct cells
-    only) → marching-squares vectorization of the merged coverage.
-    Returns (covered_cells_dataset, polygons) where polygons is the
-    final vector form [(outer, holes)] in lon/lat (driver-side final
-    step over the bounded distinct-cell set)."""
-    from geotile.geom.raster import cells_to_mask, mask_to_polygons
+    only) → DISTRIBUTED marching squares: each covered cell contributes
+    its presence bit to the 4 windows that see it, windows are grouped
+    by coarse parent cell and vectorized on workers, and only the
+    directed contour segments — O(region perimeter), never the O(area)
+    distinct-cell set — reach the driver, which chains them into rings
+    (identical order/vertices to the in-memory trace_mask) and assigns
+    holes. Returns (covered_cells_dataset, [(outer, holes)] in lon/lat).
+    """
+    from geotile.geom.raster import (
+        chain_ring_keys,
+        keys_to_lonlat,
+        rings_to_polygons,
+        window_segment_keys,
+    )
+
+    if parent_res is None:
+        parent_res = max(res - 6, 0)
+    shift = res - parent_res
+    A = np.int64((1 << res) + 2)  # anchor packing base (gx can be -1)
 
     covered = ds.map_batches(
         lambda b: _footprint_cells(b, res),
@@ -589,20 +732,49 @@ def dissolve_tile_footprints(ds: rd.Dataset, res: int = DEFAULT_JOIN_RES):
         batch_size=65536,
         zero_copy_batch=True,
     ).repartition(16).groupby("cell").count()
-    cell_rows = covered.select_columns(["cell"]).take_all()
-    cell_ids = np.array([r["cell"] for r in cell_rows], dtype=np.int64).view(np.uint64)
-    if len(cell_ids) == 0:
+
+    def windows(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy().view(np.uint64)
+        ix, iy = cells.to_ixy(cell)
+        ix = ix.astype(np.int64)
+        iy = iy.astype(np.int64)
+        n = len(ix)
+        # this cell is corner v00/v10/v11/v01 of the windows anchored at
+        # (ix,iy), (ix-1,iy), (ix-1,iy-1), (ix,iy-1) respectively
+        gx = np.concatenate([ix, ix - 1, ix - 1, ix])
+        gy = np.concatenate([iy, iy, iy - 1, iy - 1])
+        bits = np.repeat(np.array([1, 2, 4, 8], dtype=np.int64), n)
+        anchor = (gx + 1) * A + (gy + 1)
+        pkey = (((gx + 1) >> shift) * A) + ((gy + 1) >> shift)
+        return pa.table(
+            {"pkey": pa.array(pkey), "anchor": pa.array(anchor), "bits": pa.array(bits)}
+        )
+
+    def segments(df: pd.DataFrame) -> pd.DataFrame:
+        anchor = df["anchor"].to_numpy()
+        bits = df["bits"].to_numpy()
+        order = np.argsort(anchor, kind="stable")
+        a, b = anchor[order], bits[order]
+        uniq, starts = np.unique(a, return_index=True)
+        case = np.bitwise_or.reduceat(b, starts)
+        gx = uniq // A - 1
+        gy = uniq % A - 1
+        f, t = window_segment_keys(gx, gy, case.astype(np.int64), res)
+        return pd.DataFrame({"f": f, "t": t})
+
+    segs = (
+        covered.select_columns(["cell"])
+        .map_batches(windows, batch_format="pyarrow", batch_size=65536)
+        .groupby("pkey")
+        .map_groups(segments, batch_format="pandas")
+    )
+    pairs = segs.take_all()  # O(perimeter) contour segments only
+    if not pairs:
         return covered, []
-    mask, grid, sy = cells_to_mask(cell_ids)
-    polys = []
-    for outer, holes in mask_to_polygons(mask, grid):
-        o = outer.copy(); o[:, 1] /= sy
-        hs = []
-        for h in holes:
-            h = h.copy(); h[:, 1] /= sy
-            hs.append(h)
-        polys.append((o, hs))
-    return covered, polys
+    frm = np.array([r["f"] for r in pairs], dtype=np.int64)
+    to = np.array([r["t"] for r in pairs], dtype=np.int64)
+    rings = [keys_to_lonlat(k, res) for k in chain_ring_keys(frm, to)]
+    return covered, rings_to_polygons(rings)
 
 
 # ---------------------------------------------------------------------------

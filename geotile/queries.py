@@ -39,6 +39,15 @@ def _rename(ds: rd.Dataset, names: list[str]) -> rd.Dataset:
     return ds.map_batches(lambda t: t.rename_columns(names), batch_format="pyarrow")
 
 
+def _broadcast(ref):
+    """Per-worker-process cached ray.get of a broadcast ObjectRef (the
+    ops/join cache): stateless map tasks get actor-style amortization
+    without reserving CPUs (the round-1 starvation lesson)."""
+    from geotile.ops.join import _get_broadcast
+
+    return _get_broadcast(ref)
+
+
 # ---------------------------------------------------------------------------
 # q1: pricing summary — the partial+final aggregation pattern (SURVEY A4/M)
 # ---------------------------------------------------------------------------
@@ -93,43 +102,63 @@ def q_cust_nation_orders(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).take_all()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
     nat = {r["n_nationkey"]: r["n_name"] for r in nation}
-    cmap_ref = ray.put({r["c_custkey"]: (r["c_name"], nat[r["c_nationkey"]]) for r in cust})
+    ck = np.array(sorted(r["c_custkey"] for r in cust), dtype=np.int64)
+    by_key = {r["c_custkey"]: r for r in cust}
+    dim_ref = ray.put(
+        (
+            ck,
+            pa.array([by_key[k]["c_name"] for k in ck], pa.string()),
+            pa.array([nat[by_key[k]["c_nationkey"]] for k in ck], pa.string()),
+        )
+    )
 
-    class Attach:
-        def __init__(self):
-            self.cmap = ray.get(cmap_ref)
+    def attach(t: pa.Table) -> pa.Table:
+        # stateless task + per-worker broadcast cache; searchsorted
+        # gather instead of a per-row dict lookup (VERDICT r1 #6)
+        keys, names, nats = _broadcast(dim_ref)
+        idx = pa.array(np.searchsorted(keys, t["custkey"].to_numpy()))
+        return (
+            t.append_column("c_name", pc.take(names, idx))
+            .append_column("nation", pc.take(nats, idx))
+            .set_column(2, "total", _e(t["total"], 100))
+            .rename_columns(["custkey", "n_orders", "total_e2", "c_name", "nation"])
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["custkey"].to_pylist()
-            names, nats = zip(*[self.cmap[k] for k in keys]) if keys else ((), ())
-            return (
-                t.append_column("c_name", pa.array(list(names), pa.string()))
-                .append_column("nation", pa.array(list(nats), pa.string()))
-                .set_column(2, "total", _e(t["total"], 100))
-                .rename_columns(["custkey", "n_orders", "total_e2", "c_name", "nation"])
-            )
-
-    return agg.map_batches(Attach, batch_format="pyarrow", concurrency=2)
+    return agg.map_batches(attach, batch_format="pyarrow")
 
 
 def q_broadcast_join_brand_revenue(sf_dir: str):
     """J2-style broadcast join: lineitem fact × part dim (ray.put once)."""
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).take_all()
-    bmap_ref = ray.put({r["p_partkey"]: r["p_brand"] for r in part})
+    pk = np.array(sorted(r["p_partkey"] for r in part), dtype=np.int64)
+    bmap = {r["p_partkey"]: r["p_brand"] for r in part}
+    brands_sorted = sorted({r["p_brand"] for r in part})
+    code_of = {b: i for i, b in enumerate(brands_sorted)}
+    # brand CODE per sorted partkey: the fact-side gather is pure numpy
+    codes = np.array([code_of[bmap[k]] for k in pk], dtype=np.int64)
+    dim_ref = ray.put((pk, codes, brands_sorted))
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
-    class Partial:
-        def __init__(self):
-            self.bmap = ray.get(bmap_ref)
+    def partial(t: pa.Table) -> pa.Table:
+        # searchsorted gather + bincount combiner: no per-row Python on
+        # the lineitem fact (VERDICT r1 #6)
+        pk_, codes_, brands_ = _broadcast(dim_ref)
+        c = codes_[np.searchsorted(pk_, t["l_partkey"].to_numpy())]
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy()
+        sums = np.bincount(c, weights=rev, minlength=len(brands_))
+        ns = np.bincount(c, minlength=len(brands_))
+        nz = ns > 0
+        return pa.table(
+            {
+                "p_brand": pa.array(np.asarray(brands_, dtype=object)[nz], pa.string()),
+                "revenue": pa.array(sums[nz]),
+                "n": pa.array(ns[nz].astype(np.int64)),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            brands = [self.bmap[k] for k in t["l_partkey"].to_pylist()]
-            rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-            df = pd.DataFrame({"p_brand": brands, "rev": rev.to_numpy()})
-            g = df.groupby("p_brand", as_index=False).agg(revenue=("rev", "sum"), n=("rev", "size"))
-            return pa.Table.from_pandas(g, preserve_index=False)
-
-    out = ds.map_batches(Partial, batch_format="pyarrow", concurrency=2).groupby(
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "p_brand"
     ).sum(["revenue", "n"])
     out = _rename(out, ["p_brand", "revenue", "n"])
@@ -157,18 +186,14 @@ def q_semi_join_date_filter(sf_dir: str):
     keyset_ref = ray.put(pa.array(sorted(r["o_orderkey"] for r in keys)))
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
-    class Semi:
-        def __init__(self):
-            self.keys = ray.get(keyset_ref)
+    def semi(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["l_orderkey"], _broadcast(keyset_ref)))
+        return pa.table(
+            {"n_items": pa.array([len(f)], pa.int64()),
+             "sum_qty": pa.array([pc.sum(f["l_quantity"]).as_py() or 0.0], pa.float64())}
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            f = t.filter(pc.is_in(t["l_orderkey"], self.keys))
-            return pa.table(
-                {"n_items": pa.array([len(f)], pa.int64()),
-                 "sum_qty": pa.array([pc.sum(f["l_quantity"]).as_py() or 0.0], pa.float64())}
-            )
-
-    out = ds.map_batches(Semi, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(semi, batch_format="pyarrow")
     df = out.to_pandas().sum()
     return pd.DataFrame(
         {"n_items": [int(df.n_items)], "sum_qty_e2": [int(round(float(df.sum_qty) * 100))]}
@@ -180,20 +205,26 @@ def q_left_join_customer_orders(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey"])
     counts = orders.groupby("o_custkey").count()
     counts = _rename(counts, ["custkey", "cnt"])
-    cmap_ref = ray.put({r["custkey"]: r["cnt"] for r in counts.take_all()})
+    rows = counts.take_all()
+    ck = np.array(sorted(r["custkey"] for r in rows), dtype=np.int64)
+    by = {r["custkey"]: r["cnt"] for r in rows}
+    cnt = np.array([by[k] for k in ck], dtype=np.int64)
+    dim_ref = ray.put((ck, cnt))
     cust = _read(sf_dir, "customer", ["c_custkey"])
 
-    class Attach:
-        def __init__(self):
-            self.m = ray.get(cmap_ref)
+    def attach(t: pa.Table) -> pa.Table:
+        # LEFT semantics: missing keys get 0 (masked searchsorted gather)
+        ck_, cnt_ = _broadcast(dim_ref)
+        k = t["c_custkey"].to_numpy()
+        idx = np.searchsorted(ck_, k)
+        idx_c = np.minimum(idx, len(ck_) - 1) if len(ck_) else idx
+        hit = (ck_[idx_c] == k) if len(ck_) else np.zeros(len(k), bool)
+        n = np.where(hit, cnt_[idx_c] if len(ck_) else 0, 0)
+        return pa.table(
+            {"custkey": t["c_custkey"], "n_orders": pa.array(n.astype(np.int64))}
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            n = [self.m.get(k, 0) for k in t["c_custkey"].to_pylist()]
-            return pa.table(
-                {"custkey": t["c_custkey"], "n_orders": pa.array(n, pa.int64())}
-            )
-
-    return cust.map_batches(Attach, batch_format="pyarrow", concurrency=2)
+    return cust.map_batches(attach, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -233,9 +264,27 @@ def q_union_order_subsets(sf_dir: str):
 
 
 def q_topk_orders(sf_dir: str):
+    """Top-10 orders by price: per-batch partial top-k → one tiny final
+    reduce. No global sort — the all-to-all a full ds.sort() would do
+    moves every row for a 10-row answer (VERDICT r1 #5)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
-    return top.select_columns(["o_orderkey", "o_totalprice"])
+    k = 10
+
+    def top_of(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy()
+        key = t["o_orderkey"].to_numpy()
+        if len(price) > k:
+            kth = np.partition(price, len(price) - k)[len(price) - k]
+            m = price >= kth  # keeps every potential top-k row incl. ties
+            price, key = price[m], key[m]
+        order = np.lexsort((key, -price))[:k]
+        return pa.table(
+            {"o_orderkey": pa.array(key[order]), "o_totalprice": pa.array(price[order])}
+        )
+
+    partials = ds.map_batches(top_of, batch_format="pyarrow", zero_copy_batch=True)
+    # final reduce over <= k*n_blocks rows — coalesce to one tiny block
+    return partials.repartition(1).map_batches(top_of, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -340,14 +389,10 @@ def q_anti_join_customers(sf_dir: str):
     keys_ref = ray.put(keys)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
-    class Anti:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
+    def anti(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], _broadcast(keys_ref))))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(pc.is_in(t["c_custkey"], self.keys)))
-
-    return cust.map_batches(Anti, batch_format="pyarrow", concurrency=2)
+    return cust.map_batches(anti, batch_format="pyarrow")
 
 
 def q_sliding_window_events(sf_dir: str):

@@ -350,3 +350,56 @@ class TestCheckpoint:
         time.sleep(1.1)
         parts[0].touch()
         assert completed_partitions(out, parts) == set()
+
+
+class TestKnnRingPath:
+    def test_ring_path_matches_exact_scan_256_routes(self, ray_session):
+        """The cell-ring-expansion kNN must produce EXACTLY the exact
+        scan's output (ids, ranks, distances bit-equal) on a 256-route
+        dimension side — the regime the ring path exists for."""
+        import ray
+
+        from geotile.ops.join import KnnStage
+        from geotile.synth import make_image_batch, synthetic_route_polygons
+
+        # disc rings double as polylines for the kNN geometry
+        polys = synthetic_route_polygons(256)
+        routes = {rid: [plist[0][0]] for rid, plist in polys.items()}
+        batch = make_image_batch(np.arange(3000)).select(["image_id", "caption"])
+        exact = KnnStage(ray.put(routes), k=3, ring_threshold=10**9)(batch)
+        ring = KnnStage(ray.put(routes), k=3, ring_threshold=1)(batch)
+        ed, rd_ = exact.to_pandas(), ring.to_pandas()
+        assert (ed["image_id"] == rd_["image_id"]).all()
+        assert (ed["rank"] == rd_["rank"]).all()
+        assert (ed["route_id"] == rd_["route_id"]).all()
+        assert (ed["dist_m"].to_numpy() == rd_["dist_m"].to_numpy()).all()
+
+
+class TestStreamedDissolve:
+    def test_streamed_rings_match_mask_trace(self, ray_session, image_table_dir):
+        """The distributed (per-parent window, perimeter-only shuffle)
+        marching squares must reproduce the in-memory mask trace:
+        same polygon count, ring order, vertex counts, and vertices."""
+        from geotile.geom import cells as cellmod
+        from geotile.geom.raster import cells_to_mask, mask_to_polygons
+        from geotile.ops.join import dissolve_tile_footprints
+
+        ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS)
+        covered, polys = dissolve_tile_footprints(ds, res=18)
+        cell_ids = np.array(
+            [r["cell"] for r in covered.select_columns(["cell"]).take_all()],
+            dtype=np.int64,
+        ).view(np.uint64)
+        mask, grid, sy = cells_to_mask(cell_ids)
+        ref = []
+        for outer, holes in mask_to_polygons(mask, grid):
+            o = outer.copy(); o[:, 1] /= sy
+            ref.append((o, [np.column_stack([h[:, 0], h[:, 1] / sy]) for h in holes]))
+        assert len(polys) == len(ref)
+        for (go, gh), (eo, eh) in zip(polys, ref):
+            assert len(go) == len(eo)
+            assert np.allclose(go, eo, atol=1e-9, rtol=0)
+            assert len(gh) == len(eh)
+            for a, b in zip(gh, eh):
+                assert len(a) == len(b)
+                assert np.allclose(a, b, atol=1e-9, rtol=0)
