@@ -28,8 +28,10 @@ import ray.data as rd
 
 
 def _fingerprint(p: Path) -> str:
+    # nanosecond mtime: a shard rewritten with identical size within the
+    # same second must still read as changed (ADVICE r1)
     st = p.stat()
-    return f"{st.st_size}:{int(st.st_mtime)}"
+    return f"{st.st_size}:{st.st_mtime_ns}"
 
 
 def manifest_path(out_dir: Path, stem: str) -> Path:

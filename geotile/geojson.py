@@ -85,9 +85,19 @@ def assemble_fc(feature_jsons: list[str]) -> str:
 # simplification / rounding over feature dicts
 # ---------------------------------------------------------------------------
 
+def _round_half_up(x: float, p: int) -> float:
+    """JS-Math.round-compatible rounding (ties toward +Infinity):
+    Python round() is banker's (half-to-even), so ties at
+    coordinatePrecision could differ from @turf round (ADVICE r1)."""
+    import math
+
+    scale = 10.0 ** p
+    return math.floor(x * scale + 0.5) / scale
+
+
 def _round_rec(c, p: int):
     if isinstance(c, (int, float)):
-        return round(float(c), p)
+        return _round_half_up(float(c), p)
     return [_round_rec(x, p) for x in c]
 
 

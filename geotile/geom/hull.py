@@ -19,19 +19,24 @@ def convex_hull(points: np.ndarray) -> np.ndarray | None:
     pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
     if len(pts) < 3:
         return None
-    # Run the chain on min-max-normalized coordinates: a positive per-axis
-    # affine map preserves lexicographic order and the sign of every cross
-    # product, but keeps operands O(1) so subnormal spans (e.g. 5e-324) can't
-    # underflow a cross product to 0 and pop a true extreme vertex.
-    lo = pts.min(axis=0)
-    span = pts.max(axis=0) - lo
-    span[span == 0.0] = 1.0
-    q = (pts - lo) / span
 
     def cross(o, a, b):
-        return (q[a, 0] - q[o, 0]) * (q[b, 1] - q[o, 1]) - (
-            q[a, 1] - q[o, 1]
-        ) * (q[b, 0] - q[o, 0])
+        v = (pts[a, 0] - pts[o, 0]) * (pts[b, 1] - pts[o, 1]) - (
+            pts[a, 1] - pts[o, 1]
+        ) * (pts[b, 0] - pts[o, 0])
+        if -1e-200 < v < 1e-200:
+            # underflow regime (subnormal spans / near-duplicate points):
+            # the float cross can round to 0 or flip sign and pop a true
+            # extreme vertex. Recompute exactly — Fraction(float) is
+            # exact, and this branch never fires for real geo-range
+            # coordinates, so the chain stays O(n) float in practice.
+            from fractions import Fraction as F
+
+            e = (F(pts[a, 0]) - F(pts[o, 0])) * (F(pts[b, 1]) - F(pts[o, 1])) - (
+                F(pts[a, 1]) - F(pts[o, 1])
+            ) * (F(pts[b, 0]) - F(pts[o, 0]))
+            return 1.0 if e > 0 else (-1.0 if e < 0 else 0.0)
+        return v
 
     # lexicographic sort by (x, y) — np.unique on axis=0 already did this
     idx = range(len(pts))

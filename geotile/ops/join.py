@@ -282,10 +282,17 @@ def _cache_put(key, obj):
 
 
 def _get_broadcast(ref):
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    """ObjectRefs are cached per worker process by their hex id. Raw
+    objects (RouteIndex / dict passed directly, e.g. in unit tests) are
+    returned UNCACHED: CPython recycles id()s after GC, so keying a
+    long-lived worker cache on id() can serve a stale index for a
+    different object (ADVICE r1)."""
+    if not hasattr(ref, "hex"):
+        return ref
+    key = ref.hex()
     obj = _BROADCAST_CACHE.get(key)
     if obj is None:
-        obj = _cache_put(key, ray.get(ref) if not isinstance(ref, (RouteIndex, dict)) else ref)
+        obj = _cache_put(key, ray.get(ref))
     return obj
 
 

@@ -134,29 +134,47 @@ def log_text(ctx: GtfsContext, config: PipelineConfig, stats: dict) -> str:
     return "\n".join(lines)
 
 
+def get_output_path(agency_key: str, config: PipelineConfig) -> Path:
+    """Reference getOutputPath (src/lib/file-utils.ts:117-121): when
+    ``outputPath`` is set it is used VERBATIM (tilde-expanded, no
+    per-agency subdirectory); the default is
+    ``geojson/<sanitize(agencyKey)>``."""
+    import os
+
+    if config.output_path:
+        return Path(os.path.expanduser(config.output_path))
+    return Path("geojson") / sanitize(agency_key)
+
+
 def run_pipeline(config: PipelineConfig) -> list[str]:
     """Reference gtfsToGeoJSON: returns output paths (or [zip_path] when
     zipOutput, :335-345)."""
-    out_root = Path(config.output_path or "geojson")
     written_dirs: list[Path] = []
+    agency_keys: list[str] = []
     for agency in config.agencies:
         ctx = GtfsContext(
             agency.path, start_date=config.start_date, end_date=config.end_date,
             exclude=agency.exclude,
         )
         ctx.agency_key = agency.agency_key or ctx.agency_name  # type: ignore[attr-defined]
-        output_path = out_root / ctx.agency_key
+        agency_keys.append(ctx.agency_key)
+        output_path = get_output_path(ctx.agency_key, config)
         prep_directory(output_path, config.overwrite_existing_files)
         stats = {"files": 0, "routes": 0, "shapes": 0}
         build_geojson(ctx, config, output_path, stats)
         (output_path / "log.txt").write_text(log_text(ctx, config, stats))
         written_dirs.append(output_path)
     if config.zip_output:
-        zip_path = out_root / "geojson.zip"
+        # reference zipFolders (file-utils.ts:47-77): zip written into
+        # getOutputPath of the joined keys; entries are archived under
+        # each folder's basename and filtered to .json/.geojson only
+        zip_dir = get_output_path("-".join(agency_keys), config)
+        zip_dir.mkdir(parents=True, exist_ok=True)
+        zip_path = zip_dir / "geojson.zip"
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
             for d in written_dirs:
                 for p in sorted(d.rglob("*")):
-                    if p.suffix in (".geojson", ".json", ".txt"):
-                        zf.write(p, p.relative_to(out_root))
+                    if p.suffix.lower() in (".geojson", ".json") and p != zip_path:
+                        zf.write(p, Path(d.name) / p.relative_to(d))
         return [str(zip_path)]
     return [str(d) for d in written_dirs]

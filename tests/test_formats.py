@@ -303,11 +303,32 @@ class TestPipeline:
         (out,) = run_pipeline(cfg)
         assert (Path(out) / "cfgct.geojson").exists()
 
-    def test_multi_agency_run(self, ray_session, caltrain_dir, tmp_path):
+    def test_multi_agency_run(self, ray_session, caltrain_dir, tmp_path, monkeypatch):
+        """Reference getOutputPath semantics: with no outputPath each
+        agency writes to geojson/<sanitize(key)>; a VERBATIM outputPath
+        is shared by all agencies (overwrite clears between them — the
+        reference's own footgun, mirrored for parity)."""
         from geotile.config import AgencyConfig
         from geotile.pipeline import run_pipeline
 
+        monkeypatch.chdir(tmp_path)
         cfg = PipelineConfig(
+            agencies=[
+                AgencyConfig(agency_key="east", path=str(caltrain_dir)),
+                AgencyConfig(agency_key="west", path=str(caltrain_dir)),
+            ],
+            output_format="envelope",
+        )
+        paths = run_pipeline(cfg)
+        assert len(paths) == 2
+        assert [Path(p).resolve() for p in paths] == [
+            tmp_path / "geojson" / "east", tmp_path / "geojson" / "west"
+        ]
+        for key, p in zip(("east", "west"), paths):
+            assert (Path(p) / f"{key}.geojson").exists()
+            assert (Path(p) / "log.txt").exists()
+        # verbatim outputPath: both agencies share the dir; last wins
+        cfg2 = PipelineConfig(
             agencies=[
                 AgencyConfig(agency_key="east", path=str(caltrain_dir)),
                 AgencyConfig(agency_key="west", path=str(caltrain_dir)),
@@ -315,11 +336,10 @@ class TestPipeline:
             output_format="envelope",
             output_path=str(tmp_path / "out"),
         )
-        paths = run_pipeline(cfg)
-        assert len(paths) == 2
-        for key, p in zip(("east", "west"), paths):
-            assert (Path(p) / f"{key}.geojson").exists()
-            assert (Path(p) / "log.txt").exists()
+        p1, p2 = run_pipeline(cfg2)
+        assert p1 == p2 == str(tmp_path / "out")
+        assert (Path(p2) / "west.geojson").exists()
+        assert not (Path(p2) / "east.geojson").exists()
 
     def test_invalid_config_rejected(self):
         with pytest.raises(ValueError, match="outputFormat"):
