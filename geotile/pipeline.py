@@ -152,6 +152,14 @@ def run_pipeline(config: PipelineConfig) -> list[str]:
     written_dirs: list[Path] = []
     agency_keys: list[str] = []
     for agency in config.agencies:
+        if agency.path is None:
+            # reference downloadAndUnzip path (src/lib/file-utils.ts) —
+            # unreachable offline; documented stub (README limitations)
+            raise NotImplementedError(
+                f"agency '{agency.agency_key}': feed download from url "
+                f"{agency.url!r} is not supported in this offline build; "
+                "provide 'path' (directory, CSV/.txt, or .zip)"
+            )
         ctx = GtfsContext(
             agency.path, start_date=config.start_date, end_date=config.end_date,
             exclude=agency.exclude,
