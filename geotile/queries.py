@@ -1370,4 +1370,82 @@ def oracle_sql() -> dict[str, str]:
     the generated tile oracles at the driver's correctness sf (0.01)."""
     out = dict(ORACLE_SQL)
     out.update(tile_oracle_sql("/root/testdata/sf0.01"))
+    out["doc_quality"] = DOC_QUALITY_SQL
+    out["embedding_dups"] = EMBEDDING_DUPS_SQL
+    out["embedding_buckets"] = _embedding_buckets_sql()
     return out
+
+
+def _oracle_planes_path() -> str:
+    """Sidecar: the hyperplane_buckets random planes (seed 7, n_planes=8,
+    embedding dim from the testdata schema) so the bucket assignment is
+    SQL-expressible via list_dot_product."""
+    p = _oracle_cache_dir() / "oracle_hyperplanes.parquet"
+    if not p.exists():
+        import pyarrow.parquet as pq
+
+        emb_schema = pq.read_schema("/root/testdata/sf0.01/embeddings.parquet")
+        # embedding is fixed_size_list or list<float>; probe the dim
+        t0 = pq.read_table(
+            "/root/testdata/sf0.01/embeddings.parquet", columns=["embedding"]
+        ).slice(0, 1)
+        dim = len(t0["embedding"][0])
+        planes = np.random.default_rng(7).standard_normal((8, dim))
+        t = pa.table(
+            {
+                "plane_id": pa.array(np.arange(8, dtype=np.int64)),
+                "v": pa.array([row.tolist() for row in planes],
+                              pa.list_(pa.float64())),
+            }
+        )
+        _atomic_write_table(t, p)
+    return str(p)
+
+
+_STOPWORD_SQL = "('the','and','of','a','to','in','is','it')"
+
+DOC_QUALITY_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN {_STOPWORD_SQL})) AS DOUBLE) AS n_stop
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END AS mean_len,
+               least(greatest((n_tok - 5) / 45.0, 0.0), 1.0) AS len_ok
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(round(round(least(greatest(
+               0.4 * len_ok
+               + 0.3 * least(greatest(1.0 - abs(stop_ratio - 0.08) * 4.0, 0.0), 1.0)
+               + 0.3 * least(greatest(1.0 - abs(mean_len - 4.5) / 4.5, 0.0), 1.0)
+           , 0.0), 1.0), 6) * 1000000.0) AS BIGINT) AS quality_e6
+    FROM s
+"""
+
+EMBEDDING_DUPS_SQL = """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""
+
+
+def _embedding_buckets_sql() -> str:
+    planes = _oracle_planes_path()
+    return f"""
+        SELECT bucket, count(*) AS n FROM (
+            SELECT e.vec_id,
+                   CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.v) > 0
+                            THEN (1 << p.plane_id) ELSE 0 END) AS BIGINT) AS bucket
+            FROM embeddings e CROSS JOIN read_parquet('{planes}') p
+            GROUP BY e.vec_id
+        ) GROUP BY bucket
+    """

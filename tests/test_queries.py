@@ -103,3 +103,26 @@ def test_tile_query_matches_oracle(ray_session, con, name):
             assert (a == b.astype(float)).all(), c
         else:
             assert (a == b).all(), c
+
+
+GENERATED_CHECKED = ["doc_quality", "embedding_dups", "embedding_buckets"]
+
+
+@pytest.mark.parametrize("name", GENERATED_CHECKED)
+def test_generated_oracle_matches(ray_session, con, name):
+    """Oracles added in round 2 (quality-formula replay, cosine pair
+    join, hyperplane-bucket sidecar) — exercised at sf0.001."""
+    import __ray_entry__ as e
+
+    sql = e.oracle_sql()[name]
+    from geotile.queries import QUERIES
+
+    got = QUERIES[name](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = con.execute(sql).df()
+    got, exp = _canon(got), _canon(exp)
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        assert (a == b).all(), c
