@@ -70,28 +70,55 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
 
 
 class LangIdStage:
-    """Actor-pool language ID: CJK codepoint check, then marker-word
-    voting (state — the marker tables — built once per actor)."""
+    """Language ID: CJK codepoint check on a 400-char prefix, then
+    marker-word voting over the distinct tokens of a 2000-char prefix
+    (first language in en/es/fr/de order wins ties — 'en' default).
+    Fully vectorized: one regex count for CJK, one tokenize + vocab
+    ``index_in`` + unique-pair bincount for the votes."""
+
+    LANGS = tuple(_LANG_MARKERS)  # vote order = tie-break order
 
     def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        # one lookup table PER language: marker words shared between
+        # languages (e.g. 'un' in es and fr) must vote for every
+        # language that lists them, exactly like the per-row set
+        # intersection this stage replaced
+        self.vocabs = [
+            pa.array(sorted(_LANG_MARKERS[lang]), pa.string()) for lang in self.LANGS
+        ]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in batch["text"]:
-            if any("一" <= ch <= "鿿" for ch in text[:400]):
-                out.append("zh")
-                continue
-            words = set(text[:2000].lower().split())
-            best, best_n = "en", -1
-            for lang, marks in self.markers.items():
-                n = len(words & marks)
-                if n > best_n:
-                    best, best_n = lang, n
-            out.append(best)
-        batch = batch.copy()
-        batch["lang_pred"] = out
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(batch)
+        cjk = (
+            pc.count_substring_regex(
+                pc.utf8_slice_codeunits(text, 0, 400), "[一-鿿]"
+            )
+            .to_numpy(zero_copy_only=False)
+            > 0
+        )
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.utf8_slice_codeunits(text, 0, 2000))
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lo = toks.offsets.to_numpy().astype(np.int64)
+        flat = toks.values
+        doc_of = np.searchsorted(lo, np.arange(len(flat)), side="right") - 1
+        votes = np.zeros((n, len(self.LANGS)), dtype=np.int64)
+        for li, vocab in enumerate(self.vocabs):
+            vi = pc.index_in(flat, vocab)
+            hit = pc.is_valid(vi).to_numpy(zero_copy_only=False)
+            vi_np = vi.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            # SET semantics: distinct marker words per doc
+            pair = np.unique(doc_of[hit] * np.int64(len(vocab)) + vi_np[hit])
+            np.add.at(votes, (pair // len(vocab), li), 1)
+        best = np.argmax(votes, axis=1)  # first max in vote order
+        pred = np.asarray(self.LANGS, dtype=object)[best]
+        pred[cjk] = "zh"
+        return batch.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
@@ -124,7 +151,12 @@ def doc_stats(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(quality_score_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def lang_id(ds: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
-    return ds.map_batches(
-        LangIdStage, batch_format="pandas", batch_size=2048, concurrency=concurrency
-    )
+def lang_id(ds: rd.Dataset, concurrency=None) -> rd.Dataset:
+    """Stateless tasks + per-worker cached stage (``concurrency`` kept
+    for API compat, unused — no actor pool to starve the read)."""
+    from geotile.ops.join import _cached_stage
+
+    def fn(t: pa.Table) -> pa.Table:
+        return _cached_stage(("langid",), LangIdStage)(t)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048, zero_copy_batch=True)

@@ -1373,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
     out["doc_quality"] = DOC_QUALITY_SQL
     out["embedding_dups"] = EMBEDDING_DUPS_SQL
     out["embedding_buckets"] = _embedding_buckets_sql()
+    out["lang_id_docs"] = _lang_id_sql()
     return out
 
 
@@ -1448,4 +1449,37 @@ def _embedding_buckets_sql() -> str:
             FROM embeddings e CROSS JOIN read_parquet('{planes}') p
             GROUP BY e.vec_id
         ) GROUP BY bucket
+    """
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+def _lang_id_sql() -> str:
+    from geotile.ops.text import _LANG_MARKERS
+
+    en, es, fr, de = (_sql_list(_LANG_MARKERS[k]) for k in ("en", "es", "fr", "de"))
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   regexp_matches(substr(text, 1, 400), '[一-鿿]') AS cjk,
+                   list_distinct(string_split_regex(
+                       lower(substr(text, 1, 2000)), '\\s+')) AS words
+            FROM documents
+        ), v AS (
+            SELECT doc_id, lang, cjk,
+                   len(list_intersect(words, {en})) AS en_n,
+                   len(list_intersect(words, {es})) AS es_n,
+                   len(list_intersect(words, {fr})) AS fr_n,
+                   len(list_intersect(words, {de})) AS de_n
+            FROM t
+        )
+        SELECT doc_id, lang,
+               CASE WHEN cjk THEN 'zh'
+                    WHEN en_n >= es_n AND en_n >= fr_n AND en_n >= de_n THEN 'en'
+                    WHEN es_n >= fr_n AND es_n >= de_n THEN 'es'
+                    WHEN fr_n >= de_n THEN 'fr'
+                    ELSE 'de' END AS lang_pred
+        FROM v
     """

@@ -105,7 +105,7 @@ def test_tile_query_matches_oracle(ray_session, con, name):
             assert (a == b).all(), c
 
 
-GENERATED_CHECKED = ["doc_quality", "embedding_dups", "embedding_buckets"]
+GENERATED_CHECKED = ["doc_quality", "embedding_dups", "embedding_buckets", "lang_id_docs"]
 
 
 @pytest.mark.parametrize("name", GENERATED_CHECKED)
