@@ -6,14 +6,17 @@
                        pairs → exact Jaccard verify
   simhash_pairs        64-bit simhash → 4×16-bit band buckets →
                        Hamming-verified pairs
-  embedding_dup_pairs  cosine near-dup via broadcast matrix (brute) or
-                       random-hyperplane LSH buckets (scale path)
+  embedding_dup_pairs  cosine near-dup: exact distributed block-pair
+                       matmul join (method="exact") or random-hyperplane
+                       LSH buckets (method="lsh", the 100-TB path)
 
 Scale shape: every operator pre-aggregates/pre-buckets inside
 ``map_batches`` so the groupby shuffles move signatures and bucket keys,
 never full documents; candidate verification re-reads only the texts in
-candidate pairs (broadcast id→text for the dimension-scale candidate
-set, a bucketed co-partition join at full scale).
+candidate pairs (the candidate-id semi-join bounds driver memory by the
+candidate count, independent of corpus size). Token hashing is the
+vectorized flat-segment pipeline in geotile.ops.hashing — no per-token
+Python anywhere.
 """
 
 from __future__ import annotations

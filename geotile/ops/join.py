@@ -644,7 +644,8 @@ def _partial_cell_counts(batch: pa.Table, res: int, coarse_res: int, salt: int) 
 
 
 def cell_tile_counts(
-    ds: rd.Dataset, res: int = DEFAULT_JOIN_RES, coarse_res: int = 12, salt: int = 8
+    ds: rd.Dataset, res: int = DEFAULT_JOIN_RES, coarse_res: int = 12, salt: int = 8,
+    batch_size: int = 65536, coalesce: int | None = None
 ) -> rd.Dataset:
     """Tiles per coarse cell: per-batch partial aggregation (the combiner
     — each batch emits ≤ #unique cells rows), then a salted two-level
@@ -652,13 +653,22 @@ def cell_tile_counts(
     partial = ds.map_batches(
         lambda b: _partial_cell_counts(b, res, coarse_res, salt),
         batch_format="pyarrow",
-        batch_size=65536,  # coalesce tiny read blocks before the shuffle
+        batch_size=batch_size,  # coalesce tiny read blocks before the shuffle
         zero_copy_batch=True,
     )
-    # coalesce the (tiny) partials into few blocks: the sort-based
-    # aggregate's cost scales with INPUT BLOCK COUNT, not rows — 672
-    # partial blocks made a trivial reduce take 40s
-    partial = partial.repartition(16)
+    # coalesce the (tiny) partials into few blocks WHEN THERE ARE MANY:
+    # the sort-based aggregate's cost scales with INPUT BLOCK COUNT, not
+    # rows (672 partial blocks made a trivial reduce take 40s), but the
+    # repartition itself costs ~0.4s — skip it when the combiner already
+    # leaves few blocks. Proportional to the cluster, not a fixed 16.
+    if coalesce is None:
+        coalesce = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
+    try:
+        est_partial_blocks = ds.count() // max(1, batch_size)
+    except Exception:
+        est_partial_blocks = None
+    if est_partial_blocks is None or est_partial_blocks > 4 * coalesce:
+        partial = partial.repartition(coalesce)
     lvl1 = partial.groupby(["cell", "salt"]).sum("n")
     lvl1 = lvl1.map_batches(
         lambda t: t.select(["cell", "sum(n)"]).rename_columns(["cell", "n"]),
@@ -738,7 +748,9 @@ def dissolve_tile_footprints(
         batch_format="pyarrow",
         batch_size=65536,
         zero_copy_batch=True,
-    ).repartition(16).groupby("cell").count()
+    ).repartition(
+        max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
+    ).groupby("cell").count()
 
     def windows(t: pa.Table) -> pa.Table:
         cell = t["cell"].to_numpy().view(np.uint64)

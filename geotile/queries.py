@@ -1358,6 +1358,7 @@ def tile_oracle_sql(sf_dir: str) -> dict[str, str]:
         FROM r WHERE rn <= 2
     """
     return {
+        "tile_covered_cells": _covered_cells_sql(img),
         "tile_assignments": assignments,
         "tile_cell_counts": cell_counts,
         "route_feature_collections": route_fcs,
@@ -1374,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_dups"] = EMBEDDING_DUPS_SQL
     out["embedding_buckets"] = _embedding_buckets_sql()
     out["lang_id_docs"] = _lang_id_sql()
+    out["tile_covered_cells"] = _covered_cells_sql(_image_dir_for("/root/testdata/sf0.01"))
     return out
 
 
@@ -1482,4 +1484,65 @@ def _lang_id_sql() -> str:
                     WHEN fr_n >= de_n THEN 'fr'
                     ELSE 'de' END AS lang_pred
         FROM v
+    """
+
+
+def q_tile_covered_cells(sf_dir: str):
+    """Distinct res-18 cells covered by any tile footprint — the
+    dissolve operator's raster input set, exposed for the driver's
+    correctness gate (the dissolve polygons themselves are checked
+    against the in-memory trace in tests/test_join.py)."""
+    from geotile.ops.join import DEFAULT_JOIN_RES, _footprint_cells
+    from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS)
+    cov = ds.map_batches(
+        lambda b: _footprint_cells(b, DEFAULT_JOIN_RES),
+        batch_format="pyarrow", batch_size=65536, zero_copy_batch=True,
+    )
+    return cov.groupby("cell").count().select_columns(["cell"])
+
+
+QUERIES["tile_covered_cells"] = q_tile_covered_cells
+
+
+def _covered_cells_sql(img: str) -> str:
+    """SQL replay of _footprint_cells: the footprint quad's integer cell
+    bbox (spans ≤ 2×2 at res 18 for 100 m tiles), via the 4 corner
+    cells, DISTINCT over all tiles. Constants mirror synth.tile_footprints
+    / cells.cell_size_degrees bit-for-bit."""
+    from geotile.geom import cells as cellmod
+    from geotile.ops.join import DEFAULT_JOIN_RES
+    from geotile.synth import TILE_SIDE_M
+
+    res = DEFAULT_JOIN_RES
+    dlon, dlat = cellmod.cell_size_degrees(res)
+    m_per_deg_lat = float(np.float64(6371008.8) * np.pi / 180.0)
+    m_per_deg_lon = float(m_per_deg_lat * np.cos(np.radians(37.4)))
+    hw_lon = float(TILE_SIDE_M / 2 / m_per_deg_lon)
+    hw_lat = float(TILE_SIDE_M / 2 / m_per_deg_lat)
+
+    def q(expr, off, step):
+        return f"CAST(floor((({expr}) + {off}) / {step!r}) AS BIGINT)"
+
+    cell = (
+        f"(({_sql_spread('ix')} | ({_sql_spread('iy')} << 1)) | {res << 58})"
+    )
+    return f"""
+        WITH pts AS (SELECT lon, lat FROM read_parquet('{img}/part-*.parquet')),
+        c AS (
+            SELECT {q(f'lon - ({hw_lon!r})', '180.0', dlon)} AS x0,
+                   {q(f'lon + ({hw_lon!r})', '180.0', dlon)} AS x1,
+                   {q(f'lat - ({hw_lat!r})', '90.0', dlat)} AS y0,
+                   {q(f'lat + ({hw_lat!r})', '90.0', dlat)} AS y1
+            FROM pts
+        ),
+        corners AS (
+            -- full integer bbox: a 100 m tile spans up to 2 cells in lon
+            -- but up to 3 in lat (res-18 lat cells are ~76 m)
+            SELECT x0 + dx.v AS ix, y0 + dy.v AS iy
+            FROM c, (VALUES (0),(1),(2)) dx(v), (VALUES (0),(1),(2)) dy(v)
+            WHERE x0 + dx.v <= x1 AND y0 + dy.v <= y1
+        )
+        SELECT DISTINCT {cell} AS cell FROM corners
     """

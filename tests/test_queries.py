@@ -75,6 +75,7 @@ def test_entry_smoke(ray_session):
 
 
 TILE_CHECKED = [
+    "tile_covered_cells",
     "tile_assignments",
     "tile_cell_counts",
     "route_feature_collections",

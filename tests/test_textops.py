@@ -199,3 +199,52 @@ class TestEmbeddingDedupScale:
         # recall on planted dups: multi-table collision probability at
         # cos≈1 makes misses vanishingly rare
         assert len(planted & pairs) >= 18
+
+
+class TestHashedTokens:
+    """Edge cases of the vectorized tokenize-and-hash kernel."""
+
+    def test_matches_python_split(self):
+        import pyarrow as pa
+
+        from geotile.ops.hashing import hashed_tokens
+
+        texts = ["a b  c", "", "   ", "one", "  x y  ", "héllo wörld", "a"*300 + " b"]
+        h, off = hashed_tokens(pa.array(texts))
+        counts = (off[1:] - off[:-1]).tolist()
+        assert counts == [len(t.split()) for t in texts]
+
+    def test_same_token_same_hash_distinct_tokens_distinct(self):
+        import pyarrow as pa
+
+        from geotile.ops.hashing import hashed_tokens
+
+        h, off = hashed_tokens(pa.array(["x y x z x", "x"]))
+        d0 = h[off[0]:off[1]]
+        assert d0[0] == d0[2] == d0[4] == h[off[1]]
+        assert len({int(d0[0]), int(d0[1]), int(d0[3])}) == 3
+
+    def test_rolling_fingerprint_order_sensitive_and_empty(self):
+        import pyarrow as pa
+
+        from geotile.ops.hashing import hashed_tokens, rolling_fingerprints
+
+        h, off = hashed_tokens(pa.array(["a b c", "c b a", "a b c", ""]))
+        fp = rolling_fingerprints(h, off)
+        assert fp[0] == fp[2]
+        assert fp[0] != fp[1]
+        # empty doc fingerprints deterministically
+        h2, off2 = hashed_tokens(pa.array(["", "  "]))
+        fp2 = rolling_fingerprints(h2, off2)
+        assert fp2[0] == fp2[1] == fp[3]
+
+    def test_trailing_empty_docs_do_not_corrupt_predecessor(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from geotile.ops.dedup import simhash_batch
+
+        a = simhash_batch(pa.table({"text": ["the quick brown fox", "", ""]}))
+        b = simhash_batch(pa.table({"text": ["the quick brown fox"]}))
+        assert a["simhash"][0].as_py() == b["simhash"][0].as_py()
+        assert a["simhash"][1].as_py() == 0 and a["simhash"][2].as_py() == 0
