@@ -1375,7 +1375,11 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_dups"] = EMBEDDING_DUPS_SQL
     out["embedding_buckets"] = _embedding_buckets_sql()
     out["lang_id_docs"] = _lang_id_sql()
-    out["tile_covered_cells"] = _covered_cells_sql(_image_dir_for("/root/testdata/sf0.01"))
+    img01 = _image_dir_for("/root/testdata/sf0.01")
+    out["tile_covered_cells"] = _covered_cells_sql(img01)
+    out["image_invariants"] = _image_invariants_sql(img01)
+    out["image_embeddings"] = _image_embeddings_sql(img01)
+    out["gtfs_stop_features"] = _gtfs_stop_features_sql()
     return out
 
 
@@ -1545,4 +1549,67 @@ def _covered_cells_sql(img: str) -> str:
             WHERE x0 + dx.v <= x1 AND y0 + dy.v <= y1
         )
         SELECT DISTINCT {cell} AS cell FROM corners
+    """
+
+
+def _image_invariants_sql(img: str) -> str:
+    """Invariant oracle: the engine DECODES each payload (raw + from-
+    scratch PNG) and re-derives the perceptual hash; the oracle states
+    the expected result — phash_ok true for the first 1000 image ids.
+    A decode or phash regression flips rows to false and fails the
+    value hash."""
+    return f"""
+        SELECT image_id, TRUE AS phash_ok
+        FROM read_parquet('{img}/part-*.parquet')
+        ORDER BY image_id LIMIT 1000
+    """
+
+
+def _image_embeddings_sql(img: str) -> str:
+    """Invariant oracle: the embed stage must emit one 64-dim vector per
+    image for the first 512 ids."""
+    return f"""
+        SELECT image_id, CAST(64 AS BIGINT) AS dim
+        FROM read_parquet('{img}/part-*.parquet')
+        ORDER BY image_id LIMIT 512
+    """
+
+
+def _gtfs_stop_features_sql() -> str:
+    """Relational replay of ops/stops.stop_features over the fixture
+    parquet: used stops (distinct routes via stop_times ⋈ trips, routes
+    that exist in the routes table) plus parent stations of used stops
+    riding along with n_routes = 0 (the reference's "routes": {} quirk)."""
+    d = str(_fixture_ctx().path if hasattr(_fixture_ctx(), "path") else "")
+    import os
+    from pathlib import Path
+
+    d = str(Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache")) / "caltrain")
+    return f"""
+        WITH pair AS (
+            SELECT DISTINCT s.stop_id, t.route_id
+            FROM read_parquet('{d}/stop_times.parquet') s
+            JOIN read_parquet('{d}/trips.parquet') t USING (trip_id)
+        ),
+        used AS (
+            -- SEMI join + distinct: route_id can repeat in the routes
+            -- table across agencies (the duplicate-L3 fixture case);
+            -- the engine keys routes by id so each id counts once
+            SELECT p.stop_id, CAST(count(DISTINCT p.route_id) AS BIGINT) AS n_routes
+            FROM pair p
+            WHERE p.route_id IN (SELECT route_id FROM read_parquet('{d}/routes.parquet'))
+            GROUP BY p.stop_id
+        ),
+        stops AS (SELECT * FROM read_parquet('{d}/stops.parquet')),
+        parents AS (
+            SELECT DISTINCT s.parent_station AS stop_id
+            FROM stops s JOIN used u ON u.stop_id = s.stop_id
+            WHERE s.parent_station IS NOT NULL AND s.parent_station <> ''
+        )
+        SELECT u.stop_id, u.n_routes
+        FROM used u JOIN stops ss ON ss.stop_id = u.stop_id
+        UNION ALL
+        SELECT p.stop_id, CAST(0 AS BIGINT)
+        FROM parents p JOIN stops ss ON ss.stop_id = p.stop_id
+        WHERE p.stop_id NOT IN (SELECT stop_id FROM used)
     """

@@ -127,3 +127,38 @@ def test_generated_oracle_matches(ray_session, con, name):
     for c in got.columns:
         a, b = got[c].to_numpy(), exp[c].to_numpy()
         assert (a == b).all(), c
+
+
+def test_gtfs_stop_features_oracle(ray_session, con):
+    import __ray_entry__ as e
+    from geotile.queries import QUERIES
+
+    sql = e.oracle_sql()["gtfs_stop_features"]
+    got = QUERIES["gtfs_stop_features"](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = con.execute(sql).df()
+    g = got.sort_values("stop_id").reset_index(drop=True)
+    x = exp.sort_values("stop_id").reset_index(drop=True)
+    assert len(g) == len(x)
+    assert (g["stop_id"] == x["stop_id"]).all()
+    assert (g["n_routes"].to_numpy() == x["n_routes"].to_numpy()).all()
+
+
+def test_image_invariant_oracles(ray_session, con):
+    from geotile.queries import (
+        QUERIES,
+        _image_dir_for,
+        _image_embeddings_sql,
+        _image_invariants_sql,
+    )
+
+    img = _image_dir_for(SF)
+    for name, builder in (
+        ("image_invariants", _image_invariants_sql),
+        ("image_embeddings", _image_embeddings_sql),
+    ):
+        got = QUERIES[name](SF).to_pandas().sort_values("image_id").reset_index(drop=True)
+        exp = con.execute(builder(img)).df().sort_values("image_id").reset_index(drop=True)
+        assert len(got) == len(exp)
+        for c in exp.columns:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (name, c)
