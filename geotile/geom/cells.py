@@ -163,3 +163,24 @@ def cell_size_degrees(res: int) -> tuple[float, float]:
     """(dlon, dlat) of one cell at ``res``."""
     n = float(1 << res)
     return 360.0 / n, 180.0 / n
+
+
+def k_shell(cell: int | np.ndarray, k: int) -> np.ndarray:
+    """Cells at EXACTLY Chebyshev distance k from one cell (the ring
+    boundary — 8k cells before edge dedup; k=0 is the cell itself).
+    Same longitude-wrap / latitude-clamp rules as k_ring, so iterating
+    shells 0..r visits exactly k_ring(cell, r)."""
+    cell = np.atleast_1d(np.asarray(cell, dtype=np.uint64))
+    r = int(resolution(cell)[0])
+    n = np.int64(1 << r)
+    ix, iy = to_ixy(cell)
+    ix0, iy0 = np.int64(ix[0]), np.int64(iy[0])
+    if k == 0:
+        return np.unique(cell)
+    side = np.arange(-k, k + 1, dtype=np.int64)
+    inner = np.arange(-(k - 1), k, dtype=np.int64)
+    dx = np.concatenate([side, side, np.full(len(inner), -k), np.full(len(inner), k)])
+    dy = np.concatenate([np.full(len(side), -k), np.full(len(side), k), inner, inner])
+    nx = (ix0 + dx) % n
+    ny = np.clip(iy0 + dy, 0, n - 1)
+    return np.unique(from_ixy(nx.astype(np.uint64), ny.astype(np.uint64), r))

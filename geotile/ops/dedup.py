@@ -276,7 +276,14 @@ def minhash_lsh_pairs(
             ("minhash_verify", texts_ref.hex()), lambda: Verify(texts_ref)
         )(batch)
 
-    pairs = rd.from_pandas(cand_pairs).map_batches(verify_fn, batch_format="pandas")
+    # from_pandas yields ONE block; re-split so the per-pair jaccard
+    # verification parallelizes instead of serializing on one worker
+    n_blocks = int(min(64, max(1, len(cand_pairs) // 256)))
+    pairs = (
+        rd.from_pandas(cand_pairs)
+        .repartition(n_blocks)
+        .map_batches(verify_fn, batch_format="pandas")
+    )
     return pairs.map_batches(
         lambda t: t.select(["a", "b", "jaccard"]), batch_format="pyarrow"
     )
@@ -296,12 +303,27 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     out = np.zeros(nd, dtype=np.uint64)
     ne = counts > 0
     if h.size and ne.any():
-        bits = (
-            (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        ).astype(np.int64)
         # reduceat over non-empty docs only: consecutive non-empty starts
-        # delimit exactly each doc's tokens (empty docs contribute none)
-        votes = np.add.reduceat(bits, off[:-1][ne], axis=0)
+        # delimit exactly each doc's tokens (empty docs contribute none).
+        # The bit matrix is materialized in doc-aligned CHUNKS of ≤~1M
+        # tokens as uint8 (64 MB transient) — a whole-block batch of
+        # tens of millions of tokens would otherwise allocate gigabytes.
+        starts = off[:-1][ne]
+        doc_ends = np.concatenate([starts[1:], [len(h)]])
+        votes = np.empty((len(starts), 64), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        CH = 1 << 20
+        i = 0
+        while i < len(starts):
+            j = i + 1  # doc i rides unconditionally (a giant doc may exceed CH)
+            while j < len(starts) and doc_ends[j] - starts[i] <= CH:
+                j += 1
+            span = h[starts[i]:doc_ends[j - 1]]
+            bits = ((span[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+            votes[i:j] = np.add.reduceat(
+                bits, starts[i:j] - starts[i], axis=0, dtype=np.int64
+            )
+            i = j
         maj = votes * 2 > counts[ne][:, None]
         weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
         out[ne] = (maj.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
@@ -412,9 +434,12 @@ def embedding_dup_pairs(
     emb = ds.select_columns(["vec_id", "embedding"])
     if method == "lsh":
         return _embedding_dup_pairs_lsh(emb, tau, n_planes, n_tables)
-    n = emb.count()
+    # materialize FIRST (one pass over the input); count + repartition
+    # then operate on the in-memory snapshot, not a second read
+    snap = emb.materialize()
+    n = snap.count()
     n_blocks = max(1, -(-n // block_rows))
-    mat = emb.repartition(n_blocks).materialize()
+    mat = snap.repartition(n_blocks).materialize()
     refs = mat.to_arrow_refs()
     items = [
         {"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))

@@ -36,10 +36,6 @@ def stable_hash64(s: str) -> int:
     return int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
 
-def stable_hash64_tokens(tokens: list[str]) -> np.ndarray:
-    return np.array([stable_hash64(t) for t in tokens], dtype=np.uint64)
-
-
 def _poly_powers(n: int) -> np.ndarray:
     """[P^0, P^1, ..., P^(n-1)] in wraparound uint64."""
     if n <= 1:
@@ -60,13 +56,17 @@ def hashed_tokens(col) -> tuple[np.ndarray, np.ndarray]:
     lst = pc.utf8_split_whitespace(col)
     if isinstance(lst, pa.ChunkedArray):
         lst = lst.combine_chunks()
-    assert lst.offset == 0
+    if lst.offset != 0:  # fresh split output is never sliced
+        raise ValueError("hashed_tokens requires an unsliced list array")
     lo = lst.offsets.to_numpy().astype(np.int64)  # (n_docs+1) into values
     flat = lst.values
     n_tok = len(flat)
     if n_tok == 0:
         return np.empty(0, np.uint64), np.zeros(len(col) + 1, np.int64)
-    off_buf = np.frombuffer(flat.buffers()[1], dtype=np.int32)
+    # large_utf8 input (e.g. Polars-written parquet) splits to
+    # large_list<large_utf8>, whose values buffer has int64 offsets
+    off_dtype = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    off_buf = np.frombuffer(flat.buffers()[1], dtype=off_dtype)
     off = off_buf[flat.offset : flat.offset + n_tok + 1].astype(np.int64)
     data = (
         np.frombuffer(flat.buffers()[2], dtype=np.uint8)

@@ -432,6 +432,15 @@ class _KnnRingIndex:
                 for p in parts
                 for i in range(len(p) - 1)
             ]
+            # single-point parts contribute no segments but ARE valid
+            # nearest-neighbor geometry (points_to_polyline_distance
+            # handles len==1) — cover their point cell so the ring
+            # lookup can see them
+            cov += [
+                cells.encode(p[:, 0], p[:, 1], res)
+                for p in parts
+                if len(p) == 1
+            ]
             u = np.unique(np.concatenate(cov)) if cov else np.empty(0, np.uint64)
             pairs_cell.append(u)
             pairs_route.append(np.full(len(u), ri, dtype=np.int32))
@@ -541,16 +550,21 @@ class KnnStage:
                 if full:
                     cand = np.arange(n_routes, dtype=np.int64)
                 else:
-                    ring_cells = cells.k_ring(np.array([cell], np.uint64), r).ravel()
-                    cand = np.union1d(cand, idxr.lookup(np.unique(ring_cells)))
+                    # only the NEW shell (8r boundary cells): previous
+                    # radii were already looked up, so total work over
+                    # r rings is O(r²), not O(r³)
+                    cand = np.union1d(cand, idxr.lookup(cells.k_shell(cell, r)))
                 if len(cand) >= k or full:
                     for j in cand:
                         if j not in computed:
                             computed[int(j)] = self._route_dist(int(j), mpx, mpy)
                     D = np.stack([computed[int(j)] for j in cand], axis=1)
                     kth = np.partition(D, k - 1, axis=1)[:, k - 1]
-                    # unseen routes are ≥ r·min_dim away from every tile
-                    if full or kth.max() <= r * idxr.min_dim_m:
+                    # unseen routes are ≥ r·min_dim away from every tile;
+                    # STRICT <: at equality an unseen route could tie the
+                    # kth candidate and the exact scan's stable tie-break
+                    # might prefer it
+                    if full or kth.max() < r * idxr.min_dim_m:
                         break
                 r += 1
             ti, td = self._select_topk(D, k)

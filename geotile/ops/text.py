@@ -2,9 +2,11 @@
 token counting, quality scoring, language ID, document fingerprinting.
 
 All stages are vectorized ``map_batches`` transforms (pyarrow.compute
-string kernels / numpy); the language-ID stage is an actor pool holding
-compiled tables. Tokenization is plain single-space split so the DuckDB
-oracle (``string_split(text, ' ')``) states the identical semantics.
+string kernels / numpy) running as stateless tasks with the per-worker
+stage cache. Token-stats tokenization is plain single-space split so
+the DuckDB oracle (``string_split(text, ' ')``) states the identical
+semantics; fingerprints ride the whitespace-split hashed-token kernel
+in geotile.ops.hashing.
 """
 
 from __future__ import annotations
@@ -119,18 +121,6 @@ class LangIdStage:
         pred = np.asarray(self.LANGS, dtype=object)[best]
         pred[cjk] = "zh"
         return batch.append_column("lang_pred", pa.array(pred, pa.string()))
-
-
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
-
-
-def fnv1a_tokens(token_hashes: np.ndarray) -> np.uint64:
-    h = _FNV_OFFSET
-    with np.errstate(over="ignore"):  # uint64 wrap is the FNV definition
-        for t in token_hashes:
-            h = (h ^ np.uint64(t)) * _FNV_PRIME
-    return h
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

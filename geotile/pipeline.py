@@ -179,8 +179,11 @@ def run_pipeline(config: PipelineConfig) -> list[str]:
         zip_dir = get_output_path("-".join(agency_keys), config)
         zip_dir.mkdir(parents=True, exist_ok=True)
         zip_path = zip_dir / "geojson.zip"
+        # verbatim outputPath + multiple agencies → the same dir appears
+        # once per agency; archive each dir once
+        unique_dirs = list(dict.fromkeys(written_dirs))
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for d in written_dirs:
+            for d in unique_dirs:
                 for p in sorted(d.rglob("*")):
                     if p.suffix.lower() in (".geojson", ".json") and p != zip_path:
                         zf.write(p, Path(d.name) / p.relative_to(d))

@@ -1376,7 +1376,6 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_buckets"] = _embedding_buckets_sql()
     out["lang_id_docs"] = _lang_id_sql()
     img01 = _image_dir_for("/root/testdata/sf0.01")
-    out["tile_covered_cells"] = _covered_cells_sql(img01)
     out["image_invariants"] = _image_invariants_sql(img01)
     out["image_embeddings"] = _image_embeddings_sql(img01)
     out["gtfs_stop_features"] = _gtfs_stop_features_sql()
@@ -1391,7 +1390,6 @@ def _oracle_planes_path() -> str:
     if not p.exists():
         import pyarrow.parquet as pq
 
-        emb_schema = pq.read_schema("/root/testdata/sf0.01/embeddings.parquet")
         # embedding is fixed_size_list or list<float>; probe the dim
         t0 = pq.read_table(
             "/root/testdata/sf0.01/embeddings.parquet", columns=["embedding"]
@@ -1580,10 +1578,10 @@ def _gtfs_stop_features_sql() -> str:
     parquet: used stops (distinct routes via stop_times ⋈ trips, routes
     that exist in the routes table) plus parent stations of used stops
     riding along with n_routes = 0 (the reference's "routes": {} quirk)."""
-    d = str(_fixture_ctx().path if hasattr(_fixture_ctx(), "path") else "")
     import os
     from pathlib import Path
 
+    _fixture_ctx()  # ensure the fixture parquet exists before SQL reads it
     d = str(Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache")) / "caltrain")
     return f"""
         WITH pair AS (
