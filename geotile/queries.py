@@ -458,6 +458,20 @@ def q_hll_distinct_users(sf_dir: str):
     return pd.DataFrame({"distinct_users_est": [int(round(est))]})
 
 
+def q_distinct_users_exact(sf_dir: str):
+    """Exact companion to the HLL sketch: per-batch dedup combiner →
+    one groupby over the pre-deduped user ids → count. The shuffle
+    moves distinct ids per block, never event rows."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    pre = ds.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"].combine_chunks().unique()}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n = pre.groupby("user_id").count().count()
+    return pd.DataFrame({"distinct_users": [int(n)]})
+
+
 def q_hash_sample_docs(sf_dir: str):
     """Deterministic 10% hash sample (the reproducible, shard-stable way
     to sample at scale — rng sampling can't be oracle-checked)."""
@@ -929,6 +943,7 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "bucket_join_priority_revenue": q_bucket_join_priority_revenue,
     "user_sessions": q_user_sessions,
+    "distinct_users_exact": q_distinct_users_exact,
     "hash_sample_docs": q_hash_sample_docs,
     "anti_join_customers": q_anti_join_customers,
     "sliding_window_events": q_sliding_window_events,
@@ -1110,6 +1125,9 @@ ORACLE_SQL = {
                count(*) AS n,
                CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2
         FROM events GROUP BY 1, 2
+    """,
+    "distinct_users_exact": """
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users FROM events
     """,
     "doc_token_stats": """
         SELECT doc_id,

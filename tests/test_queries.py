@@ -9,6 +9,7 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 CHECKED = [
+    "distinct_users_exact",
     "pricing_summary",
     "broadcast_join_brand_revenue",
     "distinct_parts_per_flag",
