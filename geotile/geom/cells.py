@@ -166,11 +166,14 @@ def cell_size_degrees(res: int) -> tuple[float, float]:
 
 
 def k_shell(cell: int | np.ndarray, k: int) -> np.ndarray:
-    """Cells at EXACTLY Chebyshev distance k from one cell (the ring
+    """Cells at EXACTLY Chebyshev distance k from ONE cell (the ring
     boundary — 8k cells before edge dedup; k=0 is the cell itself).
     Same longitude-wrap / latitude-clamp rules as k_ring, so iterating
-    shells 0..r visits exactly k_ring(cell, r)."""
+    shells 0..r visits exactly k_ring(cell, r). Single-cell API (unlike
+    the vectorized k_ring)."""
     cell = np.atleast_1d(np.asarray(cell, dtype=np.uint64))
+    if len(cell) != 1:
+        raise ValueError("k_shell takes ONE cell; use k_ring for vector input")
     r = int(resolution(cell)[0])
     n = np.int64(1 << r)
     ix, iy = to_ixy(cell)

@@ -311,15 +311,20 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         starts = off[:-1][ne]
         doc_ends = np.concatenate([starts[1:], [len(h)]])
         votes = np.empty((len(starts), 64), dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)[None, :]
         CH = 1 << 20
         i = 0
         while i < len(starts):
             j = i + 1  # doc i rides unconditionally (a giant doc may exceed CH)
             while j < len(starts) and doc_ends[j] - starts[i] <= CH:
                 j += 1
-            span = h[starts[i]:doc_ends[j - 1]]
-            bits = ((span[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+            span = np.ascontiguousarray(h[starts[i]:doc_ends[j - 1]])
+            # true uint8 path: LSB-first unpack of the little-endian
+            # byte view — bit column b == (hash >> b) & 1; no uint64
+            # broadcast temporaries (a shifted-mask version transiently
+            # allocated 8× the chunk, measured ~0.5 GB per 1M tokens)
+            bits = np.unpackbits(
+                span.view(np.uint8).reshape(len(span), 8), axis=1, bitorder="little"
+            )
             votes[i:j] = np.add.reduceat(
                 bits, starts[i:j] - starts[i], axis=0, dtype=np.int64
             )
