@@ -79,13 +79,18 @@ def topk_bruteforce(
     """Exact cosine top-k of each query over the corpus Dataset.
     Shuffle volume is k rows per query per BATCH (partial top-k), not
     the corpus."""
+    from geotile.ops.join import _cached_stage
+
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(Q, dtype=np.float64)))
+    kk = k + (1 if exclude_self else 0)
+
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        # stateless task + per-worker cached stage (no actor pool to
+        # start up or starve the read; ``concurrency`` kept for compat)
+        return _cached_stage(("topk", ref.hex(), kk), lambda: _PartialTopK(ref, kk))(batch)
+
     partial = corpus.select_columns(["vec_id", "embedding"]).map_batches(
-        _PartialTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k + (1 if exclude_self else 0)},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=concurrency,
+        partial_fn, batch_format="pyarrow", batch_size=4096
     )
     if exclude_self:
         import pyarrow.compute as pc
@@ -122,7 +127,12 @@ def hyperplane_buckets(ds: rd.Dataset, n_planes: int = 16, seed: int = 7) -> rd.
             bucket = (signs * w).sum(axis=1)
             return batch.append_column("bucket", pa.array(bucket))
 
-    return ds.map_batches(Stage, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+    from geotile.ops.join import _cached_stage
+
+    def bucket_fn(batch: pa.Table) -> pa.Table:
+        return _cached_stage(("hplanes", ref.hex()), Stage)(batch)
+
+    return ds.map_batches(bucket_fn, batch_format="pyarrow", batch_size=4096)
 
 
 def kmeans_lite(M: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 3) -> np.ndarray:
@@ -193,8 +203,13 @@ def ivf_topk(
                 }
             )
 
+    from geotile.ops.join import _cached_stage
+
+    def ivf_fn(batch: pa.Table) -> pa.Table:
+        return _cached_stage(("ivf", ref.hex()), Stage)(batch)
+
     partial = corpus.select_columns(["vec_id", "embedding"]).map_batches(
-        Stage, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
+        ivf_fn, batch_format="pyarrow", batch_size=4096
     )
     import pyarrow.compute as pc
 

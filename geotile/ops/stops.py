@@ -39,8 +39,9 @@ _ROUTE_EMBED_FIELDS = (
 
 
 class _AttachRoutes:
-    """Actor-pool stage: holds the broadcast trip→(route, direction) map
-    and emits per-batch deduped (stop_id, route_id) pairs."""
+    """Per-worker cached stage: holds the broadcast trip→(route,
+    direction) map and emits per-batch deduped (stop_id, route_id)
+    pairs (run as stateless tasks via _cached_stage)."""
 
     def __init__(self, trips_ref, route_id=None, direction_id=None):
         trips: pa.Table = ray.get(trips_ref)
@@ -80,17 +81,19 @@ def stop_route_lists(ctx: GtfsContext, query: dict) -> dict[str, list[str]]:
     key = ("stop_route_lists", query.get("route_id"), query.get("direction_id"))
     if key in ctx.cache:
         return ctx.cache[key]
+    from geotile.ops.join import _cached_stage
+
     ds = ctx.stop_times(columns=["trip_id", "stop_id"])
-    ds = ds.map_batches(
-        _AttachRoutes,
-        fn_constructor_kwargs={
-            "trips_ref": ctx.trips_ref(),
-            "route_id": query.get("route_id"),
-            "direction_id": query.get("direction_id"),
-        },
-        batch_format="pyarrow",
-        concurrency=2,
-    )
+    tref = ctx.trips_ref()
+    rid, did = query.get("route_id"), query.get("direction_id")
+
+    def attach_fn(batch: pa.Table) -> pa.Table:
+        # stateless task + per-worker cached stage (no actor pool)
+        return _cached_stage(
+            ("stoproutes", tref.hex(), rid, did), lambda: _AttachRoutes(tref, rid, did)
+        )(batch)
+
+    ds = ds.map_batches(attach_fn, batch_format="pyarrow")
     rows = ds.groupby("stop_id").map_groups(_distinct_routes, batch_format="pandas").take_all()
     out = {r["stop_id"]: json.loads(r["route_ids_json"]) for r in rows}
     ctx.cache[key] = out
