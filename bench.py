@@ -143,14 +143,20 @@ def main() -> None:
     consume(spatial_join(read_parts(parts * max(1, repeats // 4)), idx256))
     timings["spatial_join_256_polys"] = round(time.time() - t0, 3)
 
-    # payload-touching stage: decode+verify every image of one replica
+    # payload-touching stage: decode every image of one replica.
+    # Stateless tasks + per-worker cached stage: the decode state is two
+    # lambdas, so an actor pool only adds ~2s startup to the measurement
+    # (the actor-pool demo lives in q_image_invariants, SURVEY §2.8)
+    from geotile.ops.join import _cached_stage
     from geotile.ops.tiles import ImageDecodeStage
+
+    def decode_fn(b):
+        return _cached_stage(("benchdecode",), lambda: ImageDecodeStage(verify=False))(b)
 
     t0 = time.time()
     consume(
         read_image_table(parts).map_batches(
-            ImageDecodeStage, fn_constructor_kwargs={"verify": False},
-            batch_format="pyarrow", batch_size=1024, concurrency=(1, max(2, NUM_CPUS - 2)),
+            decode_fn, batch_format="pyarrow", batch_size=1024,
         )
     )
     timings["image_decode"] = round(time.time() - t0, 3)
