@@ -106,3 +106,17 @@ def test_kring_is_symmetric_neighbor(seed, res):
     for nb in ring:
         back = cells.k_ring(nb, 1)
         assert int(c[0]) in back.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=40), max_size=20))
+def test_hashed_tokens_counts_match_python_split(texts):
+    """The vectorized tokenizer must agree with str.split() on token
+    counts for arbitrary unicode input (whitespace runs, emoji, empty)."""
+    import pyarrow as pa
+
+    from geotile.ops.hashing import hashed_tokens
+
+    h, off = hashed_tokens(pa.array(texts, pa.string()))
+    assert (off[1:] - off[:-1]).tolist() == [len(t.split()) for t in texts]
+    assert len(h) == int(off[-1])
