@@ -723,12 +723,35 @@ _MEMO: dict = {}
 
 def _fixture_route_index():
     if "route_index" not in _MEMO:
+        import os
+        import pickle
+        from pathlib import Path
+
         from geotile.config import PipelineConfig
         from geotile.ops.join import build_route_index, route_buffer_polygons
 
-        _MEMO["route_index"] = build_route_index(
-            route_buffer_polygons(_fixture_ctx(), PipelineConfig(coordinate_precision=5))
-        )
+        # cross-process cache: the cover-raster + boundary-PIP build
+        # costs 5-9 s per fresh process; the fixture is deterministic so
+        # the pickle is keyed only by a build-format version
+        cache = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache"))
+        pkl = cache / "route_index_v1.pkl"
+        idx = None
+        if pkl.exists():
+            try:
+                with open(pkl, "rb") as f:
+                    idx = pickle.load(f)
+            except Exception:
+                idx = None  # stale/corrupt cache: rebuild below
+        if idx is None:
+            idx = build_route_index(
+                route_buffer_polygons(_fixture_ctx(), PipelineConfig(coordinate_precision=5))
+            )
+            cache.mkdir(parents=True, exist_ok=True)
+            tmp = pkl.with_suffix(f".tmp-{os.getpid()}")
+            with open(tmp, "wb") as f:
+                pickle.dump(idx, f)
+            tmp.rename(pkl)
+        _MEMO["route_index"] = idx
     return _MEMO["route_index"]
 
 
