@@ -36,12 +36,25 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 def exact_dedup(ds: rd.Dataset, key: str = "text", id_col: str = "doc_id") -> rd.Dataset:
     """Exact dedup: keep the smallest ``id_col`` per distinct ``key``.
-    The groupby hash-partitions the key column; at scale add a
-    fixed-width content-hash column first so the shuffle moves 8-byte
-    keys instead of documents."""
-    out = ds.groupby(key).min(id_col)
+    Groups on the composite (content-hash, key): the sort-based shuffle
+    compares 8-byte hashes and only falls back to the document text on
+    hash ties, so grouping cost is key-width-independent — the text
+    column still travels because it IS the output, and grouping by
+    (h64, key) partitions identically to key alone (exact, collision-
+    safe)."""
+    from geotile.ops.hashing import hash_strings
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        col = t[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return t.append_column("__h64", pa.array(hash_strings(col).view(np.int64)))
+
+    out = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    out = out.groupby(["__h64", key]).min(id_col)
     return out.map_batches(
-        lambda t: t.rename_columns([key, id_col]), batch_format="pyarrow"
+        lambda t: t.drop_columns(["__h64"]).rename_columns([key, id_col]),
+        batch_format="pyarrow",
     )
 
 

@@ -116,3 +116,37 @@ def rolling_fingerprints(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
             out[nonempty] = splitmix64(sums ^ (ln.astype(np.uint64) * _GOLD))
     out[~nonempty] = splitmix64(np.zeros(1, dtype=np.uint64))[0]
     return out
+
+
+def hash_strings(col) -> np.ndarray:
+    """uint64 polynomial hash of each FULL string in an Arrow string
+    column (same Rabin-Karp + splitmix64 family as hashed_tokens, no
+    tokenization) — the 8-byte shuffle/sort key for exact dedup."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    off_buf = np.frombuffer(col.buffers()[1], dtype=off_dtype)
+    off = off_buf[col.offset : col.offset + n + 1].astype(np.int64)
+    data = (
+        np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        if col.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    starts, lens = off[:-1], off[1:] - off[:-1]
+    out = np.empty(n, dtype=np.uint64)
+    nonzero = lens > 0
+    with np.errstate(over="ignore"):
+        if nonzero.any():
+            st, ln = starts[nonzero], lens[nonzero]
+            seg_start = np.cumsum(ln) - ln
+            pos = np.arange(int(ln.sum()), dtype=np.int64) - np.repeat(seg_start, ln)
+            b = data[np.repeat(st, ln) + pos].astype(np.uint64)
+            pw = _poly_powers(int(ln.max()))
+            terms = b * pw[np.repeat(ln, ln) - 1 - pos]
+            sums = np.add.reduceat(terms, seg_start)
+            out[nonzero] = splitmix64(sums ^ (ln.astype(np.uint64) * _GOLD))
+        out[~nonzero] = splitmix64(np.zeros(1, dtype=np.uint64))[0]
+    return out

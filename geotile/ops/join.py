@@ -829,7 +829,7 @@ def _json_escape(s: pd.Series) -> np.ndarray:
     )
 
 
-def _route_fc(df: pd.DataFrame, max_features: int) -> pd.DataFrame:
+def _route_fc(df: pd.DataFrame, max_features: int, keep_shard: bool = False) -> pd.DataFrame:
     from geotile.synth import image_index as _ii
     from geotile.synth import tile_footprints
 
@@ -850,14 +850,16 @@ def _route_fc(df: pd.DataFrame, max_features: int) -> pd.DataFrame:
         + '},"geometry":{"type":"Polygon","coordinates":[' + ring.astype(object) + "]}}"
     )
     fc = '{"type":"FeatureCollection","features":[' + ",".join(feats.tolist()) + "]}"
-    return pd.DataFrame(
-        {
-            "route_id": [df["route_id"].iloc[0]],
-            "n_tiles": [n_total],  # TRUE count, pre-truncation
-            "truncated": [n_total > len(df)],
-            "fc_json": [fc],
-        }
-    )
+    out = {
+        "route_id": [df["route_id"].iloc[0]],
+        "n_tiles": [n_total],  # TRUE count, pre-truncation
+        "truncated": [n_total > len(df)],
+        "fc_json": [fc],
+    }
+    if keep_shard:
+        out = {"route_id": out["route_id"], "shard": [int(df["shard"].iloc[0])],
+               **{k: v for k, v in out.items() if k != "route_id"}}
+    return pd.DataFrame(out)
 
 
 def write_route_fcs(fcs: rd.Dataset, out_dir: str) -> list[str]:
@@ -884,11 +886,37 @@ def write_route_fcs(fcs: rd.Dataset, out_dir: str) -> list[str]:
     return [r["path"] for r in fcs.map_batches(write, batch_format="pyarrow").take_all()]
 
 
-def assemble_route_fcs(joined: rd.Dataset, max_features_per_route: int = 100_000) -> rd.Dataset:
+def assemble_route_fcs(
+    joined: rd.Dataset,
+    max_features_per_route: int = 100_000,
+    n_shards: int | None = None,
+) -> rd.Dataset:
     """groupby(route_id) → one FeatureCollection row per route, features
     ordered by image_id, captions as properties (north_star). The cap
     bounds single-row size at extreme scale (logged, not silent — row
-    carries the true n_tiles count)."""
+    carries the true n_tiles count).
+
+    ``n_shards``: the giant-route scale path — a hot route is ONE group
+    (parallelism bounded by route count, row size by its tile count).
+    With sharding, rows are keyed (route_id, shard = image_index mod
+    n_shards) so assembly parallelizes and each output row holds one
+    sub-FeatureCollection; a consumer concatenates a route's shard rows
+    (ordered by ``shard``) to recover the full collection."""
+    if n_shards:
+        from geotile.synth import image_index
+
+        def add_shard(t: pa.Table) -> pa.Table:
+            idx = image_index(t["image_id"].to_numpy(zero_copy_only=False))
+            return t.append_column(
+                "shard", pa.array((idx % n_shards).astype(np.int64))
+            )
+
+        sharded = joined.map_batches(add_shard, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        return sharded.groupby(["route_id", "shard"]).map_groups(
+            lambda df: _route_fc(df, max_features_per_route, keep_shard=True),
+            batch_format="pandas",
+        )
     return joined.groupby("route_id").map_groups(
         lambda df: _route_fc(df, max_features_per_route), batch_format="pandas"
     )

@@ -403,3 +403,35 @@ class TestStreamedDissolve:
             for a, b in zip(gh, eh):
                 assert len(a) == len(b)
                 assert np.allclose(a, b, atol=1e-9, rtol=0)
+
+
+class TestShardedFcAssembly:
+    def test_shards_cover_same_features(self, ray_session, image_table_dir):
+        """Sharded assembly (the giant-route scale path) must partition
+        exactly the features the unsharded path emits."""
+        import json
+
+        from geotile.ops.join import assemble_route_fcs, spatial_join
+        from geotile.ops.join import build_route_index, route_buffer_polygons
+        from geotile.config import PipelineConfig
+        from geotile.queries import _fixture_ctx
+
+        idx = build_route_index(
+            route_buffer_polygons(_fixture_ctx(), PipelineConfig(coordinate_precision=5))
+        )
+        ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS)
+        joined = spatial_join(ds, idx)
+        whole = assemble_route_fcs(joined).to_pandas()
+        sharded = assemble_route_fcs(joined, n_shards=4).to_pandas()
+        assert set(sharded.columns) == {"route_id", "shard", "n_tiles", "truncated", "fc_json"}
+        for rid in whole.route_id:
+            w = json.loads(whole[whole.route_id == rid].fc_json.iloc[0])
+            ids_whole = [f["properties"]["image_id"] for f in w["features"]]
+            parts = sharded[sharded.route_id == rid].sort_values("shard")
+            ids_shard = [
+                f["properties"]["image_id"]
+                for _, row in parts.iterrows()
+                for f in json.loads(row.fc_json)["features"]
+            ]
+            assert sorted(ids_shard) == sorted(ids_whole)
+            assert int(parts.n_tiles.sum()) == int(whole[whole.route_id == rid].n_tiles.iloc[0])
