@@ -706,7 +706,7 @@ def _footprint_cells(batch: pa.Table, res: int) -> pa.Table:
     at res≈18 for 100 m tiles), pre-deduped per batch (the combiner)."""
     from geotile.synth import image_index, tile_footprints
 
-    idx = image_index(batch["image_id"].to_numpy(zero_copy_only=False))
+    idx = image_index(batch["image_id"])
     quads = tile_footprints(idx.astype(np.uint64))
     dlon, dlat = cells.cell_size_degrees(res)
     n = np.int64(1 << res)
@@ -906,7 +906,7 @@ def assemble_route_fcs(
         from geotile.synth import image_index
 
         def add_shard(t: pa.Table) -> pa.Table:
-            idx = image_index(t["image_id"].to_numpy(zero_copy_only=False))
+            idx = image_index(t["image_id"])
             return t.append_column(
                 "shard", pa.array((idx % n_shards).astype(np.int64))
             )

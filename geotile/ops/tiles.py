@@ -65,7 +65,7 @@ def georef_batch(batch: pa.Table, res: int) -> pa.Table:
     """Attach derived (lon, lat) + uint64 cell id at resolution ``res``.
     Fully vectorized: id→index parse, splitmix64 placement, Morton
     encode — no Python loop over rows."""
-    idx = image_index(batch["image_id"].to_numpy(zero_copy_only=False))
+    idx = image_index(batch["image_id"])
     lon, lat = tile_centers(idx.astype(np.uint64))
     cell = cells.encode(lon, lat, res)
     return batch.append_column("lon", pa.array(lon)).append_column(

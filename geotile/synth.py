@@ -46,8 +46,27 @@ def _unit(x: np.ndarray, salt: int) -> np.ndarray:
 
 
 def image_index(image_id) -> np.ndarray:
-    """'img-00000042' → 42 for an array of id strings (fast path: the
-    fixed 'img-' prefix + zero-padded digits slice to a numpy cast)."""
+    """'img-00000042' → 42 for an array of id strings. Fast path: when
+    given an Arrow string column of uniform 12-char ids, parse the
+    zero-padded digits straight out of the UTF-8 data buffer (no
+    object/UTF-32 round trip — ~10× the numpy-cast path); otherwise
+    fall back to the U13 slice + cast."""
+    if isinstance(image_id, pa.ChunkedArray):
+        image_id = image_id.combine_chunks()
+    if isinstance(image_id, pa.Array):
+        n = len(image_id)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        off_dtype = np.int64 if pa.types.is_large_string(image_id.type) else np.int32
+        off = np.frombuffer(image_id.buffers()[1], dtype=off_dtype)[
+            image_id.offset : image_id.offset + n + 1
+        ].astype(np.int64)
+        lens = off[1:] - off[:-1]
+        if (lens == 12).all():
+            data = np.frombuffer(image_id.buffers()[2], dtype=np.uint8)
+            digits = data[off[:-1, None] + np.arange(4, 12)].astype(np.int64) - 48
+            return digits @ (10 ** np.arange(7, -1, -1, dtype=np.int64))
+        image_id = image_id.to_numpy(zero_copy_only=False)
     arr = np.asarray(image_id, dtype="U13")
     if arr.size == 0:
         return np.empty(0, dtype=np.int64)
