@@ -45,6 +45,38 @@ def _poly_powers(n: int) -> np.ndarray:
     return np.concatenate([np.ones(1, dtype=np.uint64), acc])
 
 
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(byte offsets incl. the trailing end, data bytes) of an Arrow
+    string array, honoring the array's slice offset and the int64
+    offsets of large_utf8."""
+    n = len(arr)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return off, data
+
+
+def _segmented_poly_hash(values: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Polynomial Rabin-Karp + splitmix64 over segments of ``values``
+    (uint64-castable). ``starts``/``lens`` must describe non-empty
+    segments; returns one uint64 hash per segment."""
+    seg_start = np.cumsum(lens) - lens
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(seg_start, lens)
+    pw = _poly_powers(int(lens.max()))
+    with np.errstate(over="ignore"):
+        terms = values[np.repeat(starts, lens) + pos].astype(np.uint64) * pw[
+            np.repeat(lens, lens) - 1 - pos
+        ]
+        sums = np.add.reduceat(terms, seg_start)
+        return splitmix64(sums ^ (lens.astype(np.uint64) * _GOLD))
+
+
 def hashed_tokens(col) -> tuple[np.ndarray, np.ndarray]:
     """Whitespace-tokenize a string column and hash every (non-empty)
     token to uint64, fully vectorized. Returns ``(hashes, offsets)``
@@ -65,14 +97,7 @@ def hashed_tokens(col) -> tuple[np.ndarray, np.ndarray]:
         return np.empty(0, np.uint64), np.zeros(len(col) + 1, np.int64)
     # large_utf8 input (e.g. Polars-written parquet) splits to
     # large_list<large_utf8>, whose values buffer has int64 offsets
-    off_dtype = np.int64 if pa.types.is_large_string(flat.type) else np.int32
-    off_buf = np.frombuffer(flat.buffers()[1], dtype=off_dtype)
-    off = off_buf[flat.offset : flat.offset + n_tok + 1].astype(np.int64)
-    data = (
-        np.frombuffer(flat.buffers()[2], dtype=np.uint8)
-        if flat.buffers()[2] is not None
-        else np.empty(0, np.uint8)
-    )
+    off, data = _string_buffers(flat)
     starts, lens = off[:-1], off[1:] - off[:-1]
     keep = lens > 0  # split_whitespace emits "" at string edges; drop them
     # per-doc kept-token counts via prefix sums (reduceat-safe for empties)
@@ -82,15 +107,7 @@ def hashed_tokens(col) -> tuple[np.ndarray, np.ndarray]:
     starts, lens = starts[keep], lens[keep]
     if len(lens) == 0:
         return np.empty(0, np.uint64), offsets
-    tok_start = np.cumsum(lens) - lens
-    pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(tok_start, lens)
-    b = data[np.repeat(starts, lens) + pos].astype(np.uint64)
-    pw = _poly_powers(int(lens.max()))
-    with np.errstate(over="ignore"):
-        terms = b * pw[np.repeat(lens, lens) - 1 - pos]
-        sums = np.add.reduceat(terms, tok_start)
-        h = splitmix64(sums ^ (lens.astype(np.uint64) * _GOLD))
-    return h, offsets
+    return _segmented_poly_hash(data, starts, lens), offsets
 
 
 def rolling_fingerprints(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -103,17 +120,10 @@ def rolling_fingerprints(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     n_docs = len(counts)
     out = np.empty(n_docs, dtype=np.uint64)
     nonempty = counts > 0
-    if hashes.size:
-        st = offsets[:-1][nonempty]
-        ln = counts[nonempty]
-        pos = np.arange(int(ln.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(ln) - ln, ln
+    if hashes.size and nonempty.any():
+        out[nonempty] = _segmented_poly_hash(
+            hashes, offsets[:-1][nonempty], counts[nonempty]
         )
-        pw = _poly_powers(int(ln.max()))
-        with np.errstate(over="ignore"):
-            terms = hashes[np.repeat(st, ln) + pos] * pw[np.repeat(ln, ln) - 1 - pos]
-            sums = np.add.reduceat(terms, np.cumsum(ln) - ln)
-            out[nonempty] = splitmix64(sums ^ (ln.astype(np.uint64) * _GOLD))
     out[~nonempty] = splitmix64(np.zeros(1, dtype=np.uint64))[0]
     return out
 
@@ -127,26 +137,18 @@ def hash_strings(col) -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.empty(0, np.uint64)
-    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
-    off_buf = np.frombuffer(col.buffers()[1], dtype=off_dtype)
-    off = off_buf[col.offset : col.offset + n + 1].astype(np.int64)
-    data = (
-        np.frombuffer(col.buffers()[2], dtype=np.uint8)
-        if col.buffers()[2] is not None
-        else np.empty(0, np.uint8)
-    )
+    off, data = _string_buffers(col)
     starts, lens = off[:-1], off[1:] - off[:-1]
     out = np.empty(n, dtype=np.uint64)
     nonzero = lens > 0
-    with np.errstate(over="ignore"):
-        if nonzero.any():
-            st, ln = starts[nonzero], lens[nonzero]
-            seg_start = np.cumsum(ln) - ln
-            pos = np.arange(int(ln.sum()), dtype=np.int64) - np.repeat(seg_start, ln)
-            b = data[np.repeat(st, ln) + pos].astype(np.uint64)
-            pw = _poly_powers(int(ln.max()))
-            terms = b * pw[np.repeat(ln, ln) - 1 - pos]
-            sums = np.add.reduceat(terms, seg_start)
-            out[nonzero] = splitmix64(sums ^ (ln.astype(np.uint64) * _GOLD))
-        out[~nonzero] = splitmix64(np.zeros(1, dtype=np.uint64))[0]
+    if col.null_count:
+        # a null slot may span garbage bytes in the offsets (legal
+        # Arrow); all nulls must hash EQUAL so dedup groups them once
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        nonzero &= valid
+    if nonzero.any():
+        out[nonzero] = _segmented_poly_hash(data, starts[nonzero], lens[nonzero])
+    out[~nonzero] = splitmix64(np.zeros(1, dtype=np.uint64))[0]
+    if col.null_count:
+        out[~valid] = splitmix64(np.full(1, _GOLD, dtype=np.uint64))[0]
     return out

@@ -873,9 +873,15 @@ def write_route_fcs(fcs: rd.Dataset, out_dir: str) -> list[str]:
     def write(t: pa.Table) -> pa.Table:
         from geotile.pipeline import sanitize
 
+        # sharded assembly rows carry a shard column; name files per
+        # shard so rows never clobber each other's <route>.geojson
+        shards = t["shard"].to_pylist() if "shard" in t.column_names else [None] * len(t)
         paths = []
-        for rid, fc in zip(t["route_id"].to_pylist(), t["fc_json"].to_pylist()):
-            p = os.path.join(out_dir, sanitize(f"{rid}.geojson"))
+        for rid, shard, fc in zip(
+            t["route_id"].to_pylist(), shards, t["fc_json"].to_pylist()
+        ):
+            name = f"{rid}.geojson" if shard is None else f"{rid}_shard{shard}.geojson"
+            p = os.path.join(out_dir, sanitize(name))
             tmp = p + ".tmp"
             with open(tmp, "w") as f:
                 f.write(fc)
@@ -900,8 +906,12 @@ def assemble_route_fcs(
     (parallelism bounded by route count, row size by its tile count).
     With sharding, rows are keyed (route_id, shard = image_index mod
     n_shards) so assembly parallelizes and each output row holds one
-    sub-FeatureCollection; a consumer concatenates a route's shard rows
-    (ordered by ``shard``) to recover the full collection."""
+    sub-FeatureCollection. The shards PARTITION the route's features
+    (each shard internally image_id-ordered); mod-sharding interleaves
+    ids across shards, so a consumer that needs the unsharded global
+    image_id order must merge the shard feature lists by image_id, not
+    merely concatenate them. ``write_route_fcs`` writes one
+    ``<route>_shard<k>.geojson`` per row for sharded input."""
     if n_shards:
         from geotile.synth import image_index
 

@@ -731,10 +731,26 @@ def _fixture_route_index():
         from geotile.ops.join import build_route_index, route_buffer_polygons
 
         # cross-process cache: the cover-raster + boundary-PIP build
-        # costs 5-9 s per fresh process; the fixture is deterministic so
-        # the pickle is keyed only by a build-format version
+        # costs 5-9 s per fresh process. Keyed by a CONTENT hash of the
+        # modules the build depends on, so ANY code change to the index
+        # build, geometry kernels or fixture synth auto-invalidates the
+        # pickle (a hand-bumped version tag would silently serve stale
+        # geometry to the correctness gate after an edit).
+        from hashlib import blake2b
+
+        import geotile.geom.buffer as _b
+        import geotile.geom.cells as _c
+        import geotile.geom.pip as _p
+        import geotile.geom.raster as _r
+        import geotile.geom.rdp as _rd
+        import geotile.ops.join as _j
+        import geotile.synth as _sy
+
+        hh = blake2b(digest_size=8)
+        for mod in (_j, _r, _p, _c, _b, _rd, _sy):
+            hh.update(Path(mod.__file__).read_bytes())
         cache = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache"))
-        pkl = cache / "route_index_v1.pkl"
+        pkl = cache / f"route_index_{hh.hexdigest()}.pkl"
         idx = None
         if pkl.exists():
             try:

@@ -57,15 +57,23 @@ def image_index(image_id) -> np.ndarray:
         n = len(image_id)
         if n == 0:
             return np.empty(0, dtype=np.int64)
-        off_dtype = np.int64 if pa.types.is_large_string(image_id.type) else np.int32
-        off = np.frombuffer(image_id.buffers()[1], dtype=off_dtype)[
-            image_id.offset : image_id.offset + n + 1
-        ].astype(np.int64)
-        lens = off[1:] - off[:-1]
-        if (lens == 12).all():
-            data = np.frombuffer(image_id.buffers()[2], dtype=np.uint8)
-            digits = data[off[:-1, None] + np.arange(4, 12)].astype(np.int64) - 48
-            return digits @ (10 ** np.arange(7, -1, -1, dtype=np.int64))
+        if image_id.null_count == 0:
+            off_dtype = np.int64 if pa.types.is_large_string(image_id.type) else np.int32
+            off = np.frombuffer(image_id.buffers()[1], dtype=off_dtype)[
+                image_id.offset : image_id.offset + n + 1
+            ].astype(np.int64)
+            lens = off[1:] - off[:-1]
+            if (lens == 12).all():
+                data = np.frombuffer(image_id.buffers()[2], dtype=np.uint8)
+                window = data[off[:-1, None] + np.arange(12)]
+                digits = window[:, 4:].astype(np.int64) - 48
+                # validate so malformed ids fail loudly (as the numpy
+                # cast path does) instead of parsing to garbage
+                if (
+                    (window[:, :4] == np.frombuffer(b"img-", np.uint8)).all()
+                    and ((digits >= 0) & (digits <= 9)).all()
+                ):
+                    return digits @ (10 ** np.arange(7, -1, -1, dtype=np.int64))
         image_id = image_id.to_numpy(zero_copy_only=False)
     arr = np.asarray(image_id, dtype="U13")
     if arr.size == 0:

@@ -412,13 +412,9 @@ class TestShardedFcAssembly:
         import json
 
         from geotile.ops.join import assemble_route_fcs, spatial_join
-        from geotile.ops.join import build_route_index, route_buffer_polygons
-        from geotile.config import PipelineConfig
-        from geotile.queries import _fixture_ctx
+        from geotile.synth import synthetic_route_polygons
 
-        idx = build_route_index(
-            route_buffer_polygons(_fixture_ctx(), PipelineConfig(coordinate_precision=5))
-        )
+        idx = build_route_index(synthetic_route_polygons(8))
         ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS)
         joined = spatial_join(ds, idx)
         whole = assemble_route_fcs(joined).to_pandas()
