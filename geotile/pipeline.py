@@ -65,12 +65,17 @@ def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
             raise RuntimeError(
                 "No shapes found in shapes.txt, unable to create geoJSON with outputType = shape"
             )
+        bar = progress_bar(
+            f"{ctx_key(ctx)}: Generating geoJSON {{bar}} {{value}}/{{total}}",
+            len(shape_ids), config,
+        )
         for sid in shape_ids:
             gj = get_geojson_by_format(ctx, config, {**base_query, "shape_id": sid})
             if gj is None:
                 continue
             stats["shapes"] += 1
             _write(output_path / sanitize(f"{sid}.geojson"), gj, stats)
+            bar.increment()
     elif config.output_type == "route":
         routes = ctx.dims["routes"].to_pylist()
         if ctx.service_ids is not None:
@@ -78,8 +83,13 @@ def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
             # in-range service (src/lib/gtfs-to-geojson.ts:168)
             served = set(ctx.trips["route_id"].to_pylist())
             routes = [r for r in routes if r["route_id"] in served]
+        bar = progress_bar(
+            f"{ctx_key(ctx)}: Generating geoJSON {{bar}} {{value}}/{{total}}",
+            len(routes), config,
+        )
         for index, route in enumerate(routes):
             stats["routes"] += 1
+            bar.increment()
             trips = ctx.trips_for(route["route_id"]).to_pylist()
             # uniqBy(trip_headsign) — first occurrence wins (reference :189)
             seen: set[str] = set()
@@ -134,6 +144,71 @@ def log_text(ctx: GtfsContext, config: PipelineConfig, stats: dict) -> str:
     return "\n".join(lines)
 
 
+def log_stats_table(config: PipelineConfig, stats: dict) -> None:
+    """Reference logStats (src/lib/log-utils.ts:111-132): a two-column
+    Item/Count console table per agency. Hidden when a custom
+    logFunction is set (exactly like the reference) or verbose=False."""
+    if config.log_function is not None or not config.verbose:
+        return
+    rows = [
+        ("\U0001F4DD Output Type", str(config.output_type)),
+        ("\U0001F504 Routes", str(stats.get("routes", 0))),
+        ("\u23AD Shapes", str(stats.get("shapes", 0))),
+        ("\U0001F4C4 GeoJSON Files", str(stats.get("files", 0))),
+    ]
+    w1, w2 = 40, 20  # reference colWidths
+    sep = "+" + "-" * w1 + "+" + "-" * w2 + "+"
+    out = [sep, "|" + "Item".ljust(w1) + "|" + "Count".ljust(w2) + "|", sep]
+    for k, v in rows:
+        out.append("|" + k.ljust(w1) + "|" + v.ljust(w2) + "|")
+    out.append(sep)
+    print("\n".join(out))
+
+
+def progress_bar(format_string: str, total: int, config: PipelineConfig):
+    """Reference progressBar (src/lib/log-utils.ts:175-211): returns an
+    object with increment()/interrupt(); noop when verbose=False or
+    total == 0. Renders {value}/{total}/{bar} into format_string."""
+
+    class _Noop:
+        def increment(self):  # noqa: D401
+            pass
+
+        def interrupt(self, text: str):
+            pass
+
+    if not config.verbose or total == 0:
+        return _Noop()
+
+    class _Bar:
+        def __init__(self):
+            self.progress = 0
+            self._render()
+
+        def _bar_string(self, size: int = 40) -> str:
+            if self.progress > total:
+                return "=" * (size + 2)
+            filled = round(size * self.progress / total)
+            return "=" * filled + "-" * (size - filled)
+
+        def _render(self):
+            text = (
+                format_string.replace("{value}", str(self.progress))
+                .replace("{total}", str(total))
+                .replace("{bar}", self._bar_string())
+            )
+            config.log(text)
+
+        def increment(self):
+            self.progress += 1
+            self._render()
+
+        def interrupt(self, text: str):
+            config.log(f"Warning: {text}")
+
+    return _Bar()
+
+
 def get_output_path(agency_key: str, config: PipelineConfig) -> Path:
     """Reference getOutputPath (src/lib/file-utils.ts:117-121): when
     ``outputPath`` is set it is used VERBATIM (tilde-expanded, no
@@ -171,6 +246,7 @@ def run_pipeline(config: PipelineConfig) -> list[str]:
         stats = {"files": 0, "routes": 0, "shapes": 0}
         build_geojson(ctx, config, output_path, stats)
         (output_path / "log.txt").write_text(log_text(ctx, config, stats))
+        log_stats_table(config, stats)  # reference gtfs-to-geojson.ts:323
         written_dirs.append(output_path)
     if config.zip_output:
         # reference zipFolders (file-utils.ts:47-77): zip written into

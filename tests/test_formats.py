@@ -355,3 +355,30 @@ class TestPipeline:
         (d / "x.txt").write_text("hi")
         with pytest.raises(FileExistsError):
             prep_directory(d, overwrite=False)
+
+
+class TestLogParity:
+    def test_stats_table_and_progress(self, ray_session, caltrain_dir, tmp_path, capsys):
+        """Reference logStats / progressBar parity: table printed per
+        agency when verbose without a logFunction; hidden otherwise."""
+        from geotile.config import AgencyConfig
+        from geotile.pipeline import log_stats_table, progress_bar, run_pipeline
+
+        cfg = PipelineConfig(
+            agencies=[AgencyConfig(agency_key="ct", path=str(caltrain_dir))],
+            output_format="lines",
+            output_type="route",
+            output_path=str(tmp_path / "out"),
+        )
+        run_pipeline(cfg)
+        out = capsys.readouterr().out
+        assert "GeoJSON Files" in out and "Routes" in out  # stats table
+        assert "{bar}" not in out and "=" in out           # rendered bar
+        # custom logFunction hides the table (log-utils.ts:113-115)
+        seen: list[str] = []
+        cfg2 = PipelineConfig(output_format="lines", log_function=seen.append)
+        log_stats_table(cfg2, {"routes": 1})
+        assert seen == []
+        # verbose=False is a noop bar
+        bar = progress_bar("x {value}/{total}", 3, PipelineConfig(verbose=False))
+        bar.increment()  # must not raise or print
