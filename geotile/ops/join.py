@@ -670,19 +670,15 @@ def cell_tile_counts(
         batch_size=batch_size,  # coalesce tiny read blocks before the shuffle
         zero_copy_batch=True,
     )
-    # coalesce the (tiny) partials into few blocks WHEN THERE ARE MANY:
-    # the sort-based aggregate's cost scales with INPUT BLOCK COUNT, not
-    # rows (672 partial blocks made a trivial reduce take 40s), but the
-    # repartition itself costs ~0.4s — skip it when the combiner already
-    # leaves few blocks. Proportional to the cluster, not a fixed 16.
+    # coalesce the (tiny) partials into few blocks: the sort-based
+    # aggregate's cost scales with INPUT BLOCK COUNT, not rows (672
+    # partial blocks made a trivial reduce take 40s); the repartition of
+    # the combined partials costs ~0.4s flat. Unconditional — an input-
+    # row count estimate via ds.count() would EXECUTE any lazy upstream
+    # transforms once before map_batches executes them again (ADVICE r2).
     if coalesce is None:
         coalesce = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
-    try:
-        est_partial_blocks = ds.count() // max(1, batch_size)
-    except Exception:
-        est_partial_blocks = None
-    if est_partial_blocks is None or est_partial_blocks > 4 * coalesce:
-        partial = partial.repartition(coalesce)
+    partial = partial.repartition(coalesce)
     lvl1 = partial.groupby(["cell", "salt"]).sum("n")
     lvl1 = lvl1.map_batches(
         lambda t: t.select(["cell", "sum(n)"]).rename_columns(["cell", "n"]),

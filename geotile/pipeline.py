@@ -89,7 +89,6 @@ def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
         )
         for index, route in enumerate(routes):
             stats["routes"] += 1
-            bar.increment()
             trips = ctx.trips_for(route["route_id"]).to_pylist()
             # uniqBy(trip_headsign) — first occurrence wins (reference :189)
             seen: set[str] = set()
@@ -120,6 +119,8 @@ def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
                 if len(identical) > 1:
                     parts.append(str(index))
                 _write(output_path / sanitize("_".join(parts) + ".geojson"), gj, stats)
+            # reference increments AFTER each route completes (ADVICE r2)
+            bar.increment()
     else:  # agency
         config.log(f"{ctx_key(ctx)}: Generating geoJSON")
         gj = get_geojson_by_format(ctx, config, base_query)
@@ -188,7 +189,12 @@ def progress_bar(format_string: str, total: int, config: PipelineConfig):
         def _bar_string(self, size: int = 40) -> str:
             if self.progress > total:
                 return "=" * (size + 2)
-            filled = round(size * self.progress / total)
+            # JS Math.round (half-up), not Python round (half-to-even):
+            # the reference's generateProgressBarString fills one more
+            # '=' at exact .5 fractions (ADVICE r2)
+            import math
+
+            filled = math.floor(size * self.progress / total + 0.5)
             return "=" * filled + "-" * (size - filled)
 
         def _render(self):

@@ -721,6 +721,29 @@ def _fixture_ctx():
 _MEMO: dict = {}
 
 
+def _geom_digest() -> str:
+    """CONTENT hash of the modules the fixture geometry depends on, so
+    ANY code change to the index build, geometry kernels or fixture
+    synth auto-invalidates cached artifacts (route-index pickle AND the
+    oracle sidecar parquets — ADVICE r2: existence-keyed sidecars would
+    silently replay stale geometry expectations after an edit)."""
+    from pathlib import Path
+    from hashlib import blake2b
+
+    import geotile.geom.buffer as _b
+    import geotile.geom.cells as _c
+    import geotile.geom.pip as _p
+    import geotile.geom.raster as _r
+    import geotile.geom.rdp as _rd
+    import geotile.ops.join as _j
+    import geotile.synth as _sy
+
+    hh = blake2b(digest_size=8)
+    for mod in (_j, _r, _p, _c, _b, _rd, _sy):
+        hh.update(Path(mod.__file__).read_bytes())
+    return hh.hexdigest()
+
+
 def _fixture_route_index():
     if "route_index" not in _MEMO:
         import os
@@ -731,26 +754,9 @@ def _fixture_route_index():
         from geotile.ops.join import build_route_index, route_buffer_polygons
 
         # cross-process cache: the cover-raster + boundary-PIP build
-        # costs 5-9 s per fresh process. Keyed by a CONTENT hash of the
-        # modules the build depends on, so ANY code change to the index
-        # build, geometry kernels or fixture synth auto-invalidates the
-        # pickle (a hand-bumped version tag would silently serve stale
-        # geometry to the correctness gate after an edit).
-        from hashlib import blake2b
-
-        import geotile.geom.buffer as _b
-        import geotile.geom.cells as _c
-        import geotile.geom.pip as _p
-        import geotile.geom.raster as _r
-        import geotile.geom.rdp as _rd
-        import geotile.ops.join as _j
-        import geotile.synth as _sy
-
-        hh = blake2b(digest_size=8)
-        for mod in (_j, _r, _p, _c, _b, _rd, _sy):
-            hh.update(Path(mod.__file__).read_bytes())
+        # costs 5-9 s per fresh process; content-keyed via _geom_digest.
         cache = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache"))
-        pkl = cache / f"route_index_{hh.hexdigest()}.pkl"
+        pkl = cache / f"route_index_{_geom_digest()}.pkl"
         idx = None
         if pkl.exists():
             try:
@@ -1268,8 +1274,9 @@ def _atomic_write_table(t: pa.Table, path) -> None:
 
 def _oracle_edges_path() -> str:
     """Sidecar: route-buffer polygon edges, exactly as pip._edges builds
-    them from build_route_index's ring list ([outer] + holes)."""
-    p = _oracle_cache_dir() / "oracle_route_edges.parquet"
+    them from build_route_index's ring list ([outer] + holes).
+    Content-keyed on the geometry-module digest (ADVICE r2)."""
+    p = _oracle_cache_dir() / f"oracle_route_edges_{_geom_digest()}.parquet"
     if not p.exists():
         from geotile.config import PipelineConfig
         from geotile.geom.pip import _edges
@@ -1302,8 +1309,8 @@ def _oracle_edges_path() -> str:
 def _oracle_segments_path() -> str:
     """Sidecar: kNN centerline segments in the meter frame with the same
     precomputation as points_to_polyline_distance (ax/ay, dx/dy,
-    inv_l2 with the L2==0 -> 1.0 substitution)."""
-    p = _oracle_cache_dir() / "oracle_route_segments.parquet"
+    inv_l2 with the L2==0 -> 1.0 substitution). Content-keyed."""
+    p = _oracle_cache_dir() / f"oracle_route_segments_{_geom_digest()}.parquet"
     if not p.exists():
         from geotile.geom.buffer import meter_frame
         from geotile.ops.join import _ANCHOR_LAT, _ANCHOR_LON, route_polylines
@@ -1439,11 +1446,24 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def _mods_digest(*mods) -> str:
+    """Content hash of arbitrary modules (sidecar cache keys)."""
+    from hashlib import blake2b
+    from pathlib import Path
+
+    hh = blake2b(digest_size=8)
+    for mod in mods:
+        hh.update(Path(mod.__file__).read_bytes())
+    return hh.hexdigest()
+
+
 def _oracle_planes_path() -> str:
     """Sidecar: the hyperplane_buckets random planes (seed 7, n_planes=8,
     embedding dim from the testdata schema) so the bucket assignment is
-    SQL-expressible via list_dot_product."""
-    p = _oracle_cache_dir() / "oracle_hyperplanes.parquet"
+    SQL-expressible via list_dot_product. Content-keyed on ann.py."""
+    import geotile.ops.ann as _ann
+
+    p = _oracle_cache_dir() / f"oracle_hyperplanes_{_mods_digest(_ann)}.parquet"
     if not p.exists():
         import pyarrow.parquet as pq
 
