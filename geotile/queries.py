@@ -844,7 +844,10 @@ def q_image_invariants(sf_dir: str):
 
 
 def q_gtfs_envelope(sf_dir: str):
-    """A1 envelope over the fixture's route lines (rows-only)."""
+    """A1 envelope over the fixture's route lines. The feature's bbox
+    member is UNROUNDED (reference envelope.ts keeps it raw), so the
+    four values are bit-identical to SQL min/max over the shapes
+    parquet (the fixture's line features are all shapes-path)."""
     from geotile.config import PipelineConfig
     from geotile.formats import fmt_envelope
 
@@ -854,11 +857,15 @@ def q_gtfs_envelope(sf_dir: str):
 
 
 def q_gtfs_convex_hull(sf_dir: str):
-    """A2 convex hull vertices over the fixture stops (rows-only)."""
-    from geotile.config import PipelineConfig
-    from geotile.formats import fmt_convex
+    """A2 convex hull ring over the fixture stop points, UNSIMPLIFIED
+    (RDP/rounding are separately golden-tested; raw hull vertices are
+    gathered input doubles, so the SQL replay — strict-vertex test +
+    polar ordering — matches bit-exactly)."""
+    from geotile.ops.derive import convex_feature
+    from geotile.ops.stops import stop_points
 
-    f = fmt_convex(_fixture_ctx(), PipelineConfig(coordinate_precision=5), {})
+    ctx = _fixture_ctx()
+    f = convex_feature(stop_points(ctx, {}), ctx.agency_name)
     ring = f["geometry"]["coordinates"][0]
     return pd.DataFrame(
         {"idx": range(len(ring)), "lon": [p[0] for p in ring], "lat": [p[1] for p in ring]}
@@ -961,15 +968,28 @@ def q_gtfs_stop_features(sf_dir: str):
 
 
 def q_gtfs_line_features(sf_dir: str):
+    """O1-O3 line assembly with an ORDERED-coordinate replay: per route
+    emit part/point counts plus a position-weighted coordinate checksum
+    Σ (i+1)·(lon_i + lat_i) over the flattened coordinates in emitted
+    order (parts by shape_id, points by shape_pt_sequence) — any
+    reordering, drop, or duplication shifts the checksum."""
     from geotile.ops.lines import route_lines
 
     feats = route_lines(_fixture_ctx(), {}) or []
-    return pd.DataFrame(
-        {
-            "route_id": [f["properties"]["route_id"] for f in feats],
-            "n_parts": [len(f["geometry"]["coordinates"]) for f in feats],
-        }
-    )
+    rows = []
+    for f in feats:
+        parts = f["geometry"]["coordinates"]
+        flat = np.asarray([p for part in parts for p in part], dtype=np.float64)
+        s = float(np.sum((np.arange(len(flat)) + 1.0) * (flat[:, 0] + flat[:, 1])))
+        rows.append(
+            {
+                "route_id": f["properties"]["route_id"],
+                "n_parts": len(parts),
+                "n_points": len(flat),
+                "checksum_e2": int(round(s * 100.0)),
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -1443,6 +1463,9 @@ def oracle_sql() -> dict[str, str]:
     out["image_invariants"] = _image_invariants_sql(img01)
     out["image_embeddings"] = _image_embeddings_sql(img01)
     out["gtfs_stop_features"] = _gtfs_stop_features_sql()
+    out["gtfs_envelope"] = _gtfs_envelope_sql()
+    out["gtfs_line_features"] = _gtfs_line_features_sql()
+    out["gtfs_convex_hull"] = _gtfs_convex_hull_sql()
     return out
 
 
@@ -1647,6 +1670,113 @@ def _image_embeddings_sql(img: str) -> str:
         SELECT image_id, CAST(64 AS BIGINT) AS dim
         FROM read_parquet('{img}/part-*.parquet')
         ORDER BY image_id LIMIT 512
+    """
+
+
+def _fixture_sql_dir() -> str:
+    import os
+    from pathlib import Path
+
+    _fixture_ctx()  # ensure the fixture parquet exists before SQL reads it
+    return str(Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache")) / "caltrain")
+
+
+def _gtfs_envelope_sql() -> str:
+    """bbox replay: raw min/max over the shape points of routes that
+    have shapes (reference envelope.ts:14 keeps bbox unrounded)."""
+    d = _fixture_sql_dir()
+    return f"""
+        SELECT min(shape_pt_lon) AS west, min(shape_pt_lat) AS south,
+               max(shape_pt_lon) AS east, max(shape_pt_lat) AS north
+        FROM read_parquet('{d}/shapes.parquet')
+        WHERE shape_id IN (
+            SELECT DISTINCT shape_id FROM read_parquet('{d}/trips.parquet')
+            WHERE shape_id IS NOT NULL)
+    """
+
+
+def _gtfs_line_features_sql() -> str:
+    """Ordered-coordinate replay of shape_line_features: flatten each
+    route's shape points by (shape_id, shape_pt_sequence) and fold the
+    position-weighted checksum (row_number replays the emit order)."""
+    d = _fixture_sql_dir()
+    return f"""
+        WITH rs AS (
+            SELECT DISTINCT route_id, shape_id
+            FROM read_parquet('{d}/trips.parquet') WHERE shape_id IS NOT NULL
+        ),
+        pts AS (
+            SELECT r.route_id, s.shape_pt_lon AS lon, s.shape_pt_lat AS lat,
+                   r.shape_id,
+                   row_number() OVER (
+                       PARTITION BY r.route_id
+                       ORDER BY r.shape_id, s.shape_pt_sequence) AS rn
+            FROM rs r JOIN read_parquet('{d}/shapes.parquet') s USING (shape_id)
+        )
+        SELECT route_id,
+               CAST(count(DISTINCT shape_id) AS BIGINT) AS n_parts,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(round(sum(rn * (lon + lat)) * 100) AS BIGINT) AS checksum_e2
+        FROM pts GROUP BY route_id
+    """
+
+
+def _gtfs_convex_hull_sql() -> str:
+    """Convex-hull replay over the used-stop point set: a point is a
+    STRICT hull vertex iff no triangle (or degenerate segment) of other
+    points contains it (the three crosses sum to 2·area(abc), so a
+    degenerate triangle never false-positives an off-line point); ring
+    order = polar angle around the lexicographic-min vertex (Graham
+    order == monotone-chain CCW ring), closed by repeating vertex 0."""
+    d = _fixture_sql_dir()
+    return f"""
+        WITH used AS (
+            SELECT DISTINCT s.stop_id
+            FROM read_parquet('{d}/stop_times.parquet') s
+            JOIN read_parquet('{d}/trips.parquet') t USING (trip_id)
+            WHERE t.route_id IN (SELECT route_id FROM read_parquet('{d}/routes.parquet'))
+        ),
+        stops AS (SELECT * FROM read_parquet('{d}/stops.parquet')),
+        sel AS (
+            SELECT stop_id FROM used
+            UNION
+            SELECT DISTINCT st.parent_station
+            FROM stops st JOIN used u ON u.stop_id = st.stop_id
+            WHERE st.parent_station IS NOT NULL AND st.parent_station <> ''
+        ),
+        pts AS (
+            SELECT lon, lat, row_number() OVER (ORDER BY lon, lat) AS pid FROM (
+                SELECT DISTINCT st.stop_lon AS lon, st.stop_lat AS lat
+                FROM sel JOIN stops st USING (stop_id)
+            )
+        ),
+        vtx AS (
+            SELECT p.lon, p.lat FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts a, pts b, pts c
+                WHERE a.pid < b.pid AND b.pid < c.pid
+                  AND p.pid NOT IN (a.pid, b.pid, c.pid)
+                  AND (
+                    SELECT CASE WHEN least(c1, c2, c3) >= 0 OR greatest(c1, c2, c3) <= 0
+                           THEN 1 ELSE 0 END
+                    FROM (SELECT
+                        (b.lon-a.lon)*(p.lat-a.lat) - (b.lat-a.lat)*(p.lon-a.lon) AS c1,
+                        (c.lon-b.lon)*(p.lat-b.lat) - (c.lat-b.lat)*(p.lon-b.lon) AS c2,
+                        (a.lon-c.lon)*(p.lat-c.lat) - (a.lat-c.lat)*(p.lon-c.lon) AS c3)
+                  ) = 1
+            )
+        ),
+        s AS (SELECT lon, lat FROM vtx ORDER BY lon, lat LIMIT 1),
+        ring AS (
+            SELECT v.lon, v.lat,
+                   row_number() OVER (ORDER BY
+                       CASE WHEN v.lon = s.lon AND v.lat = s.lat THEN -10.0
+                            ELSE atan2(v.lat - s.lat, v.lon - s.lon) END) - 1 AS idx
+            FROM vtx v, s
+        )
+        SELECT CAST(idx AS BIGINT) AS idx, lon, lat FROM ring
+        UNION ALL
+        SELECT (SELECT count(*) FROM ring), lon, lat FROM ring WHERE idx = 0
     """
 
 
