@@ -1,0 +1,215 @@
+"""Independent SCALAR reference implementations of the hash-family
+operators — used ONLY to build oracle sidecar tables for the driver's
+correctness gate (and cross-checked against the vectorized engine
+kernels in tests/test_oracles_r3.py).
+
+Everything here is pure-Python integer arithmetic (no numpy on the data
+path): a vectorization bug in geotile.ops.hashing / geotile.ops.dedup /
+geotile.ops.sketch cannot also live here, so a driver value-hash match
+means the two implementations agree on every row. The SPEC constants
+(FNV-prime polynomial base, splitmix64 finalizer, golden-ratio length
+salt) are redeclared literally from the published algorithms rather
+than imported from the engine modules.
+"""
+
+from __future__ import annotations
+
+M64 = (1 << 64) - 1
+_POLY_P = 0x100000001B3        # FNV prime (polynomial base)
+_GOLD = 0x9E3779B97F4A7C15     # golden-ratio length salt
+_MERSENNE = (1 << 61) - 1
+
+
+def sm64(x: int) -> int:
+    """Scalar splitmix64 finalizer."""
+    z = (x + _GOLD) & M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+    return z ^ (z >> 31)
+
+
+EMPTY_TOKEN_HASH = sm64(0)
+
+
+def poly_hash(values, length_salt: bool = True) -> int:
+    """Rabin-Karp polynomial over an int sequence, splitmix64-finalized
+    with the length-salted xor (the hashing.py token/doc scheme)."""
+    acc = 0
+    for v in values:
+        acc = (acc * _POLY_P + v) & M64
+    return sm64(acc ^ ((len(values) * _GOLD) & M64))
+
+
+def token_hashes(text: str) -> list[int]:
+    """Whitespace tokens (Python str.split semantics, which match
+    pc.utf8_split_whitespace with empties dropped) → per-token hash of
+    the UTF-8 bytes."""
+    return [poly_hash(t.encode("utf-8")) for t in text.split()]
+
+
+def fingerprint(text: str) -> int:
+    """Order-sensitive doc fingerprint: polynomial fold over the token
+    hashes; empty docs fingerprint to splitmix64(0)."""
+    h = token_hashes(text)
+    if not h:
+        return sm64(0)
+    return poly_hash(h)
+
+
+def simhash(text: str) -> int:
+    """Per-bit majority vote over the doc's token hashes (strict
+    majority: bit set iff 2·votes > n); empty docs → 0."""
+    h = token_hashes(text)
+    if not h:
+        return 0
+    n = len(h)
+    out = 0
+    for b in range(64):
+        votes = sum((v >> b) & 1 for v in h)
+        if votes * 2 > n:
+            out |= 1 << b
+    return out
+
+
+def shingles(text: str, k: int = 3) -> list[int]:
+    """k-gram shingle hashes (dedup._shingle_flat semantics): shingle at
+    token t = splitmix64(xor_{j<k} h[t+j]·(2j+1) mod 2^64); docs shorter
+    than k tokens are padded with EMPTY_TOKEN_HASH and yield exactly one
+    shingle."""
+    h = token_hashes(text)
+    n = len(h)
+    if n >= k:
+        out = []
+        for t in range(n - k + 1):
+            acc = 0
+            for j in range(k):
+                acc ^= (h[t + j] * (2 * j + 1)) & M64
+            out.append(sm64(acc))
+        return out
+    acc = 0
+    for j in range(n):
+        acc ^= (h[j] * (2 * j + 1)) & M64
+    for j in range(n, k):
+        acc ^= (EMPTY_TOKEN_HASH * (2 * j + 1)) & M64
+    return [sm64(acc)]
+
+
+def jaccard(a: str, b: str, k: int = 3):
+    sa, sb = set(shingles(a, k)), set(shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def _fold61(v: int) -> int:
+    """The engine's double Mersenne carry-fold (NOT a true mod: 2^61-1
+    stays 2^61-1) — replayed exactly."""
+    v = (v & _MERSENNE) + (v >> 61)
+    v = (v & _MERSENNE) + (v >> 61)
+    return v
+
+
+def minhash_signature(sh: list[int], a: list[int], b: list[int]) -> list[int]:
+    """One minhash value per permutation: min over shingles of
+    fold61(sh·a + b mod 2^64)."""
+    sig = []
+    for ai, bi in zip(a, b):
+        best = None
+        for s in sh:
+            v = _fold61((s * ai + bi) & M64)
+            if best is None or v < best:
+                best = v
+        sig.append(best)
+    return sig
+
+
+def band_hashes(sig: list[int], bands: int) -> list[int]:
+    """Band bucket keys, replaying MinHashStage.__call__: rows_per_band
+    == 1 → splitmix64(v); else splitmix64(xor_j splitmix64(v_j + j))."""
+    rpb = len(sig) // bands
+    out = []
+    for bi in range(bands):
+        block = sig[bi * rpb : (bi + 1) * rpb]
+        if rpb == 1:
+            out.append(sm64(block[0]))
+        else:
+            acc = 0
+            for j, v in enumerate(block):
+                acc ^= sm64((v + j) & M64)
+            out.append(sm64(acc))
+    return out
+
+
+def minhash_lsh_pairs_ref(
+    docs: list[tuple[int, str]],
+    threshold: float,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 512,
+) -> list[tuple[int, int, float]]:
+    """Full scalar replay of dedup.minhash_lsh_pairs: sign every doc,
+    bucket per band, candidate pairs from bucket collisions (sorted
+    unique ids, MAX_BUCKET-capped), exact Jaccard verify at threshold.
+    Permutation parameters come from the same deterministic generator
+    the engine stage seeds (the params are config, not data path)."""
+    import numpy as np  # parameters only — the engine seeds rng(1234)
+
+    rng = np.random.default_rng(1234)
+    a = [int(x) for x in rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)]
+    b = [int(x) for x in rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)]
+
+    sh_of = {did: shingles(text, shingle_k) for did, text in docs}
+    bh_of = {
+        did: band_hashes(minhash_signature(sh, a, b), bands) for did, sh in sh_of.items()
+    }
+    cand: set[tuple[int, int]] = set()
+    for band in range(bands):
+        buckets: dict[int, list[int]] = {}
+        for did, bhs in bh_of.items():
+            buckets.setdefault(bhs[band], []).append(did)
+        for ids in buckets.values():
+            ids = sorted(set(ids))[:max_bucket]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cand.add((ids[i], ids[j]))
+    texts = dict(docs)
+    out = []
+    for x, y in sorted(cand):
+        sa, sb = set(sh_of[x]), set(sh_of[y])
+        jac = 1.0 if (not sa and not sb) else len(sa & sb) / len(sa | sb)
+        jr = round(jac, 6)
+        if jr >= threshold:
+            out.append((x, y, jr))
+    return out
+
+
+def hll_estimate_ref(values: list[int], p: int = 12) -> float:
+    """Scalar HyperLogLog over int64 values: splitmix64 hash of the
+    two's-complement uint64 view, register = top p bits, rank = leading
+    zeros of the remaining bits (sentinel-bit bounded) + 1, standard
+    bias-corrected estimate with the small-range correction."""
+    import math
+
+    m = 1 << p
+    reg = [0] * m
+    for v in values:
+        h = sm64(v & M64)
+        idx = h >> (64 - p)
+        rest = ((h << p) & M64) | 1
+        lz = 0
+        cur = rest
+        for shift in (32, 16, 8, 4, 2, 1):
+            if cur < (1 << (64 - shift)):
+                lz += shift
+                cur = (cur << shift) & M64
+        rank = min(lz + 1, 64 - p + 1)
+        if rank > reg[idx]:
+            reg[idx] = rank
+    am = 0.7213 / (1 + 1.079 / m)
+    E = am * m * m / sum(2.0 ** (-r) for r in reg)
+    if E <= 2.5 * m:
+        zeros = reg.count(0)
+        if zeros:
+            return m * math.log(m / zeros)
+    return float(E)

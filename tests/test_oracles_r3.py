@@ -55,3 +55,100 @@ def test_r3_oracle_matches(ray_session, con, name):
 
     sql = e.oracle_sql()[name]
     _compare(name, QUERIES[name](SF), con.execute(sql).df())
+
+
+# -- hash family vs the independent scalar replays (sf-parameterized
+#    sidecar builders; oracle_sql() itself binds them at sf0.01) --------
+
+
+def test_fingerprint_oracle(ray_session, con):
+    from geotile.queries import QUERIES, _fingerprint_sql
+
+    _compare("fingerprint_docs", QUERIES["fingerprint_docs"](SF),
+             con.execute(_fingerprint_sql(SF)).df())
+
+
+def test_simhash_oracle(ray_session, con):
+    from geotile.queries import QUERIES, _simhash_sql
+
+    _compare("simhash_docs", QUERIES["simhash_docs"](SF),
+             con.execute(_simhash_sql(SF)).df())
+
+
+def test_minhash_pairs_oracle(ray_session, con):
+    from geotile.queries import QUERIES, _minhash_pairs_sql
+
+    _compare("minhash_pairs_docs", QUERIES["minhash_pairs_docs"](SF),
+             con.execute(_minhash_pairs_sql(SF)).df())
+
+
+def test_hll_oracle(ray_session, con):
+    from geotile.queries import QUERIES, _hll_sql
+
+    _compare("hll_distinct_users", QUERIES["hll_distinct_users"](SF),
+             con.execute(_hll_sql(SF)).df())
+
+
+def test_ivf_ann_oracle(ray_session, con):
+    from geotile.queries import _IVF_ANN_SQL, QUERIES
+
+    _compare("ivf_ann", QUERIES["ivf_ann"](SF), con.execute(_IVF_ANN_SQL).df())
+
+
+# -- kernel cross-checks: vectorized engine vs scalar reference on edge
+#    cases the fixture may not cover -----------------------------------
+
+EDGE_TEXTS = [
+    "",
+    " ",
+    "one",
+    "two words",
+    "the exact same sentence repeated here",
+    "a  b\t c\nd   ",
+    "unicode tøkens über ação 中文 词",
+    "x " * 200,
+]
+
+
+def test_scalar_ref_matches_vectorized_kernels(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from geotile import oracle_ref as ref
+    from geotile.ops.hashing import hashed_tokens, rolling_fingerprints
+    from geotile.ops.dedup import MinHashStage, _shingle_flat, simhash_batch
+
+    col = pa.array(EDGE_TEXTS, pa.string())
+    h, off = hashed_tokens(col)
+    for i, t in enumerate(EDGE_TEXTS):
+        assert h[off[i]:off[i + 1]].tolist() == ref.token_hashes(t), t
+
+    fps = rolling_fingerprints(h, off)
+    assert [int(v) for v in fps] == [ref.fingerprint(t) for t in EDGE_TEXTS]
+
+    sh, sh_off = _shingle_flat(h, off, 3)
+    for i, t in enumerate(EDGE_TEXTS):
+        assert sorted(sh[sh_off[i]:sh_off[i + 1]].tolist()) == sorted(ref.shingles(t, 3)), t
+
+    batch = pa.table({"doc_id": pa.array(range(len(EDGE_TEXTS)), pa.int64()), "text": col})
+    sim = simhash_batch(batch)["simhash"].to_numpy().view(np.uint64)
+    assert [int(v) for v in sim] == [ref.simhash(t) for t in EDGE_TEXTS]
+
+    stage = MinHashStage(64, 16, 3)
+    sigs = stage.signatures(col)
+    a = [int(x) for x in stage.a]
+    b = [int(x) for x in stage.b]
+    for i, t in enumerate(EDGE_TEXTS):
+        assert sigs[i].tolist() == ref.minhash_signature(ref.shingles(t, 3), a, b), t
+
+
+def test_scalar_hll_matches_engine(ray_session):
+    import numpy as np
+
+    from geotile.oracle_ref import hll_estimate_ref
+    from geotile.ops.sketch import HLL
+    from geotile.synth import splitmix64
+
+    vals = (np.arange(5000, dtype=np.int64) * 7919 - 1000).tolist()
+    eng = HLL(12).add_hashes(splitmix64(np.asarray(vals, np.int64).view(np.uint64)))
+    assert int(round(eng.estimate())) == int(round(hll_estimate_ref(vals, 12)))
