@@ -55,15 +55,14 @@ def discs_batch(lons: np.ndarray, lats: np.ndarray, radius_m: float, steps: int 
     return np.concatenate([ring, ring[:, :1, :]], axis=1)
 
 
-def buffer_polyline(
-    lines: list[np.ndarray],
-    radius_m: float,
-    cells_per_radius: int = 8,
-    simplify: bool = True,
-) -> list[tuple[np.ndarray, list[np.ndarray]]]:
-    """Buffer one or more polylines ((m,2) lon/lat arrays, treated as one
-    feature — e.g. a MultiLineString route) by ``radius_m``. Returns
-    [(outer_ring, [holes])] in lon/lat."""
+def buffer_raster(
+    lines: list[np.ndarray], radius_m: float, cells_per_radius: int = 8
+) -> tuple[np.ndarray, Grid, list[np.ndarray], float, float, float, float]:
+    """The raster-buffer internals: local meter frame, grid, and the
+    per-pixel distance mask. Returns (mask, grid, metric_lines, lon0,
+    lat0, mx, my) — exposed so the oracle stats path (pixel count /
+    window-area / Euler replayed in SQL) sees exactly what
+    ``buffer_polyline`` rasterizes."""
     allpts = np.vstack([np.asarray(l, dtype=np.float64) for l in lines])
     lat0 = float(allpts[:, 1].mean())
     lon0 = float(allpts[:, 0].mean())
@@ -86,6 +85,22 @@ def buffer_polyline(
     mask = np.zeros((grid.ny, grid.nx), dtype=bool)
     for ml in metric:
         mask |= distance_mask(ml, radius_m, grid)
+    return mask, grid, metric, lon0, lat0, mx, my
+
+
+def buffer_polyline(
+    lines: list[np.ndarray],
+    radius_m: float,
+    cells_per_radius: int = 8,
+    simplify: bool = True,
+) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """Buffer one or more polylines ((m,2) lon/lat arrays, treated as one
+    feature — e.g. a MultiLineString route) by ``radius_m``. Returns
+    [(outer_ring, [holes])] in lon/lat."""
+    mask, grid, _metric, lon0, lat0, mx, my = buffer_raster(
+        lines, radius_m, cells_per_radius
+    )
+    step = grid.step
     polys = mask_to_polygons(mask, grid)
     out: list[tuple[np.ndarray, list[np.ndarray]]] = []
     for outer, holes in polys:

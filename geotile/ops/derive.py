@@ -88,17 +88,14 @@ def buffer_feature(f: dict, radius_m: float, cells_per_radius: int = 8) -> dict:
     )
 
 
-def dissolve_features(feats: list[dict], agency_name: str | None,
-                      cell_m: float = 50.0) -> list[dict]:
-    """Union all polygon features (reference unionGeojson,
-    src/lib/geojson-utils.ts:159-170; single feature passes through).
-    Raster union on a shared local-meter grid → one Polygon feature per
-    disjoint region, each carrying only {agency_name} — matching the
-    examples/stops-dissolved.geojson shape (47 disjoint polygons)."""
-    if len(feats) == 1:
-        out = dict(feats[0])
-        out["properties"] = {**(out.get("properties") or {}), "agency_name": agency_name}
-        return [out]
+def dissolve_raster(
+    feats: list[dict], cell_m: float = 50.0
+) -> tuple[np.ndarray, Grid, list[list[np.ndarray]], float, float, float, float]:
+    """The raster-union internals of ``dissolve_features``: shared local
+    meter frame, per-feature metric rings, and the even-odd-filled OR
+    mask. Returns (mask, grid, metric_rings_per_feat, lon0, lat0, mx,
+    my) — exposed so the oracle stats path (pixel count / window-area /
+    Euler replayed in SQL) sees exactly what the dissolve rasterizes."""
     rings_per_feat: list[list[np.ndarray]] = []
     for f in feats:
         g = f["geometry"]
@@ -125,6 +122,21 @@ def dissolve_features(feats: list[dict], agency_name: str | None,
     mask = np.zeros((grid.ny, grid.nx), dtype=bool)
     for rs in metric:
         mask |= polygon_mask(rs, grid)
+    return mask, grid, metric, lon0, lat0, mx, my
+
+
+def dissolve_features(feats: list[dict], agency_name: str | None,
+                      cell_m: float = 50.0) -> list[dict]:
+    """Union all polygon features (reference unionGeojson,
+    src/lib/geojson-utils.ts:159-170; single feature passes through).
+    Raster union on a shared local-meter grid → one Polygon feature per
+    disjoint region, each carrying only {agency_name} — matching the
+    examples/stops-dissolved.geojson shape (47 disjoint polygons)."""
+    if len(feats) == 1:
+        out = dict(feats[0])
+        out["properties"] = {**(out.get("properties") or {}), "agency_name": agency_name}
+        return [out]
+    mask, grid, metric, lon0, lat0, mx, my = dissolve_raster(feats, cell_m)
     out = []
     for outer, holes in mask_to_polygons(mask, grid):
         coords = [_back(outer, lon0, lat0, mx, my)] + [_back(h, lon0, lat0, mx, my) for h in holes]

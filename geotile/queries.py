@@ -853,22 +853,50 @@ def q_route_feature_collections(sf_dir: str):
     return fcs.select_columns(["route_id", "n_tiles"])
 
 
+def _ring_stats(rings: list, unit: float) -> tuple[int, int]:
+    """(area_octo, euler) of a traced ring set: signed shoelace (rings
+    translated to their first vertex first — raw corridor-scale
+    coordinates would lose the exact 1/8-cell lattice to cancellation)
+    summed over outers (+) and holes (−), scaled to eighth-cells;
+    euler = #outer rings − #hole rings. Both derive from the traced
+    CONTOURS while the SQL side derives them from window CASES — a
+    marching-squares bug cannot cancel out of both."""
+    from geotile.geom.pip import signed_area
+
+    total = 0.0
+    n_pos = n_neg = 0
+    for r in rings:
+        a = np.asarray(r, dtype=np.float64)
+        s = signed_area(a - a[0])
+        total += s
+        if s > 0:
+            n_pos += 1
+        elif s < 0:
+            n_neg += 1
+    return int(round(total / (unit / 8.0))), n_pos - n_neg
+
+
 def q_tile_dissolve(sf_dir: str):
-    """Distributed raster↔vector dissolve of all tile footprints:
-    returns per-polygon vertex count + area (rows-only; the covered-cell
-    set is oracle-checked in tests/test_join.py)."""
-    from geotile.ops.join import dissolve_tile_footprints
+    """Distributed raster↔vector dissolve of all tile footprints,
+    summarized by three independently-derived invariants the DuckDB
+    oracle replays from the footprint geometry alone: covered-cell
+    count, total polygon area in exact eighth-cell units (marching
+    squares preserves Σ case-area exactly), and the Euler number
+    (#polygons − #holes == (Q1 − Q3 + 2·Q_diag)/4 for the 4-connected
+    saddle convention). Per-polygon ring detail stays golden-tested in
+    tests/test_join.py."""
+    from geotile.geom import cells as cellmod
+    from geotile.ops.join import DEFAULT_JOIN_RES, dissolve_tile_footprints
     from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
 
     ds = read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS)
-    _, polys = dissolve_tile_footprints(ds)
+    covered, polys = dissolve_tile_footprints(ds)
+    n_cells = covered.count()
+    dlon, dlat = cellmod.cell_size_degrees(DEFAULT_JOIN_RES)
+    rings = [o for o, _ in polys] + [h for _, hs in polys for h in hs]
+    area_octo, euler = _ring_stats(rings, dlon * dlat)
     return pd.DataFrame(
-        {
-            "poly_idx": range(len(polys)),
-            "n_vertices": [len(o) for o, _ in polys],
-            "n_holes": [len(h) for _, h in polys],
-            "area_e9": [int(round(_shoelace(o) * 1e9)) for o, _ in polys],
-        }
+        {"n_cells": [int(n_cells)], "area_octo": [area_octo], "euler": [euler]}
     )
 
 
@@ -917,36 +945,80 @@ def _shoelace(ring) -> float:
     return 0.5 * abs(float(np.sum(a[:-1, 0] * a[1:, 1] - a[1:, 0] * a[:-1, 1])))
 
 
-def q_gtfs_buffer_stats(sf_dir: str):
-    """G1/G2 buffers summarized: per-route ring size + area (rows-only)."""
-    from geotile.config import PipelineConfig
-    from geotile.formats import fmt_lines_buffer
+def _route_line_parts(ctx) -> dict[str, list[np.ndarray]]:
+    """route_id → raw centerline parts from the fixture's line features
+    (the exact arrays fmt_lines_buffer buffers)."""
+    from geotile.ops.lines import route_lines
 
-    gj = fmt_lines_buffer(_fixture_ctx(), PipelineConfig(coordinate_precision=5), {})
+    out: dict[str, list[np.ndarray]] = {}
+    for f in route_lines(ctx, {}) or []:
+        g = f["geometry"]
+        parts = [g["coordinates"]] if g["type"] == "LineString" else g["coordinates"]
+        out[f["properties"]["route_id"]] = [np.asarray(p, np.float64) for p in parts]
+    return out
+
+
+def q_gtfs_buffer_stats(sf_dir: str):
+    """G1 line buffers with a full raster replay oracle: per route, the
+    distance-mask pixel count, exact eighth-cell polygon area, and
+    Euler number — the DuckDB side re-derives the SAME filled pixel set
+    from the centerline segments (clamped point-to-segment distance ≤ r
+    in identical IEEE order) and the area/Euler from window cases, so a
+    bug anywhere in distance_mask / trace_mask flips a value."""
+    from geotile.config import PipelineConfig
+    from geotile.geom.buffer import buffer_raster
+    from geotile.geom.raster import trace_mask
+
+    ctx = _fixture_ctx()
+    cfg = PipelineConfig()
+    parts_by_route = _route_line_parts(ctx)
     rows = []
-    for f in gj["features"]:
-        outer = f["geometry"]["coordinates"][0]
+    for rid in sorted(parts_by_route):
+        lines = parts_by_route[rid]
+        mask, grid, _m, _lon0, _lat0, _mx, _my = buffer_raster(
+            lines, cfg.buffer_size_meters, cfg.raster_cells_per_radius
+        )
+        area_octo, euler = _ring_stats(trace_mask(mask, grid), grid.step * grid.step)
         rows.append(
-            {
-                "route_id": f["properties"]["route_id"],
-                "n_ring_points": len(outer),
-                "area_e9": int(round(_shoelace(outer) * 1e9)),
-            }
+            {"route_id": rid, "n_pixels": int(mask.sum()),
+             "area_octo": area_octo, "euler": euler}
         )
     return pd.DataFrame(rows)
 
 
-def q_gtfs_dissolved_stats(sf_dir: str):
-    """G3 raster-union dissolve summarized (rows-only)."""
-    from geotile.config import PipelineConfig
-    from geotile.formats import fmt_stops_dissolved
+def _dissolved_input_feats(ctx, cfg):
+    """The simplified buffered stop discs fmt_stops_dissolved feeds into
+    the raster union (buffer → simplify, reference order preserved)."""
+    from geotile.formats import _simplify
+    from geotile.ops.derive import buffer_feature
+    from geotile.ops.stops import stop_features
 
-    gj = fmt_stops_dissolved(_fixture_ctx(), PipelineConfig(coordinate_precision=5), {})
-    rows = [
-        {"poly_idx": i, "area_e9": int(round(_shoelace(f["geometry"]["coordinates"][0]) * 1e9))}
-        for i, f in enumerate(gj["features"])
+    buffered = [
+        buffer_feature(f, cfg.buffer_size_meters, cfg.raster_cells_per_radius)
+        for f in stop_features(ctx, {})
     ]
-    return pd.DataFrame(rows)
+    return _simplify({"type": "FeatureCollection", "features": buffered}, cfg)["features"]
+
+
+def q_gtfs_dissolved_stats(sf_dir: str):
+    """G3 raster-union dissolve with a full scanline replay oracle: the
+    DuckDB side re-fills the SAME pixel grid from the disc-edge sidecar
+    (even-odd parity, identical IEEE crossing arithmetic) and re-derives
+    area/Euler from window cases; the engine derives them from the
+    traced contours."""
+    from geotile.config import PipelineConfig
+    from geotile.geom.raster import trace_mask
+    from geotile.ops.derive import dissolve_raster
+
+    ctx = _fixture_ctx()
+    cfg = PipelineConfig(coordinate_precision=5)
+    feats = _dissolved_input_feats(ctx, cfg)
+    cell_m = cfg.buffer_size_meters / cfg.raster_cells_per_radius
+    mask, grid, _metric, _lon0, _lat0, _mx, _my = dissolve_raster(feats, cell_m)
+    area_octo, euler = _ring_stats(trace_mask(mask, grid), grid.step * grid.step)
+    return pd.DataFrame(
+        {"n_pixels": [int(mask.sum())], "area_octo": [area_octo], "euler": [euler]}
+    )
 
 
 def q_doc_quality(sf_dir: str):
@@ -1487,6 +1559,7 @@ def tile_oracle_sql(sf_dir: str) -> dict[str, str]:
         "tile_cell_counts": cell_counts,
         "route_feature_collections": route_fcs,
         "tile_knn": knn,
+        "tile_dissolve": _tile_dissolve_sql(img),
     }
 
 
@@ -1506,6 +1579,8 @@ def oracle_sql() -> dict[str, str]:
     out["gtfs_envelope"] = _gtfs_envelope_sql()
     out["gtfs_line_features"] = _gtfs_line_features_sql()
     out["gtfs_convex_hull"] = _gtfs_convex_hull_sql()
+    out["gtfs_buffer_stats"] = _gtfs_buffer_stats_sql()
+    out["gtfs_dissolved_stats"] = _gtfs_dissolved_stats_sql()
     sf01 = "/root/testdata/sf0.01"
     out["fingerprint_docs"] = _fingerprint_sql(sf01)
     out["simhash_docs"] = _simhash_sql(sf01)
@@ -1777,11 +1852,35 @@ def q_tile_covered_cells(sf_dir: str):
 QUERIES["tile_covered_cells"] = q_tile_covered_cells
 
 
-def _covered_cells_sql(img: str) -> str:
-    """SQL replay of _footprint_cells: the footprint quad's integer cell
-    bbox (spans ≤ 2×2 at res 18 for 100 m tiles), via the 4 corner
-    cells, DISTINCT over all tiles. Constants mirror synth.tile_footprints
-    / cells.cell_size_degrees bit-for-bit."""
+_WINDOW_STATS_SQL = """
+        anchors AS (
+            SELECT cov.ix - d.dx AS gx, cov.iy - d.dy AS gy, d.bit AS bit
+            FROM cov, (VALUES (0,0,1),(1,0,2),(1,1,4),(0,1,8)) d(dx,dy,bit)
+        ),
+        cases AS (
+            SELECT gx, gy, bit_or(bit) AS c FROM anchors GROUP BY gx, gy
+        ),
+        w AS (
+            SELECT CASE WHEN c IN (1,2,4,8) THEN 1 WHEN c IN (3,6,9,12) THEN 4
+                        WHEN c IN (5,10) THEN 2 WHEN c IN (7,11,13,14) THEN 7
+                        ELSE 8 END AS a8,
+                   CASE WHEN c IN (1,2,4,8) THEN 1 ELSE 0 END AS q1,
+                   CASE WHEN c IN (7,11,13,14) THEN 1 ELSE 0 END AS q3,
+                   CASE WHEN c IN (5,10) THEN 1 ELSE 0 END AS qd
+            FROM cases
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cov) AS {count_col},
+               CAST(sum(a8) AS BIGINT) AS area_octo,
+               CAST((sum(q1) - sum(q3) + 2 * sum(qd)) // 4 AS BIGINT) AS euler
+        FROM w
+"""
+
+
+def _covered_ixy_cte(img: str) -> str:
+    """WITH-fragment producing ``cov(ix, iy)`` — the DISTINCT integer
+    cell coordinates any tile footprint touches; SQL replay of
+    _footprint_cells (constants mirror synth.tile_footprints /
+    cells.cell_size_degrees bit-for-bit)."""
     from geotile.geom import cells as cellmod
     from geotile.ops.join import DEFAULT_JOIN_RES
     from geotile.synth import TILE_SIDE_M
@@ -1796,11 +1895,8 @@ def _covered_cells_sql(img: str) -> str:
     def q(expr, off, step):
         return f"CAST(floor((({expr}) + {off}) / {step!r}) AS BIGINT)"
 
-    cell = (
-        f"(({_sql_spread('ix')} | ({_sql_spread('iy')} << 1)) | {res << 58})"
-    )
     return f"""
-        WITH pts AS (SELECT lon, lat FROM read_parquet('{img}/part-*.parquet')),
+        pts AS (SELECT lon, lat FROM read_parquet('{img}/part-*.parquet')),
         c AS (
             SELECT {q(f'lon - ({hw_lon!r})', '180.0', dlon)} AS x0,
                    {q(f'lon + ({hw_lon!r})', '180.0', dlon)} AS x1,
@@ -1808,14 +1904,37 @@ def _covered_cells_sql(img: str) -> str:
                    {q(f'lat + ({hw_lat!r})', '90.0', dlat)} AS y1
             FROM pts
         ),
-        corners AS (
+        cov AS (
             -- full integer bbox: a 100 m tile spans up to 2 cells in lon
             -- but up to 3 in lat (res-18 lat cells are ~76 m)
-            SELECT x0 + dx.v AS ix, y0 + dy.v AS iy
+            SELECT DISTINCT x0 + dx.v AS ix, y0 + dy.v AS iy
             FROM c, (VALUES (0),(1),(2)) dx(v), (VALUES (0),(1),(2)) dy(v)
             WHERE x0 + dx.v <= x1 AND y0 + dy.v <= y1
-        )
-        SELECT DISTINCT {cell} AS cell FROM corners
+        )"""
+
+
+def _covered_cells_sql(img: str) -> str:
+    """Packed DISTINCT cell ids from the covered-(ix,iy) CTE."""
+    from geotile.ops.join import DEFAULT_JOIN_RES
+
+    cell = (
+        f"(({_sql_spread('ix')} | ({_sql_spread('iy')} << 1)) | {DEFAULT_JOIN_RES << 58})"
+    )
+    return f"""
+        WITH {_covered_ixy_cte(img)}
+        SELECT DISTINCT {cell} AS cell FROM cov
+    """
+
+
+def _tile_dissolve_sql(img: str) -> str:
+    """Dissolve invariants replayed from geometry alone: covered-cell
+    count + marching-squares window-case area (exact eighth-cells) +
+    Euler number (Q1 − Q3 + 2·Q_diag)/4 — the engine derives the same
+    three numbers from the traced contours instead."""
+    stats = _WINDOW_STATS_SQL.format(count_col="n_cells")
+    return f"""
+        WITH {_covered_ixy_cte(img)},
+        {stats}
     """
 
 
@@ -1946,6 +2065,211 @@ def _gtfs_convex_hull_sql() -> str:
         SELECT CAST(idx AS BIGINT) AS idx, lon, lat FROM ring
         UNION ALL
         SELECT (SELECT count(*) FROM ring), lon, lat FROM ring WHERE idx = 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# raster replay sidecars + SQL (buffer / dissolve): the DuckDB side
+# re-derives the filled pixel set from geometry with the engine's exact
+# IEEE arithmetic, then computes area/Euler from window cases while the
+# engine computes them from the traced contours
+# ---------------------------------------------------------------------------
+
+def _buffer_segments_sidecar() -> str:
+    """Per-route centerline segments in the buffer's metric frame plus
+    the integer pixel windows distance_mask scans (same float ops), and
+    the grid origin. Content-keyed on the geometry digest."""
+    p = _oracle_cache_dir() / f"oracle_buffer_segments_{_geom_digest()}.parquet"
+    if not p.exists():
+        from geotile.config import PipelineConfig
+        from geotile.geom.buffer import buffer_raster
+
+        ctx = _fixture_ctx()
+        cfg = PipelineConfig()
+        r = cfg.buffer_size_meters
+        cols = {k: [] for k in ("route_id", "ax", "ay", "dx", "dy", "l2",
+                                "i0", "i1", "j0", "j1", "x0", "y0")}
+        parts_by_route = _route_line_parts(ctx)
+        for rid in sorted(parts_by_route):
+            _mask, grid, metric, _l0, _a0, _mx, _my = buffer_raster(
+                parts_by_route[rid], r, cfg.raster_cells_per_radius
+            )
+            for ml in metric:
+                segs = (
+                    list(zip(ml[:-1], ml[1:])) if len(ml) > 1 else [(ml[0], ml[0])]
+                )
+                for a, b in segs:
+                    # the same window math as raster.distance_mask
+                    xmin = min(a[0], b[0]) - r
+                    xmax = max(a[0], b[0]) + r
+                    ymin = min(a[1], b[1]) - r
+                    ymax = max(a[1], b[1]) + r
+                    i0 = max(0, int(np.floor((xmin - grid.x0) / grid.step - 0.5)))
+                    i1 = min(grid.nx, int(np.ceil((xmax - grid.x0) / grid.step + 0.5)))
+                    j0 = max(0, int(np.floor((ymin - grid.y0) / grid.step - 0.5)))
+                    j1 = min(grid.ny, int(np.ceil((ymax - grid.y0) / grid.step + 0.5)))
+                    dx, dy = b[0] - a[0], b[1] - a[1]
+                    cols["route_id"].append(rid)
+                    cols["ax"].append(float(a[0]))
+                    cols["ay"].append(float(a[1]))
+                    cols["dx"].append(float(dx))
+                    cols["dy"].append(float(dy))
+                    cols["l2"].append(float(dx * dx + dy * dy))
+                    cols["i0"].append(i0)
+                    cols["i1"].append(i1)
+                    cols["j0"].append(j0)
+                    cols["j1"].append(j1)
+                    cols["x0"].append(grid.x0)
+                    cols["y0"].append(grid.y0)
+        t = pa.table(
+            {
+                "route_id": pa.array(cols["route_id"], pa.string()),
+                **{k: pa.array(cols[k], pa.float64())
+                   for k in ("ax", "ay", "dx", "dy", "l2", "x0", "y0")},
+                **{k: pa.array(cols[k], pa.int64()) for k in ("i0", "i1", "j0", "j1")},
+            }
+        )
+        _atomic_write_table(t, p)
+    return str(p)
+
+
+def _gtfs_buffer_stats_sql() -> str:
+    import pyarrow.parquet as pq
+
+    from geotile.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    step = cfg.buffer_size_meters / cfg.raster_cells_per_radius
+    r2 = cfg.buffer_size_meters * cfg.buffer_size_meters
+    segs = _buffer_segments_sidecar()
+    # DuckDB 1.0 can't take lateral column params in generate_series —
+    # join a static 0..max offset table with range predicates instead
+    st = pq.read_table(segs, columns=["i0", "i1", "j0", "j1"])
+    wmax = int(pc.max(pc.subtract(st["i1"], st["i0"])).as_py() or 1)
+    hmax = int(pc.max(pc.subtract(st["j1"], st["j0"])).as_py() or 1)
+    return f"""
+        WITH segs AS (SELECT * FROM read_parquet('{segs}')),
+        xr AS (SELECT CAST(a AS BIGINT) AS v FROM generate_series(0, {wmax - 1}) t(a)),
+        yr AS (SELECT CAST(a AS BIGINT) AS v FROM generate_series(0, {hmax - 1}) t(a)),
+        hits AS (
+            SELECT DISTINCT s.route_id, s.i0 + xr.v AS ix, s.j0 + yr.v AS iy
+            FROM segs s
+            JOIN xr ON xr.v < s.i1 - s.i0
+            JOIN yr ON yr.v < s.j1 - s.j0,
+                 LATERAL (SELECT s.x0 + ((s.i0 + xr.v) + 0.5) * {step!r} AS px,
+                                 s.y0 + ((s.j0 + yr.v) + 0.5) * {step!r} AS py) p,
+                 LATERAL (SELECT CASE WHEN s.l2 = 0.0 THEN 0.0
+                          ELSE least(greatest(
+                              ((p.px - s.ax) * s.dx + (p.py - s.ay) * s.dy) / s.l2,
+                              0.0), 1.0) END AS t) tt
+            WHERE (p.px - (s.ax + tt.t * s.dx)) * (p.px - (s.ax + tt.t * s.dx))
+                + (p.py - (s.ay + tt.t * s.dy)) * (p.py - (s.ay + tt.t * s.dy))
+                <= {r2!r}
+        ),
+        anchors AS (
+            SELECT h.route_id, h.ix - d.dx AS gx, h.iy - d.dy AS gy, d.bit AS bit
+            FROM hits h, (VALUES (0,0,1),(1,0,2),(1,1,4),(0,1,8)) d(dx,dy,bit)
+        ),
+        cases AS (
+            SELECT route_id, gx, gy, bit_or(bit) AS c FROM anchors GROUP BY 1, 2, 3
+        ),
+        w AS (
+            SELECT route_id,
+                   CASE WHEN c IN (1,2,4,8) THEN 1 WHEN c IN (3,6,9,12) THEN 4
+                        WHEN c IN (5,10) THEN 2 WHEN c IN (7,11,13,14) THEN 7
+                        ELSE 8 END AS a8,
+                   CASE WHEN c IN (1,2,4,8) THEN 1 ELSE 0 END AS q1,
+                   CASE WHEN c IN (7,11,13,14) THEN 1 ELSE 0 END AS q3,
+                   CASE WHEN c IN (5,10) THEN 1 ELSE 0 END AS qd
+            FROM cases
+        ),
+        px AS (SELECT route_id, count(*) AS n FROM hits GROUP BY 1)
+        SELECT w.route_id, CAST(any_value(px.n) AS BIGINT) AS n_pixels,
+               CAST(sum(w.a8) AS BIGINT) AS area_octo,
+               CAST((sum(w.q1) - sum(w.q3) + 2 * sum(w.qd)) // 4 AS BIGINT) AS euler
+        FROM w JOIN px USING (route_id)
+        GROUP BY w.route_id
+    """
+
+
+def _dissolve_edges_sidecar() -> str:
+    """Per-feature polygon edges of the simplified buffered stop discs
+    in the dissolve's shared metric frame, plus per-feature integer
+    pixel windows and the grid origin. Content-keyed."""
+    p = _oracle_cache_dir() / f"oracle_dissolve_edges_{_geom_digest()}.parquet"
+    if not p.exists():
+        from geotile.config import PipelineConfig
+        from geotile.ops.derive import dissolve_raster
+
+        ctx = _fixture_ctx()
+        cfg = PipelineConfig(coordinate_precision=5)
+        cell_m = cfg.buffer_size_meters / cfg.raster_cells_per_radius
+        feats = _dissolved_input_feats(ctx, cfg)
+        _mask, grid, metric, _l0, _a0, _mx, _my = dissolve_raster(feats, cell_m)
+        cols = {k: [] for k in ("fid", "x1", "y1", "x2", "y2",
+                                "fi0", "fi1", "fj0", "fj1", "x0", "y0")}
+        for fid, rings in enumerate(metric):
+            allp = np.vstack(rings)
+            # pixel centers possibly inside the feature's bbox (±1 margin
+            # is harmless: outside the ring the parity is even)
+            fi0 = max(0, int(np.floor((allp[:, 0].min() - grid.x0) / grid.step - 0.5)) - 1)
+            fi1 = min(grid.nx - 1, int(np.ceil((allp[:, 0].max() - grid.x0) / grid.step)) + 1)
+            fj0 = max(0, int(np.floor((allp[:, 1].min() - grid.y0) / grid.step - 0.5)) - 1)
+            fj1 = min(grid.ny - 1, int(np.ceil((allp[:, 1].max() - grid.y0) / grid.step)) + 1)
+            for ring in rings:
+                rr = np.asarray(ring, np.float64)
+                if len(rr) < 3:
+                    continue
+                if not (rr[0] == rr[-1]).all():
+                    rr = np.vstack([rr, rr[:1]])
+                n_e = len(rr) - 1
+                cols["fid"].append(np.full(n_e, fid, dtype=np.int64))
+                cols["x1"].append(rr[:-1, 0])
+                cols["y1"].append(rr[:-1, 1])
+                cols["x2"].append(rr[1:, 0])
+                cols["y2"].append(rr[1:, 1])
+                for k, v in (("fi0", fi0), ("fi1", fi1), ("fj0", fj0), ("fj1", fj1)):
+                    cols[k].append(np.full(n_e, v, dtype=np.int64))
+                cols["x0"].append(np.full(n_e, grid.x0))
+                cols["y0"].append(np.full(n_e, grid.y0))
+        t = pa.table({k: pa.array(np.concatenate(v)) for k, v in cols.items()})
+        _atomic_write_table(t, p)
+    return str(p)
+
+
+def _gtfs_dissolved_stats_sql() -> str:
+    import pyarrow.parquet as pq
+
+    from geotile.config import PipelineConfig
+
+    cfg = PipelineConfig(coordinate_precision=5)
+    step = cfg.buffer_size_meters / cfg.raster_cells_per_radius
+    edges = _dissolve_edges_sidecar()
+    et = pq.read_table(edges, columns=["fi0", "fi1", "fj0", "fj1"])
+    wmax = int(pc.max(pc.subtract(et["fi1"], et["fi0"])).as_py() or 1)
+    hmax = int(pc.max(pc.subtract(et["fj1"], et["fj0"])).as_py() or 1)
+    stats = _WINDOW_STATS_SQL.format(count_col="n_pixels")
+    return f"""
+        WITH e AS (SELECT * FROM read_parquet('{edges}')),
+        f AS (SELECT DISTINCT fid, fi0, fi1, fj0, fj1, x0, y0 FROM e),
+        xr AS (SELECT CAST(a AS BIGINT) AS v FROM generate_series(0, {wmax}) t(a)),
+        yr AS (SELECT CAST(a AS BIGINT) AS v FROM generate_series(0, {hmax}) t(a)),
+        cov AS (
+            SELECT DISTINCT ix, iy FROM (
+                SELECT ff.fid, ff.fi0 + xr.v AS ix, ff.fj0 + yr.v AS iy
+                FROM f ff
+                JOIN xr ON xr.v <= ff.fi1 - ff.fi0
+                JOIN yr ON yr.v <= ff.fj1 - ff.fj0,
+                     LATERAL (SELECT ff.x0 + ((ff.fi0 + xr.v) + 0.5) * {step!r} AS px,
+                                     ff.y0 + ((ff.fj0 + yr.v) + 0.5) * {step!r} AS py) p
+                JOIN e ON e.fid = ff.fid
+                 AND ((e.y1 <= p.py AND p.py < e.y2) OR (e.y2 <= p.py AND p.py < e.y1))
+                 AND e.x1 + (p.py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1) <= p.px
+                GROUP BY ff.fid, ix, iy
+                HAVING count(*) % 2 = 1
+            )
+        ),
+        {stats}
     """
 
 

@@ -95,6 +95,30 @@ def test_ivf_ann_oracle(ray_session, con):
     _compare("ivf_ann", QUERIES["ivf_ann"](SF), con.execute(_IVF_ANN_SQL).df())
 
 
+# -- raster replays: filled-pixel set + window-case area/Euler ----------
+
+
+def test_tile_dissolve_oracle(ray_session, con):
+    from geotile.queries import QUERIES, tile_oracle_sql
+
+    sql = tile_oracle_sql(SF)["tile_dissolve"]
+    _compare("tile_dissolve", QUERIES["tile_dissolve"](SF), con.execute(sql).df())
+
+
+def test_gtfs_buffer_stats_oracle(ray_session, con):
+    from geotile.queries import QUERIES, _gtfs_buffer_stats_sql
+
+    _compare("gtfs_buffer_stats", QUERIES["gtfs_buffer_stats"](SF),
+             con.execute(_gtfs_buffer_stats_sql()).df())
+
+
+def test_gtfs_dissolved_stats_oracle(ray_session, con):
+    from geotile.queries import QUERIES, _gtfs_dissolved_stats_sql
+
+    _compare("gtfs_dissolved_stats", QUERIES["gtfs_dissolved_stats"](SF),
+             con.execute(_gtfs_dissolved_stats_sql()).df())
+
+
 # -- kernel cross-checks: vectorized engine vs scalar reference on edge
 #    cases the fixture may not cover -----------------------------------
 
