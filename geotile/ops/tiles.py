@@ -99,17 +99,24 @@ class ImageDecodeStage:
         hs = batch["h"].to_pylist()
         payloads = batch["bytes"].to_pylist()
         phash_stored = np.asarray(batch["phash"].to_pylist(), dtype=np.int64)
-        px = np.stack(
-            [self.decoders[f](b, w, h) for f, b, w, h in zip(fmts, payloads, ws, hs)]
-        )
-        ph = phash_from_pixels(px)
-        ok = ph == phash_stored
-        if self.verify:
-            idx = image_index(np.asarray(ids))
-            expect = pixel_pattern(idx.astype(np.uint64), ws[0], hs[0])
-            pix_ok = (px == expect).all(axis=(1, 2, 3))
-            ok = ok & pix_ok
-        mean_rgb = px.astype(np.float64).mean(axis=(1, 2))
+        n = len(ids)
+        ok = np.zeros(n, dtype=bool)
+        mean_rgb = np.empty((n, 3), dtype=np.float64)
+        idx_all = image_index(np.asarray(ids)) if self.verify else None
+        # group rows by (w, h): batches are size-HETEROGENEOUS (mixed
+        # sizes in the table), so each group stacks and verifies against
+        # its own dimensions (VERDICT r2 'what's wrong' #2)
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (wi, hi) in enumerate(zip(ws, hs)):
+            groups.setdefault((wi, hi), []).append(i)
+        for (wi, hi), slots in groups.items():
+            px = np.stack([self.decoders[fmts[i]](payloads[i], wi, hi) for i in slots])
+            oks = phash_from_pixels(px) == phash_stored[slots]
+            if self.verify:
+                expect = pixel_pattern(idx_all[slots].astype(np.uint64), wi, hi)
+                oks = oks & (px == expect).all(axis=(1, 2, 3))
+            ok[slots] = oks
+            mean_rgb[slots] = px.astype(np.float64).mean(axis=(1, 2))
         return pa.table(
             {
                 "image_id": pa.array(ids, pa.string()),

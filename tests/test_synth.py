@@ -66,9 +66,18 @@ class TestImageTable:
     def test_phash_stable_and_discriminative(self):
         t = synth.make_image_batch(np.arange(64))
         ph = np.array(t["phash"].to_pylist())
-        px = synth.pixel_pattern(np.arange(64))
-        assert (synth.phash_from_pixels(px) == ph).all()
+        ws, hs = synth.image_size(np.arange(64))
+        for wi, hi in sorted(set(zip(ws.tolist(), hs.tolist()))):
+            m = (ws == wi) & (hs == hi)
+            px = synth.pixel_pattern(np.arange(64)[m], wi, hi)
+            assert (synth.phash_from_pixels(px) == ph[m]).all()
         assert len(np.unique(ph)) > 32  # mostly distinct patterns
+
+    def test_mixed_sizes_present(self):
+        """The table is size-heterogeneous by construction (decode
+        stages must group by (w, h))."""
+        t = synth.make_image_batch(np.arange(32))
+        assert len(set(t["w"].to_pylist())) > 1
 
     def test_image_index(self):
         ids = np.array(["img-00000042", "img-00012345", "img-00000000"])
