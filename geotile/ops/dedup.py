@@ -223,6 +223,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     concurrency=(1, 4),
+    max_broadcast_candidates: int = 65536,
 ) -> rd.Dataset:
     """documents(doc_id, text) → verified near-dup pairs
     (a, b, jaccard≥threshold). Candidates from band-bucket collisions;
@@ -250,56 +251,116 @@ def minhash_lsh_pairs(
     cand = band_rows.groupby("band").map_groups(_band_pairs, batch_format="pandas")
     # candidate pairs are dimension-scale by construction (MAX_BUCKET
     # caps per-bucket blow-up); dedup pairs that collided in many bands
-    cand_pairs = cand.to_pandas().drop_duplicates(subset=["a", "b"])
-    if not len(cand_pairs):
-        return rd.from_arrow(
-            pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
-            )
+    # with a groupby — the pair set never lands on the driver
+    cand_m = cand.materialize()  # snapshot: the signing pipeline runs once
+    n_cand = cand_m.count()
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    if n_cand == 0:
+        return rd.from_arrow(empty)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        js = np.round(
+            [jaccard(x, y, shingle_k)
+             for x, y in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())],
+            6,
         )
-    ids_ref = ray.put(
-        pa.array(np.unique(np.concatenate([cand_pairs["a"].to_numpy(), cand_pairs["b"].to_numpy()])))
-    )
-    # semi-join: read back ONLY candidate texts
-    texts_ref = ray.put(
-        {
-            r["doc_id"]: r["text"]
-            for r in ds.select_columns(["doc_id", "text"])
-            .map_batches(
-                lambda t: t.filter(pc.is_in(t["doc_id"], ray.get(ids_ref))),
-                batch_format="pyarrow",
+        out = pa.table(
+            {
+                "a": t["a"].cast(pa.int64()),
+                "b": t["b"].cast(pa.int64()),
+                "jaccard": pa.array(js, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(threshold)))
+
+    # dedup + verify, one of two ways (VERDICT r2 #3):
+    #   ≤ max_broadcast_candidates → pull the (16-byte-wide) candidate
+    #     pair rows once, dedupe driver-side, broadcast the candidate
+    #     texts once: one ray.put, bounded by the CAP, not the corpus or
+    #     the match count
+    #   > cap → distributed groupby dedup + candidate-ID semi-join +
+    #     bucketed co-partition joins: no driver pull or ray.put of row
+    #     DATA at all (the dup-heavy-corpus scale path)
+    if n_cand <= max_broadcast_candidates:
+        pair_tbl = (
+            pa.concat_tables([ray.get(r) for r in cand_m.to_arrow_refs()])
+            .select(["a", "b"])
+            .combine_chunks()
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+        n_pairs = pair_tbl.num_rows
+        ids_arr = pa.array(sorted(pc.unique(pa.concat_arrays(
+            [pair_tbl["a"].combine_chunks(), pair_tbl["b"].combine_chunks()]
+        )).to_pylist()))
+        ids_ref = ray.put(ids_arr)
+        texts_ref = ray.put(
+            {
+                r["doc_id"]: r["text"]
+                for r in ds.select_columns(["doc_id", "text"]).map_batches(
+                    lambda t: t.filter(pc.is_in(t["doc_id"], _cached_stage(
+                        ("minhash_ids", ids_ref.hex()), lambda: ray.get(ids_ref)))),
+                    batch_format="pyarrow",
+                ).take_all()
+            }
+        )
+
+        def attach_verify(t: pa.Table) -> pa.Table:
+            texts = _cached_stage(
+                ("minhash_texts", texts_ref.hex()), lambda: ray.get(texts_ref)
             )
-            .take_all()
-        }
+            t = t.append_column(
+                "text_a", pa.array([texts[x] for x in t["a"].to_pylist()], pa.string())
+            ).append_column(
+                "text_b", pa.array([texts[x] for x in t["b"].to_pylist()], pa.string())
+            )
+            return verify(t)
+
+        # slice the pair table into blocks driver-side so verification
+        # parallelizes without an extra repartition stage
+        n_blocks = int(min(64, max(1, n_pairs // 256)))
+        chunk = -(-n_pairs // n_blocks)
+        return rd.from_arrow(
+            [pair_tbl.slice(s, chunk) for s in range(0, n_pairs, chunk)]
+        ).map_batches(attach_verify, batch_format="pyarrow")
+
+    from geotile.ops.relational import bucketed_join
+
+    pairs = cand_m.groupby(["a", "b"]).count().map_batches(
+        # Arrow-normalize (groupby over pandas blocks emits pandas
+        # blocks; bucketed_join needs the Arrow schema for null padding)
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
     )
-
-    class Verify:
-        def __init__(self, ref):
-            self.texts = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            js = [jaccard(self.texts[a], self.texts[b], shingle_k)
-                  for a, b in zip(batch["a"], batch["b"])]
-            batch = batch.assign(jaccard=np.round(js, 6))
-            return batch[batch["jaccard"] >= threshold]
-
-    def verify_fn(batch: pd.DataFrame) -> pd.DataFrame:
-        return _cached_stage(
-            ("minhash_verify", texts_ref.hex()), lambda: Verify(texts_ref)
-        )(batch)
-
-    # from_pandas yields ONE block; re-split so the per-pair jaccard
-    # verification parallelizes instead of serializing on one worker
-    n_blocks = int(min(64, max(1, len(cand_pairs) // 256)))
-    pairs = (
-        rd.from_pandas(cand_pairs)
-        .repartition(n_blocks)
-        .map_batches(verify_fn, batch_format="pandas")
+    ids = pairs.map_batches(
+        lambda t: pa.table({"doc_id": pc.unique(pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        ))}),
+        batch_format="pyarrow",
+    ).unique("doc_id")
+    ids_ref = ray.put(pa.array(sorted(ids)))
+    docs_cand = ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], _cached_stage(
+            ("minhash_ids", ids_ref.hex()), lambda: ray.get(ids_ref)))),
+        batch_format="pyarrow",
     )
-    return pairs.map_batches(
-        lambda t: t.select(["a", "b", "jaccard"]), batch_format="pyarrow"
+    docs_a = docs_cand.map_batches(
+        lambda t: t.rename_columns(["a", "text_a"]), batch_format="pyarrow"
     )
+    docs_b = docs_cand.map_batches(
+        lambda t: t.rename_columns(["b", "text_b"]), batch_format="pyarrow"
+    )
+    j1 = bucketed_join(pairs, docs_a, "a", "a", n_buckets=8).map_batches(
+        # normalize the pandas map_groups blocks back to Arrow (the
+        # second bucketed_join reads the Arrow schema for null padding)
+        lambda t: t.select(["a", "b", "text_a"]), batch_format="pyarrow"
+    )
+    joined = bucketed_join(j1, docs_b, "b", "b", n_buckets=8)
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,16 @@ class TestDedup:
             a, b = sorted((rows[i]["doc_id"], 1000 + i))
             assert (a, b) in got, f"planted near-dup {a},{b} missed"
             assert jaccard(rows[i]["text"], rows[40 + i]["text"]) >= 0.5
+        # the bucketed-join verify path (dup-heavy-corpus scale route,
+        # taken when candidates exceed the broadcast cap) must emit the
+        # identical pair set
+        bucketed = minhash_lsh_pairs(
+            ds, threshold=0.5, max_broadcast_candidates=0
+        ).to_pandas()
+        assert (
+            sorted(zip(bucketed.a, bucketed.b, bucketed.jaccard))
+            == sorted(zip(pairs.a, pairs.b, pairs.jaccard))
+        )
 
     def test_simhash_pairs(self, ray_session):
         from geotile.ops.dedup import simhash_pairs
