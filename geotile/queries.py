@@ -377,22 +377,19 @@ def q_spatial_grid_join_docs(sf_dir: str):
 
 
 def q_anti_join_customers(sf_dir: str):
-    """Anti-join via broadcast keyset (ray_guide: 'semi/anti join:
-    broadcast the key set and filter inside map_batches'): customers
-    with NO large (>$350k) orders."""
+    """Anti-join with a size guard (VERDICT r2 #4): a small key set
+    broadcasts and filters inside map_batches; beyond the cap the
+    relational.anti_join helper falls back to the bucketed co-partition
+    path — driver memory never scales with the filter's selectivity."""
+    from geotile.ops.relational import anti_join
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     big = orders.map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 350000.0)).select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    keys = pa.array(sorted({r["o_custkey"] for r in big.take_all()}))
-    keys_ref = ray.put(keys)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-
-    def anti(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(pc.is_in(t["c_custkey"], _broadcast(keys_ref))))
-
-    return cust.map_batches(anti, batch_format="pyarrow")
+    return anti_join(cust, big, "c_custkey", "o_custkey")
 
 
 def q_sliding_window_events(sf_dir: str):

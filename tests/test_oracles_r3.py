@@ -176,3 +176,23 @@ def test_scalar_hll_matches_engine(ray_session):
     vals = (np.arange(5000, dtype=np.int64) * 7919 - 1000).tolist()
     eng = HLL(12).add_hashes(splitmix64(np.asarray(vals, np.int64).view(np.uint64)))
     assert int(round(eng.estimate())) == int(round(hll_estimate_ref(vals, 12)))
+
+
+def test_anti_join_bucketed_path_matches_broadcast(ray_session, con):
+    """The scale fallback (keyset over the broadcast cap) must produce
+    the identical anti-join result."""
+    import pyarrow.compute as pc
+
+    from geotile.ops.relational import anti_join
+    from geotile.queries import _read
+
+    orders = _read(SF, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 350000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    cust = _read(SF, "customer", ["c_custkey", "c_mktsegment"])
+    fast = anti_join(cust, big, "c_custkey", "o_custkey").to_pandas()
+    slow = anti_join(cust, big, "c_custkey", "o_custkey", max_broadcast_keys=0).to_pandas()
+    key = ["c_custkey", "c_mktsegment"]
+    assert sorted(map(tuple, fast[key].to_numpy())) == sorted(map(tuple, slow[key].to_numpy()))
