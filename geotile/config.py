@@ -55,6 +55,12 @@ class PipelineConfig:
     # injectable logger (reference config.logFunction,
     # src/lib/log-utils.ts:46-48); None → print when verbose
     log_function: object = None
+    # injectable feed fetcher for agency.url entries (the reference's
+    # downloadAndUnzip path, src/lib/gtfs-to-geojson.ts:287-295 /
+    # file-utils.ts): callable (url: str, agency_key: str) -> local path
+    # (feed dir or .zip). None → clear offline error when url configs
+    # are used (no network in this environment).
+    fetcher: object = None
     # engine knobs (no reference equivalent)
     cell_resolution: int = 15          # join cell resolution (see geom.cells)
     raster_cells_per_radius: int = 8   # raster resolution for buffer/dissolve

@@ -233,16 +233,21 @@ def run_pipeline(config: PipelineConfig) -> list[str]:
     written_dirs: list[Path] = []
     agency_keys: list[str] = []
     for agency in config.agencies:
-        if agency.path is None:
-            # reference downloadAndUnzip path (src/lib/file-utils.ts) —
-            # unreachable offline; documented stub (README limitations)
-            raise NotImplementedError(
-                f"agency '{agency.agency_key}': feed download from url "
-                f"{agency.url!r} is not supported in this offline build; "
-                "provide 'path' (directory, CSV/.txt, or .zip)"
-            )
+        feed_path = agency.path
+        if feed_path is None:
+            # reference downloadAndUnzip path (src/lib/gtfs-to-geojson.ts
+            # :287-295): the fetch itself is INJECTABLE (config.fetcher)
+            # since this build has no network; without one, fail clearly
+            if config.fetcher is None:
+                raise NotImplementedError(
+                    f"agency '{agency.agency_key}': feed download from url "
+                    f"{agency.url!r} needs a config.fetcher in this offline "
+                    "build; provide 'path' (directory, CSV/.txt, or .zip) "
+                    "or inject fetcher=(url, agency_key) -> local path"
+                )
+            feed_path = config.fetcher(agency.url, agency.agency_key)
         ctx = GtfsContext(
-            agency.path, start_date=config.start_date, end_date=config.end_date,
+            feed_path, start_date=config.start_date, end_date=config.end_date,
             exclude=agency.exclude,
         )
         ctx.agency_key = agency.agency_key or ctx.agency_name  # type: ignore[attr-defined]

@@ -54,3 +54,43 @@ def test_csv_fact_tables_stream(ray_session, csv_dir):
     assert ctx.stop_times().count() > 0
     assert ctx.shapes().count() > 0
     assert ctx.has_shapes_file()
+
+
+def test_url_config_with_injected_fetcher(ray_session, zip_path, tmp_path):
+    """agency.url end-to-end offline: a local-file fetcher stands in for
+    the reference's downloadAndUnzip (gtfs-to-geojson.ts:287-295)."""
+    from geotile.config import AgencyConfig
+    from geotile.pipeline import run_pipeline
+
+    fetched = []
+
+    def fetcher(url, agency_key):
+        fetched.append((url, agency_key))
+        return str(zip_path)
+
+    cfg = PipelineConfig(
+        agencies=[AgencyConfig(agency_key="ct", url="https://example.com/feed.zip")],
+        output_format="envelope",
+        output_path=str(tmp_path / "out"),
+        coordinate_precision=5,
+        verbose=False,
+        fetcher=fetcher,
+    )
+    paths = run_pipeline(cfg)
+    assert fetched == [("https://example.com/feed.zip", "ct")]
+    out = json.loads((Path(paths[0]) / "ct.geojson").read_text())
+    assert out["type"] == "Feature"
+    assert out["geometry"]["type"] == "Polygon"
+
+
+def test_url_config_without_fetcher_raises(ray_session, tmp_path):
+    from geotile.config import AgencyConfig
+    from geotile.pipeline import run_pipeline
+
+    cfg = PipelineConfig(
+        agencies=[AgencyConfig(agency_key="ct", url="https://example.com/feed.zip")],
+        output_path=str(tmp_path / "out"),
+        verbose=False,
+    )
+    with pytest.raises(NotImplementedError, match="fetcher"):
+        run_pipeline(cfg)
