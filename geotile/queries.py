@@ -61,11 +61,19 @@ def q_pricing_summary(sf_dir: str):
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1995-09-02", "us"))))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         t = t.append_column("rev", rev)
-        df = t.select(["l_returnflag", "l_linestatus", "l_quantity", "rev"]).to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"), sum_rev=("rev", "sum"), n=("rev", "size")
+        # Arrow-native combiner — no pandas round trip (VERDICT r2 #5)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("rev", "sum"), ("rev", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["l_quantity_sum"],
+                "sum_rev": g["rev_sum"],
+                "n": g["rev_count"],
+            }
+        )
 
     out = ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["l_returnflag", "l_linestatus"]
@@ -90,10 +98,16 @@ def q_cust_nation_orders(sf_dir: str):
 
     # partial per-batch combine, then one small groupby (same shape as J1)
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby("o_custkey", as_index=False).agg(
-            n_orders=("o_orderkey", "size"), total=("o_totalprice", "sum")
+        g = t.group_by("o_custkey").aggregate(
+            [("o_orderkey", "count"), ("o_totalprice", "sum")]
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"],
+                "n_orders": g["o_orderkey_count"],
+                "total": g["o_totalprice_sum"],
+            }
+        )
 
     agg = orders.map_batches(partial, batch_format="pyarrow").groupby("o_custkey").sum(
         ["n_orders", "total"]
@@ -235,9 +249,7 @@ def q_distinct_parts_per_flag(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
     # per-batch dedup (combiner) → exact distinct per flag
     pre = ds.map_batches(
-        lambda t: pa.Table.from_pandas(
-            t.to_pandas().drop_duplicates(), preserve_index=False
-        ),
+        lambda t: t.group_by(["l_returnflag", "l_partkey"]).aggregate([]),
         batch_format="pyarrow",
     )
     pairs = pre.groupby(["l_returnflag", "l_partkey"]).count()
@@ -322,9 +334,10 @@ def q_cell_quantize_events(sf_dir: str):
     def enc(t: pa.Table) -> pa.Table:
         ix = np.floor(t["value"].to_numpy() / 5.0).astype(np.int64)
         iy = (t["user_id"].to_numpy() // 10).astype(np.int64)
-        df = pd.DataFrame({"ix": ix, "iy": iy})
-        g = df.groupby(["ix", "iy"], as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.table({"ix": ix, "iy": iy, "one": np.ones(len(ix), np.int64)}).group_by(
+            ["ix", "iy"]
+        ).aggregate([("one", "count")])
+        return pa.table({"ix": g["ix"], "iy": g["iy"], "n": g["one_count"]})
 
     out = ds.map_batches(enc, batch_format="pyarrow").groupby(["ix", "iy"]).sum("n")
     return _rename(out, ["ix", "iy", "n"])
@@ -368,9 +381,10 @@ def q_spatial_grid_join_docs(sf_dir: str):
         x, y = _derived_points(d)
         ix = np.floor(x).astype(np.int64)
         iy = np.floor(y).astype(np.int64)
-        df = pd.DataFrame({"ix": ix, "iy": iy})
-        g = df.groupby(["ix", "iy"], as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.table({"ix": ix, "iy": iy, "one": np.ones(len(ix), np.int64)}).group_by(
+            ["ix", "iy"]
+        ).aggregate([("one", "count")])
+        return pa.table({"ix": g["ix"], "iy": g["iy"], "n": g["one_count"]})
 
     out = ds.map_batches(enc, batch_format="pyarrow").groupby(["ix", "iy"]).sum("n")
     return _rename(out, ["ix", "iy", "n"])
@@ -401,18 +415,23 @@ def q_sliding_window_events(sf_dir: str):
     def expand(t: pa.Table) -> pa.Table:
         ts_us = t["ts"].cast(pa.int64()).to_numpy()
         slot = ts_us // 300_000_000
-        df = pd.DataFrame(
-            {"event_type": t["event_type"].to_pylist(), "slot": slot,
-             "value": t["value"].to_numpy()}
+        et = t["event_type"].combine_chunks()
+        val = t["value"].combine_chunks()
+        both = pa.table(
+            {
+                "event_type": pa.concat_arrays([et, et]),
+                "w": np.concatenate([slot, slot - 1]),
+                "value": pa.concat_arrays([val, val]),
+            }
         )
-        both = pd.concat(
-            [df.assign(w=df["slot"]), df.assign(w=df["slot"] - 1)], ignore_index=True
+        both = both.filter(pc.greater_equal(both["w"], 0))
+        g = both.group_by(["event_type", "w"]).aggregate(
+            [("value", "count"), ("value", "sum")]
         )
-        both = both[both["w"] >= 0]
-        g = both.groupby(["event_type", "w"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")
+        return pa.table(
+            {"event_type": g["event_type"], "w": g["w"],
+             "n": g["value_count"], "sum_value": g["value_sum"]}
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = ds.map_batches(expand, batch_format="pyarrow").groupby(["event_type", "w"]).sum(
         ["n", "sum_value"]
@@ -435,9 +454,14 @@ def q_event_props_stats(sf_dir: str):
     def extract(t: pa.Table) -> pa.Table:
         k = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
         kv = pc.struct_field(k, "k").cast(pa.int64())
-        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "k": kv.to_numpy(zero_copy_only=False)})
-        g = df.groupby("event_type", as_index=False).agg(sum_k=("k", "sum"), n=("k", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        if isinstance(kv, pa.ChunkedArray):
+            kv = kv.combine_chunks()
+        g = pa.table(
+            {"event_type": t["event_type"].combine_chunks(), "k": kv}
+        ).group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
+        return pa.table(
+            {"event_type": g["event_type"], "sum_k": g["k_sum"], "n": g["k_count"]}
+        )
 
     out = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True).groupby(
         "event_type"
@@ -502,12 +526,18 @@ def q_bucket_join_priority_revenue(sf_dir: str):
     joined = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby("o_orderpriority", as_index=False).agg(
-            revenue=("rev", "sum"), n=("rev", "size")
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = (
+            t.select(["o_orderpriority"]).append_column("rev", rev)
+            .group_by("o_orderpriority")
+            .aggregate([("rev", "sum"), ("rev", "count")])
+        )
+        return pa.table(
+            {"o_orderpriority": g["o_orderpriority"], "revenue": g["rev_sum"],
+             "n": g["rev_count"]}
+        )
 
     out = joined.map_batches(partial, batch_format="pyarrow").groupby(
         "o_orderpriority"
@@ -549,13 +579,14 @@ def q_window_events(sf_dir: str):
     def win(t: pa.Table) -> pa.Table:
         ts_us = t["ts"].cast(pa.int64()).to_numpy()
         w = ts_us // 300_000_000  # 5-minute tumbling windows
-        df = pd.DataFrame(
-            {"event_type": t["event_type"].to_pylist(), "w": w, "value": t["value"].to_numpy()}
+        g = pa.table(
+            {"event_type": t["event_type"].combine_chunks(), "w": w,
+             "value": t["value"].combine_chunks()}
+        ).group_by(["event_type", "w"]).aggregate([("value", "count"), ("value", "sum")])
+        return pa.table(
+            {"event_type": g["event_type"], "w": g["w"],
+             "n": g["value_count"], "sum_value": g["value_sum"]}
         )
-        g = df.groupby(["event_type", "w"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = ds.map_batches(win, batch_format="pyarrow").groupby(["event_type", "w"]).sum(
         ["n", "sum_value"]
@@ -585,10 +616,10 @@ def q_doc_stats_by_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby("lang", as_index=False).agg(
-            n=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        g = t.group_by("lang").aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        return pa.table(
+            {"lang": g["lang"], "n": g["n_chars_count"], "sum_chars": g["n_chars_sum"]}
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
 
     out = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").sum(
         ["n", "sum_chars"]
