@@ -108,11 +108,23 @@ def topk_bruteforce(
 # LSH buckets (scale path) and IVF
 # ---------------------------------------------------------------------------
 
-def hyperplane_buckets(ds: rd.Dataset, n_planes: int = 16, seed: int = 7) -> rd.Dataset:
+def hyperplane_buckets(
+    ds: rd.Dataset, n_planes: int = 16, seed: int = 7, dim: int | None = None
+) -> rd.Dataset:
     """Append a random-hyperplane LSH ``bucket`` column (int64 of sign
     bits). Co-partitioning corpus + queries on this key turns ANN into
-    per-bucket brute force."""
-    dim = len(ds.take(1)[0]["embedding"])
+    per-bucket brute force. ``dim`` comes from the schema when the
+    embedding column is fixed_size_list; pass it explicitly for plain
+    list columns to avoid the one-row take() that triggers execution."""
+    if dim is None:
+        try:
+            typ = ds.schema().base_schema.field("embedding").type
+            if pa.types.is_fixed_size_list(typ):
+                dim = typ.list_size
+        except Exception:
+            dim = None
+    if dim is None:
+        dim = len(ds.take(1)[0]["embedding"])
     planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
     ref = ray.put(planes)
 
