@@ -39,33 +39,34 @@ _ROUTE_EMBED_FIELDS = (
 
 
 class _AttachRoutes:
-    """Per-worker cached stage: holds the broadcast trip→(route,
-    direction) map and emits per-batch deduped (stop_id, route_id)
-    pairs (run as stateless tasks via _cached_stage)."""
+    """Per-worker cached stage: holds the broadcast trip→route lookup
+    (as parallel Arrow arrays) and emits per-batch deduped (stop_id,
+    route_id) pairs — vectorized index_in gather + group_by distinct,
+    no per-row Python on the stop_times fact."""
 
     def __init__(self, trips_ref, route_id=None, direction_id=None):
+        import pyarrow.compute as pc
+
         trips: pa.Table = ray.get(trips_ref)
-        self.route_of: dict[str, str] = {}
-        for tid, rid, did in zip(
-            trips["trip_id"].to_pylist(),
-            trips["route_id"].to_pylist(),
-            trips["direction_id"].to_pylist(),
-        ):
-            if route_id is not None and rid != route_id:
-                continue
-            if direction_id is not None and did != direction_id:
-                continue
-            self.route_of[tid] = rid
+        if route_id is not None:
+            trips = trips.filter(pc.equal(trips["route_id"], route_id))
+        if direction_id is not None:
+            trips = trips.filter(pc.equal(trips["direction_id"], direction_id))
+        self.trip_ids = trips["trip_id"].combine_chunks()
+        self.route_ids = trips["route_id"].combine_chunks()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tid = batch["trip_id"].to_pylist()
-        sid = batch["stop_id"].to_pylist()
-        pairs = {(s, self.route_of[t]) for s, t in zip(sid, tid) if t in self.route_of}
-        if not pairs:
-            return pa.table({"stop_id": pa.array([], pa.string()),
-                             "route_id": pa.array([], pa.string())})
-        s, r = zip(*sorted(pairs))
-        return pa.table({"stop_id": pa.array(s, pa.string()), "route_id": pa.array(r, pa.string())})
+        import pyarrow.compute as pc
+
+        idx = pc.index_in(batch["trip_id"], self.trip_ids)
+        hit = pc.is_valid(idx)
+        pairs = pa.table(
+            {
+                "stop_id": batch["stop_id"].filter(hit),
+                "route_id": pc.take(self.route_ids, idx.filter(hit)),
+            }
+        )
+        return pairs.group_by(["stop_id", "route_id"]).aggregate([])
 
 
 def _distinct_routes(df: pd.DataFrame) -> pd.DataFrame:

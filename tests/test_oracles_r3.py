@@ -196,3 +196,37 @@ def test_anti_join_bucketed_path_matches_broadcast(ray_session, con):
     slow = anti_join(cust, big, "c_custkey", "o_custkey", max_broadcast_keys=0).to_pandas()
     key = ["c_custkey", "c_mktsegment"]
     assert sorted(map(tuple, fast[key].to_numpy())) == sorted(map(tuple, slow[key].to_numpy()))
+
+
+def test_window_stats_formulas_on_random_masks(ray_session):
+    """The oracle SQL derives area/Euler from marching-squares window
+    CASES; the engine derives them from traced CONTOURS. Property-check
+    the two derivations agree on random masks: Σ signed ring areas ==
+    Σ case-eighths / 8, and #outers − #holes == (Q1 − Q3 + 2·Qd) / 4."""
+    import numpy as np
+
+    from geotile.geom.pip import signed_area
+    from geotile.geom.raster import Grid, mask_to_polygons, trace_mask
+
+    A8 = {0: 0, 1: 1, 2: 1, 4: 1, 8: 1, 3: 4, 6: 4, 12: 4, 9: 4,
+          5: 2, 10: 2, 7: 7, 11: 7, 13: 7, 14: 7, 15: 8}
+    rng = np.random.default_rng(42)
+    for _ in range(60):
+        ny, nx = rng.integers(3, 14, 2)
+        mask = rng.random((ny, nx)) < rng.uniform(0.15, 0.85)
+        grid = Grid(0.0, 0.0, 1.0, int(nx), int(ny))
+        polys = mask_to_polygons(mask, grid)
+        euler_contours = len(polys) - sum(len(h) for _, h in polys)
+        area_contours = sum(signed_area(r) for r in trace_mask(mask, grid))
+        m = np.zeros((ny + 2, nx + 2), np.uint8)
+        m[1:-1, 1:-1] = mask
+        case = m[:-1, :-1] | (m[:-1, 1:] << 1) | (m[1:, 1:] << 2) | (m[1:, :-1] << 3)
+        vals, cnts = np.unique(case, return_counts=True)
+        cc = dict(zip(vals.tolist(), cnts.tolist()))
+        area8 = sum(A8[c] * n for c, n in cc.items())
+        q1 = sum(cc.get(c, 0) for c in (1, 2, 4, 8))
+        q3 = sum(cc.get(c, 0) for c in (7, 11, 13, 14))
+        qd = sum(cc.get(c, 0) for c in (5, 10))
+        assert abs(area_contours * 8 - area8) < 1e-9
+        assert (q1 - q3 + 2 * qd) % 4 == 0
+        assert (q1 - q3 + 2 * qd) // 4 == euler_contours
