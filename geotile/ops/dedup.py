@@ -525,9 +525,11 @@ def embedding_dup_pairs(
     ]
 
     def _block(ref):
+        from geotile.ops.ann import _emb_matrix
+
         t = ray.get(ref)
         ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        M = _emb_matrix(t)  # flat-buffer reshape, no per-row pylist
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         return ids, M
 
