@@ -451,7 +451,14 @@ def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             hs = rows["simhash"].to_numpy().view(np.uint64)
             for i in range(len(ids)):
                 x = hs[i] ^ hs[i + 1:]
-                dists = np.array([bin(int(v)).count("1") for v in x])
+                # vectorized popcount: unpack the little-endian byte view
+                dists = (
+                    np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+                    .sum(axis=1)
+                    .astype(np.int64)
+                    if len(x)
+                    else np.empty(0, np.int64)
+                )
                 ok = dists <= max_hamming
                 out_a.extend([ids[i]] * int(ok.sum()))
                 out_b.extend(ids[i + 1:][ok].tolist())

@@ -114,7 +114,10 @@ def mg_topk(ds: rd.Dataset, column: str, k: int = 64, top: int = 10) -> list[tup
 
 def hll_distinct(ds: rd.Dataset, column: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT column) for an int64 column: per-batch
-    partial HLLs (one 4KB row each) → driver-side register max-merge."""
+    partial HLLs (one 4KB row each) → distributed pre-merge (elementwise
+    register max per block after a small repartition) → driver merges
+    the ~#CPUs surviving rows. Without the pre-merge, 4KB × #batches
+    lands on the driver — 100k+ blocks at full scale is hundreds of MB."""
 
     def partial(t: pa.Table) -> pa.Table:
         v = t[column].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -122,7 +125,21 @@ def hll_distinct(ds: rd.Dataset, column: str, p: int = 12) -> float:
         sk = HLL(p).add_hashes(h)
         return pa.table({"registers": pa.array([sk.registers.tobytes()], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    def combine(t: pa.Table) -> pa.Table:
+        regs = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in t["registers"].to_pylist()]
+        ).max(axis=0)
+        return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
+
+    import ray
+
+    n_pre = max(4, int(ray.cluster_resources().get("CPU", 16)) // 2)
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(n_pre)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
     merged = HLL(p)
     for r in parts:
         merged.merge(HLL(p, np.frombuffer(r["registers"], dtype=np.uint8).copy()))
