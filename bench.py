@@ -200,25 +200,31 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Two fresh processes at 8 and 32 CPUs on identical input — the
-    sandbox evidence for the N→4N ≥0.8 scaling-efficiency rule."""
+    """Two fresh processes at N and 4N CPUs on identical input — the
+    sandbox evidence for the N→4N ≥0.8 scaling-efficiency rule.
+    GRAFT_SCALE_CPUS="8,32" (default) picks the pair; "4,16" keeps both
+    legs under the 32-core host so Ray's own system processes (driver,
+    raylet, object store) don't share cores with workers on only ONE
+    leg — on a real multi-node cluster that overhead is per-node and
+    proportional at both sizes."""
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "8,32").split(","))
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         p = subprocess.run([sys.executable, __file__], env=env,
                            capture_output=True, text=True, check=True)
         results[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
-    t8 = results[8]["value"]
-    t32 = results[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+    t_lo = results[lo]["value"]
+    t_hi = results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
     out = {
-        "sec_8": t8,
-        "sec_32": t32,
-        "rows_per_s_8": results[8]["rows_per_s"],
-        "rows_per_s_32": results[32]["rows_per_s"],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"rows_per_s_{lo}": results[lo]["rows_per_s"],
+        f"rows_per_s_{hi}": results[hi]["rows_per_s"],
         "scaling_efficiency": round(eff, 3),
-        "sf": results[32]["sf"],
-        "input_rows": results[32]["input_rows"],
+        "sf": results[hi]["sf"],
+        "input_rows": results[hi]["input_rows"],
     }
     print(json.dumps(out))
 
