@@ -184,6 +184,33 @@ def minhash_lsh_pairs_ref(
     return out
 
 
+def simhash_pairs_ref(
+    docs: list[tuple[int, str]], max_hamming: int = 3, max_bucket: int = 512
+) -> list[tuple[int, int, int]]:
+    """Scalar replay of dedup.simhash_pairs: pigeonhole banding of the
+    64-bit simhash into max_hamming+1 near-even contiguous bands,
+    within-band bucket pairs (sorted unique ids, MAX_BUCKET-capped),
+    Hamming-verified, deduped across bands."""
+    n_bands = max_hamming + 1
+    sizes = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    shifts = [sum(sizes[:i]) for i in range(n_bands)]
+    masks = [(1 << w) - 1 for w in sizes]
+    sh_of = {did: simhash(text) for did, text in docs}
+    out: dict[tuple[int, int], int] = {}
+    for band in range(n_bands):
+        buckets: dict[int, list[int]] = {}
+        for did, s in sh_of.items():
+            buckets.setdefault((s >> shifts[band]) & masks[band], []).append(did)
+        for ids in buckets.values():
+            ids = sorted(set(ids))[:max_bucket]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin(sh_of[ids[i]] ^ sh_of[ids[j]]).count("1")
+                    if d <= max_hamming:
+                        out[(ids[i], ids[j])] = d
+    return sorted((a, b, d) for (a, b), d in out.items())
+
+
 def hll_estimate_ref(values: list[int], p: int = 12) -> float:
     """Scalar HyperLogLog over int64 values: splitmix64 hash of the
     two's-complement uint64 view, register = top p bits, rank = leading

@@ -695,6 +695,14 @@ def q_simhash_docs(sf_dir: str):
     ).select_columns(["doc_id", "simhash"])
 
 
+def q_simhash_pairs_docs(sf_dir: str):
+    """SimHash near-dup PAIRS (pigeonhole banding + Hamming verify) —
+    oracle: independent scalar replay sidecar."""
+    from geotile.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=4)
+
+
 def q_embedding_dups(sf_dir: str):
     from geotile.ops.dedup import embedding_dup_pairs
 
@@ -1167,6 +1175,7 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "simhash_docs": q_simhash_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
     "embedding_dups": q_embedding_dups,
     "ivf_ann": q_ivf_ann,
     "tile_assignments": q_tile_assignments,
@@ -1612,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
     sf01 = "/root/testdata/sf0.01"
     out["fingerprint_docs"] = _fingerprint_sql(sf01)
     out["simhash_docs"] = _simhash_sql(sf01)
+    out["simhash_pairs_docs"] = _simhash_pairs_sql(sf01)
     out["minhash_pairs_docs"] = _minhash_pairs_sql(sf01)
     out["hll_distinct_users"] = _hll_sql(sf01)
     out["ivf_ann"] = _IVF_ANN_SQL
@@ -1797,6 +1807,26 @@ def _simhash_sidecar(sf_dir: str) -> str:
         )
 
     return _ref_sidecar(sf_dir, "simhash", build)
+
+
+def _simhash_pairs_sidecar(sf_dir: str) -> str:
+    from geotile.oracle_ref import simhash_pairs_ref
+
+    def build() -> pa.Table:
+        pairs = simhash_pairs_ref(_read_docs(sf_dir), max_hamming=4)
+        return pa.table(
+            {
+                "a": pa.array([a for a, _, _ in pairs], pa.int64()),
+                "b": pa.array([b for _, b, _ in pairs], pa.int64()),
+                "hamming": pa.array([d for _, _, d in pairs], pa.int64()),
+            }
+        )
+
+    return _ref_sidecar(sf_dir, "simhash_pairs", build)
+
+
+def _simhash_pairs_sql(sf_dir: str) -> str:
+    return f"SELECT a, b, hamming FROM read_parquet('{_simhash_pairs_sidecar(sf_dir)}')"
 
 
 def _minhash_pairs_sidecar(sf_dir: str) -> str:

@@ -230,3 +230,10 @@ def test_window_stats_formulas_on_random_masks(ray_session):
         assert abs(area_contours * 8 - area8) < 1e-9
         assert (q1 - q3 + 2 * qd) % 4 == 0
         assert (q1 - q3 + 2 * qd) // 4 == euler_contours
+
+
+def test_simhash_pairs_oracle(ray_session, con):
+    from geotile.queries import QUERIES, _simhash_pairs_sql
+
+    _compare("simhash_pairs_docs", QUERIES["simhash_pairs_docs"](SF),
+             con.execute(_simhash_pairs_sql(SF)).df())
