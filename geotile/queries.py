@@ -503,6 +503,46 @@ def q_distinct_users_exact(sf_dir: str):
     return pd.DataFrame({"distinct_users": [int(n)]})
 
 
+def q_heavy_hitter_users(sf_dir: str):
+    """Misra-Gries heavy hitters with an exactness contract: the engine
+    computes the EXACT top-10 users by event count (deterministic
+    tie-break: count DESC, user_id ASC — SQL-replayable) plus a flag
+    that the MG(k=64) sketch retained every TRUE heavy hitter — the MG
+    guarantee covers exactly the users with frequency > n/64 (vacuous
+    on uniform data; the skewed-distribution case is asserted in
+    tests/test_sketch.py)."""
+    from geotile.ops.sketch import mg_topk
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    counts = ev.groupby("user_id").count()
+
+    def top_of(t: pa.Table) -> pa.Table:
+        # partial top-10 per block (never pull the full distinct-user
+        # set to the driver — same shape as q_topk_orders)
+        u = t[t.column_names[0]].to_numpy()
+        n = t[t.column_names[1]].to_numpy().astype(np.int64)
+        order = np.lexsort((u, -n))[:10]
+        return pa.table({"user_id": pa.array(u[order]), "n": pa.array(n[order])})
+
+    top = (
+        counts.map_batches(top_of, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(top_of, batch_format="pyarrow")
+        .to_pandas()
+    )
+    mg_ids = {v for v, _ in mg_topk(ev, "user_id", k=64, top=64)}
+    total = int(ev.count())
+    heavies = top[top["n"] > total / 64]["user_id"]
+    found = all(u in mg_ids for u in heavies)
+    return pd.DataFrame(
+        {
+            "user_id": top["user_id"].to_numpy(),
+            "n": top["n"].to_numpy(),
+            "mg_found": np.full(len(top), found),
+        }
+    )
+
+
 def q_hash_sample_docs(sf_dir: str):
     """Deterministic 10% hash sample (the reproducible, shard-stable way
     to sample at scale — rng sampling can't be oracle-checked)."""
@@ -1069,6 +1109,48 @@ def q_doc_quality(sf_dir: str):
     )
 
 
+def q_image_resize(sf_dir: str):
+    """Actor-pool resize stage invariants: output dims are 8×8 raw, and
+    the area-mean of the resized pixels equals the area-mean of the
+    decoded original within quantization (±1 grey level per channel) —
+    the engine computes the flag, the oracle states TRUE per row."""
+    from geotile.ops.tiles import ImageDecodeStage, ImageResizeStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(256)
+    resized = ds.map_batches(
+        ImageResizeStage, fn_constructor_kwargs={"out_w": 8, "out_h": 8},
+        batch_format="pyarrow", batch_size=128, concurrency=2,
+    )
+
+    def check(t: pa.Table) -> pa.Table:
+        dec = ImageDecodeStage(verify=False).decoders
+        ok = []
+        from geotile.synth import image_index, image_size, pixel_pattern
+
+        idx = image_index(t["image_id"])
+        for i, (b, w, h) in enumerate(
+            zip(t["bytes"].to_pylist(), t["w"].to_pylist(), t["h"].to_pylist())
+        ):
+            small = dec["raw"](b, w, h).astype(np.float64)
+            ow, oh = image_size(np.array([idx[i]]))
+            orig = pixel_pattern(np.array([idx[i]], np.uint64), int(ow[0]), int(oh[0]))[0]
+            # resize crops to a multiple of the output dims, so compare
+            # against the same cropped window's mean
+            fy, fx = int(oh[0]) // 8, int(ow[0]) // 8
+            win = orig[: fy * 8, : fx * 8].astype(np.float64)
+            ok.append(bool(np.all(np.abs(small.mean((0, 1)) - win.mean((0, 1))) <= 1.0)))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "w": t["w"].cast(pa.int64()),
+                "h": t["h"].cast(pa.int64()),
+                "mean_ok": pa.array(ok),
+            }
+        )
+
+    return resized.map_batches(check, batch_format="pyarrow", batch_size=128)
+
+
 def q_image_embeddings(sf_dir: str):
     from geotile.ops.tiles import ImageEmbedStage, read_image_table
 
@@ -1158,6 +1240,8 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "distinct_users_exact": q_distinct_users_exact,
     "hash_sample_docs": q_hash_sample_docs,
+    "heavy_hitter_users": q_heavy_hitter_users,
+    "image_resize": q_image_resize,
     "anti_join_customers": q_anti_join_customers,
     "sliding_window_events": q_sliding_window_events,
     "hll_distinct_users": q_hll_distinct_users,
@@ -1342,6 +1426,12 @@ ORACLE_SQL = {
     """,
     "distinct_users_exact": """
         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users FROM events
+    """,
+    "heavy_hitter_users": """
+        SELECT user_id, n, TRUE AS mg_found FROM (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id ASC LIMIT 10)
     """,
     "doc_token_stats": """
         SELECT doc_id,
@@ -1612,6 +1702,12 @@ def oracle_sql() -> dict[str, str]:
     img01 = _image_dir_for("/root/testdata/sf0.01")
     out["image_invariants"] = _image_invariants_sql(img01)
     out["image_embeddings"] = _image_embeddings_sql(img01)
+    out["image_resize"] = f"""
+        SELECT image_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+               TRUE AS mean_ok
+        FROM read_parquet('{img01}/part-*.parquet')
+        ORDER BY image_id LIMIT 256
+    """
     out["gtfs_stop_features"] = _gtfs_stop_features_sql()
     out["gtfs_envelope"] = _gtfs_envelope_sql()
     out["gtfs_line_features"] = _gtfs_line_features_sql()
