@@ -603,3 +603,241 @@ def _embedding_dup_pairs_lsh(
     return out.map_batches(
         lambda t: t.rename_columns(["a", "b", "cosine"]), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard set-similarity join (prefix-filtered, PPJoin-style)
+# ---------------------------------------------------------------------------
+
+def _strict_shingle_postings(ids: np.ndarray, text_col, k: int):
+    """Distinct word-k-gram shingle hashes per document, strict
+    windowing: a document with fewer than ``k`` tokens contributes zero
+    shingles (matching the SQL ``string_split`` + positional self-join
+    oracle exactly, unlike ``_shingle_flat``'s padded fallback).
+    Returns flat (doc_id, g, sz) arrays where ``sz`` is the per-doc
+    distinct shingle count repeated on each posting."""
+    h, off = hashed_tokens(text_col)
+    sh, sh_off = _shingle_flat(h, off, k)
+    tok_counts = off[1:] - off[:-1]
+    sh_counts = sh_off[1:] - sh_off[:-1]
+    # drop the padded single shingle of short (<k tokens) docs
+    short = tok_counts < k
+    if short.any():
+        keep_doc = np.repeat(~short, sh_counts)
+        sh = sh[keep_doc]
+        sh_counts = np.where(short, 0, sh_counts)
+    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), sh_counts)
+    if len(sh) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    # per-doc distinct: lexsort by (doc, shingle), keep run heads
+    order = np.lexsort((sh, doc_idx))
+    sd, dd = sh[order], doc_idx[order]
+    head = np.ones(len(sd), dtype=bool)
+    head[1:] = (dd[1:] != dd[:-1]) | (sd[1:] != sd[:-1])
+    sd, dd = sd[head], dd[head]
+    sizes = np.bincount(dd, minlength=len(ids)).astype(np.int64)
+    return ids[dd], sd.view(np.int64), sizes[dd]
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    k: int = 4,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    n_buckets: int = 32,
+    pair_buckets: int = 64,
+) -> rd.Dataset:
+    """EXACT word-k-gram Jaccard set-similarity join over
+    documents(doc_id, text): every pair (d1 < d2) with
+    J = |A∩B| / |A∪B| >= tau_num/tau_den, with exact integer
+    inter/union counts (no floats until the reported jacc_e6, which is
+    itself integer floor-division — bit-deterministic vs a SQL replay).
+
+    Scale shape (the reason this is not an all-pairs join):
+      1. postings: map_batches → distinct (doc_id, shingle-hash, sz)
+         rows; 24 bytes/posting regardless of document size.
+      2. global df per shingle: groupby(g).count() — pre-distinct per
+         doc so the shuffle moves one row per (doc, shingle).
+      3. prefix filter: df joined back (bucketed co-partition join),
+         per-doc sort by (df, g) — a consistent GLOBAL rarity order —
+         keep only the first sz - ceil(tau*sz) + 1 postings. The
+         prefix-filtering lemma (Chaudhuri et al., SSJoin) guarantees
+         any pair with J >= tau shares a shingle within both prefixes,
+         so candidate generation from prefix postings alone is lossless.
+      4. candidates: groupby(g-bucket) → within-bucket pandas pair
+         emission with the length filter tau_den*min_sz >= tau_num*max_sz
+         and the MAX_BUCKET hot-posting guard; distinct pairs via a
+         (d1, d2) groupby — the pair set never lands on the driver.
+      5. verify: per-doc sorted shingle arrays for CANDIDATE docs only
+         (candidate-id semi-join, same contract as minhash_lsh_pairs)
+         are co-partition-joined to the pairs; exact intersect per pair.
+
+    Columns: d1, d2, inter, uni, jacc_e6 (all int64)."""
+    from geotile.ops.join import _cached_stage
+    from geotile.ops.relational import bucketed_join
+
+    docs = ds.select_columns(["doc_id", "text"])
+
+    def postings_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d, g, sz = _strict_shingle_postings(ids, t["text"], k)
+        return pa.table({"doc_id": d, "g": g, "sz": sz})
+
+    # postings feed three consumers (df count, prefix join, verify);
+    # materialize once rather than re-tokenizing the corpus three times
+    # — spillable object-store blocks, ~24 B/shingle (same order as the
+    # input text itself)
+    postings = docs.map_batches(
+        postings_fn, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    dfreq = postings.groupby("g").count().map_batches(
+        lambda t: pa.table({"g": t["g"], "df": t["count()"]}),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(postings, dfreq, "g", "g", n_buckets=n_buckets)
+
+    def prefix_fn(df: pd.DataFrame) -> pd.DataFrame:
+        # one-sided columns come back float64 from the co-partition
+        # join's NaN padding; doc_id/sz are small ints (lossless), g is
+        # the join key present on BOTH sides so it stays int64 exact
+        df = df.sort_values(["df", "g"], kind="stable")
+        sz = int(df["sz"].iloc[0])
+        plen = sz - (-(-tau_num * sz // tau_den)) + 1  # sz - ceil(tau*sz) + 1
+        out = df.head(max(plen, 0))[["doc_id", "g", "sz"]]
+        return out.astype({"doc_id": np.int64, "sz": np.int64})
+
+    prefix = joined.groupby("doc_id").map_groups(prefix_fn, batch_format="pandas")
+
+    def add_gbucket(t: pa.Table) -> pa.Table:
+        g = t["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(g.view(np.uint64)) % np.uint64(pair_buckets)).astype(np.int64)
+        return t.append_column("gb", pa.array(b))
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        dup = df[df.duplicated("g", keep=False)]
+        for _, grp in dup.groupby("g", sort=False):
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id").head(MAX_BUCKET)
+            n = len(grp)
+            if n < 2:
+                continue
+            ids = grp["doc_id"].to_numpy().astype(np.int64)
+            szs = grp["sz"].to_numpy().astype(np.int64)
+            i, j = np.triu_indices(n, k=1)
+            # length filter: J >= tau needs tau_den*min(sz) >= tau_num*max(sz)
+            keep = tau_den * np.minimum(szs[i], szs[j]) >= tau_num * np.maximum(
+                szs[i], szs[j]
+            )
+            out_a.append(ids[i][keep])
+            out_b.append(ids[j][keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"d1": pd.Series(dtype="int64"), "d2": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"d1": np.concatenate(out_a), "d2": np.concatenate(out_b)}
+        )
+
+    cand = (
+        prefix.map_batches(add_gbucket, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(pairs_fn, batch_format="pandas")
+        .groupby(["d1", "d2"])
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "d1": t["d1"].cast(pa.int64()),
+                    "d2": t["d2"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    empty = pa.table(
+        {n: pa.array([], pa.int64()) for n in ("d1", "d2", "inter", "uni", "jacc_e6")}
+    )
+    if cand.count() == 0:
+        return rd.from_arrow(empty)
+
+    # candidate-id semi-join: only candidate docs' shingle sets are
+    # gathered into list rows (bounded by candidate count, not corpus)
+    pair_rows = cand.take_all()  # dimension-scale (deduped candidate pairs)
+    cand_ids = pa.array(
+        sorted({r["d1"] for r in pair_rows} | {r["d2"] for r in pair_rows}),
+        pa.int64(),
+    )
+    ids_ref = ray.put(cand_ids)
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = _cached_stage(("jacc_ids", ids_ref.hex()), lambda: ray.get(ids_ref))
+        return t.filter(pc.is_in(t["doc_id"], ks))
+
+    def to_list(t: pa.Table) -> pa.Table:
+        gs = np.sort(t["g"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"][:1],
+                "gs": pa.array([gs.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    doclists = (
+        postings.map_batches(semi, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(to_list, batch_format="pyarrow")
+        .materialize()  # candidate-doc-scale; consumed by both join sides
+    )
+    da = doclists.map_batches(
+        lambda t: t.rename_columns(["da_id", "gs_a"]), batch_format="pyarrow"
+    )
+    db = doclists.map_batches(
+        lambda t: t.rename_columns(["db_id", "gs_b"]), batch_format="pyarrow"
+    )
+    with_a = bucketed_join(cand, da, "d1", "da_id", n_buckets=n_buckets)
+
+    def norm_a(df: pd.DataFrame):
+        # re-anchor to an Arrow schema between the two co-partition
+        # joins (their pandas group outputs carry no Arrow schema); the
+        # per-row list rebuild is candidate-pair-scale only
+        return pa.table(
+            {
+                "d1": pa.array(df["d1"].to_numpy().astype(np.int64)),
+                "d2": pa.array(df["d2"].to_numpy().astype(np.int64)),
+                "gs_a": pa.array(
+                    [list(map(int, x)) for x in df["gs_a"]], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    with_b = bucketed_join(
+        with_a.map_batches(norm_a, batch_format="pandas"),
+        db, "d2", "db_id", n_buckets=n_buckets,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty.to_pandas()
+        inter = np.empty(len(df), np.int64)
+        uni = np.empty(len(df), np.int64)
+        for i, (ga, gb) in enumerate(zip(df["gs_a"], df["gs_b"])):
+            a = np.asarray(ga, dtype=np.int64)
+            b = np.asarray(gb, dtype=np.int64)
+            ninter = np.intersect1d(a, b, assume_unique=True).size
+            inter[i] = ninter
+            uni[i] = a.size + b.size - ninter
+        out = pd.DataFrame(
+            {
+                "d1": df["d1"].to_numpy().astype(np.int64),
+                "d2": df["d2"].to_numpy().astype(np.int64),
+                "inter": inter,
+                "uni": uni,
+                "jacc_e6": inter * 1_000_000 // uni,
+            }
+        )
+        return out[tau_den * out["inter"] >= tau_num * out["uni"]]
+
+    return with_b.map_batches(verify, batch_format="pandas")

@@ -146,3 +146,77 @@ def sessionize(
         return df
 
     return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str = "user_id",
+    ts: str = "ts",
+    n_buckets: int = 32,
+    allow_exact_matches: bool = False,
+) -> rd.Dataset:
+    """Backward as-of join: each left row picks the LATEST right row of
+    the same ``key`` with right.ts < left.ts (``<=`` when
+    ``allow_exact_matches``). Hash-co-partition both sides on ``key``
+    (one shuffle per side, no broadcast), then each bucket group runs
+    pandas ``merge_asof(by=key)`` — a vectorized C merge over the two
+    ts-sorted sides. Right payload columns come back suffixed ``_r``
+    (including ``ts_r``); left rows with no prior right row keep nulls.
+
+    Partitioning assumption: a single key's rows fit one bucket group —
+    the same contract every keyed groupby in this engine relies on;
+    salt ``key`` upstream if one key dominates."""
+    lschema, rschema = left.schema().base_schema, right.schema().base_schema
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    ltypes = {n: lschema.field(n).type for n in lcols}
+    rtypes = {n: rschema.field(n).type for n in rcols}
+
+    def pad(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for n in lcols:
+                cols[n] = t[n] if side == 0 else pa.nulls(len(t), ltypes[n])
+            for n in rcols:
+                cols[f"__r_{n}"] = t[n] if side == 1 else pa.nulls(len(t), rtypes[n])
+            cols["bucket"] = t["bucket"]
+            cols["__side"] = pa.array(np.full(len(t), side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    lb = _with_bucket(left, key, n_buckets).map_batches(pad(0), batch_format="pyarrow")
+    rb = _with_bucket(right, key, n_buckets).map_batches(pad(1), batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][lcols].sort_values(ts, kind="stable")
+        r = (
+            df[df["__side"] == 1][[f"__r_{n}" for n in rcols]]
+            .rename(columns={f"__r_{n}": f"{n}_r" for n in rcols})
+            .sort_values(f"{ts}_r", kind="stable")
+        )
+        if len(l) == 0:
+            return pd.DataFrame(columns=lcols + [f"{n}_r" for n in rcols])
+        # NaN-padded int columns become float through the union; restore
+        # the key dtype so by= matches exactly (values are small ints)
+        l = l.astype({key: np.int64})
+        if len(r) == 0:
+            out = l.copy()
+            for n in rcols:
+                out[f"{n}_r"] = pd.Series([pd.NA] * len(l), index=l.index)
+            return out
+        r = r.astype({f"{key}_r": np.int64})
+        out = pd.merge_asof(
+            l,
+            r,
+            left_on=ts,
+            right_on=f"{ts}_r",
+            left_by=key,
+            right_by=f"{key}_r",
+            direction="backward",
+            allow_exact_matches=allow_exact_matches,
+        )
+        return out
+
+    return lb.union(rb).groupby("bucket").map_groups(merge, batch_format="pandas")

@@ -1226,6 +1226,67 @@ def q_gtfs_line_features(sf_dir: str):
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# as-of join / exact similarity join / exact quantiles (round 3)
+# ---------------------------------------------------------------------------
+
+def q_asof_clicks_views(sf_dir: str):
+    """Backward as-of join: every click event picks the LATEST strictly
+    earlier view event of the same user (hash-co-partitioned
+    merge_asof — relational.asof_join); clicks with no prior view are
+    dropped so the output is null-free for the driver hash."""
+    from geotile.ops.relational import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def split(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).drop_columns(
+                ["event_type"]
+            )
+
+        return fn
+
+    clicks = ev.map_batches(split("click"), batch_format="pyarrow")
+    views = ev.map_batches(split("view"), batch_format="pyarrow")
+    j = asof_join(clicks, views, key="user_id", ts="ts")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_id_r"].notna()]
+        lts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rts = df["ts_r"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy().astype(np.int64),
+                "prior_view_id": df["event_id_r"].to_numpy().astype(np.int64),
+                "gap_us": lts - rts,
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+def q_jaccard_pairs_docs(sf_dir: str):
+    """EXACT word-4-gram Jaccard set-similarity join at tau = 1/2
+    (prefix-filtered PPJoin — dedup.ngram_jaccard_pairs); integer
+    inter/union counts so the SQL replay is bit-deterministic."""
+    from geotile.ops.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, k=4, tau_num=1, tau_den=2)
+
+
+def q_quantiles_events(sf_dir: str):
+    """Exact p25/p50/p75/p95/p99 of events.value via iterative histogram
+    refinement (ops/quantile.exact_quantiles) — no global sort; the
+    selected elements are bit-identical to a rank-based SQL replay."""
+    from geotile.ops.quantile import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["value"])
+    return exact_quantiles(ev, "value", max_pull=2000)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -1238,6 +1299,9 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "bucket_join_priority_revenue": q_bucket_join_priority_revenue,
     "user_sessions": q_user_sessions,
+    "asof_clicks_views": q_asof_clicks_views,
+    "jaccard_pairs_docs": q_jaccard_pairs_docs,
+    "quantiles_events": q_quantiles_events,
     "distinct_users_exact": q_distinct_users_exact,
     "hash_sample_docs": q_hash_sample_docs,
     "heavy_hitter_users": q_heavy_hitter_users,
@@ -1280,6 +1344,57 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "asof_clicks_views": """
+        WITH u AS (SELECT event_id, user_id, ts, event_type FROM events
+                   WHERE event_type IN ('click', 'view')),
+        m AS (
+          SELECT event_id, event_type, ts,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END
+                            IGNORE NULLS) OVER w AS prior_view_id,
+                 last_value(CASE WHEN event_type = 'view' THEN ts END
+                            IGNORE NULLS) OVER w AS prior_ts
+          FROM u
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT event_id, CAST(prior_view_id AS BIGINT) AS prior_view_id,
+               CAST(epoch_us(ts) - epoch_us(prior_ts) AS BIGINT) AS gap_us
+        FROM m WHERE event_type = 'click' AND prior_view_id IS NOT NULL
+    """,
+    "jaccard_pairs_docs": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS i
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT a.doc_id,
+                 a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w AS g
+          FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                   JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+                   JOIN w d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+        ),
+        sz AS (SELECT doc_id, count(*) s FROM sh GROUP BY 1),
+        pr AS (SELECT a.doc_id d1, b.doc_id d2, count(*) inter
+               FROM sh a JOIN sh b USING (g)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT d1, d2, inter, (sa.s + sb.s - inter) AS uni,
+               (inter * 1000000) // (sa.s + sb.s - inter) AS jacc_e6
+        FROM pr JOIN sz sa ON sa.doc_id = pr.d1
+                JOIN sz sb ON sb.doc_id = pr.d2
+        WHERE 2 * inter >= (sa.s + sb.s - inter)
+    """,
+    "quantiles_events": """
+        WITH s AS (SELECT value, row_number() OVER (ORDER BY value) rn
+                   FROM events),
+        n AS (SELECT count(*) c FROM events),
+        qs(q_pct, q) AS (VALUES (25, CAST(0.25 AS DOUBLE)),
+                                (50, CAST(0.5 AS DOUBLE)),
+                                (75, CAST(0.75 AS DOUBLE)),
+                                (95, CAST(0.95 AS DOUBLE)),
+                                (99, CAST(0.99 AS DOUBLE)))
+        SELECT CAST(q_pct AS BIGINT) AS q_pct, s.value AS value
+        FROM qs, n JOIN s ON s.rn = CAST(ceil(q * n.c) AS BIGINT)
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,

@@ -17,6 +17,9 @@ CHECKED = [
     "window_events",
     "doc_token_stats",
     "knn_embeddings",
+    "asof_clicks_views",
+    "jaccard_pairs_docs",
+    "quantiles_events",
 ]
 
 

@@ -1,0 +1,195 @@
+"""Round-3 ops: as-of join, exact n-gram Jaccard join, exact quantiles —
+each vs an in-process brute-force reference on adversarial small data."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _from_pandas(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+class TestAsofJoin:
+    def _brute(self, left, right, key, ts, allow_eq):
+        rows = []
+        for _, lr in left.iterrows():
+            cand = right[(right[key] == lr[key])]
+            cand = (
+                cand[cand[ts] <= lr[ts]] if allow_eq else cand[cand[ts] < lr[ts]]
+            )
+            if len(cand):
+                best = cand.sort_values(ts, kind="stable").iloc[-1]
+                rows.append((lr["lid"], best["rid"]))
+            else:
+                rows.append((lr["lid"], None))
+        return sorted(rows, key=lambda x: x[0])
+
+    @pytest.mark.parametrize("allow_eq", [False, True])
+    def test_matches_brute_force(self, ray_session, allow_eq):
+        from geotile.ops.relational import asof_join
+
+        rng = np.random.default_rng(7)
+        n_l, n_r = 400, 300
+        left = pd.DataFrame(
+            {
+                "lid": np.arange(n_l, dtype=np.int64),
+                "user_id": rng.integers(0, 20, n_l).astype(np.int64),
+                "ts": rng.integers(0, 50, n_l).astype(np.int64),  # many ties
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "rid": np.arange(n_r, dtype=np.int64),
+                "user_id": rng.integers(0, 25, n_r).astype(np.int64),  # some keys absent on left
+                "ts": rng.integers(0, 50, n_r).astype(np.int64),
+            }
+        )
+        # right-side ts ties within a key: backward asof picks the LAST in
+        # sort order; make the brute force use the same stable-sort rule.
+        j = asof_join(
+            _from_pandas(left).repartition(5),
+            _from_pandas(right).repartition(4),
+            key="user_id",
+            ts="ts",
+            n_buckets=8,
+            allow_exact_matches=allow_eq,
+        ).to_pandas()
+        got = sorted(
+            (
+                int(r["lid"]),
+                None if pd.isna(r["rid_r"]) else int(r["rid_r"]),
+            )
+            for _, r in j.iterrows()
+        )
+        assert got == self._brute(left, right, "user_id", "ts", allow_eq)
+
+    def test_empty_right(self, ray_session):
+        from geotile.ops.relational import asof_join
+
+        left = pd.DataFrame(
+            {"lid": [1, 2], "user_id": [0, 1], "ts": [5, 6]}
+        ).astype(np.int64)
+        right = pd.DataFrame(
+            {"rid": [9], "user_id": [99], "ts": [1]}
+        ).astype(np.int64)
+        j = asof_join(
+            _from_pandas(left), _from_pandas(right), key="user_id", ts="ts", n_buckets=4
+        ).to_pandas()
+        assert len(j) == 2
+        assert j["rid_r"].isna().all()
+
+
+class TestNgramJaccard:
+    def _brute(self, texts, k, tau):
+        def sh(t):
+            w = t.split()
+            return {tuple(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+        sets = {i: sh(t) for i, t in texts.items()}
+        out = []
+        for a in sorted(sets):
+            for b in sorted(sets):
+                if a >= b or not sets[a] or not sets[b]:
+                    continue
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                if inter / uni >= tau:
+                    out.append((a, b, inter, uni))
+        return sorted(out)
+
+    def test_matches_brute_force(self, ray_session):
+        from geotile.ops.dedup import ngram_jaccard_pairs
+
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = {}
+        for i in range(60):
+            n = int(rng.integers(2, 25))  # includes <k-token docs (no shingles)
+            texts[i] = " ".join(rng.choice(vocab, n))
+        # planted near-dups: same text with one word changed
+        for i in range(60, 80):
+            base = texts[i - 60].split()
+            if len(base) > 5:
+                base[2] = "CHANGED"
+            texts[i] = " ".join(base)
+        df = pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[i] for i in texts]}
+        )
+        df["doc_id"] = df["doc_id"].astype(np.int64)
+        got = (
+            ngram_jaccard_pairs(
+                _from_pandas(df).repartition(4), k=4, tau_num=1, tau_den=2,
+                n_buckets=4, pair_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["d1", "d2"])
+        )
+        exp = self._brute(texts, 4, 0.5)
+        assert (
+            list(zip(got.d1, got.d2, got.inter, got.uni)) == exp
+        ), f"{len(got)} vs {len(exp)}"
+        # jacc_e6 is integer floor division
+        assert (got.jacc_e6 == got.inter * 1_000_000 // got.uni).all()
+
+    def test_exact_duplicates_and_no_pairs(self, ray_session):
+        from geotile.ops.dedup import ngram_jaccard_pairs
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": [
+                    "a b c d e f",
+                    "a b c d e f",  # exact dup of 0 → J=1
+                    "x y z q r s",
+                    "one two",  # <k tokens → no shingles
+                ],
+            }
+        )
+        got = ngram_jaccard_pairs(_from_pandas(df), k=4).to_pandas()
+        assert list(zip(got.d1, got.d2, got.jacc_e6)) == [(0, 1, 1_000_000)]
+
+
+class TestExactQuantiles:
+    def _check(self, ray_session, vals, q_pcts=(25, 50, 75, 95, 99), **kw):
+        import ray.data as rd
+
+        from geotile.ops.quantile import exact_quantiles
+
+        ds = rd.from_arrow(
+            pa.table({"value": pa.array(vals, pa.float64())})
+        ).repartition(4)
+        got = exact_quantiles(ds, "value", q_pcts=q_pcts, **kw).to_pandas()
+        s = np.sort(np.asarray(vals, dtype=np.float64))
+        exp = {
+            p: s[int(np.ceil(p / 100.0 * len(s))) - 1] for p in q_pcts
+        }
+        assert dict(zip(got.q_pct, got.value)) == exp
+
+    def test_uniform(self, ray_session):
+        rng = np.random.default_rng(11)
+        self._check(ray_session, rng.normal(size=5000), max_pull=64, n_bins=16)
+
+    def test_mass_point(self, ray_session):
+        # a single repeated value heavier than max_pull must resolve
+        # without pulling (bin collapses to one double)
+        vals = np.concatenate(
+            [np.full(3000, 7.25), np.linspace(0, 1, 500), np.linspace(8, 9, 500)]
+        )
+        self._check(ray_session, vals, max_pull=100, n_bins=8)
+
+    def test_tiny_and_single_value(self, ray_session):
+        self._check(ray_session, [3.0], q_pcts=(50,))
+        self._check(ray_session, [2.0, 1.0, 3.0], q_pcts=(25, 50, 99))
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+
+        from geotile.ops.quantile import exact_quantiles
+
+        ds = rd.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
+        out = exact_quantiles(ds, "value")
+        assert out.num_rows == 0
