@@ -152,6 +152,11 @@ class TestCellCounts:
         oracle = dict(zip(uniq.view(np.int64).tolist(), counts.tolist()))
         got = dict(zip(df.cell.tolist(), df.n_tiles.tolist()))
         assert got == oracle
+        # the salted-groupby scale path (unbounded cell cardinality)
+        # produces the identical table
+        df2 = cell_tile_counts(ds, coarse_res=12, salt=8, reduce="groupby").to_pandas()
+        got2 = dict(zip(df2.cell.tolist(), df2.n_tiles.tolist()))
+        assert got2 == oracle
 
 
 class TestDissolveTiles:
