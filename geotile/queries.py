@@ -1277,6 +1277,27 @@ def q_jaccard_pairs_docs(sf_dir: str):
     return ngram_jaccard_pairs(docs, k=4, tau_num=1, tau_den=2)
 
 
+def q_dup_clusters_embeddings(sf_dir: str):
+    """Near-dup pair generation → duplicate CLUSTERS: the embedding
+    cosine pairs (tau = 0.35, the oracle-checked exact block-pair join)
+    fed through distributed connected components (graph.
+    connected_components, hash-to-min + pointer jumping). Output
+    (node, cluster_id = min vec_id in component) — the canonical-
+    representative election every dedup pipeline ends with."""
+    from geotile.ops.dedup import embedding_dup_pairs
+    from geotile.ops.graph import connected_components
+
+    pairs = embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.35
+    )
+    # n_buckets sizes the co-partition to the EDGE volume (pair graphs
+    # here are dimension-scale); raise it proportionally for corpus-
+    # scale edge lists
+    return connected_components(
+        pairs.select_columns(["a", "b"]), "a", "b", n_buckets=8
+    )
+
+
 def q_quantiles_events(sf_dir: str):
     """Exact p25/p50/p75/p95/p99 of events.value via iterative histogram
     refinement (ops/quantile.exact_quantiles) — no global sort; the
@@ -1302,6 +1323,7 @@ QUERIES = {
     "asof_clicks_views": q_asof_clicks_views,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "quantiles_events": q_quantiles_events,
+    "dup_clusters_embeddings": q_dup_clusters_embeddings,
     "distinct_users_exact": q_distinct_users_exact,
     "hash_sample_docs": q_hash_sample_docs,
     "heavy_hitter_users": q_heavy_hitter_users,
@@ -1812,6 +1834,17 @@ def oracle_sql() -> dict[str, str]:
     out.update(tile_oracle_sql("/root/testdata/sf0.01"))
     out["doc_quality"] = DOC_QUALITY_SQL
     out["embedding_dups"] = EMBEDDING_DUPS_SQL
+    out["dup_clusters_embeddings"] = f"""
+        WITH RECURSIVE pairs AS ({EMBEDDING_DUPS_SQL}),
+        e AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs),
+        walk(u, lbl) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM e)
+            UNION
+            SELECT e.u, w.lbl FROM e JOIN walk w ON w.u = e.v
+        )
+        SELECT u AS node, min(lbl) AS cluster_id FROM walk GROUP BY u
+    """
     out["embedding_buckets"] = _embedding_buckets_sql()
     out["lang_id_docs"] = _lang_id_sql()
     img01 = _image_dir_for("/root/testdata/sf0.01")
