@@ -186,3 +186,182 @@ def exact_quantiles(
             "value": pa.array([float(s["value"]) for s in state], pa.float64()),
         }
     )
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    col: str = "value",
+    group_col: str = "event_type",
+    q_pcts: tuple[int, ...] = (50, 95),
+    n_bins: int = 4096,
+    max_pull: int = 200_000,
+    max_rounds: int = 12,
+) -> pa.Table:
+    """Exact per-group rank-based quantiles — the grouped/windowed
+    variant of :func:`exact_quantiles`, same histogram-refinement
+    passes with a (group × quantile) interval lattice. One streaming
+    pass per round covers EVERY group's every active interval (the
+    per-batch loop is over #groups × #q intervals — dimension-scale by
+    the grouping-column contract, the same assumption every groupby in
+    this engine makes), so the pass count stays ceil(log_B(n_g /
+    max_pull)) for the LARGEST group, not per group.
+
+    Rank semantics per group g: element at 1-based rank
+    ``ceil(p/100 * n_g)`` of g's ascending sort (bit-identical to a SQL
+    ``row_number() OVER (PARTITION BY g ORDER BY v)`` replay).
+
+    Returns a driver-side ``pa.Table(group, q_pct, value)`` sorted by
+    (group, q_pct) — a #groups × #q summary, not a dataset."""
+    proj = ds.select_columns([group_col, col])
+
+    def extent(t: pa.Table) -> pa.Table:
+        tg = pa.table({"g": t[group_col], "v": t[col]})
+        gb = tg.group_by("g").aggregate(
+            [("v", "count"), ("v", "min"), ("v", "max")]
+        )
+        # select by name — pyarrow puts group keys LAST in the result
+        return pa.table(
+            {"g": gb["g"], "n": gb["v_count"].cast(pa.int64()),
+             "mn": gb["v_min"], "mx": gb["v_max"]}
+        )
+
+    ext = (
+        proj.map_batches(extent, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n"), Min("mn"), Max("mx"))
+        .take_all()
+    )  # one row per group — dimension-scale
+    if not ext:
+        return pa.table(
+            {"group": pa.array([], pa.string()), "q_pct": pa.array([], pa.int64()),
+             "value": pa.array([], pa.float64())}
+        )
+    groups = sorted(r["g"] for r in ext)
+    ginfo = {r["g"]: r for r in ext}
+
+    state = []
+    for g in groups:
+        n_g = int(ginfo[g]["sum(n)"])
+        for p in q_pcts:
+            state.append(
+                {
+                    "g": g,
+                    "q": p,
+                    "lo": float(ginfo[g]["min(mn)"]),
+                    "hi": float(ginfo[g]["max(mx)"]),
+                    "rank": int(math.ceil(float(p) / 100.0 * n_g)),
+                    "count": n_g,
+                }
+            )
+
+    def hist_pass(active):
+        los = np.array([s["lo"] for s in active])
+        his = np.array([s["hi"] for s in active])
+        widths = (his - los) / n_bins
+        gs = [s["g"] for s in active]
+        ni = len(active)
+
+        def hist(t: pa.Table) -> pa.Table:
+            gcol = t[group_col].to_numpy(zero_copy_only=False)
+            v = t[col].to_numpy(zero_copy_only=False)
+            qi_l, bin_l, cnt_l, mn_l, mx_l = [], [], [], [], []
+            for i in range(ni):
+                sel = v[(gcol == gs[i]) & (v >= los[i]) & (v <= his[i])]
+                if not sel.size:
+                    continue
+                if widths[i] > 0:
+                    b = np.clip(
+                        ((sel - los[i]) / widths[i]).astype(np.int64), 0, n_bins - 1
+                    )
+                else:
+                    b = np.zeros(sel.size, dtype=np.int64)
+                cnt = np.bincount(b, minlength=n_bins)
+                mn = np.full(n_bins, np.inf)
+                mx = np.full(n_bins, -np.inf)
+                np.minimum.at(mn, b, sel)
+                np.maximum.at(mx, b, sel)
+                nz = np.flatnonzero(cnt)
+                qi_l.append(np.full(nz.size, i, dtype=np.int64))
+                bin_l.append(nz)
+                cnt_l.append(cnt[nz])
+                mn_l.append(mn[nz])
+                mx_l.append(mx[nz])
+            if not qi_l:
+                return pa.table(
+                    {"qi": pa.array([], pa.int64()), "bin": pa.array([], pa.int64()),
+                     "cnt": pa.array([], pa.int64()), "mn": pa.array([], pa.float64()),
+                     "mx": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {"qi": pa.array(np.concatenate(qi_l)),
+                 "bin": pa.array(np.concatenate(bin_l)),
+                 "cnt": pa.array(np.concatenate(cnt_l)),
+                 "mn": pa.array(np.concatenate(mn_l)),
+                 "mx": pa.array(np.concatenate(mx_l))}
+            )
+
+        merged = (
+            proj.map_batches(hist, batch_format="pyarrow")
+            .groupby(["qi", "bin"])
+            .aggregate(Sum("cnt"), Min("mn"), Max("mx"))
+            .take_all()
+        )
+        cnt = np.zeros((ni, n_bins), dtype=np.int64)
+        mn = np.full((ni, n_bins), np.inf)
+        mx = np.full((ni, n_bins), -np.inf)
+        for r in merged:
+            cnt[r["qi"], r["bin"]] = r["sum(cnt)"]
+            mn[r["qi"], r["bin"]] = r["min(mn)"]
+            mx[r["qi"], r["bin"]] = r["max(mx)"]
+        return cnt, mn, mx
+
+    for _round in range(max_rounds):
+        active = [s for s in state if "value" not in s and s["count"] > max_pull]
+        if not active:
+            break
+        cnt, mn, mx = hist_pass(active)
+        for i, s in enumerate(active):
+            cum = np.cumsum(cnt[i])
+            j = int(np.searchsorted(cum, s["rank"], side="left"))
+            below = int(cum[j - 1]) if j > 0 else 0
+            if mn[i, j] == mx[i, j]:
+                s["value"] = float(mn[i, j])
+                continue
+            s["lo"], s["hi"] = float(mn[i, j]), float(mx[i, j])
+            s["rank"] -= below
+            s["count"] = int(cnt[i, j])
+
+    pending = [s for s in state if "value" not in s]
+    if pending:
+        los = np.array([s["lo"] for s in pending])
+        his = np.array([s["hi"] for s in pending])
+        pgs = [s["g"] for s in pending]
+
+        def pull(t: pa.Table) -> pa.Table:
+            gcol = t[group_col].to_numpy(zero_copy_only=False)
+            v = t[col].to_numpy(zero_copy_only=False)
+            outs, idxs = [], []
+            for i in range(len(pending)):
+                sel = v[(gcol == pgs[i]) & (v >= los[i]) & (v <= his[i])]
+                outs.append(sel)
+                idxs.append(np.full(sel.size, i, dtype=np.int64))
+            return pa.table(
+                {"i": pa.array(np.concatenate(idxs), pa.int64()),
+                 "v": pa.array(np.concatenate(outs), pa.float64())}
+            )
+
+        rows = proj.map_batches(pull, batch_format="pyarrow").take_all()
+        vals = np.array([r["v"] for r in rows])
+        idx = np.array([r["i"] for r in rows], dtype=np.int64)
+        for i, s in enumerate(pending):
+            mine = np.sort(vals[idx == i])
+            s["value"] = float(mine[s["rank"] - 1])
+
+    order = sorted(range(len(state)), key=lambda i: (state[i]["g"], state[i]["q"]))
+    return pa.table(
+        {
+            "group": pa.array([state[i]["g"] for i in order]),
+            "q_pct": pa.array([int(state[i]["q"]) for i in order], pa.int64()),
+            "value": pa.array([float(state[i]["value"]) for i in order], pa.float64()),
+        }
+    )

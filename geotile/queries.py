@@ -1277,6 +1277,54 @@ def q_jaccard_pairs_docs(sf_dir: str):
     return ngram_jaccard_pairs(docs, k=4, tau_num=1, tau_den=2)
 
 
+def q_grouped_quantiles_events(sf_dir: str):
+    """Exact per-group p50/p95 of events.value by event_type — the
+    grouped variant of the histogram-refinement selection (ops/
+    quantile.grouped_quantiles): one streaming pass per round covers
+    every group, no per-group sort, no all-to-all."""
+    from geotile.ops.quantile import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(
+        ev, "value", "event_type", q_pcts=(50, 95), max_pull=2000
+    )
+
+
+def q_stratified_sample_events(sf_dir: str):
+    """Deterministic stratified sample: the 100 events with the
+    smallest Knuth hash per event_type (reproducible, shard-stable —
+    the per-batch partial top-k is the combiner, the per-group final
+    top-k is the only shuffle and moves ≤ 100×batches rows)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    N = 100
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ids * 2654435761 % 4294967296
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((ids, h, inv))
+        inv_s = inv[order]
+        # first N rows of each group run
+        starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+        run_id = np.cumsum(np.r_[True, inv_s[1:] != inv_s[:-1]]) - 1
+        offset = np.arange(len(inv_s)) - starts[run_id]
+        keep = order[offset < N]
+        return t.take(pa.array(np.sort(keep)))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy().astype(np.int64)
+        h = ids * 2654435761 % 4294967296
+        order = np.lexsort((ids, h))[:N]
+        return df.iloc[np.sort(order)][["event_id", "event_type", "user_id"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q_dup_clusters_embeddings(sf_dir: str):
     """Near-dup pair generation → duplicate CLUSTERS: the embedding
     cosine pairs (tau = 0.35, the oracle-checked exact block-pair join)
@@ -1323,6 +1371,8 @@ QUERIES = {
     "asof_clicks_views": q_asof_clicks_views,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "quantiles_events": q_quantiles_events,
+    "grouped_quantiles_events": q_grouped_quantiles_events,
+    "stratified_sample_events": q_stratified_sample_events,
     "dup_clusters_embeddings": q_dup_clusters_embeddings,
     "distinct_users_exact": q_distinct_users_exact,
     "hash_sample_docs": q_hash_sample_docs,
@@ -1404,6 +1454,27 @@ ORACLE_SQL = {
         FROM pr JOIN sz sa ON sa.doc_id = pr.d1
                 JOIN sz sb ON sb.doc_id = pr.d2
         WHERE 2 * inter >= (sa.s + sb.s - inter)
+    """,
+    "grouped_quantiles_events": """
+        WITH s AS (SELECT event_type, value,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY value) rn,
+                          count(*) OVER (PARTITION BY event_type) c
+                   FROM events),
+        qs(q_pct, q) AS (VALUES (50, CAST(0.5 AS DOUBLE)),
+                                (95, CAST(0.95 AS DOUBLE)))
+        SELECT s.event_type AS "group", CAST(q_pct AS BIGINT) AS q_pct,
+               s.value AS value
+        FROM qs JOIN s ON s.rn = CAST(ceil(q * s.c) AS BIGINT)
+    """,
+    "stratified_sample_events": """
+        SELECT event_id, event_type, user_id FROM (
+            SELECT event_id, event_type, user_id,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY (event_id * 2654435761 % 4294967296), event_id
+                   ) AS rn
+            FROM events) WHERE rn <= 100
     """,
     "quantiles_events": """
         WITH s AS (SELECT value, row_number() OVER (ORDER BY value) rn

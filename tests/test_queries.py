@@ -20,6 +20,8 @@ CHECKED = [
     "asof_clicks_views",
     "jaccard_pairs_docs",
     "quantiles_events",
+    "grouped_quantiles_events",
+    "stratified_sample_events",
 ]
 
 

@@ -193,3 +193,40 @@ class TestExactQuantiles:
         ds = rd.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
         out = exact_quantiles(ds, "value")
         assert out.num_rows == 0
+
+
+class TestGroupedQuantiles:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from geotile.ops.quantile import grouped_quantiles
+
+        rng = np.random.default_rng(19)
+        groups = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, 6000)]
+        vals = rng.normal(size=6000)
+        vals[groups == "b"] = 3.25  # mass-point group
+        vals[groups == "d"] = np.round(vals[groups == "d"], 1)  # heavy ties
+        ds = rd.from_arrow(
+            pa.table({"g": pa.array(groups), "value": pa.array(vals)})
+        ).repartition(5)
+        got = grouped_quantiles(
+            ds, "value", "g", q_pcts=(25, 50, 95), n_bins=16, max_pull=50
+        ).to_pandas()
+        for g in "abcd":
+            s = np.sort(vals[groups == g])
+            for p in (25, 50, 95):
+                exp = s[int(np.ceil(p / 100.0 * len(s))) - 1]
+                row = got[(got["group"] == g) & (got.q_pct == p)]
+                assert row.value.iloc[0] == exp, (g, p)
+
+    def test_tiny_groups(self, ray_session):
+        import ray.data as rd
+
+        from geotile.ops.quantile import grouped_quantiles
+
+        ds = rd.from_arrow(
+            pa.table({"g": pa.array(["x", "y", "y"]),
+                      "value": pa.array([5.0, 2.0, 9.0])})
+        )
+        got = grouped_quantiles(ds, "value", "g", q_pcts=(50,)).to_pandas()
+        assert dict(zip(got["group"], got["value"])) == {"x": 5.0, "y": 2.0}
