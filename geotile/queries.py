@@ -1277,6 +1277,53 @@ def q_jaccard_pairs_docs(sf_dir: str):
     return ngram_jaccard_pairs(docs, k=4, tau_num=1, tau_den=2)
 
 
+def q_followup_events(sf_dir: str):
+    """Keyed band RANGE join (relational.band_join): every (click,
+    same-user event) pair with 0 < Δts <= 1 h, aggregated per click to
+    (n_follow, min_gap_us); 1-hour band. Completes the custom-operator trio the
+    engine adds over Ray Data's joins: as-of (1-to-1 latest), windowed
+    aggregate, band range join (1-to-many)."""
+    from geotile.ops.relational import band_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = band_join(clicks, ev, key="user_id", ts="ts", max_delta_us=3_600_000_000)
+
+    def gap(df: pd.DataFrame) -> pd.DataFrame:
+        lt = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rt = df["ts_r"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.float64).astype(np.int64),
+                "gap_us": rt - lt,
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    agg = (
+        pairs.map_batches(gap, batch_format="pandas")
+        .groupby("event_id")
+        .aggregate(Count(), Min("gap_us"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "n_follow": t["count()"].cast(pa.int64()),
+                "min_gap_us": t["min(gap_us)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_grouped_quantiles_events(sf_dir: str):
     """Exact per-group p50/p95 of events.value by event_type — the
     grouped variant of the histogram-refinement selection (ops/
@@ -1369,6 +1416,7 @@ QUERIES = {
     "bucket_join_priority_revenue": q_bucket_join_priority_revenue,
     "user_sessions": q_user_sessions,
     "asof_clicks_views": q_asof_clicks_views,
+    "followup_events": q_followup_events,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "quantiles_events": q_quantiles_events,
     "grouped_quantiles_events": q_grouped_quantiles_events,
@@ -1431,6 +1479,16 @@ ORACLE_SQL = {
         SELECT event_id, CAST(prior_view_id AS BIGINT) AS prior_view_id,
                CAST(epoch_us(ts) - epoch_us(prior_ts) AS BIGINT) AS gap_us
         FROM m WHERE event_type = 'click' AND prior_view_id IS NOT NULL
+    """,
+    "followup_events": """
+        SELECT l.event_id,
+               count(*) AS n_follow,
+               min(epoch_us(r.ts) - epoch_us(l.ts)) AS min_gap_us
+        FROM events l JOIN events r
+          ON r.user_id = l.user_id
+         AND epoch_us(r.ts) - epoch_us(l.ts) BETWEEN 1 AND 3600000000
+        WHERE l.event_type = 'click'
+        GROUP BY l.event_id
     """,
     "jaccard_pairs_docs": """
         WITH w AS (

@@ -18,6 +18,7 @@ CHECKED = [
     "doc_token_stats",
     "knn_embeddings",
     "asof_clicks_views",
+    "followup_events",
     "jaccard_pairs_docs",
     "quantiles_events",
     "grouped_quantiles_events",

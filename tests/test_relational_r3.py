@@ -83,6 +83,64 @@ class TestAsofJoin:
         assert j["rid_r"].isna().all()
 
 
+class TestBandJoin:
+    def test_matches_brute_force(self, ray_session):
+        from geotile.ops.relational import band_join
+
+        rng = np.random.default_rng(23)
+        n_l, n_r, band = 200, 300, 10
+        left = pd.DataFrame(
+            {
+                "lid": np.arange(n_l, dtype=np.int64),
+                "user_id": rng.integers(0, 12, n_l).astype(np.int64),
+                "ts": pd.to_datetime(
+                    rng.integers(0, 60, n_l), unit="us"
+                ),  # dense ties
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "rid": np.arange(n_r, dtype=np.int64),
+                "user_id": rng.integers(0, 15, n_r).astype(np.int64),
+                "ts": pd.to_datetime(rng.integers(0, 60, n_r), unit="us"),
+            }
+        )
+        got = band_join(
+            _from_pandas(left).repartition(5),
+            _from_pandas(right).repartition(3),
+            key="user_id",
+            ts="ts",
+            max_delta_us=band,
+            n_buckets=8,
+        ).to_pandas()
+        got_pairs = sorted(zip(got.lid.astype(int), got.rid_r.astype(int)))
+        exp = []
+        for _, lr in left.iterrows():
+            lt = lr["ts"].value // 1000  # ns → us
+            for _, rr in right[right.user_id == lr["user_id"]].iterrows():
+                rt = rr["ts"].value // 1000
+                if 0 < rt - lt <= band:
+                    exp.append((int(lr["lid"]), int(rr["rid"])))
+        assert got_pairs == sorted(exp) and len(exp) > 50
+
+    def test_no_matches(self, ray_session):
+        from geotile.ops.relational import band_join
+
+        left = pd.DataFrame(
+            {"lid": [1], "user_id": [0],
+             "ts": pd.to_datetime([100], unit="us")}
+        )
+        right = pd.DataFrame(
+            {"rid": [2], "user_id": [0],
+             "ts": pd.to_datetime([90], unit="us")}  # earlier → no match
+        )
+        got = band_join(
+            _from_pandas(left), _from_pandas(right),
+            key="user_id", ts="ts", max_delta_us=5, n_buckets=2,
+        ).to_pandas()
+        assert len(got) == 0
+
+
 class TestNgramJaccard:
     def _brute(self, texts, k, tau):
         def sh(t):
