@@ -1277,6 +1277,43 @@ def q_jaccard_pairs_docs(sf_dir: str):
     return ngram_jaccard_pairs(docs, k=4, tau_num=1, tau_den=2)
 
 
+def q_top_terms_docs(sf_dir: str):
+    """Global top-20 terms by corpus frequency (inverted-index-style):
+    per-batch Arrow value_counts combiner (one (token, n) row per
+    distinct token per batch) → groupby(token).sum — the only shuffle,
+    moving vocabulary-scale partials — → partial top-k per block →
+    one tiny final reduce. Tokenization = split on single spaces with
+    empties dropped, mirroring SQL string_split exactly (NOT
+    utf8_split_whitespace, which merges runs)."""
+    ds = _read(sf_dir, "documents", ["text"])
+    k = 20
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    def top_of(t: pa.Table) -> pa.Table:
+        tok = t["token"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n))[:k]  # (n desc, token asc) — tie-stable
+        return pa.table({"token": pa.array(tok[order]), "n": pa.array(n[order])})
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["token", "n"]), batch_format="pyarrow"
+        )
+    )
+    cands = summed.map_batches(top_of, batch_format="pyarrow")
+    return cands.repartition(1).map_batches(top_of, batch_format="pyarrow")
+
+
 def q_followup_events(sf_dir: str):
     """Keyed band RANGE join (relational.band_join): every (click,
     same-user event) pair with 0 < Δts <= 1 h, aggregated per click to
@@ -1417,6 +1454,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "asof_clicks_views": q_asof_clicks_views,
     "followup_events": q_followup_events,
+    "top_terms_docs": q_top_terms_docs,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "quantiles_events": q_quantiles_events,
     "grouped_quantiles_events": q_grouped_quantiles_events,
@@ -1479,6 +1517,12 @@ ORACLE_SQL = {
         SELECT event_id, CAST(prior_view_id AS BIGINT) AS prior_view_id,
                CAST(epoch_us(ts) - epoch_us(prior_ts) AS BIGINT) AS gap_us
         FROM m WHERE event_type = 'click' AND prior_view_id IS NOT NULL
+    """,
+    "top_terms_docs": """
+        SELECT w AS token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+        ORDER BY n DESC, w LIMIT 20
     """,
     "followup_events": """
         SELECT l.event_id,

@@ -19,6 +19,7 @@ CHECKED = [
     "knn_embeddings",
     "asof_clicks_views",
     "followup_events",
+    "top_terms_docs",
     "jaccard_pairs_docs",
     "quantiles_events",
     "grouped_quantiles_events",
