@@ -136,6 +136,20 @@ class TestKnn:
             assert np.allclose(np.sort(D[i])[:k], rows.dist_m.to_numpy())
 
 
+class TestUniqueCountsU64:
+    def test_matches_np_unique_both_paths(self):
+        from geotile.ops.join import _unique_counts_u64
+
+        rng = np.random.default_rng(31)
+        # narrow span → bincount path; wide span → sort fallback
+        narrow = rng.integers(10**6, 10**6 + 500, 5000).astype(np.uint64)
+        wide = rng.integers(0, 2**62, 5000).astype(np.uint64)
+        for v in (narrow, wide, np.array([], np.uint64), np.array([7], np.uint64)):
+            u, c = _unique_counts_u64(v)
+            eu, ec = np.unique(v, return_counts=True)
+            assert (u == eu).all() and (c == ec).all()
+
+
 class TestCellCounts:
     def test_total_and_skew(self, ray_session, image_table_dir):
         ds = read_image_table(str(image_table_dir), columns=JOIN_COLUMNS)
