@@ -154,7 +154,11 @@ def main() -> None:
         return
 
     t0 = time.time()
-    consume(knn_routes(read_parts(parts * max(1, repeats // 4)), lines, k=3))
+    # 2 files/task here, not 4: kNN tasks are ~6× the join's per-row
+    # cost (~2.4s at 4 files), so 42 tasks over 32 slots is 1.3 waves
+    # of pure tail — 84×1.2s tasks measured 22% faster (8.9 → 7.0s)
+    consume(knn_routes(read_parts(parts * max(1, repeats // 4), files_per_block=2),
+                       lines, k=3))
     timings["knn_routes"] = round(time.time() - t0, 3)
 
     t0 = time.time()
