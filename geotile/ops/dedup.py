@@ -667,8 +667,9 @@ def ngram_jaccard_pairs(
          so candidate generation from prefix postings alone is lossless.
       4. candidates: groupby(g-bucket) → within-bucket pandas pair
          emission with the length filter tau_den*min_sz >= tau_num*max_sz
-         and the MAX_BUCKET hot-posting guard; distinct pairs via a
-         (d1, d2) groupby — the pair set never lands on the driver.
+         (no MAX_BUCKET cap — exactness wins; n mutual dups imply O(n²)
+         true pairs); distinct pairs via a (d1, d2) groupby — the pair
+         set never lands on the driver.
       5. verify: per-doc sorted shingle arrays for CANDIDATE docs only
          (candidate-id semi-join, same contract as minhash_lsh_pairs)
          are co-partition-joined to the pairs; exact intersect per pair.
@@ -719,7 +720,12 @@ def ngram_jaccard_pairs(
         out_a, out_b = [], []
         dup = df[df.duplicated("g", keep=False)]
         for _, grp in dup.groupby("g", sort=False):
-            grp = grp.drop_duplicates("doc_id").sort_values("doc_id").head(MAX_BUCKET)
+            # NO MAX_BUCKET cap here, unlike the LSH paths: this join's
+            # contract is EXACT, and a shingle shared by n mutual dups
+            # legitimately yields O(n²) pairs — that is the true result
+            # size, not an approximation artifact. The prefix filter
+            # already keeps high-df shingles out of most prefixes.
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
             n = len(grp)
             if n < 2:
                 continue

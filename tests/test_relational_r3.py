@@ -193,6 +193,27 @@ class TestNgramJaccard:
         # jacc_e6 is integer floor division
         assert (got.jacc_e6 == got.inter * 1_000_000 // got.uni).all()
 
+    def test_large_dup_group_uncapped(self, ray_session):
+        # one group of 120 identical docs: the EXACT join must emit all
+        # C(120,2) pairs at J=1 — any per-shingle pair cap (the LSH
+        # paths have MAX_BUCKET; this path deliberately must NOT) would
+        # silently drop pairs the SQL oracle returns
+        from geotile.ops.dedup import ngram_jaccard_pairs
+
+        n = 120
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": ["alpha beta gamma delta epsilon zeta"] * n,
+            }
+        )
+        got = ngram_jaccard_pairs(
+            _from_pandas(df).repartition(4), k=4, n_buckets=4, pair_buckets=8
+        ).to_pandas()
+        assert len(got) == n * (n - 1) // 2
+        assert (got.jacc_e6 == 1_000_000).all()
+        assert (got.d1 < got.d2).all()
+
     def test_exact_duplicates_and_no_pairs(self, ray_session):
         from geotile.ops.dedup import ngram_jaccard_pairs
 
