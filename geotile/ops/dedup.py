@@ -847,3 +847,90 @@ def ngram_jaccard_pairs(
         return out[tau_den * out["inter"] >= tau_num * out["uni"]]
 
     return with_b.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram span detection (exact-substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+def dup_ngram_spans(
+    ds: rd.Dataset,
+    k: int = 8,
+    min_docs: int = 2,
+    gram_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-document duplicated-span score: how many of a document's
+    distinct word-``k``-grams also appear in at least ``min_docs - 1``
+    OTHER documents — the per-doc signal of exact-substring training-
+    data dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better": long n-grams shared across documents mark boiler-
+    plate / mirrored content to cut). Unlike ``ngram_jaccard_pairs``
+    (pairwise similarity) this yields a per-doc score, so there is no
+    pair explosion at any duplication level.
+
+    Shape: distinct (doc, gram-hash) postings via the strict shingle
+    kernel (same 64-bit-hash-as-exact convention as the Jaccard join —
+    the SQL oracle replays gram STRINGS, so a collision would surface
+    as a gate mismatch) → co-partition postings by hash(gram) bucket —
+    every posting of a gram lands in one group, so the group computes
+    gram df AND per-doc partial counts vectorized in one pass → a
+    final doc-scale groupby sums partials across a doc's buckets.
+    Two shuffles, both over fixed-width int rows; corpus text never
+    moves. Docs with fewer than ``k`` tokens emit nothing (strict
+    windowing), matching the SQL ``len(toks) >= k`` guard.
+
+    Columns: doc_id, n_grams (distinct k-grams in doc), n_dup_grams
+    (those with global df >= ``min_docs``) — all int64."""
+    docs = ds.select_columns(["doc_id", "text"])
+
+    def postings_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d, g, _ = _strict_shingle_postings(ids, t["text"], k)
+        gb = (splitmix64(g.view(np.uint64)) % np.uint64(gram_buckets)).astype(
+            np.int64
+        )
+        return pa.table({"doc_id": d, "g": g, "gb": gb})
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "n_grams": pd.Series(dtype=np.int64),
+                    "n_dup_grams": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df["g"].to_numpy(np.int64)
+        d = df["doc_id"].to_numpy(np.int64)
+        # postings are per-doc distinct, so a gram's row count here IS
+        # its document frequency (all of its postings co-locate)
+        _, inv, cnt = np.unique(g, return_inverse=True, return_counts=True)
+        dup = (cnt[inv] >= min_docs).astype(np.int64)
+        docs_u, dinv = np.unique(d, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "doc_id": docs_u,
+                "n_grams": np.bincount(dinv).astype(np.int64),
+                "n_dup_grams": np.bincount(dinv, weights=dup).astype(np.int64),
+            }
+        )
+
+    partials = (
+        docs.map_batches(postings_fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gb")
+        .map_groups(bucket_partial, batch_format="pandas")
+    )
+    return (
+        partials.groupby("doc_id")
+        .sum(["n_grams", "n_dup_grams"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "n_grams": t["sum(n_grams)"].cast(pa.int64()),
+                    "n_dup_grams": t["sum(n_dup_grams)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -68,8 +68,11 @@ def bucketed_join(
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == 0][lcols]
         r = df[df["__side"] == 1][rcols]
-        if len(l) == 0 or (len(r) == 0 and how == "inner"):
-            return pd.DataFrame({n: pd.Series(dtype="object") for n, _ in all_fields})
+        # inner can short-circuit an empty side; left/right/outer must
+        # still emit the surviving side's rows, so run the merge (pandas
+        # handles empty frames with correct how= semantics)
+        if how == "inner" and (len(l) == 0 or len(r) == 0):
+            return df.iloc[:0][[n for n, _ in all_fields]]
         return l.merge(r, left_on=left_key, right_on=right_key, how=how)
 
     return lb.union(rb).groupby("bucket").map_groups(merge, batch_format="pandas")
@@ -246,6 +249,74 @@ def band_join(
         return out[out_cols]
 
     return lb.union(rb).groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def grouped_rolling(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    val: str,
+    frame: int = 3,
+    lag_col: str | None = None,
+    lag_default: int = -1,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Per-key ROWS-frame window aggregate — SQL's
+    ``sum(val) OVER (PARTITION BY key ORDER BY order_cols
+    ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)`` plus
+    ``lag(lag_col, 1, lag_default)`` — the row-frame windowing family
+    (rolling sum/avg, lag/lead) the tumbling/sliding *time* windows in
+    queries.py don't cover.
+
+    ``val`` must be an exact-integer column (callers quantize floats to
+    a fixed-point lattice first) so the prefix-sum is associative and
+    bit-identical to the SQL replay — rolling float sums are NOT
+    (cumsum-diff vs left-to-right association differ in ULPs).
+
+    Shape: hash-co-partition on ``key`` (the one shuffle), then each
+    bucket group handles ALL its keys in one vectorized pass — lexsort
+    by (key, order_cols), per-run prefix-sum windows clamped to the
+    run start, shifted lag within runs. No per-key Python, no global
+    sort. Partitioning assumption: one key's rows fit one bucket group
+    (same contract as asof_join/band_join)."""
+    out_extra = ["roll_sum", "roll_n"] + ([f"prev_{lag_col}"] if lag_col else [])
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        n = len(df)
+        if n == 0:
+            out = df.copy()
+            for c in out_extra:
+                out[c] = pd.Series(dtype=np.int64)
+            return out
+        # single-dataset bucket groups carry native dtypes (no union
+        # NaN-padding) — direct int64 views, no float round-trip
+        keys = df[key].to_numpy(np.int64)
+        sort_arrays = [df[c].to_numpy() for c in reversed(order_cols)] + [keys]
+        order = np.lexsort(sort_arrays)
+        df = df.iloc[order].reset_index(drop=True)
+        keys = keys[order]
+        v = df[val].to_numpy(np.int64)
+        csum = np.concatenate([[0], np.cumsum(v)])
+        i = np.arange(n)
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        run_start = i[new][np.cumsum(new) - 1]  # start index of each row's run
+        lo = np.maximum(i + 1 - frame, run_start)
+        df["roll_sum"] = csum[i + 1] - csum[lo]
+        df["roll_n"] = (i + 1 - lo).astype(np.int64)
+        if lag_col:
+            prev = np.empty(n, dtype=np.int64)
+            prev[0] = lag_default
+            prev[1:] = df[lag_col].to_numpy(np.int64)[:-1]
+            prev[new] = lag_default
+            df[f"prev_{lag_col}"] = prev
+        return df
+
+    return (
+        _with_bucket(ds, key, n_buckets)
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+    )
 
 
 def asof_join(

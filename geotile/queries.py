@@ -1361,6 +1361,115 @@ def q_followup_events(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_tfidf_docs(sf_dir: str):
+    """Top-5 TF-IDF terms per document (text.tfidf_top_terms): the
+    vocabulary-scale DF groupby is the only shuffle; the repeated
+    (df >= 2) vocabulary broadcasts Heaps'-law small and the scoring /
+    per-doc top-k pass is batch-local. IDF is the log-free rational
+    variant (1e6 * N) // df so scores are exact int64 on both engines."""
+    from geotile.ops.text import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(docs, k=5)
+
+
+def q_dup_span_docs(sf_dir: str):
+    """Per-doc duplicated 8-gram span counts (dedup.dup_ngram_spans) —
+    the exact-substring-dedup signal (Lee et al.): distinct-gram
+    postings → gram-bucket co-partition (df + per-doc partials in one
+    vectorized pass) → doc-scale sum."""
+    from geotile.ops.dedup import dup_ngram_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngram_spans(docs, k=8)
+
+
+def q_rolling_window_user(sf_dir: str):
+    """ROWS-frame window functions (relational.grouped_rolling): 3-row
+    rolling sum of value + lag(event_id) per user ordered by (ts,
+    event_id). Values quantized to an e4 integer lattice BEFORE the
+    rolling sum so prefix-sum association is exact (float rolling sums
+    are association-sensitive)."""
+    from geotile.ops.relational import grouped_rolling
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(10000.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        return t.drop_columns(["value"]).append_column("v_e4", v)
+
+    rolled = grouped_rolling(
+        ev.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        val="v_e4",
+        frame=3,
+        lag_col="event_id",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "roll_sum_e4": t["roll_sum"].cast(pa.int64()),
+                "roll_n": t["roll_n"].cast(pa.int64()),
+                "prev_event_id": t["prev_event_id"].cast(pa.int64()),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def q_full_outer_customer_orders(sf_dir: str):
+    """FULL OUTER co-partitioned join (relational.bucketed_join
+    how='outer'): per-custkey open-order counts vs finished-order
+    counts — custkeys with only one status survive from either side
+    (nulls coalesced to 0 for the hash gate)."""
+    from geotile.ops.relational import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def side(status: str, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["o_orderstatus"], status))
+            g = t.group_by("o_custkey").aggregate([([], "count_all")])
+            return pa.table(
+                {key: g["o_custkey"].cast(pa.int64()),
+                 f"n_{key}": g["count_all"].cast(pa.int64())}
+            )
+
+        return fn
+
+    # per-batch combiner then a custkey-scale sum — the co-partition
+    # join's two inputs are already aggregate-sized
+    o = (
+        orders.map_batches(side("O", "ck_o"), batch_format="pyarrow")
+        .groupby("ck_o").sum("n_ck_o")
+        .map_batches(lambda t: t.rename_columns(["ck_o", "n_open"]),
+                     batch_format="pyarrow")
+    )
+    f = (
+        orders.map_batches(side("F", "ck_f"), batch_format="pyarrow")
+        .groupby("ck_f").sum("n_ck_f")
+        .map_batches(lambda t: t.rename_columns(["ck_f", "n_fin"]),
+                     batch_format="pyarrow")
+    )
+    joined = bucketed_join(o, f, "ck_o", "ck_f", how="outer")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["ck_o"].where(df["ck_o"].notna(), df["ck_f"])
+        return pd.DataFrame(
+            {
+                "custkey": ck.to_numpy(np.float64).astype(np.int64),
+                "n_open": df["n_open"].fillna(0).to_numpy(np.float64).astype(np.int64),
+                "n_fin": df["n_fin"].fillna(0).to_numpy(np.float64).astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_grouped_quantiles_events(sf_dir: str):
     """Exact per-group p50/p95 of events.value by event_type — the
     grouped variant of the histogram-refinement selection (ops/
@@ -1455,6 +1564,10 @@ QUERIES = {
     "asof_clicks_views": q_asof_clicks_views,
     "followup_events": q_followup_events,
     "top_terms_docs": q_top_terms_docs,
+    "tfidf_docs": q_tfidf_docs,
+    "dup_span_docs": q_dup_span_docs,
+    "rolling_window_user": q_rolling_window_user,
+    "full_outer_customer_orders": q_full_outer_customer_orders,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "quantiles_events": q_quantiles_events,
     "grouped_quantiles_events": q_grouped_quantiles_events,
@@ -1523,6 +1636,54 @@ ORACLE_SQL = {
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE w <> '' GROUP BY w
         ORDER BY n DESC, w LIMIT 20
+    """,
+    "tfidf_docs": """
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+        wf AS (SELECT doc_id, token, count(*) AS tf FROM w
+               WHERE token <> '' GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM wf GROUP BY 1),
+        sc AS (SELECT doc_id, wf.token, tf, df,
+                      tf * ((1000000 * nd.n) // df) AS score
+               FROM wf JOIN dfq USING (token) CROSS JOIN nd),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) rn FROM sc)
+        SELECT doc_id, token, tf, df, score FROM r WHERE rn <= 5
+    """,
+    "dup_span_docs": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+              WHERE len(toks) >= 8),
+        d AS (SELECT gram, count(*) AS nd FROM g GROUP BY 1)
+        SELECT g.doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_grams
+        FROM g JOIN d USING (gram) GROUP BY 1
+    """,
+    "rolling_window_user": """
+        WITH q AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+                   FROM events)
+        SELECT event_id,
+               CAST(sum(v) OVER w AS BIGINT) AS roll_sum_e4,
+               count(*) OVER w AS roll_n,
+               coalesce(lag(event_id) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id), -1) AS prev_event_id
+        FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "full_outer_customer_orders": """
+        WITH o AS (SELECT o_custkey ck, count(*) n FROM orders
+                   WHERE o_orderstatus = 'O' GROUP BY 1),
+             f AS (SELECT o_custkey ck, count(*) n FROM orders
+                   WHERE o_orderstatus = 'F' GROUP BY 1)
+        SELECT COALESCE(o.ck, f.ck) AS custkey,
+               COALESCE(o.n, 0) AS n_open, COALESCE(f.n, 0) AS n_fin
+        FROM o FULL OUTER JOIN f ON f.ck = o.ck
     """,
     "followup_events": """
         SELECT l.event_id,

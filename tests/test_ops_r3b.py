@@ -1,0 +1,260 @@
+"""Round-3 widening ops: TF-IDF top terms (broadcast + co-partition
+scale paths), duplicated n-gram spans, ROWS-frame rolling window, full
+outer co-partition join — each vs an in-process brute-force reference
+on adversarial small data."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _from_pandas(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def _docs_df(rng, n=60, vocab=None):
+    vocab = vocab or ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 14)))
+        for _ in range(n)
+    ]
+    texts[3] = ""  # empty doc: counts toward N, emits no terms
+    texts[5] = "alpha  beta"  # double space → empty token must be dropped
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+
+def _brute_tfidf(df, k=5):
+    n_docs = len(df)
+    rows = []
+    tf_all, dfreq = {}, {}
+    for _, r in df.iterrows():
+        toks = [t for t in r["text"].split(" ") if t != ""]
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        tf_all[r["doc_id"]] = tf
+        for t in tf:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    for did, tf in tf_all.items():
+        scored = sorted(
+            (
+                (t, c, dfreq[t], c * ((1_000_000 * n_docs) // dfreq[t]))
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[3], x[0]),
+        )[:k]
+        rows.extend((did, t, c, d, s) for t, c, d, s in scored)
+    return pd.DataFrame(
+        rows, columns=["doc_id", "token", "tf", "df", "score"]
+    ).sort_values(["doc_id", "token"]).reset_index(drop=True)
+
+
+class TestTfidf:
+    @pytest.mark.parametrize("max_broadcast", [1 << 22, 0])  # fast + scale path
+    def test_matches_brute_force(self, ray_session, max_broadcast):
+        from geotile.ops.text import tfidf_top_terms
+
+        df = _docs_df(np.random.default_rng(11))
+        got = (
+            tfidf_top_terms(
+                _from_pandas(df).repartition(4), k=5,
+                max_broadcast_vocab=max_broadcast, n_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "token"])
+            .reset_index(drop=True)
+        )
+        want = _brute_tfidf(df, k=5)
+        pd.testing.assert_frame_equal(
+            got.astype({"tf": np.int64, "df": np.int64, "score": np.int64}),
+            want,
+        )
+
+    def test_df_one_terms_score_via_miss_default(self, ray_session):
+        # a token unique to one doc is absent from the pruned broadcast
+        # vocab; the df=1 miss default must still score it (highest idf)
+        from geotile.ops.text import tfidf_top_terms
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.array([0, 1], dtype=np.int64),
+                "text": ["unique shared", "shared"],
+            }
+        )
+        got = tfidf_top_terms(_from_pandas(df), k=5).to_pandas()
+        u = got[(got.doc_id == 0) & (got.token == "unique")]
+        assert len(u) == 1 and int(u["df"].iloc[0]) == 1
+        assert int(u["score"].iloc[0]) == 1_000_000 * 2  # tf=1, N=2, df=1
+
+
+class TestDupNgramSpans:
+    def _brute(self, df, k=8, min_docs=2):
+        grams = {}
+        per_doc = {}
+        for _, r in df.iterrows():
+            toks = r["text"].split(" ")
+            gs = {
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            } if len(toks) >= k else set()
+            per_doc[r["doc_id"]] = gs
+            for g in gs:
+                grams[g] = grams.get(g, 0) + 1
+        rows = [
+            (d, len(gs), sum(1 for g in gs if grams[g] >= min_docs))
+            for d, gs in per_doc.items()
+            if gs
+        ]
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_grams", "n_dup_grams"]
+        ).sort_values("doc_id").reset_index(drop=True)
+
+    def test_matches_brute_force(self, ray_session):
+        from geotile.ops.dedup import dup_ngram_spans
+
+        rng = np.random.default_rng(3)
+        vocab = ["a", "b", "c", "d"]
+        n = 50
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(0, 24)))
+            for _ in range(n)
+        ]
+        texts[7] = texts[9] = "a b c d a b c d a b"  # exact dup block
+        texts[11] = "x y " + texts[7]  # shares a suffix span
+        df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+        got = (
+            dup_ngram_spans(_from_pandas(df).repartition(4), k=8, gram_buckets=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, self._brute(df, k=8))
+        # the planted dups must be flagged
+        flagged = got[got.n_dup_grams > 0].doc_id.tolist()
+        assert {7, 9, 11} <= set(flagged)
+
+    def test_short_docs_emit_nothing(self, ray_session):
+        from geotile.ops.dedup import dup_ngram_spans
+
+        df = pd.DataFrame(
+            {"doc_id": np.array([0, 1], dtype=np.int64),
+             "text": ["a b c", "a b c d e f g h"]}
+        )
+        got = dup_ngram_spans(_from_pandas(df), k=8).to_pandas()
+        assert got.doc_id.tolist() == [1]
+        assert got.n_grams.tolist() == [1] and got.n_dup_grams.tolist() == [0]
+
+
+class TestGroupedRolling:
+    def test_matches_pandas_window(self, ray_session):
+        from geotile.ops.relational import grouped_rolling
+
+        rng = np.random.default_rng(5)
+        n = 800
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 25, n).astype(np.int64),
+                "ts": pd.to_datetime(
+                    rng.integers(0, 50, n), unit="s"
+                ),  # heavy ts ties → tiebreak by event_id matters
+                "v": rng.integers(-100, 100, n).astype(np.int64),
+            }
+        )
+        got = (
+            grouped_rolling(
+                _from_pandas(df).repartition(5), key="user_id",
+                order_cols=["ts", "event_id"], val="v", frame=3,
+                lag_col="event_id", n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        w = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        g = w.groupby("user_id")
+        w["roll_sum"] = g["v"].transform(
+            lambda s: s.rolling(3, min_periods=1).sum()
+        ).astype(np.int64)
+        w["roll_n"] = g["v"].transform(
+            lambda s: s.rolling(3, min_periods=1).count()
+        ).astype(np.int64)
+        w["prev_event_id"] = g["event_id"].shift(1).fillna(-1).astype(np.int64)
+        w = w.sort_values("event_id").reset_index(drop=True)
+        for c in ("roll_sum", "roll_n", "prev_event_id"):
+            np.testing.assert_array_equal(got[c].to_numpy(), w[c].to_numpy())
+
+    def test_single_row_groups(self, ray_session):
+        from geotile.ops.relational import grouped_rolling
+
+        df = pd.DataFrame(
+            {
+                "event_id": np.array([10, 20], dtype=np.int64),
+                "user_id": np.array([1, 2], dtype=np.int64),
+                "ts": pd.to_datetime([1, 2], unit="s"),
+                "v": np.array([7, -3], dtype=np.int64),
+            }
+        )
+        got = grouped_rolling(
+            _from_pandas(df), key="user_id", order_cols=["ts", "event_id"],
+            val="v", frame=3, lag_col="event_id",
+        ).to_pandas().sort_values("event_id")
+        assert got.roll_sum.tolist() == [7, -3]
+        assert got.roll_n.tolist() == [1, 1]
+        assert got.prev_event_id.tolist() == [-1, -1]
+
+
+class TestBucketedJoinOuter:
+    def test_full_outer_matches_pandas(self, ray_session):
+        from geotile.ops.relational import bucketed_join
+
+        rng = np.random.default_rng(9)
+        l = pd.DataFrame(
+            {
+                "lk": rng.choice(np.arange(0, 40, 2), 30).astype(np.int64),
+                "lv": np.arange(30, dtype=np.int64),
+            }
+        )
+        r = pd.DataFrame(
+            {
+                "rk": rng.choice(np.arange(0, 40, 3), 25).astype(np.int64),
+                "rv": np.arange(25, dtype=np.int64),
+            }
+        )
+        got = (
+            bucketed_join(
+                _from_pandas(l).repartition(3), _from_pandas(r).repartition(2),
+                "lk", "rk", n_buckets=4, how="outer",
+            )
+            .to_pandas()
+            .sort_values(["lk", "rk", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        want = (
+            l.merge(r, left_on="lk", right_on="rk", how="outer")
+            .sort_values(["lk", "rk", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        for c in ("lk", "lv", "rk", "rv"):
+            np.testing.assert_array_equal(
+                got[c].to_numpy(np.float64), want[c].to_numpy(np.float64)
+            )
+
+    def test_left_join_empty_right_bucket_unchanged(self, ray_session):
+        # regression guard: the outer fix must not change left semantics
+        from geotile.ops.relational import bucketed_join
+
+        l = pd.DataFrame({"lk": np.array([1, 2], np.int64),
+                          "lv": np.array([10, 20], np.int64)})
+        r = pd.DataFrame({"rk": np.array([2], np.int64),
+                          "rv": np.array([99], np.int64)})
+        got = bucketed_join(
+            _from_pandas(l), _from_pandas(r), "lk", "rk",
+            n_buckets=4, how="left",
+        ).to_pandas().sort_values("lk").reset_index(drop=True)
+        assert len(got) == 2
+        assert got.loc[got.lk == 2, "rv"].iloc[0] == 99
+        assert np.isnan(got.loc[got.lk == 1, "rv"].iloc[0])
