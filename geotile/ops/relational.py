@@ -251,6 +251,97 @@ def band_join(
     return lb.union(rb).groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
+def rollup_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    sum_col: str,
+    sentinel: str = "*",
+) -> rd.Dataset:
+    """GROUP BY ROLLUP(keys): count + sum at every rollup level —
+    (k1..kn), (k1..kn-1), …, grand total — in ONE streaming pass.
+    Aggregated-out keys carry ``sentinel`` (the SQL replay coalesces
+    its NULLs to the same sentinel); ``lvl`` = number of keys grouped
+    out (0 = detail row … len(keys) = grand total), disambiguating a
+    real sentinel-valued key from a rollup row exactly like SQL's
+    GROUPING().
+
+    Shape: the per-batch combiner aggregates the detail level in Arrow,
+    then derives every coarser level from those PARTIALS (cardinality =
+    detail groups, not rows), so each input row is touched once; the
+    single shuffle is a groupby over (levels × group cardinality)
+    partial rows. Columns: lvl, *keys, n, sum_<sum_col> (int64)."""
+    import pyarrow.compute as pc
+
+    sum_name = f"sum_{sum_col}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([([], "count_all"), (sum_col, "sum")])
+        n = g["count_all"].cast(pa.int64())
+        s = g[f"{sum_col}_sum"].cast(pa.int64())
+        levels = []
+        cur = pa.table(
+            {
+                **{k: g[k] for k in keys},
+                "n": n,
+                sum_name: s,
+                "lvl": pa.array(np.zeros(len(g), dtype=np.int64)),
+            }
+        )
+        levels.append(cur)
+        for lvl in range(1, len(keys) + 1):
+            kept = keys[: len(keys) - lvl]
+            if kept:
+                gg = cur.group_by(kept).aggregate([("n", "sum"), (sum_name, "sum")])
+                nxt = pa.table(
+                    {
+                        **{k: gg[k] for k in kept},
+                        **{
+                            k: pa.array([sentinel] * len(gg), pa.string())
+                            for k in keys[len(keys) - lvl:]
+                        },
+                        "n": gg["n_sum"],
+                        sum_name: gg[f"{sum_name}_sum"],
+                        "lvl": pa.array(np.full(len(gg), lvl, dtype=np.int64)),
+                    }
+                )
+            else:
+                nxt = pa.table(
+                    {
+                        **{
+                            k: pa.array([sentinel], pa.string()) for k in keys
+                        },
+                        "n": pa.array([pc.sum(cur["n"]).as_py() or 0], pa.int64()),
+                        sum_name: pa.array(
+                            [pc.sum(cur[sum_name]).as_py() or 0], pa.int64()
+                        ),
+                        "lvl": pa.array([lvl], pa.int64()),
+                    }
+                )
+            levels.append(nxt.select(levels[0].column_names))
+            cur = nxt
+        out = pa.concat_tables([x.select(levels[0].column_names) for x in levels])
+        return out
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lvl"] + keys)
+        .sum(["n", sum_name])
+    )
+    out_cols = ["lvl"] + keys + ["n", sum_name]
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lvl": t["lvl"].cast(pa.int64()),
+                **{k: t[k] for k in keys},
+                "n": t["sum(n)"].cast(pa.int64()),
+                sum_name: t[f"sum({sum_name})"].cast(pa.int64()),
+            }
+        ).select(out_cols)
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def grouped_rolling(
     ds: rd.Dataset,
     key: str,

@@ -1470,6 +1470,17 @@ def q_full_outer_customer_orders(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_rollup_docs(sf_dir: str):
+    """Multi-level GROUP BY ROLLUP(lang, source) in one streaming pass
+    (relational.rollup_aggregate): the per-batch combiner derives every
+    rollup level from the detail PARTIALS, so rows are read once and
+    the single shuffle moves (levels x groups) partial rows."""
+    from geotile.ops.relational import rollup_aggregate
+
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return rollup_aggregate(docs, keys=["lang", "source"], sum_col="n_chars")
+
+
 def q_grouped_quantiles_events(sf_dir: str):
     """Exact per-group p50/p95 of events.value by event_type — the
     grouped variant of the histogram-refinement selection (ops/
@@ -1567,6 +1578,7 @@ QUERIES = {
     "tfidf_docs": q_tfidf_docs,
     "dup_span_docs": q_dup_span_docs,
     "rolling_window_user": q_rolling_window_user,
+    "rollup_docs": q_rollup_docs,
     "full_outer_customer_orders": q_full_outer_customer_orders,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "quantiles_events": q_quantiles_events,
@@ -1675,6 +1687,12 @@ ORACLE_SQL = {
                             ORDER BY ts, event_id), -1) AS prev_event_id
         FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "rollup_docs": """
+        SELECT CAST(GROUPING(lang) + GROUPING(source) AS BIGINT) AS lvl,
+               COALESCE(lang, '*') AS lang, COALESCE(source, '*') AS source,
+               count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        FROM documents GROUP BY ROLLUP (lang, source)
     """,
     "full_outer_customer_orders": """
         WITH o AS (SELECT o_custkey ck, count(*) n FROM orders

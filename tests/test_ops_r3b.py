@@ -147,6 +147,65 @@ class TestDupNgramSpans:
         assert got.n_grams.tolist() == [1] and got.n_dup_grams.tolist() == [0]
 
 
+class TestRollupAggregate:
+    def test_matches_pandas_levels(self, ray_session):
+        from geotile.ops.relational import rollup_aggregate
+
+        rng = np.random.default_rng(13)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "lang": rng.choice(["en", "es", "fr"], n),
+                "source": rng.choice(["a", "b", "c", "d"], n),
+                "n_chars": rng.integers(0, 900, n).astype(np.int64),
+            }
+        )
+        got = (
+            rollup_aggregate(
+                _from_pandas(df).repartition(6), ["lang", "source"], "n_chars"
+            )
+            .to_pandas()
+            .sort_values(["lvl", "lang", "source"])
+            .reset_index(drop=True)
+        )
+        d0 = (
+            df.groupby(["lang", "source"], as_index=False)
+            .agg(n=("n_chars", "size"), sum_n_chars=("n_chars", "sum"))
+            .assign(lvl=0)
+        )
+        d1 = (
+            df.groupby("lang", as_index=False)
+            .agg(n=("n_chars", "size"), sum_n_chars=("n_chars", "sum"))
+            .assign(source="*", lvl=1)
+        )
+        d2 = pd.DataFrame(
+            {"lang": ["*"], "source": ["*"], "n": [n],
+             "sum_n_chars": [df.n_chars.sum()], "lvl": [2]}
+        )
+        want = (
+            pd.concat([d0, d1, d2])[["lvl", "lang", "source", "n", "sum_n_chars"]]
+            .sort_values(["lvl", "lang", "source"])
+            .reset_index(drop=True)
+            .astype({"lvl": np.int64, "n": np.int64, "sum_n_chars": np.int64})
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_single_key(self, ray_session):
+        from geotile.ops.relational import rollup_aggregate
+
+        df = pd.DataFrame(
+            {"k": ["x", "x", "y"], "v": np.array([1, 2, 4], np.int64)}
+        )
+        got = (
+            rollup_aggregate(_from_pandas(df), ["k"], "v")
+            .to_pandas()
+            .sort_values(["lvl", "k"])
+            .reset_index(drop=True)
+        )
+        assert got.values.tolist() == [
+            [0, "x", 2, 3], [0, "y", 1, 4], [1, "*", 3, 7]]
+
+
 class TestGroupedRolling:
     def test_matches_pandas_window(self, ray_session):
         from geotile.ops.relational import grouped_rolling
