@@ -112,6 +112,52 @@ def mg_topk(ds: rd.Dataset, column: str, k: int = 64, top: int = 10) -> list[tup
     return merged.topk(top)
 
 
+def hll_distinct_grouped(
+    ds: rd.Dataset, column: str, group_col: str, p: int = 12
+) -> rd.Dataset:
+    """Per-group approximate COUNT(DISTINCT column): each batch emits
+    one serialized HLL register row PER GROUP PRESENT (2^p bytes each —
+    the combiner), then a groupby merges a group's registers with
+    elementwise max and estimates. The shuffle moves
+    ``2^p × groups-per-batch`` bytes, never the key stream; the result
+    is identical to running the global sketch on each group's
+    sub-stream (register max is associative + commutative), which is
+    what the scalar-replay oracle recomputes.
+
+    Columns: <group_col>, est (int64, rounded estimate)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(v.view(np.uint64))
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        groups, inv = np.unique(g, return_inverse=True)
+        regs = [
+            HLL(p).add_hashes(h[inv == gi]).registers.tobytes()
+            for gi in range(len(groups))
+        ]
+        return pa.table(
+            {group_col: pa.array(groups), "registers": pa.array(regs, pa.binary())}
+        )
+
+    def merge_est(t: pa.Table) -> pa.Table:
+        regs = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in t["registers"].to_pylist()]
+        ).max(axis=0)
+        est = HLL(p, regs.copy()).estimate()
+        return pa.table(
+            {
+                group_col: t[group_col][:1],
+                "est": pa.array([int(round(est))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(merge_est, batch_format="pyarrow")
+    )
+
+
 def hll_distinct(ds: rd.Dataset, column: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT column) for an int64 column: per-batch
     partial HLLs (one 4KB row each) → distributed pre-merge (elementwise

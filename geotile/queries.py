@@ -489,6 +489,55 @@ def q_hll_distinct_users(sf_dir: str):
     )
 
 
+def q_hll_grouped_users(sf_dir: str):
+    """Per-group approximate distinct users (sketch.hll_distinct_grouped
+    — mergeable per-group HLL registers, one 4KB row per group per
+    batch). Same oracle contract as the global sketch: estimate ==
+    independent scalar replay (sidecar), exact == SQL COUNT(DISTINCT),
+    bounded error flag genuinely computed engine-side."""
+    from geotile.ops.sketch import hll_distinct_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    est = {
+        r["event_type"]: int(r["est"])
+        for r in hll_distinct_grouped(ds, "user_id", "event_type").take_all()
+    }
+
+    # exact per group: batch-local distinct pairs → pair-scale groupby →
+    # per-batch partial counts → group-scale sum
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([([], "count_all")])
+        return pa.table(
+            {"event_type": g["event_type"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    exact_rows = (
+        ds.map_batches(pair_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .count()
+        .map_batches(cnt, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum("n")
+        .take_all()  # dimension-scale: one row per event_type
+    )
+    types = sorted(r["event_type"] for r in exact_rows)
+    exact = {r["event_type"]: int(r["sum(n)"]) for r in exact_rows}
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "distinct_users_est": [est[t] for t in types],
+            "distinct_users": [exact[t] for t in types],
+            "est_ok": [
+                abs(est[t] - exact[t]) / max(exact[t], 1) <= 0.05 for t in types
+            ],
+        }
+    )
+
+
 def q_distinct_users_exact(sf_dir: str):
     """Exact companion to the HLL sketch: per-batch dedup combiner →
     one groupby over the pre-deduped user ids → count. The shuffle
@@ -1592,6 +1641,7 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "sliding_window_events": q_sliding_window_events,
     "hll_distinct_users": q_hll_distinct_users,
+    "hll_grouped_users": q_hll_grouped_users,
     "event_props_stats": q_event_props_stats,
     "envelope_events": q_envelope_events,
     "cell_quantize_events": q_cell_quantize_events,
@@ -2220,6 +2270,7 @@ def oracle_sql() -> dict[str, str]:
     out["simhash_pairs_docs"] = _simhash_pairs_sql(sf01)
     out["minhash_pairs_docs"] = _minhash_pairs_sql(sf01)
     out["hll_distinct_users"] = _hll_sql(sf01)
+    out["hll_grouped_users"] = _hll_grouped_sql(sf01)
     out["ivf_ann"] = _IVF_ANN_SQL
     return out
 
@@ -2456,6 +2507,40 @@ def _hll_sidecar(sf_dir: str) -> str:
         return pa.table({"est": pa.array([est], pa.int64())})
 
     return _ref_sidecar(sf_dir, "hll", build)
+
+
+def _hll_grouped_sidecar(sf_dir: str) -> str:
+    from geotile.oracle_ref import hll_estimate_ref
+
+    def build() -> pa.Table:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        df = t.to_pandas()
+        rows = [
+            (et, int(round(hll_estimate_ref(sorted(set(g["user_id"])), p=12))))
+            for et, g in df.groupby("event_type")
+        ]
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "est": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    return _ref_sidecar(sf_dir, "hll_grouped", build)
+
+
+def _hll_grouped_sql(sf_dir: str) -> str:
+    return f"""
+        SELECT e.event_type,
+               CAST(any_value(s.est) AS BIGINT) AS distinct_users_est,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS distinct_users,
+               TRUE AS est_ok
+        FROM events e JOIN read_parquet('{_hll_grouped_sidecar(sf_dir)}') s
+          ON s.event_type = e.event_type
+        GROUP BY e.event_type
+    """
 
 
 def _fingerprint_sql(sf_dir: str) -> str:

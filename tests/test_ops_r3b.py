@@ -265,6 +265,32 @@ class TestGroupedRolling:
         assert got.prev_event_id.tolist() == [-1, -1]
 
 
+class TestHllGrouped:
+    def test_equals_per_group_global_sketch(self, ray_session):
+        # register max is associative: the grouped sketch must equal the
+        # global sketch run on each group's sub-stream, bit-exactly
+        from geotile.ops.sketch import hll_distinct, hll_distinct_grouped
+
+        rng = np.random.default_rng(21)
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], n),
+                "v": rng.integers(0, 700, n).astype(np.int64),
+            }
+        )
+        ds = _from_pandas(df).repartition(5)
+        got = {
+            r["g"]: r["est"]
+            for r in hll_distinct_grouped(ds, "v", "g").take_all()
+        }
+        for grp in ("a", "b", "c"):
+            sub = _from_pandas(df[df.g == grp][["v"]])
+            assert got[grp] == int(round(hll_distinct(sub, "v")))
+            exact = df[df.g == grp].v.nunique()
+            assert abs(got[grp] - exact) / exact <= 0.05
+
+
 class TestBucketedJoinOuter:
     def test_full_outer_matches_pandas(self, ray_session):
         from geotile.ops.relational import bucketed_join
