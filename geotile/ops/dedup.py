@@ -891,15 +891,21 @@ def dup_ngram_spans(
         )
         return pa.table({"doc_id": d, "g": g, "gb": gb})
 
-    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+            "n_dup_grams": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_partial(df: pd.DataFrame) -> pa.Table:
+        # return ARROW, not pandas: pandas blocks through the next
+        # groupby's sort cost ~4x the whole pipeline (measured 25s →
+        # 6.3s at sf0.1 from this alone; see also the r3 block-type
+        # lesson in cell_tile_counts)
         if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series(dtype=np.int64),
-                    "n_grams": pd.Series(dtype=np.int64),
-                    "n_dup_grams": pd.Series(dtype=np.int64),
-                }
-            )
+            return _empty
         g = df["g"].to_numpy(np.int64)
         d = df["doc_id"].to_numpy(np.int64)
         # postings are per-doc distinct, so a gram's row count here IS
@@ -907,21 +913,31 @@ def dup_ngram_spans(
         _, inv, cnt = np.unique(g, return_inverse=True, return_counts=True)
         dup = (cnt[inv] >= min_docs).astype(np.int64)
         docs_u, dinv = np.unique(d, return_inverse=True)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": docs_u,
-                "n_grams": np.bincount(dinv).astype(np.int64),
-                "n_dup_grams": np.bincount(dinv, weights=dup).astype(np.int64),
+                "doc_id": pa.array(docs_u),
+                "n_grams": pa.array(np.bincount(dinv).astype(np.int64)),
+                "n_dup_grams": pa.array(
+                    np.bincount(dinv, weights=dup).astype(np.int64)
+                ),
             }
         )
+
+    import ray
 
     partials = (
         docs.map_batches(postings_fn, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("gb")
         .map_groups(bucket_partial, batch_format="pandas")
     )
+    # coalesce the gram_buckets output blocks before the doc-scale
+    # groupby: its sort cost scales with BLOCK COUNT, not rows (the r3
+    # block-count growth law) — cluster-proportional, not row-bounded,
+    # so it holds at any corpus size
+    n_out = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
     return (
-        partials.groupby("doc_id")
+        partials.repartition(n_out)
+        .groupby("doc_id")
         .sum(["n_grams", "n_dup_grams"])
         .map_batches(
             lambda t: pa.table(

@@ -233,9 +233,18 @@ def tfidf_top_terms(
         lambda t: t.filter(pc.greater_equal(t["df"], 2)), batch_format="pyarrow"
     ).materialize()
     if repeated_vocab.count() <= max_broadcast_vocab:
-        tbl = pa.concat_tables(
-            [ray.get(r) for r in repeated_vocab.to_arrow_refs()]
-        ).combine_chunks()
+        # empty groupby partitions surface as zero-column blocks — drop
+        # them before concat (their schema is literally empty)
+        tbls = [
+            t for t in (ray.get(r) for r in repeated_vocab.to_arrow_refs())
+            if t.num_columns
+        ]
+        tbl = (
+            pa.concat_tables(tbls).combine_chunks()
+            if tbls
+            else pa.table({"token": pa.array([], pa.string()),
+                           "df": pa.array([], pa.int64())})
+        )
         ref = ray.put((tbl["token"].combine_chunks(), tbl["df"].to_numpy()))
 
         def score_topk(t: pa.Table) -> pa.Table:
