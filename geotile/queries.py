@@ -1530,6 +1530,44 @@ def q_rollup_docs(sf_dir: str):
     return rollup_aggregate(docs, keys=["lang", "source"], sum_col="n_chars")
 
 
+def q_pivot_docs(sf_dir: str):
+    """PIVOT: per-source language distribution as wide columns (one
+    conditional-count column per language). One pass: the per-batch
+    combiner emits (source, lang) counts, a group-cardinality groupby
+    sums, and the widening happens on the aggregate — never on rows."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "lang": g["lang"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .sum("n")
+    )
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        # one group = one source (groupby key), rows = its langs
+        src = df["source"].iloc[0]
+        cnt = dict(zip(df["lang"], df["sum(n)"]))
+        return pd.DataFrame(
+            {
+                "source": [src],
+                **{f"n_{l}": [int(cnt.get(l, 0))] for l in langs},
+            }
+        )
+
+    return summed.groupby("source").map_groups(widen, batch_format="pandas")
+
+
 def q_grouped_quantiles_events(sf_dir: str):
     """Exact per-group p50/p95 of events.value by event_type — the
     grouped variant of the histogram-refinement selection (ops/
@@ -1628,6 +1666,7 @@ QUERIES = {
     "dup_span_docs": q_dup_span_docs,
     "rolling_window_user": q_rolling_window_user,
     "rollup_docs": q_rollup_docs,
+    "pivot_docs": q_pivot_docs,
     "full_outer_customer_orders": q_full_outer_customer_orders,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "quantiles_events": q_quantiles_events,
@@ -1737,6 +1776,15 @@ ORACLE_SQL = {
                             ORDER BY ts, event_id), -1) AS prev_event_id
         FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "pivot_docs": """
+        SELECT source,
+               count(*) FILTER (lang = 'de') AS n_de,
+               count(*) FILTER (lang = 'en') AS n_en,
+               count(*) FILTER (lang = 'es') AS n_es,
+               count(*) FILTER (lang = 'fr') AS n_fr,
+               count(*) FILTER (lang = 'zh') AS n_zh
+        FROM documents GROUP BY source
     """,
     "rollup_docs": """
         SELECT CAST(GROUPING(lang) + GROUPING(source) AS BIGINT) AS lvl,
