@@ -203,9 +203,11 @@ def main() -> None:
     # sf-dir table pipelines (documents / embeddings / lineitem / events)
     from geotile.queries import (
         q_doc_token_stats,
+        q_dup_span_docs,
         q_knn_embeddings,
         q_minhash_pairs_docs,
         q_pricing_summary,
+        q_tfidf_docs,
         q_window_events,
     )
 
@@ -215,6 +217,8 @@ def main() -> None:
         ("doc_token_stats", q_doc_token_stats),
         ("minhash_pairs_docs", q_minhash_pairs_docs),
         ("knn_embeddings", q_knn_embeddings),
+        ("tfidf_docs", q_tfidf_docs),          # added r3: 2-pass TF-IDF
+        ("dup_span_docs", q_dup_span_docs),    # added r3: dup 8-gram spans
     ]:
         t0 = time.time()
         res = fn(SF_DIR)
