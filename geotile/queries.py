@@ -1568,6 +1568,110 @@ def q_pivot_docs(sf_dir: str):
     return summed.groupby("source").map_groups(widen, batch_format="pandas")
 
 
+def q_grouped_topk_users(sf_dir: str):
+    """Grouped top-k (top-3 users by total value per event_type):
+    two-level aggregate — per-batch (type, user) partial sums, one
+    pair-cardinality groupby, per-block partial top-3, tiny final
+    per-group selection. No global sort; value on the e4 integer
+    lattice so sums replay bit-exactly."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+    K = 3
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(10000.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        t = pa.table(
+            {"event_type": t["event_type"], "user_id": t["user_id"], "v": v}
+        )
+        g = t.group_by(["event_type", "user_id"]).aggregate([("v", "sum")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "user_id": g["user_id"],
+                "sum_v_e4": g["v_sum"],
+            }
+        )
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .sum("sum_v_e4")
+        .map_batches(
+            lambda t: t.rename_columns(["event_type", "user_id", "sum_v_e4"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = t["sum_v_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((uid, -sv, inv))
+        inv_s = inv[order]
+        starts = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1]])
+        run_id = np.cumsum(np.r_[True, inv_s[1:] != inv_s[:-1]]) - 1
+        keep = order[(np.arange(len(inv_s)) - starts[run_id]) < K]
+        keep = np.sort(keep)
+        return pa.table(
+            {
+                "event_type": pa.array(et[keep]),
+                "user_id": pa.array(uid[keep]),
+                "sum_v_e4": pa.array(sv[keep]),
+            }
+        )
+
+    # per-block partial top-3 (combiner), then one tiny final selection
+    cands = summed.map_batches(topk, batch_format="pyarrow")
+    return cands.repartition(1).map_batches(topk, batch_format="pyarrow")
+
+
+def q_corr_moments_docs(sf_dir: str):
+    """Algebraic aggregate family beyond sum/count: per-language
+    correlation MOMENT SUMS of (n_tokens, n_chars) — n, Σx, Σy, Σxy,
+    Σx², Σy² — everything any covariance/correlation/regression needs,
+    kept on the integer lattice so partial sums merge associatively
+    and the SQL replay is exact (the float corr itself is a trivial
+    driver-side epilogue at these magnitudes)."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.list_value_length(pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        y = pc.utf8_length(t["text"]).cast(pa.int64())
+        tt = pa.table(
+            {
+                "lang": t["lang"],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "x2": pc.multiply(x, x),
+                "y2": pc.multiply(y, y),
+            }
+        )
+        g = tt.group_by("lang").aggregate(
+            [([], "count_all"), ("x", "sum"), ("y", "sum"),
+             ("xy", "sum"), ("x2", "sum"), ("y2", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n": g["count_all"].cast(pa.int64()),
+                "sum_x": g["x_sum"],
+                "sum_y": g["y_sum"],
+                "sum_xy": g["xy_sum"],
+                "sum_x2": g["x2_sum"],
+                "sum_y2": g["y2_sum"],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .sum(["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"])
+    )
+    return _rename(out, ["lang", "n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"])
+
+
 def q_grouped_quantiles_events(sf_dir: str):
     """Exact per-group p50/p95 of events.value by event_type — the
     grouped variant of the histogram-refinement selection (ops/
@@ -1667,6 +1771,8 @@ QUERIES = {
     "rolling_window_user": q_rolling_window_user,
     "rollup_docs": q_rollup_docs,
     "pivot_docs": q_pivot_docs,
+    "grouped_topk_users": q_grouped_topk_users,
+    "corr_moments_docs": q_corr_moments_docs,
     "full_outer_customer_orders": q_full_outer_customer_orders,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "quantiles_events": q_quantiles_events,
@@ -1776,6 +1882,29 @@ ORACLE_SQL = {
                             ORDER BY ts, event_id), -1) AS prev_event_id
         FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "grouped_topk_users": """
+        WITH s AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_v_e4
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY sum_v_e4 DESC, user_id) rn FROM s)
+        SELECT event_type, user_id, sum_v_e4 FROM r WHERE rn <= 3
+    """,
+    "corr_moments_docs": """
+        SELECT lang, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sum_x,
+               CAST(sum(y) AS BIGINT) AS sum_y,
+               CAST(sum(x * y) AS BIGINT) AS sum_xy,
+               CAST(sum(x * x) AS BIGINT) AS sum_x2,
+               CAST(sum(y * y) AS BIGINT) AS sum_y2
+        FROM (SELECT lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                     CAST(length(text) AS BIGINT) AS y
+              FROM documents)
+        GROUP BY lang
     """,
     "pivot_docs": """
         SELECT source,

@@ -265,6 +265,47 @@ class TestGroupedRolling:
         assert got.prev_event_id.tolist() == [-1, -1]
 
 
+class TestBatchTermFreqsProperty:
+    def test_matches_counter_for_all_inputs(self):
+        # pure-kernel property check (no Ray): per-row term frequencies
+        # from the Arrow group_by kernel == collections.Counter over
+        # single-space split with empties dropped, for adversarial
+        # strings (runs of spaces, leading/trailing, empty, unicode)
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from geotile.ops.text import _batch_term_freqs
+
+        token = st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x2FFF
+            ),
+            min_size=0, max_size=5,
+        )
+        text = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(text, min_size=1, max_size=8))
+        def run(texts):
+            g = _batch_term_freqs(pa.array(texts, pa.string()))
+            got: dict = {}
+            for p, tok, tf in zip(
+                g["p"].to_pylist(), g["token"].to_pylist(), g["tf"].to_pylist()
+            ):
+                assert (p, tok) not in got  # distinct pairs
+                got[(p, tok)] = tf
+            want = {
+                (i, t): c
+                for i, s in enumerate(texts)
+                for t, c in Counter(w for w in s.split(" ") if w).items()
+            }
+            assert got == want
+
+        run()
+
+
 class TestHllGrouped:
     def test_equals_per_group_global_sketch(self, ray_session):
         # register max is associative: the grouped sketch must equal the
