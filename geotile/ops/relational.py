@@ -410,6 +410,57 @@ def grouped_rolling(
     )
 
 
+def grouped_ntile(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    n_tiles: int = 4,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """SQL ``ntile(n) OVER (PARTITION BY key ORDER BY order_cols)``:
+    rows of each key split into ``n_tiles`` rank buckets, the first
+    ``count % n`` tiles one row larger (exact SQL semantics). Same
+    plan shape as ``grouped_rolling``: one hash co-partition shuffle,
+    then every key of a bucket group handled in a single vectorized
+    pass (lexsort + run arithmetic — no per-key Python). Appends an
+    int64 ``tile`` column (1-based)."""
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        n = len(df)
+        if n == 0:
+            out = df.copy()
+            out["tile"] = pd.Series(dtype=np.int64)
+            return out
+        keys = df[key].to_numpy(np.int64)
+        order = np.lexsort(
+            [df[c].to_numpy() for c in reversed(order_cols)] + [keys]
+        )
+        df = df.iloc[order].reset_index(drop=True)
+        keys = keys[order]
+        i = np.arange(n)
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        run_start = i[new][np.cumsum(new) - 1]
+        run_len = np.diff(np.r_[np.flatnonzero(new), n])[np.cumsum(new) - 1]
+        pos = i - run_start  # 0-based rank within key
+        base, rem = run_len // n_tiles, run_len % n_tiles
+        head = rem * (base + 1)  # rows covered by the one-larger tiles
+        in_head = pos < head
+        tile = np.where(
+            in_head,
+            pos // np.maximum(base + 1, 1),
+            rem + (pos - head) // np.maximum(base, 1),
+        )
+        df["tile"] = (tile + 1).astype(np.int64)
+        return df
+
+    return (
+        _with_bucket(ds, key, n_buckets)
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -1672,6 +1672,97 @@ def q_corr_moments_docs(sf_dir: str):
     return _rename(out, ["lang", "n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"])
 
 
+def q_ntile_events(sf_dir: str):
+    """ntile(4) rank bucketing per user (relational.grouped_ntile) —
+    completes the window-function family (tumbling/sliding time
+    windows, ROWS-frame rolling, lag, row_number-style top-k, ntile)."""
+    from geotile.ops.relational import grouped_ntile
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = grouped_ntile(ev, key="user_id", order_cols=["ts", "event_id"], n_tiles=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "tile": t["tile"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _user_type_flags(sf_dir: str, min_value: float | None = None):
+    """Distinct-user flag table for the set-op queries: one row per
+    user who clicked or purchased (optionally only counting events with
+    value > ``min_value``), with per-batch distinct combiner → one
+    user-scale groupby(max) — set ops on flag aggregates, the shuffle
+    never moves event rows."""
+    cols = ["user_id", "event_type"] + (["value"] if min_value is not None else [])
+    ds = _read(sf_dir, "events", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], pa.array(["click", "purchase"]))
+        if min_value is not None:
+            keep = pc.and_(keep, pc.greater(t["value"], pa.scalar(float(min_value))))
+        t = t.filter(keep)
+        tt = pa.table(
+            {
+                "user_id": t["user_id"],
+                "c": pc.equal(t["event_type"], "click").cast(pa.int64()),
+                "p": pc.equal(t["event_type"], "purchase").cast(pa.int64()),
+            }
+        )
+        g = tt.group_by("user_id").aggregate([("c", "max"), ("p", "max")])
+        return pa.table(
+            {"user_id": g["user_id"], "c": g["c_max"], "p": g["p_max"]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .max(["c", "p"])
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "c", "p"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_intersect_users(sf_dir: str):
+    """Set INTERSECT: users with >=1 click AND >=1 purchase (distinct
+    flag aggregate, no row-stream self-join)."""
+    flags = _user_type_flags(sf_dir)
+    return flags.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.filter(
+                    pc.and_(pc.equal(t["c"], 1), pc.equal(t["p"], 1))
+                )["user_id"].cast(pa.int64())
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_except_users(sf_dir: str):
+    """Set EXCEPT: users with a high-value (>200) click but no
+    high-value purchase. (The unthresholded sets are identical in this
+    dense synth — every user does every event type — so the EXCEPT is
+    exercised on sparse subsets where it has a non-empty answer.)"""
+    flags = _user_type_flags(sf_dir, min_value=200.0)
+    return flags.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.filter(
+                    pc.and_(pc.equal(t["c"], 1), pc.equal(t["p"], 0))
+                )["user_id"].cast(pa.int64())
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_grouped_quantiles_events(sf_dir: str):
     """Exact per-group p50/p95 of events.value by event_type — the
     grouped variant of the histogram-refinement selection (ops/
@@ -1773,6 +1864,9 @@ QUERIES = {
     "pivot_docs": q_pivot_docs,
     "grouped_topk_users": q_grouped_topk_users,
     "corr_moments_docs": q_corr_moments_docs,
+    "ntile_events": q_ntile_events,
+    "intersect_users": q_intersect_users,
+    "except_users": q_except_users,
     "full_outer_customer_orders": q_full_outer_customer_orders,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "quantiles_events": q_quantiles_events,
@@ -1882,6 +1976,24 @@ ORACLE_SQL = {
                             ORDER BY ts, event_id), -1) AS prev_event_id
         FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "ntile_events": """
+        SELECT event_id,
+               CAST(ntile(4) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS tile
+        FROM events
+    """,
+    "intersect_users": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "except_users": """
+        SELECT user_id FROM events
+        WHERE event_type = 'click' AND value > 200
+        EXCEPT
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 200
     """,
     "grouped_topk_users": """
         WITH s AS (

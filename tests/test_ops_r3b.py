@@ -265,6 +265,56 @@ class TestGroupedRolling:
         assert got.prev_event_id.tolist() == [-1, -1]
 
 
+class TestGroupedNtile:
+    def test_matches_duckdb_ntile(self, ray_session):
+        import duckdb
+
+        from geotile.ops.relational import grouped_ntile
+
+        rng = np.random.default_rng(17)
+        n = 700
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 30, n).astype(np.int64),
+                "ts": pd.to_datetime(rng.integers(0, 40, n), unit="s"),  # ties
+            }
+        )
+        got = (
+            grouped_ntile(
+                _from_pandas(df).repartition(4), key="user_id",
+                order_cols=["ts", "event_id"], n_tiles=4, n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            """SELECT event_id, ntile(4) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS tile FROM df ORDER BY event_id"""
+        ).df()
+        np.testing.assert_array_equal(
+            got["tile"].to_numpy(np.int64), want["tile"].to_numpy(np.int64)
+        )
+
+    def test_small_groups_one_row_per_tile(self, ray_session):
+        from geotile.ops.relational import grouped_ntile
+
+        # a 2-row key with 4 tiles: rows land in tiles 1 and 2
+        df = pd.DataFrame(
+            {
+                "event_id": np.array([5, 6], dtype=np.int64),
+                "user_id": np.array([1, 1], dtype=np.int64),
+                "ts": pd.to_datetime([1, 2], unit="s"),
+            }
+        )
+        got = grouped_ntile(
+            _from_pandas(df), key="user_id", order_cols=["ts", "event_id"],
+            n_tiles=4,
+        ).to_pandas().sort_values("event_id")
+        assert got.tile.tolist() == [1, 2]
+
+
 class TestBatchTermFreqsProperty:
     def test_matches_counter_for_all_inputs(self):
         # pure-kernel property check (no Ray): per-row term frequencies
