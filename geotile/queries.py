@@ -1763,6 +1763,42 @@ def q_except_users(sf_dir: str):
     )
 
 
+def q_right_join_orders_customer(sf_dir: str):
+    """RIGHT OUTER co-partitioned join: per-custkey order counts RIGHT
+    JOIN customer — every customer survives, order-less ones at 0.
+    (Dimension-side broadcast would also work at this cardinality; the
+    query exists to drive bucketed_join's right-outer path, the
+    both-sides-large form.)"""
+    from geotile.ops.relational import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table(
+            {"ok": g["o_custkey"].cast(pa.int64()),
+             "n": g["count_all"].cast(pa.int64())}
+        )
+
+    agg = (
+        orders.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ok").sum("n")
+        .map_batches(lambda t: t.rename_columns(["ok", "n"]), batch_format="pyarrow")
+    )
+    joined = bucketed_join(agg, cust, "ok", "c_custkey", how="right")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": df["c_custkey"].to_numpy(np.float64).astype(np.int64),
+                "n_orders": df["n"].fillna(0).to_numpy(np.float64).astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_grouped_quantiles_events(sf_dir: str):
     """Exact per-group p50/p95 of events.value by event_type — the
     grouped variant of the histogram-refinement selection (ops/
@@ -1865,6 +1901,7 @@ QUERIES = {
     "grouped_topk_users": q_grouped_topk_users,
     "corr_moments_docs": q_corr_moments_docs,
     "ntile_events": q_ntile_events,
+    "right_join_orders_customer": q_right_join_orders_customer,
     "intersect_users": q_intersect_users,
     "except_users": q_except_users,
     "full_outer_customer_orders": q_full_outer_customer_orders,
@@ -1982,6 +2019,11 @@ ORACLE_SQL = {
                CAST(ntile(4) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS BIGINT) AS tile
         FROM events
+    """,
+    "right_join_orders_customer": """
+        WITH a AS (SELECT o_custkey ok, count(*) n FROM orders GROUP BY 1)
+        SELECT c.c_custkey AS custkey, COALESCE(a.n, 0) AS n_orders
+        FROM a RIGHT JOIN customer c ON c.c_custkey = a.ok
     """,
     "intersect_users": """
         SELECT user_id FROM events WHERE event_type = 'click'
