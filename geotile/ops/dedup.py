@@ -75,6 +75,13 @@ def _shingle_flat(h: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarra
     with np.errstate(over="ignore"):
         acc = h.copy()
         for j in range(1, k):
+            if j >= len(h):
+                # a batch whose TOTAL flat token count is below k (e.g.
+                # one short doc alone in a block): acc[:len(h)-j] would
+                # be a negative slice that no longer matches h[j:]'s
+                # empty shape; no long-doc positions exist at this j,
+                # and the short-doc path below handles everything
+                break
             acc[: len(h) - j] ^= h[j:] * np.uint64(2 * j + 1)
         # long docs: positions whose whole k-gram stays inside the doc
         pos_in_doc = np.arange(len(h), dtype=np.int64) - np.repeat(doc_start, counts)
