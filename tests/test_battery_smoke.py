@@ -88,6 +88,37 @@ def edge_sf_dir(tmp_path_factory):
     return str(d)
 
 
+class TestDegenerateGeometryInputs:
+    """Empty dimension sides must produce empty results, not crashes;
+    k larger than the route count must truncate ranks."""
+
+    @pytest.fixture(scope="class")
+    def img_dir(self, tmp_path_factory):
+        from geotile.synth import make_image_table
+
+        d = tmp_path_factory.mktemp("imgs") / "img"
+        make_image_table(200, d, rows_per_file=100)
+        return d
+
+    def test_spatial_join_empty_index(self, ray_session, img_dir):
+        from geotile.ops.join import build_route_index, spatial_join
+        from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+
+        ds = read_image_table(img_dir, columns=JOIN_COLUMNS)
+        assert spatial_join(ds, build_route_index({})).count() == 0
+
+    def test_knn_k_exceeds_route_count(self, ray_session, img_dir):
+        from geotile.ops.join import knn_routes
+        from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+
+        ds = read_image_table(img_dir, columns=JOIN_COLUMNS)
+        lines = {"r1": np.array([[-122.4, 37.7], [-122.3, 37.6]])}
+        df = knn_routes(ds, lines, k=5).to_pandas()
+        # one route available: exactly one rank-0 row per image
+        assert len(df) == 200
+        assert (df["rank"] == 0).all() and (df["route_id"] == "r1").all()
+
+
 def test_every_table_query_runs_on_edge_data(ray_session, edge_sf_dir):
     from geotile.queries import QUERIES
 
