@@ -703,7 +703,9 @@ def ngram_jaccard_pairs(
     dfreq = postings.groupby("g").count().map_batches(
         lambda t: pa.table({"g": t["g"], "df": t["count()"]}),
         batch_format="pyarrow",
-    )
+    ).materialize()  # vocabulary-scale; the join's schema probe would
+    # otherwise execute the df groupby a second time (bucketed_join
+    # caller contract)
     joined = bucketed_join(postings, dfreq, "g", "g", n_buckets=n_buckets)
 
     def prefix_fn(df: pd.DataFrame) -> pd.DataFrame:

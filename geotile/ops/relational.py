@@ -42,7 +42,14 @@ def bucketed_join(
     """Hash-partitioned join of two LARGE datasets on an int64 key.
     Each side is bucketed, tagged, unioned, then each bucket group joins
     its two sides with a pandas merge inside ``map_groups`` — one
-    shuffle per side, no broadcast."""
+    shuffle per side, no broadcast.
+
+    Caller contract: the ``schema()`` probes below EXECUTE a lazy input
+    plan once (Ray fetches unknown schemas by running the first block's
+    lineage), and the join executes it again — a derived input (e.g. a
+    groupby aggregate) should be ``materialize()``d by the caller when
+    its size allows (measured 7.0 → 5.0 s on an aggregate⋈dim join at
+    sf0.1). Raw reads and already-materialized datasets are free."""
     lcols = [n for n in left.schema().names]
     rcols = [n for n in right.schema().names]
     lschema = left.schema().base_schema

@@ -1492,17 +1492,21 @@ def q_full_outer_customer_orders(sf_dir: str):
 
     # per-batch combiner then a custkey-scale sum — the co-partition
     # join's two inputs are already aggregate-sized
+    # custkey-scale aggregates, materialized so the join's schema probe
+    # doesn't execute each plan a second time (bucketed_join contract)
     o = (
         orders.map_batches(side("O", "ck_o"), batch_format="pyarrow")
         .groupby("ck_o").sum("n_ck_o")
         .map_batches(lambda t: t.rename_columns(["ck_o", "n_open"]),
                      batch_format="pyarrow")
+        .materialize()
     )
     f = (
         orders.map_batches(side("F", "ck_f"), batch_format="pyarrow")
         .groupby("ck_f").sum("n_ck_f")
         .map_batches(lambda t: t.rename_columns(["ck_f", "n_fin"]),
                      batch_format="pyarrow")
+        .materialize()
     )
     joined = bucketed_join(o, f, "ck_o", "ck_f", how="outer")
 
@@ -1785,6 +1789,8 @@ def q_right_join_orders_customer(sf_dir: str):
         orders.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("ok").sum("n")
         .map_batches(lambda t: t.rename_columns(["ok", "n"]), batch_format="pyarrow")
+        .materialize()  # custkey-scale; join's schema probe would
+        # otherwise execute the aggregate a second time
     )
     joined = bucketed_join(agg, cust, "ok", "c_custkey", how="right")
 
