@@ -310,7 +310,9 @@ def tfidf_top_terms(
         )
 
     lb = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
-    rb = dfreq.map_batches(df_rows, batch_format="pyarrow")
+    # vocabulary-scale; materialized so the union's schema probe doesn't
+    # execute the DF groupby twice (same contract as bucketed_join)
+    rb = dfreq.materialize().map_batches(df_rows, batch_format="pyarrow")
 
     def join_score(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == 0][["doc_id", "token", "tf"]]
