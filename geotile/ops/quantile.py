@@ -50,6 +50,85 @@ def exact_quantiles(
 
     Returns a driver-side ``pa.Table(q_pct int64, value float64)`` —
     quantiles are a summary, not a dataset."""
+    n, vals = _rank_select(
+        ds, col,
+        lambda n: [int(math.ceil(float(p) / 100.0 * n)) for p in q_pcts],
+        n_bins=n_bins, max_pull=max_pull, max_rounds=max_rounds,
+    )
+    if n == 0:
+        return pa.table({"q_pct": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    return pa.table(
+        {
+            "q_pct": pa.array([int(p) for p in q_pcts], pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+
+
+def quantiles_cont(
+    ds: rd.Dataset,
+    col: str = "value",
+    q_pcts: tuple[int, ...] = (50, 90),
+    **kw,
+) -> pa.Table:
+    """Interpolated (percentile_cont-style) quantiles, kept EXACT for
+    the oracle: instead of emitting the float interpolation (whose
+    ``lo + frac*(hi-lo)`` rounding could differ between engines), emit
+    the two bracketing order statistics plus the exact rational
+    fraction — SQL's quantile_cont rank model ``h = (n-1)*p/100``,
+    ``lo = s[floor(h)+1]``, ``hi = s[ceil(h)+1]``, ``frac = h-floor(h)``
+    with frac as the integer ``((n-1)*p mod 100) * 1e6 // 100``. The
+    caller (or the reader) finishes ``lo + frac*(hi-lo)`` in one scalar
+    op; everything distributed and compared is bit-exact.
+
+    Columns: q_pct, lo_value, hi_value, frac_e6. Same histogram-
+    refinement rank selection as ``exact_quantiles`` (one streaming
+    pass per round for ALL target ranks, no global sort)."""
+
+    def ranks_of(n: int) -> list[int]:
+        out = []
+        for p in q_pcts:
+            num = (n - 1) * int(p)
+            lo = num // 100 + 1  # 1-based
+            hi = lo + (0 if num % 100 == 0 else 1)
+            out.extend([lo, hi])
+        return out
+
+    n, vals = _rank_select(ds, col, ranks_of, **kw)
+    if n == 0:
+        return pa.table(
+            {"q_pct": pa.array([], pa.int64()),
+             "lo_value": pa.array([], pa.float64()),
+             "hi_value": pa.array([], pa.float64()),
+             "frac_e6": pa.array([], pa.int64())}
+        )
+    lo_vals = vals[0::2]
+    hi_vals = vals[1::2]
+    fracs = [((n - 1) * int(p) % 100) * 1_000_000 // 100 for p in q_pcts]
+    return pa.table(
+        {
+            "q_pct": pa.array([int(p) for p in q_pcts], pa.int64()),
+            "lo_value": pa.array(lo_vals, pa.float64()),
+            "hi_value": pa.array(hi_vals, pa.float64()),
+            "frac_e6": pa.array(fracs, pa.int64()),
+        }
+    )
+
+
+def _rank_select(
+    ds: rd.Dataset,
+    col: str,
+    ranks_of,
+    n_bins: int = 8192,
+    max_pull: int = 200_000,
+    max_rounds: int = 12,
+) -> tuple[int, list[float]]:
+    """Distributed order-statistic selection: returns (n, values) where
+    ``values[i]`` is the element at 1-based rank ``ranks_of(n)[i]`` of
+    the ascending sort. Iterative histogram refinement — every round is
+    ONE streaming pass covering all pending ranks; per-round shuffle
+    volume is ≤ ranks × n_bins count rows; no global sort."""
     proj = ds.select_columns([col])
 
     def extent(t: pa.Table) -> pa.Table:
@@ -67,17 +146,15 @@ def exact_quantiles(
     parts = proj.map_batches(extent, batch_format="pyarrow").take_all()
     n = int(sum(p["n"] for p in parts))
     if n == 0:
-        return pa.table({"q_pct": pa.array([], pa.int64()),
-                         "value": pa.array([], pa.float64())})
+        return 0, []
     lo0 = min(p["mn"] for p in parts)
     hi0 = max(p["mx"] for p in parts)
 
-    # state per quantile: [lo, hi] interval (inclusive, snapped to data
+    # state per target: [lo, hi] interval (inclusive, snapped to data
     # values), 1-based rank within it, candidate row count
     state = []
-    for p in q_pcts:
-        rank = int(math.ceil(float(p) / 100.0 * n))  # same expr as the SQL replay
-        state.append({"q": p, "lo": lo0, "hi": hi0, "rank": rank, "count": n})
+    for rank in ranks_of(n):
+        state.append({"lo": lo0, "hi": hi0, "rank": int(rank), "count": n})
 
     def hist_pass(intervals):
         los = np.array([iv[0] for iv in intervals])
@@ -180,12 +257,7 @@ def exact_quantiles(
             mine = np.sort(vals[idx == i])
             s["value"] = float(mine[s["rank"] - 1])
 
-    return pa.table(
-        {
-            "q_pct": pa.array([int(s["q"]) for s in state], pa.int64()),
-            "value": pa.array([float(s["value"]) for s in state], pa.float64()),
-        }
-    )
+    return n, [float(s["value"]) for s in state]
 
 
 def grouped_quantiles(

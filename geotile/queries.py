@@ -1805,6 +1805,17 @@ def q_right_join_orders_customer(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_quantiles_cont_events(sf_dir: str):
+    """percentile_cont-style interpolated quantiles (quantile.
+    quantiles_cont): bracketing order statistics + exact rational
+    fraction (the float interpolation itself is a scalar epilogue, kept
+    out of the compared columns so both engines stay bit-exact)."""
+    from geotile.ops.quantile import quantiles_cont
+
+    ev = _read(sf_dir, "events", ["value"])
+    return quantiles_cont(ev, "value", q_pcts=(50, 90), max_pull=2000)
+
+
 def q_grouped_quantiles_events(sf_dir: str):
     """Exact per-group p50/p95 of events.value by event_type — the
     grouped variant of the histogram-refinement selection (ops/
@@ -1913,6 +1924,7 @@ QUERIES = {
     "full_outer_customer_orders": q_full_outer_customer_orders,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "quantiles_events": q_quantiles_events,
+    "quantiles_cont_events": q_quantiles_cont_events,
     "grouped_quantiles_events": q_grouped_quantiles_events,
     "stratified_sample_events": q_stratified_sample_events,
     "dup_clusters_embeddings": q_dup_clusters_embeddings,
@@ -2042,6 +2054,26 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "quantiles_cont_events": """
+        WITH s AS (SELECT value, row_number() OVER (ORDER BY value) rn,
+                          count(*) OVER () n
+                   FROM events),
+        qs(q_pct) AS (VALUES (50), (90)),
+        calc AS (SELECT q_pct,
+                        (SELECT any_value(n) FROM s) AS n,
+                        ((SELECT any_value(n) FROM s) - 1) * q_pct AS num
+                 FROM qs),
+        rk AS (SELECT q_pct, num // 100 + 1 AS lo_rn,
+                      num // 100 + 1 +
+                        (CASE WHEN num % 100 = 0 THEN 0 ELSE 1 END) AS hi_rn,
+                      (num % 100) * 1000000 // 100 AS frac_e6
+               FROM calc)
+        SELECT CAST(q_pct AS BIGINT) AS q_pct,
+               lo.value AS lo_value, hi.value AS hi_value,
+               CAST(frac_e6 AS BIGINT) AS frac_e6
+        FROM rk JOIN s lo ON lo.rn = rk.lo_rn
+                JOIN s hi ON hi.rn = rk.hi_rn
     """,
     "grouped_topk_users": """
         WITH s AS (

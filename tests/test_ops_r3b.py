@@ -265,6 +265,31 @@ class TestGroupedRolling:
         assert got.prev_event_id.tolist() == [-1, -1]
 
 
+class TestQuantilesCont:
+    @pytest.mark.parametrize("n", [1, 2, 101, 5000])
+    def test_matches_sorted_brackets(self, ray_session, n):
+        from geotile.ops.quantile import quantiles_cont
+
+        rng = np.random.default_rng(n)
+        v = np.round(rng.normal(0, 50, n), 2)
+        v[:: max(n // 7, 1)] = 13.37  # mass point / heavy ties
+        df = pd.DataFrame({"value": v})
+        got = quantiles_cont(
+            _from_pandas(df).repartition(3), "value", q_pcts=(50, 90),
+            max_pull=64,
+        ).to_pandas()
+        s = np.sort(v)
+        for _, r in got.iterrows():
+            num = (n - 1) * int(r.q_pct)
+            lo = num // 100
+            hi = lo + (0 if num % 100 == 0 else 1)
+            assert r.lo_value == s[lo] and r.hi_value == s[hi]
+            assert int(r.frac_e6) == (num % 100) * 1_000_000 // 100
+            # the interpolated value is the scalar epilogue
+            interp = r.lo_value + (num % 100) / 100 * (r.hi_value - r.lo_value)
+            assert abs(interp - np.percentile(v, int(r.q_pct))) < 1e-9
+
+
 class TestGroupedNtile:
     def test_matches_duckdb_ntile(self, ray_session):
         import duckdb
