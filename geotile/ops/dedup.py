@@ -416,70 +416,160 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("simhash", pa.array(out.view(np.int64)))
 
 
-def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
-    """Near-dup pairs by simhash Hamming distance ≤ ``max_hamming``,
-    with pigeonhole-CORRECT banding: the 64 bits are split into
+def hamming_pairs(
+    ds: rd.Dataset,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    cap: int | None = None,
+) -> rd.Dataset:
+    """Generic 64-bit-fingerprint Hamming similarity join: every pair
+    (a < b) with ``popcount(hash_a XOR hash_b) <= max_hamming``, via
+    pigeonhole-CORRECT banding — the 64 bits split into
     ``max_hamming + 1`` near-even contiguous bands, so any pair within
-    the distance bound must agree exactly on at least one band (no
-    recall luck). max_hamming=3 gives the classic 4×16-bit layout; a
-    larger bound means narrower bands → more bucket collisions, which
-    MAX_BUCKET caps."""
+    the bound agrees exactly on at least one band (no recall luck).
+    Works over any int64 fingerprint column (simhash over text, phash
+    over images). ``cap=None`` = EXACT join (a SQL band-join replay
+    matches it row for row); an integer cap bounds per-bucket work for
+    adversarially clustered fingerprints, trading recall (the simhash
+    path's documented approximation). Columns: a, b, hamming."""
     n_bands = max_hamming + 1
     if n_bands > 32:
         raise ValueError("max_hamming > 31 would need bands under 2 bits")
     sizes = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
     shifts = np.cumsum([0] + sizes[:-1]).astype(np.uint64)
     masks = np.array([(1 << w) - 1 for w in sizes], dtype=np.uint64)
-    sh = ds.select_columns(["doc_id", "text"]).map_batches(
-        simhash_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).select_columns(["doc_id", "simhash"])
+    sh = ds.select_columns([id_col, hash_col])
+
+    PAIR_BUCKETS = 64  # co-partition granularity: (band, band_val) hash
 
     def explode(t: pa.Table) -> pa.Table:
-        s = t["simhash"].to_numpy().view(np.uint64)
-        ids = t["doc_id"].to_numpy()
+        s = t[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
         bands = [(s >> shifts[i]) & masks[i] for i in range(n_bands)]
+        band_val = np.concatenate(bands)
+        band_of = np.repeat(np.arange(n_bands, dtype=np.uint64), len(ids))
+        # one composite shuffle key: (band, hash(band_val) % PAIR_BUCKETS)
+        # — a whole band is NOT one Ray group (that caps parallelism at
+        # n_bands and was measured at 96 s on a 2-band image join); a
+        # band_val's postings still all land in one group
+        gb = band_of * np.uint64(PAIR_BUCKETS) + (
+            splitmix64(band_val) % np.uint64(PAIR_BUCKETS)
+        )
         return pa.table(
             {
-                "doc_id": pa.array(np.tile(ids, n_bands)),
-                "simhash": pa.array(np.tile(s.view(np.int64), n_bands)),
-                "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int64), len(ids))),
-                "band_val": pa.array(np.concatenate(bands).view(np.int64)),
+                "id": pa.array(np.tile(ids, n_bands)),
+                "h": pa.array(np.tile(s.view(np.int64), n_bands)),
+                "band_val": pa.array(band_val.view(np.int64)),
+                "gb": pa.array(gb.view(np.int64)),
             }
         )
 
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        if not len(x):
+            return np.empty(0, np.int64)
+        return (
+            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+
+    TRIU_MAX = 2048  # whole-bucket pair matrix above this would burst memory
+
     def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """One Ray group per BAND; within-band band_val buckets handled
-        by pandas (same scheduling argument as minhash _band_pairs)."""
+        """One Ray group per (band, band_val-hash) slice; buckets inside
+        emit pairs with vectorized triu + popcount (per-row fallback for
+        adversarially huge buckets to bound the transient)."""
         out_a, out_b, out_d = [], [], []
         dup = df[df.duplicated("band_val", keep=False)]
         for _, g in dup.groupby("band_val", sort=False):
-            rows = g.drop_duplicates("doc_id").sort_values("doc_id").head(MAX_BUCKET)
-            ids = rows["doc_id"].to_numpy()
-            hs = rows["simhash"].to_numpy().view(np.uint64)
-            for i in range(len(ids)):
-                x = hs[i] ^ hs[i + 1:]
-                # vectorized popcount: unpack the little-endian byte view
-                dists = (
-                    np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
-                    .sum(axis=1)
-                    .astype(np.int64)
-                    if len(x)
-                    else np.empty(0, np.int64)
-                )
+            rows = g.drop_duplicates("id").sort_values("id")
+            if cap is not None:
+                rows = rows.head(cap)
+            n = len(rows)
+            if n < 2:
+                continue
+            ids = rows["id"].to_numpy()
+            hs = rows["h"].to_numpy().view(np.uint64)
+            if n <= TRIU_MAX:
+                i, j = np.triu_indices(n, k=1)
+                dists = _popcount(hs[i] ^ hs[j])
                 ok = dists <= max_hamming
-                out_a.extend([ids[i]] * int(ok.sum()))
-                out_b.extend(ids[i + 1:][ok].tolist())
-                out_d.extend(dists[ok].tolist())
+                out_a.append(ids[i][ok])
+                out_b.append(ids[j][ok])
+                out_d.append(dists[ok])
+            else:
+                for i in range(n):
+                    dists = _popcount(hs[i] ^ hs[i + 1:])
+                    ok = dists <= max_hamming
+                    out_a.append(np.full(int(ok.sum()), ids[i]))
+                    out_b.append(ids[i + 1:][ok])
+                    out_d.append(dists[ok])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
         return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
-             "hamming": pd.Series(out_d, dtype="int64")}
+            {"a": np.concatenate(out_a).astype(np.int64),
+             "b": np.concatenate(out_b).astype(np.int64),
+             "hamming": np.concatenate(out_d).astype(np.int64)}
         )
 
-    pairs = sh.map_batches(explode, batch_format="pyarrow").groupby("band").map_groups(
-        band_pairs, batch_format="pandas"
+    # coalesce before the sort-based groupby: its cost scales with
+    # input BLOCK COUNT, not rows (the r3 block-count law)
+    import ray
+
+    n_out = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
+    pairs = (
+        sh.map_batches(explode, batch_format="pyarrow")
+        .repartition(n_out)
+        .groupby("gb")
+        .map_groups(band_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).min("hamming").map_batches(
-        lambda t: t.rename_columns(["a", "b", "hamming"]), batch_format="pyarrow"
+
+    # distinct (a, b) with min hamming. NOT groupby(["a","b"]).min —
+    # Ray's multi-key aggregate spends ~0.2 ms of per-GROUP Python, and
+    # a pair join has row-count-many groups (measured 8 s/task on 35k
+    # groups). Instead: co-partition by hash(a,b) so a pair's (at most
+    # n_bands) duplicates co-locate, then one vectorized lexsort +
+    # run-head per bucket.
+    def add_pbucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        pb = (splitmix64(splitmix64(a) ^ b) % np.uint64(n_out)).astype(np.int64)
+        return t.append_column("pb", pa.array(pb))
+
+    def dedup_min(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        h = df["hamming"].to_numpy(np.int64)
+        order = np.lexsort((h, b, a))
+        a, b, h = a[order], b[order], h[order]
+        head = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pd.DataFrame({"a": a[head], "b": b[head], "hamming": h[head]})
+
+    return (
+        pairs.map_batches(add_pbucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup_min, batch_format="pandas")
+    )
+
+
+def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs by simhash Hamming distance ≤ ``max_hamming`` —
+    simhash signing + the generic ``hamming_pairs`` banded join
+    (capped buckets: the documented approximation for hot bands)."""
+    sh = ds.select_columns(["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "simhash"])
+    return hamming_pairs(
+        sh, "doc_id", "simhash", max_hamming=max_hamming, cap=MAX_BUCKET
     )
 
 

@@ -1816,6 +1816,55 @@ def q_quantiles_cont_events(sf_dir: str):
     return quantiles_cont(ev, "value", q_pcts=(50, 90), max_pull=2000)
 
 
+def q_phash_neighbor_stats(sf_dir: str):
+    """Multimodal near-dup on the IMAGE side: perceptual-hash Hamming
+    join at distance <= 1 (dedup.hamming_pairs, exact 2-band pigeonhole
+    — cap=None so a SQL band-join replay matches row for row), reduced
+    to the near-dup DEGREE HISTOGRAM (n_neighbors -> n_images). The
+    bytes column never leaves storage — the read prunes to
+    (image_id, phash)."""
+    from geotile.ops.dedup import hamming_pairs
+    from geotile.ops.tiles import read_image_table
+    from geotile.synth import image_index
+
+    ds = read_image_table(_image_dir_for(sf_dir), columns=["image_id", "phash"])
+
+    def to_int_id(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"img": pa.array(image_index(t["image_id"]).astype(np.int64)),
+             "phash": t["phash"]}
+        )
+
+    ids = ds.map_batches(to_int_id, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = hamming_pairs(ids, "img", "phash", max_hamming=1, cap=None)
+
+    def degrees(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [t["a"].to_numpy(zero_copy_only=False),
+             t["b"].to_numpy(zero_copy_only=False)]
+        ).astype(np.int64)
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"img": pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    deg = (
+        pairs.map_batches(degrees, batch_format="pyarrow")
+        .groupby("img").sum("d")
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        d = t["sum(d)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {"n_neighbors": pa.array(u), "n_images": pa.array(c.astype(np.int64))}
+        )
+
+    out = (
+        deg.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_neighbors").sum("n_images")
+    )
+    return _rename(out, ["n_neighbors", "n_images"])
+
+
 def q_grouped_quantiles_events(sf_dir: str):
     """Exact per-group p50/p95 of events.value by event_type — the
     grouped variant of the histogram-refinement selection (ops/
@@ -1936,6 +1985,7 @@ QUERIES = {
     "sliding_window_events": q_sliding_window_events,
     "hll_distinct_users": q_hll_distinct_users,
     "hll_grouped_users": q_hll_grouped_users,
+    "phash_neighbor_stats": q_phash_neighbor_stats,
     "event_props_stats": q_event_props_stats,
     "envelope_events": q_envelope_events,
     "cell_quantize_events": q_cell_quantize_events,
@@ -2640,6 +2690,7 @@ def oracle_sql() -> dict[str, str]:
     out["minhash_pairs_docs"] = _minhash_pairs_sql(sf01)
     out["hll_distinct_users"] = _hll_sql(sf01)
     out["hll_grouped_users"] = _hll_grouped_sql(sf01)
+    out["phash_neighbor_stats"] = _phash_neighbor_sql(img01)
     out["ivf_ann"] = _IVF_ANN_SQL
     return out
 
@@ -2898,6 +2949,36 @@ def _hll_grouped_sidecar(sf_dir: str) -> str:
         )
 
     return _ref_sidecar(sf_dir, "hll_grouped", build)
+
+
+def _phash_neighbor_sql(img_dir: str) -> str:
+    """Exact SQL replay of the 2-band pigeonhole Hamming-1 join: any
+    pair within distance 1 agrees exactly on the low or high 32-bit
+    half, so the band self-join is a lossless candidate generator; the
+    bit_count(xor) filter and the degree histogram replay the engine's
+    reduction. Ids never reach the output, so the engine's int ids and
+    this replay's string ids hash identically."""
+    return f"""
+        WITH t AS (SELECT image_id, phash
+                   FROM read_parquet('{img_dir}/part-*.parquet')),
+        b AS (SELECT image_id, phash, u.band,
+                     CASE u.band WHEN 0 THEN phash & 4294967295
+                                 ELSE (phash >> 32) & 4294967295 END AS key
+              FROM t, unnest([0, 1]) AS u(band)),
+        cand AS (SELECT DISTINCT a.image_id i1, c.image_id i2,
+                        a.phash p1, c.phash p2
+                 FROM b a JOIN b c
+                   ON c.band = a.band AND c.key = a.key
+                  AND a.image_id < c.image_id),
+        pairs AS (SELECT i1, i2 FROM cand WHERE bit_count(xor(p1, p2)) <= 1),
+        deg AS (SELECT image_id, count(*) AS n_neighbors
+                FROM (SELECT i1 AS image_id FROM pairs
+                      UNION ALL SELECT i2 FROM pairs)
+                GROUP BY 1)
+        SELECT CAST(n_neighbors AS BIGINT) AS n_neighbors,
+               count(*) AS n_images
+        FROM deg GROUP BY 1
+    """
 
 
 def _hll_grouped_sql(sf_dir: str) -> str:

@@ -265,6 +265,41 @@ class TestGroupedRolling:
         assert got.prev_event_id.tolist() == [-1, -1]
 
 
+class TestHammingPairs:
+    @pytest.mark.parametrize("max_h", [1, 3])
+    def test_exact_vs_brute_force(self, ray_session, max_h):
+        from geotile.ops.dedup import hamming_pairs
+
+        rng = np.random.default_rng(31)
+        n = 300
+        base = rng.integers(0, 1 << 62, 20, dtype=np.int64)
+        # clustered fingerprints: each row = a base value with 0-4 bits
+        # flipped, so near pairs are plentiful at small distances
+        h = base[rng.integers(0, len(base), n)]
+        for i in range(n):
+            for _ in range(rng.integers(0, 5)):
+                h[i] ^= np.int64(1) << rng.integers(0, 63)
+        df = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "h": h})
+        got = (
+            hamming_pairs(_from_pandas(df).repartition(4), "id", "h",
+                          max_hamming=max_h, cap=None)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        hu = h.astype(np.uint64)
+        want = []
+        for i in range(n):
+            x = hu[i] ^ hu[i + 1:]
+            d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            for j in np.flatnonzero(d <= max_h):
+                want.append((i, i + 1 + j, int(d[j])))
+        want = pd.DataFrame(want, columns=["a", "b", "hamming"]).astype(np.int64)
+        pd.testing.assert_frame_equal(
+            got, want.sort_values(["a", "b"]).reset_index(drop=True)
+        )
+
+
 class TestQuantilesCont:
     @pytest.mark.parametrize("n", [1, 2, 101, 5000])
     def test_matches_sorted_brackets(self, ray_session, n):
