@@ -18,7 +18,7 @@ import pytest
 # queries over synthesized tile/image/GTFS fixtures are excluded: they
 # synthesize per-sf caches (expensive) and have no degenerate-table
 # surface — their inputs are generated, not read from the sf tables
-_SKIP_PREFIXES = ("tile_", "image_", "gtfs_", "route_feature")
+_SKIP_PREFIXES = ("tile_", "image_", "gtfs_", "route_feature", "phash_")
 
 
 @pytest.fixture(scope="module")
