@@ -19,10 +19,17 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="geotile", description=__doc__)
-    p.add_argument("--mode", default="gtfs", choices=["gtfs", "join"],
+    p.add_argument("--mode", default="gtfs", choices=["gtfs", "join", "query"],
                    help="gtfs: reference-style GeoJSON pipeline; join: the "
-                        "checkpointed image-tile spatial join (resumable)")
+                        "checkpointed image-tile spatial join (resumable); "
+                        "query: run any named battery query over an sf dir")
     p.add_argument("--images", help="[join] input image-table directory of parquet shards")
+    p.add_argument("--query", help="[query] query name from geotile.queries.QUERIES "
+                                   "(or 'list' to print the names)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="[query] input table directory")
+    p.add_argument("--limit", type=int, default=20,
+                   help="[query] rows of the result to print (JSONL)")
     p.add_argument("--configPath", help="path to a reference-style config.json")
     p.add_argument("--skipImport", action="store_true",
                    help="kept for reference CLI parity (import == parquet read here)")
@@ -35,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--zip", action="store_true")
     p.add_argument("--num-cpus", type=int, default=8)
     args = p.parse_args(argv)
+
+    if args.mode == "query" and (not args.query or args.query == "list"):
+        # listing needs no Ray session
+        from geotile.queries import QUERIES
+
+        print(json.dumps({"queries": sorted(QUERIES)}))
+        return 0
 
     import logging
 
@@ -72,6 +86,21 @@ def main(argv: list[str] | None = None) -> int:
             )
             stats["manifests"] = len(read_manifests(args.output))
             print(json.dumps(stats))
+            return 0
+
+        if args.mode == "query":
+            from geotile.queries import QUERIES
+
+            if args.query not in QUERIES:
+                p.error(f"unknown query {args.query!r} (use --query list)")
+            res = QUERIES[args.query](args.sf_dir)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            n = len(df)
+            for _, row in df.head(args.limit).iterrows():
+                print(json.dumps({k: (v.item() if hasattr(v, "item") else v)
+                                  for k, v in row.items()}, default=str))
+            print(json.dumps({"query": args.query, "rows": n,
+                              "shown": min(n, args.limit)}))
             return 0
 
         if args.configPath:

@@ -119,6 +119,44 @@ class TestDegenerateGeometryInputs:
         assert (df["rank"] == 0).all() and (df["route_id"] == "r1").all()
 
 
+class TestCliQueryMode:
+    def test_list_needs_no_ray(self):
+        # --query list must answer without a Ray session (subprocess
+        # with Ray blocked via a bogus address would fail if it tried)
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        out = subprocess.run(
+            [_sys.executable, "-m", "geotile.cli", "--mode", "query",
+             "--query", "list"],
+            capture_output=True, text=True, timeout=120,
+            cwd="/tmp", env={**__import__("os").environ,
+                             "PYTHONPATH": "/root/repo"},
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        names = _json.loads(out.stdout.strip().splitlines()[-1])["queries"]
+        assert len(names) >= 73 and "pricing_summary" in names
+
+    def test_runs_named_query(self):
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        out = subprocess.run(
+            [_sys.executable, "-m", "geotile.cli", "--mode", "query",
+             "--query", "pricing_summary", "--limit", "2",
+             "--sf-dir", "/root/testdata/sf0.001", "--num-cpus", "4"],
+            capture_output=True, text=True, timeout=300,
+            cwd="/tmp", env={**__import__("os").environ,
+                             "PYTHONPATH": "/root/repo"},
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        tail = _json.loads(lines[-1])
+        assert tail == {"query": "pricing_summary", "rows": 6, "shown": 2}
+
+
 def test_every_table_query_runs_on_edge_data(ray_session, edge_sf_dir):
     from geotile.queries import QUERIES
 
