@@ -1805,6 +1805,55 @@ def q_right_join_orders_customer(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_funnel_users(sf_dir: str):
+    """Ordered event-sequence (funnel) matching: users who did
+    view → click → purchase in strict time order, with each stage's
+    earliest qualifying timestamp. ONE shuffle (hash co-partition by
+    user), then every user of a bucket is resolved in a single
+    vectorized pass — per-stage min-reduce via np.minimum.at, next
+    stage filtered by the previous stage's per-user time. No per-user
+    Python, no window sort."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    STAGES = ("view", "click", "purchase")
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        out_cols = ["user_id", "t_view_us", "t_click_us", "t_purchase_us"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        users = np.unique(u)
+        uidx = np.searchsorted(users, u)
+        prev = np.full(len(users), -(1 << 62), dtype=np.int64)  # stage-0 gate
+        stage_ts = []
+        alive = np.ones(len(users), dtype=bool)
+        for stage in STAGES:
+            cur = np.full(len(users), np.iinfo(np.int64).max, dtype=np.int64)
+            m = (et == stage) & (ts > prev[uidx])
+            np.minimum.at(cur, uidx[m], ts[m])
+            alive &= cur != np.iinfo(np.int64).max
+            stage_ts.append(cur)
+            prev = cur
+        return pd.DataFrame(
+            {
+                "user_id": users[alive],
+                "t_view_us": stage_ts[0][alive],
+                "t_click_us": stage_ts[1][alive],
+                "t_purchase_us": stage_ts[2][alive],
+            }
+        )
+
+    return (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
 def q_quantiles_cont_events(sf_dir: str):
     """percentile_cont-style interpolated quantiles (quantile.
     quantiles_cont): bracketing order statistics + exact rational
@@ -1974,6 +2023,7 @@ QUERIES = {
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "quantiles_events": q_quantiles_events,
     "quantiles_cont_events": q_quantiles_cont_events,
+    "funnel_users": q_funnel_users,
     "grouped_quantiles_events": q_grouped_quantiles_events,
     "stratified_sample_events": q_stratified_sample_events,
     "dup_clusters_embeddings": q_dup_clusters_embeddings,
@@ -2104,6 +2154,21 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "funnel_users": """
+        WITH v AS (SELECT user_id, min(epoch_us(ts)) t_v FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(epoch_us(e.ts)) t_c
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_v
+              GROUP BY 1),
+        p AS (SELECT e.user_id, min(epoch_us(e.ts)) t_p
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_c
+              GROUP BY 1)
+        SELECT v.user_id, t_v AS t_view_us, t_c AS t_click_us,
+               t_p AS t_purchase_us
+        FROM v JOIN c USING (user_id) JOIN p USING (user_id)
     """,
     "quantiles_cont_events": """
         WITH s AS (SELECT value, row_number() OVER (ORDER BY value) rn,

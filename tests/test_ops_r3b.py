@@ -265,6 +265,53 @@ class TestGroupedRolling:
         assert got.prev_event_id.tolist() == [-1, -1]
 
 
+class TestFunnel:
+    def test_matches_brute_force_with_ties(self, ray_session):
+        from geotile.queries import q_funnel_users
+
+        rng = np.random.default_rng(41)
+        n = 1500
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 60, n).astype(np.int64),
+                "ts": pd.to_datetime(rng.integers(0, 30, n), unit="s"),  # ties
+                "event_type": rng.choice(
+                    ["view", "click", "purchase", "error"], n
+                ),
+                "event_id": np.arange(n, dtype=np.int64),
+                "value": np.zeros(n),
+                "props": [""] * n,
+            }
+        )
+        import pyarrow.parquet as pq
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(d, "events.parquet"))
+        got = (
+            q_funnel_users(d).to_pandas()
+            .sort_values("user_id").reset_index(drop=True)
+        )
+        rows = []
+        for uid, g in df.groupby("user_id"):
+            t = g["ts"].astype("datetime64[us]").astype(np.int64)
+            et = g["event_type"]
+            prev, out = -(1 << 62), []
+            for stage in ("view", "click", "purchase"):
+                cand = t[(et == stage) & (t > prev)]
+                if len(cand) == 0:
+                    out = None
+                    break
+                prev = int(cand.min())
+                out.append(prev)
+            if out:
+                rows.append((uid, *out))
+        want = pd.DataFrame(
+            rows, columns=["user_id", "t_view_us", "t_click_us", "t_purchase_us"]
+        ).astype(np.int64).sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.astype(np.int64), want)
+
+
 class TestHammingPairs:
     @pytest.mark.parametrize("max_h", [1, 3])
     def test_exact_vs_brute_force(self, ray_session, max_h):
