@@ -349,6 +349,156 @@ def rollup_aggregate(
     return summed.map_batches(finish, batch_format="pyarrow")
 
 
+def cube_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    sum_col: str,
+    sentinel: str = "*",
+) -> rd.Dataset:
+    """GROUP BY CUBE(keys): count + sum over EVERY subset of the keys
+    in one streaming pass (the grouping-sets generalization of
+    ``rollup_aggregate``). ``gid`` is SQL's grouping id — bit i set
+    when ``keys[i]`` is aggregated out (``grouping(k0) +
+    2*grouping(k1) + ...``); aggregated-out keys carry ``sentinel``.
+
+    Shape: the per-batch combiner aggregates the detail level in Arrow
+    once, then derives the other 2^n - 1 grouping sets from those
+    PARTIALS (cardinality = detail groups, not rows); the single
+    shuffle moves (grouping sets x group cardinality) partial rows.
+    2^n blowup is on the AGGREGATE, so keep n small (2-4 keys) — the
+    same constraint SQL CUBE has. Columns: gid, *keys, n,
+    sum_<sum_col> (int64)."""
+    import pyarrow.compute as pc
+
+    sum_name = f"sum_{sum_col}"
+    subsets = []  # (gid, kept_keys) for every subset of keys
+    for mask in range(1 << len(keys)):
+        kept = [k for i, k in enumerate(keys) if not (mask >> i) & 1]
+        subsets.append((mask, kept))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([([], "count_all"), (sum_col, "sum")])
+        detail = pa.table(
+            {
+                # empty blocks groupby to null-typed key columns; pin
+                # string so sentinel levels concat (NOTE: an entirely
+                # empty input yields 0 rows, not SQL's single n=0
+                # grand-total row — Ray never schedules empty blocks)
+                **{k: g[k].cast(pa.string()) for k in keys},
+                "n": g["count_all"].cast(pa.int64()),
+                sum_name: g[f"{sum_col}_sum"].cast(pa.int64()),
+            }
+        )
+        levels = []
+        for gid, kept in subsets:
+            if gid == 0:
+                lv = detail
+            elif kept:
+                gg = detail.group_by(kept).aggregate(
+                    [("n", "sum"), (sum_name, "sum")]
+                )
+                lv = pa.table(
+                    {
+                        **{k: gg[k] for k in kept},
+                        **{
+                            k: pa.array([sentinel] * len(gg), pa.string())
+                            for k in keys if k not in kept
+                        },
+                        "n": gg["n_sum"],
+                        sum_name: gg[f"{sum_name}_sum"],
+                    }
+                )
+            else:
+                lv = pa.table(
+                    {
+                        **{k: pa.array([sentinel], pa.string()) for k in keys},
+                        "n": pa.array([pc.sum(detail["n"]).as_py() or 0], pa.int64()),
+                        sum_name: pa.array(
+                            [pc.sum(detail[sum_name]).as_py() or 0], pa.int64()
+                        ),
+                    }
+                )
+            lv = lv.append_column(
+                "gid", pa.array(np.full(len(lv), gid, dtype=np.int64))
+            )
+            levels.append(lv.select(["gid"] + keys + ["n", sum_name]))
+        return pa.concat_tables(levels)
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["gid"] + keys)
+        .sum(["n", sum_name])
+    )
+    out_cols = ["gid"] + keys + ["n", sum_name]
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gid": t["gid"].cast(pa.int64()),
+                **{k: t[k] for k in keys},
+                "n": t["sum(n)"].cast(pa.int64()),
+                sum_name: t[f"sum({sum_name})"].cast(pa.int64()),
+            }
+        ).select(out_cols)
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def _skyline_mask(p: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D Pareto frontier: maximize ``p``,
+    minimize ``d``. Row i is dominated iff some row has p >= p_i and
+    d <= d_i with at least one strict. Vectorized: sort by (p desc,
+    d asc); a row survives iff it holds its equal-p group's min d AND
+    every strictly-higher-p row has strictly larger d. Duplicate
+    (p, d) points all survive together (neither strictly dominates)."""
+    n = len(p)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((d, -p))
+    ps, ds_ = p[order], d[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = ps[1:] != ps[:-1]
+    grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+    gmin = ds_[grp_start]  # d asc within a group -> first row is min
+    run_min = np.minimum.accumulate(ds_)
+    prefix_strict = np.empty(n, dtype=ds_.dtype)
+    prefix_strict[grp_start == 0] = np.iinfo(np.int64).max if np.issubdtype(
+        ds_.dtype, np.integer) else np.inf
+    nz = grp_start > 0
+    prefix_strict[nz] = run_min[grp_start[nz] - 1]
+    keep_sorted = (ds_ == gmin) & (prefix_strict > ds_)
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline(
+    ds: rd.Dataset,
+    max_col: str,
+    min_col: str,
+) -> rd.Dataset:
+    """Distributed 2-D skyline (Pareto frontier): rows not dominated on
+    (maximize ``max_col``, minimize ``min_col``). Per-block local
+    skyline first — dominance is transitive, so the global skyline is
+    exactly the skyline of the union of local skylines — then one tiny
+    final pass over the concatenated partials (random data keeps
+    O(log n) expected frontier points per block, so the final input is
+    ~blocks x log(block_rows) rows, never the dataset)."""
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        pv = t[max_col].to_numpy(zero_copy_only=False)
+        dv = t[min_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_skyline_mask(pv, dv)))
+
+    partials = ds.map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(1)
+    return partials.map_batches(local, batch_format="pyarrow", batch_size=None)
+
+
 def grouped_rolling(
     ds: rd.Dataset,
     key: str,

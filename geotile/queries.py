@@ -1993,6 +1993,244 @@ def q_quantiles_events(sf_dir: str):
     return exact_quantiles(ev, "value", max_pull=2000)
 
 
+_WEEK_US = 604_800_000_000  # 7 * 86400 * 1e6
+
+
+def q_cohort_retention_users(sf_dir: str):
+    """Cohort retention matrix: users bucketed by first-seen week
+    (cohort), counted once per (cohort, active-week offset). ONE hash
+    co-partition by user; inside a bucket everything is vectorized —
+    per-user first week via np.minimum.at, distinct (user, week) via
+    one np.unique over packed keys — then a tiny (cohorts x offsets)
+    groupby sums the per-bucket partials. The classic two-pass
+    first-touch + self-join collapses to a single shuffle because each
+    user's rows are co-located."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    out_cols = ["cohort_week", "week_offset", "n_users"]
+
+    def retain(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        u = df["user_id"].to_numpy(np.int64)
+        w = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // _WEEK_US
+        users, uidx = np.unique(u, return_inverse=True)
+        first = np.full(len(users), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, uidx, w)
+        offs = w - first[uidx]  # >= 0 by construction
+        uw = np.unique(uidx * 1_000_000 + offs)  # distinct (user, offset)
+        cw = first[uw // 1_000_000]
+        pk, cnt = np.unique(cw * 1_000_000 + uw % 1_000_000, return_counts=True)
+        return pd.DataFrame(
+            {
+                "cohort_week": pk // 1_000_000,
+                "week_offset": pk % 1_000_000,
+                "n_users": cnt.astype(np.int64),
+            }
+        )
+
+    partials = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("bucket")
+        .map_groups(retain, batch_format="pandas")
+    )
+    return _rename(
+        partials.groupby(["cohort_week", "week_offset"]).sum("n_users"),
+        out_cols,
+    )
+
+
+def q_transition_counts_events(sf_dir: str):
+    """Event-sequence transition (Markov bigram) counts: consecutive
+    event_type pairs per user under the total order (ts, event_id).
+    ONE co-partition by user; per bucket a single lexsort + shifted
+    compare builds every adjacent pair, np.unique over packed type
+    codes counts them — no window function, no per-user Python. Final
+    groupby is type-pair cardinality (~tens of rows)."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out_cols = ["prev_type", "next_type", "n"]
+
+    def trans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"prev_type": pd.Series(dtype=str),
+                 "next_type": pd.Series(dtype=str),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        types, code = np.unique(df["event_type"].to_numpy(), return_inverse=True)
+        order = np.lexsort((eid, ts, u))
+        u, code = u[order], code[order]
+        same = u[1:] == u[:-1]
+        k = len(types)
+        pair, cnt = np.unique(
+            code[:-1][same] * k + code[1:][same], return_counts=True
+        )
+        return pd.DataFrame(
+            {
+                "prev_type": types[pair // k],
+                "next_type": types[pair % k],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    partials = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("bucket")
+        .map_groups(trans, batch_format="pandas")
+    )
+    return _rename(partials.groupby(["prev_type", "next_type"]).sum("n"), out_cols)
+
+
+def q_mode_event_type_user(sf_dir: str):
+    """MODE per group (most frequent event_type per user, ties broken
+    lexicographically) — SQL's row_number-over-count-desc idiom as a
+    two-level aggregate: per-batch Arrow (user, type) partial counts,
+    one co-partition shuffle of partials, then a vectorized per-bucket
+    argmax (np.bincount sum + np.maximum.at max + np.minimum.at
+    tie-break). Nothing per-user runs in Python."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g["user_id"].cast(pa.int64()),
+                "event_type": g["event_type"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    out_cols = ["user_id", "mode_type", "n_events"]
+
+    def mode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "mode_type": pd.Series(dtype=str),
+                 "n_events": pd.Series(dtype=np.int64)}
+            )
+        u = df["user_id"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        types, code = np.unique(df["event_type"].to_numpy(), return_inverse=True)
+        users, uidx = np.unique(u, return_inverse=True)
+        k = len(types)
+        # sum split partials per (user, type)
+        tot = np.bincount(uidx * k + code, weights=n, minlength=len(users) * k)
+        tot = tot.astype(np.int64).reshape(len(users), k)
+        best = tot.argmax(axis=1)  # ties -> lowest code = lexicographic min
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "mode_type": types[best],
+                "n_events": tot[np.arange(len(users)), best],
+            }
+        )
+
+    return (
+        _with_bucket(
+            ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "user_id",
+            32,
+        )
+        .groupby("bucket")
+        .map_groups(mode, batch_format="pandas")
+    )
+
+
+def q_cube_docs(sf_dir: str):
+    """GROUP BY CUBE(lang, source) — every grouping set (detail,
+    lang-only, source-only, grand total) from one streaming pass
+    (relational.cube_aggregate); ``gid`` replays SQL's
+    grouping(lang) + 2*grouping(source)."""
+    from geotile.ops.relational import cube_aggregate
+
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return cube_aggregate(docs, keys=["lang", "source"], sum_col="n_chars")
+
+
+def q_skyline_orders(sf_dir: str):
+    """2-D skyline / Pareto frontier: orders not dominated on
+    (maximize o_totalprice, minimize o_orderdate). Per-block local
+    frontier (dominance is transitive, so local pruning is lossless),
+    then one tiny final pass — the SQL replay is the quadratic
+    NOT EXISTS dominance test; the engine does it in
+    O(n log n) + O(frontier)."""
+    from geotile.ops.relational import skyline
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+                "o_date_us": t["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    us = orders.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    return skyline(us, max_col="o_totalprice", min_col="o_date_us")
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension feature statistics over the embedding column
+    (UNNEST + GROUP BY dim in SQL): min / max / positive-count / count
+    per dimension. The list column is flattened ZERO-COPY to one
+    (rows x dim) float32 matrix per batch and reduced with one numpy
+    pass; the shuffle moves only dim-cardinality partial rows. min and
+    max are order-independent (bit-exact across engines); the counts
+    are integers — no float summation anywhere."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "vmin": pa.array([], pa.float64()),
+                    "vmax": pa.array([], pa.float64()),
+                    "n_pos": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        vals = col.values.to_numpy(zero_copy_only=False)
+        m = vals.reshape(n, len(vals) // n)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                # float32 -> float64 is exact; DuckDB side CASTs to
+                # DOUBLE the same way, so hashes stay bit-identical
+                "vmin": pa.array(m.min(axis=0).astype(np.float64)),
+                "vmax": pa.array(m.max(axis=0).astype(np.float64)),
+                "n_pos": pa.array((m > 0).sum(axis=0).astype(np.int64)),
+                "n": pa.array(np.full(d, n, dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Min("vmin"), Max("vmax"), Sum("n_pos"), Sum("n"))
+    )
+    return _rename(agg, ["dim", "vmin", "vmax", "n_pos", "n"])
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -2024,6 +2262,12 @@ QUERIES = {
     "quantiles_events": q_quantiles_events,
     "quantiles_cont_events": q_quantiles_cont_events,
     "funnel_users": q_funnel_users,
+    "cohort_retention_users": q_cohort_retention_users,
+    "transition_counts_events": q_transition_counts_events,
+    "mode_event_type_user": q_mode_event_type_user,
+    "cube_docs": q_cube_docs,
+    "skyline_orders": q_skyline_orders,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "grouped_quantiles_events": q_grouped_quantiles_events,
     "stratified_sample_events": q_stratified_sample_events,
     "dup_clusters_embeddings": q_dup_clusters_embeddings,
@@ -2154,6 +2398,65 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "cohort_retention_users": """
+        WITH wk AS (SELECT user_id,
+                           CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS w
+                    FROM events),
+        fw AS (SELECT user_id, MIN(w) AS cw FROM wk GROUP BY user_id),
+        uw AS (SELECT DISTINCT wk.user_id, fw.cw, wk.w - fw.cw AS offs
+               FROM wk JOIN fw USING (user_id))
+        SELECT cw AS cohort_week, offs AS week_offset,
+               COUNT(*) AS n_users
+        FROM uw GROUP BY 1, 2
+    """,
+    "transition_counts_events": """
+        WITH s AS (SELECT user_id, event_type,
+                          LAG(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT prev AS prev_type, event_type AS next_type,
+               COUNT(*) AS n
+        FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+    """,
+    "mode_event_type_user": """
+        WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT user_id, event_type, n,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY n DESC, event_type ASC) AS rn
+              FROM c)
+        SELECT user_id, event_type AS mode_type, n AS n_events
+        FROM r WHERE rn = 1
+    """,
+    "cube_docs": """
+        SELECT CAST(grouping(lang) + 2 * grouping(source) AS BIGINT) AS gid,
+               COALESCE(lang, '*') AS lang,
+               COALESCE(source, '*') AS source,
+               COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        FROM documents GROUP BY CUBE(lang, source)
+    """,
+    "skyline_orders": """
+        SELECT a.o_orderkey, a.o_totalprice,
+               epoch_us(a.o_orderdate) AS o_date_us
+        FROM orders a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders b
+          WHERE b.o_totalprice >= a.o_totalprice
+            AND b.o_orderdate <= a.o_orderdate
+            AND (b.o_totalprice > a.o_totalprice
+                 OR b.o_orderdate < a.o_orderdate))
+    """,
+    "embedding_dim_stats": """
+        WITH e AS (SELECT unnest(range(len(embedding))) AS dim,
+                          unnest(embedding) AS v
+                   FROM embeddings)
+        SELECT dim, CAST(MIN(v) AS DOUBLE) AS vmin,
+               CAST(MAX(v) AS DOUBLE) AS vmax,
+               CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               COUNT(*) AS n
+        FROM e GROUP BY dim
     """,
     "funnel_users": """
         WITH v AS (SELECT user_id, min(epoch_us(ts)) t_v FROM events

@@ -24,6 +24,12 @@ CHECKED = [
     "quantiles_events",
     "grouped_quantiles_events",
     "stratified_sample_events",
+    "cohort_retention_users",
+    "transition_counts_events",
+    "mode_event_type_user",
+    "cube_docs",
+    "skyline_orders",
+    "embedding_dim_stats",
 ]
 
 
