@@ -2231,6 +2231,186 @@ def q_embedding_dim_stats(sf_dir: str):
     return _rename(agg, ["dim", "vmin", "vmax", "n_pos", "n"])
 
 
+def q_event_gap_stats_user(sf_dir: str):
+    """Inter-event gap statistics per user (SQL's LAG-diff aggregate):
+    count / max / sum of the time gaps between consecutive events under
+    the total order (ts, event_id). ONE co-partition by user; per
+    bucket a single lexsort + shifted diff materializes every gap, then
+    three bincount/maximum.at reduces — no window function, no per-user
+    Python. Users with a single event drop out (no gap), matching the
+    oracle's WHERE pt IS NOT NULL."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out_cols = ["user_id", "n_gaps", "max_gap_us", "sum_gap_us"]
+
+    def gaps_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        if len(df) < 2:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        same = u[1:] == u[:-1]
+        gu = u[1:][same]
+        g = ts[1:][same] - ts[:-1][same]  # >= 0: ts ascending within a run
+        if len(gu) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        users, gidx = np.unique(gu, return_inverse=True)
+        mx = np.zeros(len(users), dtype=np.int64)
+        np.maximum.at(mx, gidx, g)
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "n_gaps": np.bincount(gidx).astype(np.int64),
+                "max_gap_us": mx,
+                "sum_gap_us": np.bincount(gidx, weights=g).astype(np.int64),
+            }
+        )
+
+    return (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("bucket")
+        .map_groups(gaps_fn, batch_format="pandas")
+    )
+
+
+def _last_per_user(u, ts, eid, extra):
+    """Indices of each user's (ts, event_id)-max row — vectorized
+    run-tail select after one ascending lexsort."""
+    order = np.lexsort((eid, ts, u))
+    u_s = u[order]
+    is_last = np.empty(len(u_s), dtype=bool)
+    is_last[:-1] = u_s[1:] != u_s[:-1]
+    is_last[-1] = True
+    return order[is_last]
+
+
+def q_last_event_user(sf_dir: str):
+    """max_by / last-touch attribution: each user's most recent event
+    (row with max (ts, event_id)) — SQL's row_number-over-desc idiom.
+    Per-batch partial argmax first (the shuffle moves at most one row
+    per user per batch, not the event stream), then the same vectorized
+    run-tail select per co-partitioned bucket."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u) == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "last_type": pa.array([], pa.string()),
+                 "last_ts_us": pa.array([], pa.int64()),
+                 "last_event_id": pa.array([], pa.int64())}
+            )
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = _last_per_user(u, ts, eid, None)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(u[sel]),
+                "last_type": pa.array(et[sel]),
+                "last_ts_us": pa.array(ts[sel]),
+                "last_event_id": pa.array(eid[sel]),
+            }
+        )
+
+    out_cols = ["user_id", "last_type", "last_ts_us", "last_event_id"]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "last_type": pd.Series(dtype=str),
+                 "last_ts_us": pd.Series(dtype=np.int64),
+                 "last_event_id": pd.Series(dtype=np.int64)}
+            )
+        sel = _last_per_user(
+            df["user_id"].to_numpy(np.int64),
+            df["last_ts_us"].to_numpy(np.int64),
+            df["last_event_id"].to_numpy(np.int64),
+            None,
+        )
+        return df.iloc[sel][out_cols].reset_index(drop=True)
+
+    partials = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        _with_bucket(partials, "user_id", 32)
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_type_cooccurrence_users(sf_dir: str):
+    """Co-occurrence matrix: for every unordered event-type pair, how
+    many users did BOTH — the distinct self-join collapsed to a bitmask
+    aggregate. Per-batch distinct (user, type) partials, one user
+    co-partition, then each user's type set becomes one int64 bitmask
+    (np.bitwise_or.at); pair counts are derived from the ≤2^k distinct
+    masks, never from user rows. Requires < 64 distinct types — the
+    documented assumption of the bitmask path (wider vocabularies
+    would shard the mask)."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        return pa.table(
+            {"user_id": g["user_id"].cast(pa.int64()), "event_type": g["event_type"]}
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        out = {"type_a": [], "type_b": [], "n_users": []}
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"type_a": pd.Series(dtype=str), "type_b": pd.Series(dtype=str),
+                 "n_users": pd.Series(dtype=np.int64)}
+            )
+        types, code = np.unique(df["event_type"].to_numpy(), return_inverse=True)
+        if len(types) >= 64:
+            raise ValueError("bitmask co-occurrence supports < 64 types")
+        users, uidx = np.unique(
+            df["user_id"].to_numpy(np.int64), return_inverse=True
+        )
+        mask = np.zeros(len(users), dtype=np.int64)
+        np.bitwise_or.at(mask, uidx, np.int64(1) << code.astype(np.int64))
+        vals, cnts = np.unique(mask, return_counts=True)
+        acc: dict[tuple[int, int], int] = {}
+        for m, c in zip(vals.tolist(), cnts.tolist()):  # aggregate-scale loop
+            bits = [i for i in range(len(types)) if (m >> i) & 1]
+            for x in range(len(bits)):
+                for y in range(x + 1, len(bits)):
+                    key = (bits[x], bits[y])
+                    acc[key] = acc.get(key, 0) + c
+        for (a, b), c in acc.items():
+            out["type_a"].append(types[a])
+            out["type_b"].append(types[b])
+            out["n_users"].append(c)
+        return pd.DataFrame(out)
+
+    partials = (
+        _with_bucket(
+            ev.map_batches(distinct, batch_format="pyarrow", zero_copy_batch=True),
+            "user_id",
+            32,
+        )
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return _rename(
+        partials.groupby(["type_a", "type_b"]).sum("n_users"),
+        ["type_a", "type_b", "n_users"],
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -2263,6 +2443,9 @@ QUERIES = {
     "quantiles_cont_events": q_quantiles_cont_events,
     "funnel_users": q_funnel_users,
     "cohort_retention_users": q_cohort_retention_users,
+    "event_gap_stats_user": q_event_gap_stats_user,
+    "last_event_user": q_last_event_user,
+    "type_cooccurrence_users": q_type_cooccurrence_users,
     "transition_counts_events": q_transition_counts_events,
     "mode_event_type_user": q_mode_event_type_user,
     "cube_docs": q_cube_docs,
@@ -2398,6 +2581,35 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "event_gap_stats_user": """
+        WITH s AS (SELECT user_id, epoch_us(ts) AS t,
+                          LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS pt
+                   FROM events)
+        SELECT user_id, COUNT(*) AS n_gaps,
+               CAST(MAX(t - pt) AS BIGINT) AS max_gap_us,
+               CAST(SUM(t - pt) AS BIGINT) AS sum_gap_us
+        FROM s WHERE pt IS NOT NULL GROUP BY user_id
+    """,
+    "last_event_user": """
+        WITH r AS (SELECT user_id, event_type, event_id,
+                          epoch_us(ts) AS t_us,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC,
+                                                      event_id DESC) AS rn
+                   FROM events)
+        SELECT user_id, event_type AS last_type, t_us AS last_ts_us,
+               event_id AS last_event_id
+        FROM r WHERE rn = 1
+    """,
+    "type_cooccurrence_users": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_users
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
     """,
     "cohort_retention_users": """
         WITH wk AS (SELECT user_id,

@@ -30,6 +30,9 @@ CHECKED = [
     "cube_docs",
     "skyline_orders",
     "embedding_dim_stats",
+    "event_gap_stats_user",
+    "last_event_user",
+    "type_cooccurrence_users",
 ]
 
 
