@@ -40,6 +40,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from geotile.synth import splitmix64
@@ -210,3 +211,128 @@ def connected_components(
         f"connected_components did not converge in {max_rounds} rounds "
         "(graph depth exceeds the guard; raise max_rounds)"
     )
+
+
+def pagerank_int(
+    edges: rd.Dataset,
+    a: str = "a",
+    b: str = "b",
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    den: int = 100,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Fixed-iteration PageRank on the undirected graph ``(a, b)`` in
+    EXACT integer arithmetic — the iterative-algorithm shape (BSP
+    rounds over a co-partitioned edge list) with a bit-exact SQL
+    replay. Scores live on an integer lattice: s0 = ``scale`` for every
+    node, and each round
+
+        s'(v) = base + Σ_{u→v} (damp_num · s(u)) // (den · deg(u)),
+        base  = (scale · (den − damp_num)) // den
+
+    Floor division per SOURCE (computed once per u, then summed as
+    int64) keeps every engine bit-identical — no float summation-order
+    hazard, which is why the oracle can be three chained SQL CTEs.
+
+    Scale shape per round (same discipline as connected_components):
+    the symmetric edge list is bucketed by SOURCE once and
+    materialized; all of u's out-edges land in u's bucket, so deg(u)
+    is derived IN-BUCKET from edge multiplicity (no degree join);
+    contributions are pre-summed per destination inside the bucket, so
+    the per-round shuffle is the node-scale ``groupby(dst).sum``.
+    Scores (node-scale) are re-bucketed and materialized each round —
+    iterating on a lazy plan would re-execute the whole history.
+
+    Node ids must be NON-NEGATIVE int64 (-1 discriminates score rows
+    inside the co-group, as in connected_components).
+    """
+    base = (scale * (den - damp_num)) // den
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "s": pa.array(np.full(len(src), -1, dtype=np.int64)),
+                "bucket": pa.array(_bucket_of(src, n_buckets)),
+            }
+        )
+
+    edges_b = edges.map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    scores: rd.Dataset | None = None  # None = implicit uniform s0
+
+    def tag_scores(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(node),
+                "dst": pa.array(np.full(len(node), -1, dtype=np.int64)),
+                "s": t["score"],
+                "bucket": pa.array(_bucket_of(node, n_buckets)),
+            }
+        )
+
+    def make_contrib(first_round: bool):
+        def contrib(df: pd.DataFrame) -> pa.Table:
+            is_edge = df["dst"].to_numpy() >= 0
+            e_src = df["src"].to_numpy().astype(np.int64)[is_edge]
+            e_dst = df["dst"].to_numpy().astype(np.int64)[is_edge]
+            if len(e_src) == 0:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+                )
+            srcs, sidx = np.unique(e_src, return_inverse=True)
+            deg = np.bincount(sidx).astype(np.int64)
+            if first_round:
+                s = np.full(len(srcs), scale, dtype=np.int64)
+            else:
+                sn = df["src"].to_numpy().astype(np.int64)[~is_edge]
+                sv = df["s"].to_numpy().astype(np.int64)[~is_edge]
+                o = np.argsort(sn)
+                s = sv[o][np.searchsorted(sn[o], srcs)]
+            per_src = (damp_num * s) // (den * deg)
+            # pre-sum per destination inside the bucket; int64
+            # accumulator (bincount's float64 weights would round past
+            # 2^53 on hub nodes)
+            dsts, didx = np.unique(e_dst, return_inverse=True)
+            csum = np.zeros(len(dsts), dtype=np.int64)
+            np.add.at(csum, didx, per_src[sidx])
+            return pa.table({"node": pa.array(dsts), "c": pa.array(csum)})
+
+        return contrib
+
+    for it in range(iters):
+        stream = edges_b
+        if scores is not None:
+            stream = stream.union(
+                scores.map_batches(tag_scores, batch_format="pyarrow")
+            )
+        scores = (
+            stream.groupby("bucket")
+            .map_groups(make_contrib(scores is None), batch_format="pandas")
+            .groupby("node")
+            .sum("c")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "score": pc.add(
+                            t["sum(c)"].cast(pa.int64()), pa.scalar(base)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(n_buckets)
+            .materialize()
+        )
+    return scores

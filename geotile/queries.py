@@ -2411,6 +2411,22 @@ def q_type_cooccurrence_users(sf_dir: str):
     )
 
 
+def q_pagerank_dups(sf_dir: str):
+    """Fixed-iteration PageRank (3 BSP rounds, exact integer lattice)
+    over the embedding near-dup pair graph — the iterative-algorithm
+    counterpart to connected components: dup-cluster centrality ranks
+    which duplicate is the best canonical representative. Bit-exact SQL
+    replay via three chained CTEs (floor division per source, integer
+    sums — no float summation order anywhere)."""
+    from geotile.ops.dedup import embedding_dup_pairs
+    from geotile.ops.graph import pagerank_int
+
+    pairs = embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.35
+    )
+    return pagerank_int(pairs.select_columns(["a", "b"]), iters=3, n_buckets=8)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -2446,6 +2462,7 @@ QUERIES = {
     "event_gap_stats_user": q_event_gap_stats_user,
     "last_event_user": q_last_event_user,
     "type_cooccurrence_users": q_type_cooccurrence_users,
+    "pagerank_dups": q_pagerank_dups,
     "transition_counts_events": q_transition_counts_events,
     "mode_event_type_user": q_mode_event_type_user,
     "cube_docs": q_cube_docs,
@@ -2581,6 +2598,29 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "pagerank_dups": """
+        WITH pairs AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+        ),
+        e AS (SELECT a AS u, b AS v FROM pairs
+              UNION ALL SELECT b AS u, a AS v FROM pairs),
+        deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+        s1 AS (SELECT e.v AS node,
+                      150000 + SUM((85 * 1000000) // (100 * deg.d)) AS s
+               FROM e JOIN deg ON e.u = deg.u GROUP BY e.v),
+        s2 AS (SELECT e.v AS node,
+                      150000 + SUM((85 * s1.s) // (100 * deg.d)) AS s
+               FROM e JOIN deg ON e.u = deg.u
+                      JOIN s1 ON s1.node = e.u GROUP BY e.v),
+        s3 AS (SELECT e.v AS node,
+                      150000 + SUM((85 * s2.s) // (100 * deg.d)) AS s
+               FROM e JOIN deg ON e.u = deg.u
+                      JOIN s2 ON s2.node = e.u GROUP BY e.v)
+        SELECT node, CAST(s AS BIGINT) AS score FROM s3
     """,
     "event_gap_stats_user": """
         WITH s AS (SELECT user_id, epoch_us(ts) AS t,

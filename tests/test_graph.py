@@ -63,3 +63,63 @@ class TestConnectedComponents:
         edges = [(i, i + 1) for i in range(0, 30)]
         with pytest.raises(RuntimeError, match="converge"):
             _run(ray_session, edges, max_rounds=2)
+
+
+def _pr_brute(edges, iters=3, scale=1_000_000, damp=85, den=100):
+    """Scalar integer PageRank with the exact pagerank_int formula."""
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    base = (scale * (den - damp)) // den
+    s = {n: scale for n in adj}
+    for _ in range(iters):
+        per_src = {u: (damp * s[u]) // (den * len(adj[u])) for u in adj}
+        s = {
+            v: base + sum(per_src[u] for u in adj[v])
+            for v in adj
+        }
+    return s
+
+
+class TestPagerankInt:
+    def _run(self, edges, **kw):
+        import ray.data as rd
+        from geotile.ops.graph import pagerank_int
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([e[0] for e in edges], pa.int64()),
+                    "b": pa.array([e[1] for e in edges], pa.int64()),
+                }
+            )
+        ).repartition(5)
+        out = pagerank_int(ds, **kw).to_pandas()
+        return dict(zip(out["node"].astype(int), out["score"].astype(int)))
+
+    def test_matches_brute_force_random(self, ray_session):
+        rng = np.random.default_rng(31)
+        # two blobs + a path + a hub: distinct pairs, no self-loops
+        edges = set()
+        while len(edges) < 120:
+            x, y = sorted(rng.integers(0, 60, 2).tolist())
+            if x != y:
+                edges.add((x, y))
+        edges |= {(i, i + 1) for i in range(200, 215)}
+        edges |= {(300, 400 + i) for i in range(30)}
+        edges = sorted(edges)
+        assert self._run(edges, iters=3, n_buckets=4) == _pr_brute(edges)
+
+    def test_star_mass_flows_to_hub(self, ray_session):
+        edges = [(0, i) for i in range(1, 21)]
+        got = self._run(edges, iters=3, n_buckets=4)
+        assert got == _pr_brute(edges)
+        assert got[0] > got[1]  # hub outranks leaves
+        assert len({got[i] for i in range(1, 21)}) == 1  # leaves tie
+
+    def test_single_iteration_and_two_cliques(self, ray_session):
+        edges = [(0, 1), (1, 2), (0, 2), (10, 11)]
+        assert self._run(edges, iters=1, n_buckets=2) == _pr_brute(
+            edges, iters=1
+        )
