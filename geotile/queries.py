@@ -2427,6 +2427,98 @@ def q_pagerank_dups(sf_dir: str):
     return pagerank_int(pairs.select_columns(["a", "b"]), iters=3, n_buckets=8)
 
 
+def q_weighted_avg_lineitem(sf_dir: str):
+    """Weighted average as exact numerator/denominator pairs (the
+    float division is a scalar epilogue, kept out of the compared
+    columns): per returnflag, quantity-weighted extendedprice. Partial
+    sums per batch, flag-cardinality shuffle. Sums stay exact in
+    float64 (cents x integral quantities < 2^53), then land on the
+    integer lattice once."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.append_column(
+            "wv", pc.multiply(t["l_extendedprice"], t["l_quantity"])
+        ).group_by("l_returnflag").aggregate(
+            [("wv", "sum"), ("l_quantity", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "wsum": g["wv_sum"],
+                "wtot": g["l_quantity_sum"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("l_returnflag").sum(["wsum", "wtot", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "wsum_e2": _e(t["sum(wsum)"], 100),
+                "wtot": pc.round(t["sum(wtot)"]).cast(pa.int64()),
+                "n": t["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_embedding_cov_moments(sf_dir: str):
+    """Covariance / Gram-matrix moments over the embedding column (the
+    PCA-prep every representation-learning pipeline runs): for every
+    dimension pair i <= j, exact integer moments (n, Σq_i q_j, Σq_i,
+    Σq_j) on the trunc(v·10⁴) lattice. Per batch the list column
+    flattens zero-copy to an (n × d) matrix and ONE float64 BLAS
+    matmul produces all d(d+1)/2 partial products — exact, because
+    every intermediate sum of lattice products stays below 2^53
+    (|q| ≤ ~10⁴ ⇒ batch sums ≤ 1e12). The shuffle moves only
+    pair-cardinality partial rows; covariance itself is a scalar
+    epilogue (s_ij/n − s_i s_j/n²) left out of the compared columns."""
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        n = len(col)
+        empty = pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s_ij": pa.array([], pa.int64()),
+                "s_i": pa.array([], pa.int64()),
+                "s_j": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        vals = col.values.to_numpy(zero_copy_only=False)
+        d = len(vals) // n
+        q = np.trunc(vals.reshape(n, d).astype(np.float64) * 10000.0)
+        s = q.T @ q  # float64 BLAS on exact integers — see docstring
+        cs = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "n": pa.array(np.full(len(iu), n, dtype=np.int64)),
+                "s_ij": pa.array(s[iu, ju].astype(np.int64)),
+                "s_i": pa.array(cs[iu].astype(np.int64)),
+                "s_j": pa.array(cs[ju].astype(np.int64)),
+            }
+        )
+
+    agg = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["i", "j"]).sum(["n", "s_ij", "s_i", "s_j"])
+    return _rename(agg, ["i", "j", "n", "s_ij", "s_i", "s_j"])
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -2463,6 +2555,8 @@ QUERIES = {
     "last_event_user": q_last_event_user,
     "type_cooccurrence_users": q_type_cooccurrence_users,
     "pagerank_dups": q_pagerank_dups,
+    "weighted_avg_lineitem": q_weighted_avg_lineitem,
+    "embedding_cov_moments": q_embedding_cov_moments,
     "transition_counts_events": q_transition_counts_events,
     "mode_event_type_user": q_mode_event_type_user,
     "cube_docs": q_cube_docs,
@@ -2598,6 +2692,27 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "weighted_avg_lineitem": """
+        SELECT l_returnflag,
+               CAST(round(sum(l_extendedprice * l_quantity) * 100) AS BIGINT)
+                 AS wsum_e2,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS wtot,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "embedding_cov_moments": """
+        WITH e AS (SELECT vec_id,
+                          unnest(range(len(embedding))) AS i,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q
+                   FROM embeddings)
+        SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+               CAST(SUM(a.q * b.q) AS BIGINT) AS s_ij,
+               CAST(SUM(a.q) AS BIGINT) AS s_i,
+               CAST(SUM(b.q) AS BIGINT) AS s_j
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
     """,
     "pagerank_dups": """
         WITH pairs AS (

@@ -33,6 +33,9 @@ CHECKED = [
     "event_gap_stats_user",
     "last_event_user",
     "type_cooccurrence_users",
+    "pagerank_dups",
+    "weighted_avg_lineitem",
+    "embedding_cov_moments",
 ]
 
 
