@@ -134,6 +134,48 @@ class ImageDecodeStage:
         )
 
 
+class ImageHistogramStage:
+    """Actor-pool stage: per-channel 16-bin intensity histogram,
+    pre-aggregated INSIDE the batch — each batch of image payloads
+    reduces to 48 partial rows (channel × bin), so the downstream
+    shuffle never sees pixel- or image-scale data. Decoder dispatch is
+    actor state (built once in __init__); histogramming is one
+    np.bincount over packed (channel·16 + intensity//16) codes per
+    size group — no per-pixel Python."""
+
+    BINS = 16
+
+    def __init__(self):
+        self.decoders = ImageDecodeStage(verify=False).decoders
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        acc = np.zeros(3 * self.BINS, dtype=np.int64)
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (wi, hi) in enumerate(zip(ws, hs)):
+            groups.setdefault((wi, hi), []).append(i)
+        for (wi, hi), slots in groups.items():
+            px = np.stack([self.decoders[fmts[i]](payloads[i], wi, hi) for i in slots])
+            # px: (n, h, w, 3) uint8 → packed channel·16 + intensity//16
+            chan = np.broadcast_to(
+                np.arange(3, dtype=np.int64), px.shape
+            )
+            code = chan * self.BINS + (px >> 4).astype(np.int64)
+            acc += np.bincount(code.ravel(), minlength=3 * self.BINS).astype(np.int64)
+        return pa.table(
+            {
+                "channel": pa.array(
+                    np.repeat(np.arange(3, dtype=np.int64), self.BINS)
+                ),
+                "bin": pa.array(np.tile(np.arange(self.BINS, dtype=np.int64), 3)),
+                "cnt": pa.array(acc),
+            }
+        )
+
+
 class ImageEmbedStage:
     """Actor-pool feature-extraction stage: image rows → fixed-dim
     embedding (list<float32>). No vision model ships in this container,

@@ -1036,6 +1036,28 @@ def q_image_invariants(sf_dir: str):
     ).select_columns(["image_id", "phash_ok"])
 
 
+def q_image_channel_histogram(sf_dir: str):
+    """Multimodal feature-stats: global per-channel 16-bin intensity
+    histogram over the first 1024 images (deterministic prefix — the
+    table is image_id-ordered, same convention as image_invariants).
+    The actor-pool stage pre-aggregates per batch (48 partial rows per
+    batch leave the stage, never pixels), so the shuffle is constant-
+    size regardless of corpus scale. Oracle: generator-replay sidecar —
+    the expected histogram is rebuilt from synth.pixel_pattern (the
+    ground-truth generator, independent of the PNG decode path) with a
+    different counting kernel (np.unique vs bincount)."""
+    from geotile.ops.tiles import ImageHistogramStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(1024)
+    part = ds.map_batches(
+        ImageHistogramStage, batch_format="pyarrow", batch_size=256,
+        concurrency=2,
+    )
+    return _rename(
+        part.groupby(["channel", "bin"]).sum("cnt"), ["channel", "bin", "cnt"]
+    )
+
+
 def q_gtfs_envelope(sf_dir: str):
     """A1 envelope over the fixture's route lines. The feature's bbox
     member is UNROUNDED (reference envelope.ts keeps it raw), so the
@@ -2597,6 +2619,7 @@ QUERIES = {
     "route_feature_collections": q_route_feature_collections,
     "tile_dissolve": q_tile_dissolve,
     "image_invariants": q_image_invariants,
+    "image_channel_histogram": q_image_channel_histogram,
     "gtfs_stop_features": q_gtfs_stop_features,
     "gtfs_line_features": q_gtfs_line_features,
     "gtfs_envelope": q_gtfs_envelope,
@@ -3405,6 +3428,7 @@ def oracle_sql() -> dict[str, str]:
     out["lang_id_docs"] = _lang_id_sql()
     img01 = _image_dir_for("/root/testdata/sf0.01")
     out["image_invariants"] = _image_invariants_sql(img01)
+    out["image_channel_histogram"] = _image_hist_sql(img01)
     out["image_embeddings"] = _image_embeddings_sql(img01)
     out["image_resize"] = f"""
         SELECT image_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
@@ -3860,6 +3884,54 @@ def _tile_dissolve_sql(img: str) -> str:
         WITH {_covered_ixy_cte(img)},
         {stats}
     """
+
+
+def _image_hist_sidecar(img: str, n: int = 1024) -> str:
+    """Generator-replay sidecar for image_channel_histogram: rebuild
+    the expected per-channel histogram from synth.pixel_pattern (the
+    ground truth the payloads were ENCODED from — independent of the
+    engine's PNG decode path) with a different counting kernel
+    (np.unique vs the stage's bincount). Content-keyed on synth.py so
+    generator edits invalidate it (ADVICE r2: existence-keyed sidecars
+    go stale)."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_imghist_{Path(img).name}_{n}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["image_id", "w", "h"])
+        order = pc.sort_indices(t["image_id"])[:n]
+        ids = t["image_id"].take(order)
+        ws = t["w"].take(order).to_numpy(zero_copy_only=False)
+        hs = t["h"].take(order).to_numpy(zero_copy_only=False)
+        idx = _sy.image_index(ids).astype(np.uint64)
+        acc = np.zeros((3, 16), dtype=np.int64)
+        for wi, hi in set(zip(ws.tolist(), hs.tolist())):
+            m = (ws == wi) & (hs == hi)
+            px = _sy.pixel_pattern(idx[m], wi, hi)  # (k, h, w, 3) uint8
+            for c in range(3):
+                vals, cnts = np.unique(px[..., c] >> 4, return_counts=True)
+                acc[c, vals] += cnts
+        out = pa.table(
+            {
+                "channel": pa.array(np.repeat(np.arange(3, dtype=np.int64), 16)),
+                "bin": pa.array(np.tile(np.arange(16, dtype=np.int64), 3)),
+                "cnt": pa.array(acc.ravel()),
+            }
+        )
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _image_hist_sql(img: str) -> str:
+    return (
+        f"SELECT channel, bin, cnt "
+        f"FROM read_parquet('{_image_hist_sidecar(img)}')"
+    )
 
 
 def _image_invariants_sql(img: str) -> str:

@@ -182,3 +182,29 @@ def test_image_invariant_oracles(ray_session, con):
         assert len(got) == len(exp)
         for c in exp.columns:
             assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (name, c)
+
+
+def test_image_channel_histogram_oracle(ray_session, con):
+    """Engine decode-path histogram vs the generator-replay sidecar
+    (pixel_pattern ground truth, np.unique counting) at sf0.001; also
+    sanity: bins partition the pixel mass exactly."""
+    from geotile.queries import QUERIES, _image_dir_for, _image_hist_sql
+
+    img = _image_dir_for(SF)
+    got = (
+        QUERIES["image_channel_histogram"](SF)
+        .to_pandas()
+        .sort_values(["channel", "bin"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(_image_hist_sql(img))
+        .df()
+        .sort_values(["channel", "bin"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == 48
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    per_chan = got.groupby("channel")["cnt"].sum().to_numpy()
+    assert (per_chan == per_chan[0]).all()  # same pixel count per channel
