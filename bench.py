@@ -202,10 +202,13 @@ def main() -> None:
 
     # sf-dir table pipelines (documents / embeddings / lineitem / events)
     from geotile.queries import (
+        q_cohort_retention_users,
         q_doc_token_stats,
         q_dup_span_docs,
+        q_embedding_cov_moments,
         q_knn_embeddings,
         q_minhash_pairs_docs,
+        q_pagerank_dups,
         q_pricing_summary,
         q_tfidf_docs,
         q_window_events,
@@ -219,6 +222,9 @@ def main() -> None:
         ("knn_embeddings", q_knn_embeddings),
         ("tfidf_docs", q_tfidf_docs),          # added r3: 2-pass TF-IDF
         ("dup_span_docs", q_dup_span_docs),    # added r3: dup 8-gram spans
+        ("cohort_retention_users", q_cohort_retention_users),  # r3c
+        ("pagerank_dups", q_pagerank_dups),                    # r3c
+        ("embedding_cov_moments", q_embedding_cov_moments),    # r3c
     ]:
         t0 = time.time()
         res = fn(SF_DIR)

@@ -2541,6 +2541,96 @@ def q_embedding_cov_moments(sf_dir: str):
     return _rename(agg, ["i", "j", "n", "s_ij", "s_i", "s_j"])
 
 
+_STOPWORDS = ("the", "a")
+
+
+def q_stopword_filter_docs(sf_dir: str):
+    """Text-cleaning op: stopword removal as token-level statistics
+    (kept-token count + kept-char count per doc) — the filter stage of
+    a training-data cleaning pipeline, fully vectorized: one Arrow
+    split per batch, one index_in against the broadcast stopword list,
+    two segmented sums. No Python touches a token."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sw = pa.array(list(_STOPWORDS), pa.string())
+
+    def clean(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        keep = pc.is_null(pc.index_in(flat, sw)).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        seg = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        n_keep = np.zeros(len(t), dtype=np.int64)
+        np.add.at(n_keep, seg[keep], 1)
+        c_keep = np.zeros(len(t), dtype=np.int64)
+        np.add.at(c_keep, seg[keep], lens[keep])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens_clean": pa.array(n_keep),
+                "n_chars_clean": pa.array(c_keep),
+            }
+        )
+
+    return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_value_histogram_events(sf_dir: str):
+    """Fixed-width histogram (SQL width_bucket model): events.value
+    binned at width 25, one partial bincount per batch, bin-cardinality
+    shuffle. floor(value/25) is bit-deterministic on doubles, so both
+    engines agree on every edge case."""
+    ev = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / 25.0).astype(np.int64)
+        vals, cnts = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(vals), "n": pa.array(cnts.astype(np.int64))}
+        )
+
+    return _rename(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .sum("n"),
+        ["bin", "n"],
+    )
+
+
+def q_hourly_activity_events(sf_dir: str):
+    """Calendar/time-dimension extraction: activity by hour of day
+    (UTC) with count + value mass per hour. hour = (epoch_us //
+    3_600_000_000) % 24 on the int64 lattice — identical to SQL
+    date_part('hour', ts) for non-negative epochs; values land on the
+    e4 integer lattice PER ELEMENT (before any summation), so partial
+    sums are exact int64 and summation order can never matter."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        v = t["value"].to_numpy(zero_copy_only=False)
+        q = np.round(v * 10000.0).astype(np.int64)  # half-even == pc.round
+        n = np.bincount(hour, minlength=24).astype(np.int64)
+        sq = np.zeros(24, dtype=np.int64)
+        np.add.at(sq, hour, q)
+        return pa.table(
+            {
+                "hour": pa.array(np.arange(24, dtype=np.int64)),
+                "n": pa.array(n),
+                "sum_value_e4": pa.array(sq),
+            }
+        )
+
+    return _rename(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .sum(["n", "sum_value_e4"]),
+        ["hour", "n", "sum_value_e4"],
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -2579,6 +2669,9 @@ QUERIES = {
     "pagerank_dups": q_pagerank_dups,
     "weighted_avg_lineitem": q_weighted_avg_lineitem,
     "embedding_cov_moments": q_embedding_cov_moments,
+    "stopword_filter_docs": q_stopword_filter_docs,
+    "value_histogram_events": q_value_histogram_events,
+    "hourly_activity_events": q_hourly_activity_events,
     "transition_counts_events": q_transition_counts_events,
     "mode_event_type_user": q_mode_event_type_user,
     "cube_docs": q_cube_docs,
@@ -2715,6 +2808,29 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "stopword_filter_docs": """
+        SELECT doc_id,
+               CAST(COUNT(*) FILTER (tok NOT IN ('the', 'a')) AS BIGINT)
+                 AS n_tokens_clean,
+               CAST(COALESCE(SUM(length(tok))
+                             FILTER (tok NOT IN ('the', 'a')), 0) AS BIGINT)
+                 AS n_chars_clean
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id
+    """,
+    "value_histogram_events": """
+        SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "hourly_activity_events": """
+        SELECT CAST(date_part('hour', ts) AS BIGINT) AS hour,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_e4
+        FROM events GROUP BY 1
     """,
     "weighted_avg_lineitem": """
         SELECT l_returnflag,

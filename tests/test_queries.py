@@ -36,6 +36,9 @@ CHECKED = [
     "pagerank_dups",
     "weighted_avg_lineitem",
     "embedding_cov_moments",
+    "stopword_filter_docs",
+    "value_histogram_events",
+    "hourly_activity_events",
 ]
 
 
