@@ -232,3 +232,123 @@ def ivf_topk(
     return partial.groupby("query_id").map_groups(
         lambda df: _final_topk(df, k), batch_format="pandas"
     )
+
+
+def kmeans_lloyd(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Distributed Lloyd k-means over the embedding column, on an EXACT
+    integer lattice so a SQL replay matches bit-for-bit (the formalized
+    version of the IVF trainer above — that one is a float sample-based
+    heuristic; this one is the deterministic, cluster-scale algorithm).
+
+    Semantics: q = trunc(v·10⁴) int64 per element; init centroids = the
+    k rows with smallest ``id_col``; each Lloyd round assigns every
+    vector to the argmin of the exact integer squared L2 distance (ties
+    → smallest cluster index) and recomputes centroids as the FLOOR
+    integer mean (empty clusters drop — documented convention). Returns
+    (vec_id, cluster, dist) after ``iters`` rounds.
+
+    Scale shape: per round ONE streaming pass — the distance argmin is
+    a single float64 BLAS matmul per batch against the broadcast k×d
+    centroid matrix (exact: every product of lattice values stays below
+    2^53), and each batch pre-reduces to k×d partial rows (cluster,
+    dim, Σq, n), so the shuffle is k·d-cardinality regardless of corpus
+    size. The driver holds only the k×d centroid matrix (``ray.put``
+    per round) and the k smallest ids — never vector data.
+    """
+
+    def to_q(batch: pa.Table) -> np.ndarray:
+        return np.trunc(_emb_matrix(batch) * 10000.0)
+
+    # init: k rows with the smallest ids — per-batch partial k-min,
+    # then a tiny final reduce (no global sort)
+    def partial_min(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return batch.select([id_col, "embedding"])
+        sel = np.argsort(ids, kind="stable")[:k]
+        return batch.select([id_col, "embedding"]).take(pa.array(sel))
+
+    seed_rows = (
+        ds.map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(partial_min, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )  # k tiny rows on the driver — the only row data it ever holds
+    seed_rows.sort(key=lambda r: r[id_col])
+    C = np.trunc(
+        np.asarray([r["embedding"] for r in seed_rows], dtype=np.float64) * 10000.0
+    )
+    labels = np.arange(len(C), dtype=np.int64)  # ORIGINAL cluster ids —
+    # survive empty-cluster drops so output labels match the SQL replay
+
+    def dists(q: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # exact in float64: |q|,|c| ≤ ~2e4 ⇒ every dot/sum < 2^53
+        return (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2.0 * (q @ C.T)
+            + (C * C).sum(axis=1)
+        )
+
+    for _ in range(iters - 1):
+        cref = ray.put(C)
+
+        def part_sums(batch: pa.Table, _cref=cref) -> pa.Table:
+            Ck = ray.get(_cref)
+            q = to_q(batch)
+            a = np.argmin(dists(q, Ck), axis=1)  # first min = smallest k
+            kk, d = Ck.shape
+            acc = np.zeros((kk, d), dtype=np.int64)
+            np.add.at(acc, a, q.astype(np.int64))
+            n = np.bincount(a, minlength=kk).astype(np.int64)
+            ki = np.repeat(np.arange(kk, dtype=np.int64), d)
+            return pa.table(
+                {
+                    "k": pa.array(ki),
+                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), kk)),
+                    "s": pa.array(acc.ravel()),
+                    "n": pa.array(np.repeat(n, d)),
+                }
+            )
+
+        agg = (
+            ds.map_batches(part_sums, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["k", "dim"])
+            .sum(["s", "n"])
+            .take_all()
+        )  # k·d tiny partial rows
+        kk, d = C.shape
+        S = np.zeros((kk, d), dtype=np.int64)
+        N = np.zeros((kk, d), dtype=np.int64)
+        for r in agg:
+            S[r["k"], r["dim"]] = r["sum(s)"]
+            N[r["k"], r["dim"]] = r["sum(n)"]
+        nonempty = N[:, 0] > 0
+        C = (S[nonempty] // N[nonempty]).astype(np.float64)  # floor mean
+        labels = labels[nonempty]
+        # centroid rows stay ordered by original label, so argmin's
+        # first-minimum tie-break remains "smallest surviving label" —
+        # exactly SQL's ORDER BY dist, k
+
+    cref = ray.put((C, labels))
+
+    def assign(batch: pa.Table, _cref=cref) -> pa.Table:
+        Ck, lab = ray.get(_cref)
+        q = to_q(batch)
+        D = dists(q, Ck)
+        a = np.argmin(D, axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(lab[a]),
+                "dist": pa.array(
+                    D[np.arange(len(a)), a].astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

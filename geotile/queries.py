@@ -2631,6 +2631,21 @@ def q_hourly_activity_events(sf_dir: str):
     )
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 2 rounds) on the exact
+    trunc(v·10⁴) integer lattice (ann.kmeans_lloyd): per round one
+    streaming pass — a single float64 BLAS matmul per batch against the
+    broadcast centroid matrix (exact below 2^53) and k·d-cardinality
+    partial sums; centroids are FLOOR integer means, so the chained-CTE
+    SQL replay (with the positive-mod floordiv identity — DuckDB //
+    truncates, numpy floors) matches bit-for-bit. The driver holds only
+    the k×d centroid matrix, never vector data."""
+    from geotile.ops.ann import kmeans_lloyd
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_lloyd(emb, k=8, iters=2)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -2670,6 +2685,7 @@ QUERIES = {
     "weighted_avg_lineitem": q_weighted_avg_lineitem,
     "embedding_cov_moments": q_embedding_cov_moments,
     "stopword_filter_docs": q_stopword_filter_docs,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "value_histogram_events": q_value_histogram_events,
     "hourly_activity_events": q_hourly_activity_events,
     "transition_counts_events": q_transition_counts_events,
@@ -2808,6 +2824,40 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "kmeans_embeddings": """
+        WITH e AS (SELECT vec_id,
+                          unnest(range(len(embedding))) AS dim,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q
+                   FROM embeddings),
+        c0 AS (SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS k, dim,
+                      q AS c
+               FROM e WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                       ORDER BY vec_id LIMIT 8)),
+        a1 AS (SELECT vec_id, k FROM (
+                 SELECT e.vec_id, c0.k,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY e.vec_id
+                          ORDER BY SUM((e.q - c0.c) * (e.q - c0.c)),
+                                   c0.k) AS rn
+                 FROM e JOIN c0 USING (dim) GROUP BY e.vec_id, c0.k)
+               WHERE rn = 1),
+        c1 AS (SELECT a1.k, e.dim,
+                      (SUM(e.q) - ((SUM(e.q) % COUNT(*)) + COUNT(*))
+                                  % COUNT(*)) // COUNT(*) AS c
+               FROM e JOIN a1 USING (vec_id) GROUP BY a1.k, e.dim),
+        a2 AS (SELECT vec_id, k, d FROM (
+                 SELECT e.vec_id, c1.k,
+                        SUM((e.q - c1.c) * (e.q - c1.c)) AS d,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY e.vec_id
+                          ORDER BY SUM((e.q - c1.c) * (e.q - c1.c)),
+                                   c1.k) AS rn
+                 FROM e JOIN c1 USING (dim) GROUP BY e.vec_id, c1.k)
+               WHERE rn = 1)
+        SELECT vec_id, CAST(k AS BIGINT) AS cluster, CAST(d AS BIGINT) AS dist
+        FROM a2
     """,
     "stopword_filter_docs": """
         SELECT doc_id,

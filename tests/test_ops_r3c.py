@@ -156,3 +156,85 @@ class TestCubeAggregate:
         # one n=0 grand-total row); what matters is no crash and no
         # phantom counts
         assert len(out) == 0 or (out["n"] == 0).all()
+
+
+def _km_brute(ids, V, k, iters):
+    """Scalar/numpy replay of kmeans_lloyd's exact semantics: trunc
+    lattice, k-smallest-id init, argmin ties -> smallest label, floor
+    integer means, empty clusters drop (keeping original labels)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    Q = np.trunc(np.asarray(V, dtype=np.float64) * 10000.0)
+    seed = np.argsort(ids, kind="stable")[:k]
+    seed = seed[np.argsort(ids[seed], kind="stable")]
+    C = Q[seed].copy()
+    labels = np.arange(len(C), dtype=np.int64)
+    for _ in range(iters - 1):
+        D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = D.argmin(axis=1)
+        newC, newL = [], []
+        for j in range(len(C)):
+            m = a == j
+            if m.any():
+                newC.append(Q[m].sum(0).astype(np.int64) // int(m.sum()))
+                newL.append(labels[j])
+        C = np.asarray(newC, dtype=np.float64)
+        labels = np.asarray(newL, dtype=np.int64)
+    D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    a = D.argmin(axis=1)
+    return {
+        int(i): (int(labels[ai]), int(D[r, ai]))
+        for r, (i, ai) in enumerate(zip(ids, a))
+    }
+
+
+class TestKmeansLloyd:
+    def _run(self, ids, V, **kw):
+        import ray.data as rd
+        from geotile.ops.ann import kmeans_lloyd
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in V], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ).repartition(6)
+        out = kmeans_lloyd(ds, **kw).to_pandas()
+        return {
+            int(r.vec_id): (int(r.cluster), int(r.dist))
+            for r in out.itertuples()
+        }
+
+    def test_matches_brute_force_random(self, ray_session):
+        rng = np.random.default_rng(17)
+        n, d = 300, 8
+        V = rng.normal(0, 0.3, (n, d)).astype(np.float32)
+        ids = rng.permutation(n).astype(np.int64) * 7 + 3
+        got = self._run(ids, V, k=6, iters=3)
+        assert got == _km_brute(ids, V, 6, 3)
+
+    def test_empty_cluster_drops_with_original_labels(self, ray_session):
+        # seed 3 duplicates seed 1 -> every tie resolves to label 1,
+        # cluster 3 goes empty after round 1 and must vanish while
+        # clusters keep their ORIGINAL indices
+        V = np.array(
+            [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [1.0, 1.0],
+             [0.1, 0.1], [1.1, 0.9], [2.1, 1.9], [0.2, 0.0]],
+            dtype=np.float32,
+        )
+        ids = np.arange(8, dtype=np.int64)
+        got = self._run(ids, V, k=4, iters=2)
+        brute = _km_brute(ids, V, 4, 2)
+        assert got == brute
+        assert 3 not in {c for c, _ in got.values()}
+        assert {c for c, _ in got.values()} <= {0, 1, 2}
+
+    def test_single_iteration_is_seed_assignment(self, ray_session):
+        rng = np.random.default_rng(9)
+        V = rng.normal(0, 0.2, (50, 4)).astype(np.float32)
+        ids = np.arange(100, 150, dtype=np.int64)
+        got = self._run(ids, V, k=5, iters=1)
+        assert got == _km_brute(ids, V, 5, 1)

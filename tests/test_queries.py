@@ -39,6 +39,7 @@ CHECKED = [
     "stopword_filter_docs",
     "value_histogram_events",
     "hourly_activity_events",
+    "kmeans_embeddings",
 ]
 
 
