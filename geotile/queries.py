@@ -2646,6 +2646,55 @@ def q_kmeans_embeddings(sf_dir: str):
     return kmeans_lloyd(emb, k=8, iters=2)
 
 
+def q_resampled_hourly_events(sf_dir: str):
+    """Time-series resampling: events bucketed to a DENSE hourly grid —
+    missing hours gap-filled with 0 — plus a trailing 3-hour moving
+    sum. Row-scale work is one partial bincount per batch; the dense
+    series itself is AGGREGATE-scale (it grows with the time span, not
+    the row count), so the gap-fill + window runs as one small final
+    task over the materialized hour counts. The moving sum is two
+    shifted adds, not a window loop."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(us // 3_600_000_000, return_counts=True)
+        return pa.table(
+            {"hi": pa.array(vals), "n": pa.array(cnts.astype(np.int64))}
+        )
+
+    agg = _rename(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hi")
+        .sum("n"),
+        ["hi", "n"],
+    ).repartition(1)
+
+    def fill(t: pa.Table) -> pa.Table:
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        if len(hi) == 0:
+            return pa.table(
+                {"hi": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+                 "ma3": pa.array([], pa.int64())}
+            )
+        lo, hx = hi.min(), hi.max()
+        dense = np.zeros(hx - lo + 1, dtype=np.int64)
+        dense[hi - lo] = n
+        ma3 = dense.copy()
+        ma3[1:] += dense[:-1]
+        ma3[2:] += dense[:-2]
+        return pa.table(
+            {
+                "hi": pa.array(np.arange(lo, hx + 1, dtype=np.int64)),
+                "n": pa.array(dense),
+                "ma3": pa.array(ma3),
+            }
+        )
+
+    return agg.map_batches(fill, batch_format="pyarrow", batch_size=None)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -2686,6 +2735,7 @@ QUERIES = {
     "embedding_cov_moments": q_embedding_cov_moments,
     "stopword_filter_docs": q_stopword_filter_docs,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "resampled_hourly_events": q_resampled_hourly_events,
     "value_histogram_events": q_value_histogram_events,
     "hourly_activity_events": q_hourly_activity_events,
     "transition_counts_events": q_transition_counts_events,
@@ -2824,6 +2874,19 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "resampled_hourly_events": """
+        WITH h AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hi,
+                          COUNT(*) AS n
+                   FROM events GROUP BY 1),
+        lim AS (SELECT MIN(hi) AS lo, MAX(hi) AS hx FROM h),
+        b AS (SELECT lo + CAST(u AS BIGINT) AS hi
+              FROM lim, UNNEST(range(CAST(hx - lo + 1 AS BIGINT))) t(u)),
+        f AS (SELECT b.hi, COALESCE(h.n, 0) AS n FROM b LEFT JOIN h USING (hi))
+        SELECT hi, n,
+               CAST(SUM(n) OVER (ORDER BY hi ROWS BETWEEN 2 PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS ma3
+        FROM f
     """,
     "kmeans_embeddings": """
         WITH e AS (SELECT vec_id,

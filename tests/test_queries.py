@@ -40,6 +40,7 @@ CHECKED = [
     "value_histogram_events",
     "hourly_activity_events",
     "kmeans_embeddings",
+    "resampled_hourly_events",
 ]
 
 
