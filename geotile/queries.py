@@ -2695,6 +2695,47 @@ def q_resampled_hourly_events(sf_dir: str):
     return agg.map_batches(fill, batch_format="pyarrow", batch_size=None)
 
 
+def q_mad_events(sf_dir: str):
+    """Median absolute deviation per group (robust dispersion — the
+    statistic quality-filter pipelines prefer over stddev): two passes
+    on the exact grouped-quantile core. Pass 1 selects each group's
+    lower median (rank ceil(n/2), an actual element); the group-
+    cardinality median dict is broadcast via ray.put; pass 2 runs the
+    same rank selection over |v − med|. Both selected values are real
+    elements of deterministic float64 expressions, so the SQL replay is
+    bit-exact — no interpolation anywhere."""
+    from geotile.ops.quantile import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    med_t = grouped_quantiles(
+        ev, "value", "event_type", q_pcts=(50,), max_pull=2000
+    )
+    med = dict(zip(med_t["group"].to_pylist(), med_t["value"].to_pylist()))
+    mref = ray.put(med)
+
+    def dev(t: pa.Table, _mref=mref) -> pa.Table:
+        m = ray.get(_mref)
+        g = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(g, return_inverse=True)
+        marr = np.asarray([m[x] for x in ug.tolist()], dtype=np.float64)
+        return pa.table(
+            {"event_type": t["event_type"], "av": pa.array(np.abs(v - marr[inv]))}
+        )
+
+    devs = ev.map_batches(dev, batch_format="pyarrow", zero_copy_batch=True)
+    mad_t = grouped_quantiles(devs, "av", "event_type", q_pcts=(50,), max_pull=2000)
+    mad = dict(zip(mad_t["group"].to_pylist(), mad_t["value"].to_pylist()))
+    groups = sorted(med)
+    return pd.DataFrame(
+        {
+            "event_type": groups,
+            "med": [med[g] for g in groups],
+            "mad": [mad[g] for g in groups],
+        }
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -2736,6 +2777,7 @@ QUERIES = {
     "stopword_filter_docs": q_stopword_filter_docs,
     "kmeans_embeddings": q_kmeans_embeddings,
     "resampled_hourly_events": q_resampled_hourly_events,
+    "mad_events": q_mad_events,
     "value_histogram_events": q_value_histogram_events,
     "hourly_activity_events": q_hourly_activity_events,
     "transition_counts_events": q_transition_counts_events,
@@ -2874,6 +2916,25 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "mad_events": """
+        WITH s AS (SELECT event_type, value,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY value) rn,
+                          count(*) OVER (PARTITION BY event_type) c
+                   FROM events),
+        m AS (SELECT event_type, value AS med FROM s
+              WHERE rn = CAST(ceil(0.5 * c) AS BIGINT)),
+        d AS (SELECT e.event_type, abs(e.value - m.med) AS av
+              FROM events e JOIN m USING (event_type)),
+        s2 AS (SELECT event_type, av,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY av) rn,
+                      count(*) OVER (PARTITION BY event_type) c
+               FROM d),
+        x AS (SELECT event_type, av AS mad FROM s2
+              WHERE rn = CAST(ceil(0.5 * c) AS BIGINT))
+        SELECT m.event_type, m.med, x.mad FROM m JOIN x USING (event_type)
     """,
     "resampled_hourly_events": """
         WITH h AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hi,

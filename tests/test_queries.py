@@ -41,6 +41,7 @@ CHECKED = [
     "hourly_activity_events",
     "kmeans_embeddings",
     "resampled_hourly_events",
+    "mad_events",
 ]
 
 
