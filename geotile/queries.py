@@ -2524,10 +2524,14 @@ def q_embedding_cov_moments(sf_dir: str):
         s = q.T @ q  # float64 BLAS on exact integers — see docstring
         cs = q.sum(axis=0)
         iu, ju = np.triu_indices(d)
+        # pack (i, j) into ONE int64 groupby key: Ray's sort-based
+        # multi-key aggregate cost ~0.7s/block on these 2080-row
+        # partials (60s of cpu across 64 blocks — measured); the
+        # single-int key collapses that to the cheap path. 4096 bounds
+        # any embedding dim.
         return pa.table(
             {
-                "i": pa.array(iu.astype(np.int64)),
-                "j": pa.array(ju.astype(np.int64)),
+                "ij": pa.array((iu * 4096 + ju).astype(np.int64)),
                 "n": pa.array(np.full(len(iu), n, dtype=np.int64)),
                 "s_ij": pa.array(s[iu, ju].astype(np.int64)),
                 "s_i": pa.array(cs[iu].astype(np.int64)),
@@ -2535,10 +2539,40 @@ def q_embedding_cov_moments(sf_dir: str):
             }
         )
 
-    agg = emb.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby(["i", "j"]).sum(["n", "s_ij", "s_i", "s_j"])
-    return _rename(agg, ["i", "j", "n", "s_ij", "s_i", "s_j"])
+    # block-COUNT law: the partials are pair-cardinality (2080 rows per
+    # input block, identical key set), so coalesce before the sort-
+    # based aggregate — 64 tiny blocks cost the Aggregate ~5s of
+    # machinery; 4 blocks make it sub-second (measured)
+    # batch_size spans blocks: Ray's size-based read split leaves this
+    # narrow table in dozens of ~31-row blocks, and every partial call
+    # emits 2080 rows — a 67× blowup per tiny block. Bundling to 64k-
+    # row batches (16 MB of f32 at d=64) makes the blowup per-BATCH,
+    # and the repartition keeps the sort-based aggregate at a handful
+    # of blocks (block-COUNT law — 64 tiny blocks cost it ~5s).
+    agg = (
+        emb.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .repartition(4)
+        .groupby("ij")
+        .sum(["n", "s_ij", "s_i", "s_j"])
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ij = t["ij"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "i": pa.array(ij // 4096),
+                "j": pa.array(ij % 4096),
+                "n": t["sum(n)"].cast(pa.int64()),
+                "s_ij": t["sum(s_ij)"].cast(pa.int64()),
+                "s_i": t["sum(s_i)"].cast(pa.int64()),
+                "s_j": t["sum(s_j)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
 
 
 _STOPWORDS = ("the", "a")
