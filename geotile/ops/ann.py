@@ -306,18 +306,25 @@ def kmeans_lloyd(
             np.add.at(acc, a, q.astype(np.int64))
             n = np.bincount(a, minlength=kk).astype(np.int64)
             ki = np.repeat(np.arange(kk, dtype=np.int64), d)
+            # packed single-int groupby key (k·4096 + dim): Ray's
+            # sort-based multi-key aggregate is ~0.7s/block even on
+            # tiny partials
             return pa.table(
                 {
-                    "k": pa.array(ki),
-                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), kk)),
+                    "kd": pa.array(ki * 4096 + np.tile(np.arange(d, dtype=np.int64), kk)),
                     "s": pa.array(acc.ravel()),
                     "n": pa.array(np.repeat(n, d)),
                 }
             )
 
         agg = (
-            ds.map_batches(part_sums, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["k", "dim"])
+            ds.map_batches(
+                part_sums, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536,  # span tiny read blocks — each call
+                # emits k·d rows regardless of input size
+            )
+            .repartition(4)
+            .groupby("kd")
             .sum(["s", "n"])
             .take_all()
         )  # k·d tiny partial rows
@@ -325,8 +332,8 @@ def kmeans_lloyd(
         S = np.zeros((kk, d), dtype=np.int64)
         N = np.zeros((kk, d), dtype=np.int64)
         for r in agg:
-            S[r["k"], r["dim"]] = r["sum(s)"]
-            N[r["k"], r["dim"]] = r["sum(n)"]
+            S[r["kd"] // 4096, r["kd"] % 4096] = r["sum(s)"]
+            N[r["kd"] // 4096, r["kd"] % 4096] = r["sum(n)"]
         nonempty = N[:, 0] > 0
         C = (S[nonempty] // N[nonempty]).astype(np.float64)  # floor mean
         labels = labels[nonempty]
@@ -351,4 +358,6 @@ def kmeans_lloyd(
             }
         )
 
-    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )

@@ -2741,8 +2741,14 @@ def q_mad_events(sf_dir: str):
     from geotile.ops.quantile import grouped_quantiles
 
     ev = _read(sf_dir, "events", ["event_type", "value"])
+    # max_pull trades streaming passes for a bounded driver pull: MAD
+    # already needs 2 chained quantile selections, so at 2000 each one
+    # runs extra refinement rounds (~14s at sf0.1); 50k pulls whole
+    # final intervals in one round (measured ~2x faster, pull stays
+    # <1 MB). grouped_quantiles_events keeps 2000 to exercise the
+    # refinement path.
     med_t = grouped_quantiles(
-        ev, "value", "event_type", q_pcts=(50,), max_pull=2000
+        ev, "value", "event_type", q_pcts=(50,), max_pull=50_000
     )
     med = dict(zip(med_t["group"].to_pylist(), med_t["value"].to_pylist()))
     mref = ray.put(med)
@@ -2758,7 +2764,9 @@ def q_mad_events(sf_dir: str):
         )
 
     devs = ev.map_batches(dev, batch_format="pyarrow", zero_copy_batch=True)
-    mad_t = grouped_quantiles(devs, "av", "event_type", q_pcts=(50,), max_pull=2000)
+    mad_t = grouped_quantiles(
+        devs, "av", "event_type", q_pcts=(50,), max_pull=50_000
+    )
     mad = dict(zip(mad_t["group"].to_pylist(), mad_t["value"].to_pylist()))
     groups = sorted(med)
     return pd.DataFrame(
