@@ -444,6 +444,37 @@ def cube_aggregate(
     return summed.map_batches(finish, batch_format="pyarrow")
 
 
+def union_by_name(a: rd.Dataset, b: rd.Dataset) -> rd.Dataset:
+    """UNION ALL BY NAME — schema-evolution union: the Dataset API's
+    ``union`` requires identical schemas; this aligns by COLUMN NAME,
+    null-filling columns a side lacks (the everyday case when a
+    parquet lake gains columns over time). Column order: a's columns,
+    then b's new ones. Schema probes execute a lazy input once (the
+    engine's documented probe contract) — materialize derived inputs
+    first, as with bucketed_join."""
+    sa, sb = a.schema(), b.schema()
+    a_names = list(sa.names)
+    types = {n: t for n, t in zip(sa.names, sa.types)}
+    for n, t in zip(sb.names, sb.types):
+        if n in types and types[n] != t:
+            raise ValueError(f"union_by_name: column {n!r} has mismatched types")
+        types.setdefault(n, t)
+    out_cols = a_names + [n for n in sb.names if n not in a_names]
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in out_cols:
+            if n in t.column_names:
+                cols[n] = t[n]
+            else:
+                cols[n] = pa.nulls(len(t), types[n])
+        return pa.table(cols)
+
+    return a.map_batches(pad, batch_format="pyarrow").union(
+        b.map_batches(pad, batch_format="pyarrow")
+    )
+
+
 def _skyline_mask(p: np.ndarray, d: np.ndarray) -> np.ndarray:
     """Boolean keep-mask of the 2-D Pareto frontier: maximize ``p``,
     minimize ``d``. Row i is dominated iff some row has p >= p_i and

@@ -2778,6 +2778,127 @@ def q_mad_events(sf_dir: str):
     )
 
 
+_THROTTLE_US = 3 * 86400 * 1_000_000  # 3 days
+
+
+def q_throttled_events(sf_dir: str):
+    """Rate-limit dedup (log-cleaning staple): keep an event only if
+    it's the FIRST of its (user, type) or arrived more than 3 days
+    after the previous one — SQL's LAG-gap filter. One co-partition by
+    user; per bucket a single lexsort + shifted compare decides every
+    row. (Unlike sessionization this emits the surviving ROWS, not
+    session aggregates.)"""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out_cols = ["event_id", "user_id", "event_type", "ts_us"]
+
+    def throttle(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype=np.int64),
+                 "user_id": pd.Series(dtype=np.int64),
+                 "event_type": pd.Series(dtype=str),
+                 "ts_us": pd.Series(dtype=np.int64)}
+            )
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        types, code = np.unique(df["event_type"].to_numpy(), return_inverse=True)
+        order = np.lexsort((eid, ts, code, u))
+        us, cs, tss = u[order], code[order], ts[order]
+        keep = np.empty(len(order), dtype=bool)
+        keep[0] = True
+        same = (us[1:] == us[:-1]) & (cs[1:] == cs[:-1])
+        keep[1:] = ~same | (tss[1:] - tss[:-1] > _THROTTLE_US)
+        sel = order[keep]
+        return pd.DataFrame(
+            {
+                "event_id": eid[sel],
+                "user_id": u[sel],
+                "event_type": df["event_type"].to_numpy()[sel],
+                "ts_us": ts[sel],
+            }
+        )[out_cols]
+
+    return (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("bucket")
+        .map_groups(throttle, batch_format="pandas")
+    )
+
+
+def q_dedup_keep_canonical(sf_dir: str):
+    """The APPLY phase of near-dup dedup — what the pipeline actually
+    ships: every vector untouched by any dup pair, plus exactly one
+    canonical representative (min id) per duplicate cluster. Pair
+    generation → connected components → size-guarded anti-join back to
+    the corpus; the corpus never shuffles — only the (small) dup-node
+    id set moves."""
+    from geotile.ops.dedup import embedding_dup_pairs
+    from geotile.ops.graph import connected_components
+    from geotile.ops.relational import anti_join
+
+    ids = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(ids, tau=0.35)
+    cc = connected_components(
+        pairs.select_columns(["a", "b"]), "a", "b", n_buckets=8
+    ).materialize()  # node-scale; reused twice below
+
+    untouched = anti_join(
+        ids.select_columns(["vec_id"]), cc, "vec_id", "node"
+    )
+    canonical = cc.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t.filter(pc.equal(t["node"], t["cluster_id"]))["node"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return untouched.union(canonical)
+
+
+def q_union_by_name_orders(sf_dir: str):
+    """Schema-evolution union (UNION ALL BY NAME): two projections of
+    orders with different columns align by NAME, null-filling what each
+    side lacks (relational.union_by_name — the Dataset API's union
+    requires identical schemas). Nulls are COALESCE-filled to sentinels
+    in the output so the driver's value hash is null-free."""
+    from geotile.ops.relational import union_by_name
+
+    f = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+    fa = f.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).drop_columns(
+            ["o_orderstatus"]
+        ),
+        batch_format="pyarrow",
+    )
+    ob = o.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).drop_columns(
+            ["o_orderstatus"]
+        ),
+        batch_format="pyarrow",
+    )
+    u = union_by_name(fa, ob)
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": pc.coalesce(
+                    t["o_totalprice"], pa.scalar(-1.0)
+                ),
+                "o_orderpriority": pc.coalesce(
+                    t["o_orderpriority"], pa.scalar("NONE")
+                ),
+            }
+        )
+
+    return u.map_batches(fill, batch_format="pyarrow")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -2820,6 +2941,9 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "resampled_hourly_events": q_resampled_hourly_events,
     "mad_events": q_mad_events,
+    "throttled_events": q_throttled_events,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "union_by_name_orders": q_union_by_name_orders,
     "value_histogram_events": q_value_histogram_events,
     "hourly_activity_events": q_hourly_activity_events,
     "transition_counts_events": q_transition_counts_events,
@@ -2958,6 +3082,23 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "throttled_events": """
+        WITH s AS (SELECT event_id, user_id, event_type,
+                          epoch_us(ts) AS ts_us,
+                          LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS pt
+                   FROM events)
+        SELECT event_id, user_id, event_type, ts_us
+        FROM s WHERE pt IS NULL OR ts_us - pt > 259200000000
+    """,
+    "union_by_name_orders": """
+        SELECT o_orderkey, o_totalprice, 'NONE' AS o_orderpriority
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderkey, -1.0 AS o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'O'
     """,
     "mad_events": """
         WITH s AS (SELECT event_type, value,
@@ -3755,6 +3896,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.u, w.lbl FROM e JOIN walk w ON w.u = e.v
         )
         SELECT u AS node, min(lbl) AS cluster_id FROM walk GROUP BY u
+    """
+    out["dedup_keep_canonical"] = f"""
+        WITH RECURSIVE pairs AS ({EMBEDDING_DUPS_SQL}),
+        e AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs),
+        walk(u, lbl) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM e)
+            UNION
+            SELECT e.u, w.lbl FROM e JOIN walk w ON w.u = e.v
+        ),
+        cc AS (SELECT u AS node, min(lbl) AS cluster_id FROM walk GROUP BY u)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM cc)
+        UNION ALL
+        SELECT node AS vec_id FROM cc WHERE node = cluster_id
     """
     out["embedding_buckets"] = _embedding_buckets_sql()
     out["lang_id_docs"] = _lang_id_sql()

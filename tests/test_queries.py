@@ -42,6 +42,8 @@ CHECKED = [
     "kmeans_embeddings",
     "resampled_hourly_events",
     "mad_events",
+    "throttled_events",
+    "union_by_name_orders",
 ]
 
 
