@@ -354,6 +354,7 @@ def cube_aggregate(
     keys: list[str],
     sum_col: str,
     sentinel: str = "*",
+    sets: list[tuple[str, ...]] | None = None,
 ) -> rd.Dataset:
     """GROUP BY CUBE(keys): count + sum over EVERY subset of the keys
     in one streaming pass (the grouping-sets generalization of
@@ -371,10 +372,20 @@ def cube_aggregate(
     import pyarrow.compute as pc
 
     sum_name = f"sum_{sum_col}"
-    subsets = []  # (gid, kept_keys) for every subset of keys
-    for mask in range(1 << len(keys)):
-        kept = [k for i, k in enumerate(keys) if not (mask >> i) & 1]
-        subsets.append((mask, kept))
+    if sets is None:
+        # CUBE: every subset of the keys
+        subsets = []  # (gid, kept_keys)
+        for mask in range(1 << len(keys)):
+            kept = [k for i, k in enumerate(keys) if not (mask >> i) & 1]
+            subsets.append((mask, kept))
+    else:
+        # GROUPING SETS: explicit kept-key lists; gid is the same
+        # bitmask convention (bit i set = keys[i] aggregated out)
+        subsets = [
+            (sum(1 << i for i, k in enumerate(keys) if k not in kept),
+             [k for k in keys if k in kept])
+            for kept in sets
+        ]
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(keys).aggregate([([], "count_all"), (sum_col, "sum")])

@@ -2899,6 +2899,61 @@ def q_union_by_name_orders(sf_dir: str):
     return u.map_batches(fill, batch_format="pyarrow")
 
 
+def q_grouping_sets_docs(sf_dir: str):
+    """GROUP BY GROUPING SETS ((lang), (source)) — the explicit-sets
+    generalization of CUBE/ROLLUP on the same one-pass combiner
+    (relational.cube_aggregate with ``sets``): both summaries from one
+    read, gid keeping SQL's bitmask convention."""
+    from geotile.ops.relational import cube_aggregate
+
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return cube_aggregate(
+        docs, keys=["lang", "source"], sum_col="n_chars",
+        sets=[("lang",), ("source",)],
+    )
+
+
+def q_percent_rank_events(sf_dir: str):
+    """percent_rank per user over event value, as EXACT rational parts
+    (pr_num = RANK−1 with SQL's shared-tie semantics, pr_den = n−1; the
+    float division is an epilogue outside the compared columns). One
+    co-partition by user; ranks fall out of one (user, value) lexsort —
+    tie runs inherit their first row's rank via a run-start gather."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    out_cols = ["event_id", "pr_num", "pr_den"]
+
+    def pr(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        u = df["user_id"].to_numpy(np.int64)
+        v = df["value"].to_numpy()
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        i = np.arange(n)
+        new_u = np.r_[True, us[1:] != us[:-1]]
+        ustart = i[new_u][np.cumsum(new_u) - 1]
+        ulen = np.diff(np.r_[np.flatnonzero(new_u), n])[np.cumsum(new_u) - 1]
+        new_uv = new_u | np.r_[True, vs[1:] != vs[:-1]]
+        uvstart = i[new_uv][np.cumsum(new_uv) - 1]  # first row of tie run
+        rank0 = uvstart - ustart  # RANK-1: tie runs share first pos
+        out = np.empty(n, dtype=np.int64)
+        den = np.empty(n, dtype=np.int64)
+        out[order] = rank0
+        den[order] = ulen - 1
+        return pd.DataFrame({"event_id": eid, "pr_num": out, "pr_den": den})
+
+    return (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("bucket")
+        .map_groups(pr, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -2942,6 +2997,8 @@ QUERIES = {
     "resampled_hourly_events": q_resampled_hourly_events,
     "mad_events": q_mad_events,
     "throttled_events": q_throttled_events,
+    "grouping_sets_docs": q_grouping_sets_docs,
+    "percent_rank_events": q_percent_rank_events,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "union_by_name_orders": q_union_by_name_orders,
     "value_histogram_events": q_value_histogram_events,
@@ -3082,6 +3139,22 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "grouping_sets_docs": """
+        SELECT CAST(grouping(lang) + 2 * grouping(source) AS BIGINT) AS gid,
+               COALESCE(lang, '*') AS lang,
+               COALESCE(source, '*') AS source,
+               COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        FROM documents GROUP BY GROUPING SETS ((lang), (source))
+    """,
+    "percent_rank_events": """
+        SELECT event_id,
+               CAST(RANK() OVER (PARTITION BY user_id ORDER BY value) - 1
+                    AS BIGINT) AS pr_num,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) - 1 AS BIGINT)
+                 AS pr_den
+        FROM events
     """,
     "throttled_events": """
         WITH s AS (SELECT event_id, user_id, event_type,

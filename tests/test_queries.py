@@ -44,6 +44,8 @@ CHECKED = [
     "mad_events",
     "throttled_events",
     "union_by_name_orders",
+    "grouping_sets_docs",
+    "percent_rank_events",
 ]
 
 
