@@ -190,3 +190,57 @@ def hll_distinct(ds: rd.Dataset, column: str, p: int = 12) -> float:
     for r in parts:
         merged.merge(HLL(p, np.frombuffer(r["registers"], dtype=np.uint8).copy()))
     return merged.estimate()
+
+
+def _cm_hash(v_u64: np.ndarray, r: int, w: int) -> np.ndarray:
+    """Row-r count-min hash: splitmix64(v XOR splitmix64(r+1)) % w —
+    identical (bit-for-bit) to the scalar replay in oracle_ref."""
+    seed = splitmix64(np.array([r + 1], dtype=np.uint64))[0]
+    return (splitmix64(v_u64 ^ seed) % np.uint64(w)).astype(np.int64)
+
+
+def cm_sketch(
+    ds: rd.Dataset, column: str, w: int = 2048, d: int = 4
+) -> np.ndarray:
+    """Count-min sketch of an int64 column: a (d × w) int64 counter
+    grid, est(x) = min_r grid[r, h_r(x)], NEVER below the true count.
+    Per batch each row hashes d ways and the batch pre-aggregates to
+    its NONZERO (row·w + slot, count) cells — the shuffle moves at most
+    d·w packed rows per batch (64 KB), never the key stream; one
+    groupby sums the cells and the driver holds only the d×w grid.
+    Deterministic: fixed seeds, integer adds — est is bit-reproducible,
+    so a pure-int scalar replay can oracle it."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = v.view(np.uint64)
+        keys = []
+        for r in range(d):
+            keys.append(np.int64(r * w) + _cm_hash(u, r, w))
+        packed = np.concatenate(keys)
+        cells, cnts = np.unique(packed, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(cells), "c": pa.array(cnts.astype(np.int64))}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .sum("c")
+        .take_all()
+    )  # ≤ d·w tiny rows
+    grid = np.zeros((d, w), dtype=np.int64)
+    for rw in rows:
+        grid[rw["cell"] // w, rw["cell"] % w] = rw["sum(c)"]
+    return grid
+
+
+def cm_estimate(grid: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Point-query the sketch for int64 ids (vectorized min over rows)."""
+    d, w = grid.shape
+    u = ids.astype(np.int64).view(np.uint64)
+    est = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        est = np.minimum(est, grid[r, _cm_hash(u, r, w)])
+    return est

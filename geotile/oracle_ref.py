@@ -240,3 +240,20 @@ def hll_estimate_ref(values: list[int], p: int = 12) -> float:
         if zeros:
             return m * math.log(m / zeros)
     return float(E)
+
+
+def cm_estimates_ref(values, query_ids, w: int = 2048, d: int = 4):
+    """Scalar count-min replay (pure int, no numpy — independent of
+    ops/sketch.cm_sketch's vectorized path): grid[r][sm64(v ^
+    sm64(r+1)) % w] += 1 per value; est(q) = min over rows."""
+    seeds = [sm64(r + 1) for r in range(d)]
+    grid = [[0] * w for _ in range(d)]
+    for v in values:
+        u = v & M64
+        for r in range(d):
+            grid[r][sm64(u ^ seeds[r]) % w] += 1
+    out = {}
+    for q in query_ids:
+        u = q & M64
+        out[q] = min(grid[r][sm64(u ^ seeds[r]) % w] for r in range(d))
+    return out

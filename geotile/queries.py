@@ -2954,6 +2954,101 @@ def q_percent_rank_events(sf_dir: str):
     )
 
 
+def q_top_bigrams_docs(sf_dir: str):
+    """Global top-20 token BIGRAMS (the n-gram LM statistic one step up
+    from q_top_terms_docs): adjacent-token pairs within each doc via
+    two Arrow slices + one binary_join_element_wise concat — no Python
+    string work — then the same value_counts combiner → vocabulary-
+    scale groupby → partial top-k plan."""
+    ds = _read(sf_dir, "documents", ["text"])
+    k = 20
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1), " "
+        )
+        # drop pairs that straddle a document boundary
+        keep = np.ones(n - 1, dtype=bool)
+        last = np.cumsum(lens) - 1  # last token index of each doc
+        keep[last[last < n - 1]] = False
+        vc = bg.filter(pa.array(keep)).value_counts()
+        return pa.table(
+            {"bigram": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    def top_of(t: pa.Table) -> pa.Table:
+        bg = t["bigram"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bg, -n))[:k]  # (n desc, bigram asc)
+        return pa.table({"bigram": pa.array(bg[order]), "n": pa.array(n[order])})
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["bigram", "n"]), batch_format="pyarrow"
+        )
+    )
+    cands = summed.map_batches(top_of, batch_format="pyarrow")
+    return cands.repartition(1).map_batches(
+        top_of, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_cm_user_counts(sf_dir: str):
+    """Count-min sketch (the frequency-sketch companion to HLL and
+    Misra-Gries): per-user event counts estimated from a d×w counter
+    grid whose shuffle is ≤ d·w packed cells per batch — never the key
+    stream — then point-queried for every user next to the exact count.
+    over_ok asserts CM's one-sided guarantee (est ≥ truth, always).
+    Deterministic fixed-seed hashing makes est bit-reproducible; the
+    oracle replays it with a pure-int scalar sidecar
+    (oracle_ref.cm_estimates_ref)."""
+    from geotile.ops.sketch import cm_estimate, cm_sketch
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    grid = cm_sketch(ev, "user_id")
+    gref = ray.put(grid)
+
+    def exact(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        return pa.table(
+            {"user_id": g["user_id"].cast(pa.int64()),
+             "n": g["count_all"].cast(pa.int64())}
+        )
+
+    agg = (
+        ev.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .sum("n")
+    )
+
+    def finish(t: pa.Table, _g=gref) -> pa.Table:
+        gr = ray.get(_g)
+        ids = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ex = t["sum(n)"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        est = cm_estimate(gr, ids)
+        return pa.table(
+            {
+                "user_id": pa.array(ids),
+                "est_cnt": pa.array(est),
+                "exact_cnt": pa.array(ex),
+                "over_ok": pa.array(est >= ex),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -2999,6 +3094,8 @@ QUERIES = {
     "throttled_events": q_throttled_events,
     "grouping_sets_docs": q_grouping_sets_docs,
     "percent_rank_events": q_percent_rank_events,
+    "top_bigrams_docs": q_top_bigrams_docs,
+    "cm_user_counts": q_cm_user_counts,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "union_by_name_orders": q_union_by_name_orders,
     "value_histogram_events": q_value_histogram_events,
@@ -3139,6 +3236,16 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "top_bigrams_docs": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                   FROM documents),
+        b AS (SELECT tk[CAST(u + 1 AS BIGINT)] || ' '
+                     || tk[CAST(u + 2 AS BIGINT)] AS bigram
+              FROM t, UNNEST(range(len(tk) - 1)) s(u)
+              WHERE len(tk) > 1)
+        SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 20
     """,
     "grouping_sets_docs": """
         SELECT CAST(grouping(lang) + 2 * grouping(source) AS BIGINT) AS gid,
@@ -4009,6 +4116,7 @@ def oracle_sql() -> dict[str, str]:
     out["simhash_pairs_docs"] = _simhash_pairs_sql(sf01)
     out["minhash_pairs_docs"] = _minhash_pairs_sql(sf01)
     out["hll_distinct_users"] = _hll_sql(sf01)
+    out["cm_user_counts"] = _cm_sql(sf01)
     out["hll_grouped_users"] = _hll_grouped_sql(sf01)
     out["phash_neighbor_stats"] = _phash_neighbor_sql(img01)
     out["ivf_ann"] = _IVF_ANN_SQL
@@ -4444,6 +4552,36 @@ def _tile_dissolve_sql(img: str) -> str:
     return f"""
         WITH {_covered_ixy_cte(img)},
         {stats}
+    """
+
+
+def _cm_sidecar(sf_dir: str) -> str:
+    from geotile.oracle_ref import cm_estimates_ref
+    import pyarrow.parquet as pq
+
+    def build() -> pa.Table:
+        vals = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["user_id"]
+        )["user_id"].to_pylist()
+        est = cm_estimates_ref(vals, sorted(set(vals)))
+        ids = sorted(est)
+        return pa.table(
+            {
+                "user_id": pa.array(ids, pa.int64()),
+                "est_cnt": pa.array([est[i] for i in ids], pa.int64()),
+            }
+        )
+
+    return _ref_sidecar(sf_dir, "cm_user", build)
+
+
+def _cm_sql(sf_dir: str) -> str:
+    return f"""
+        SELECT e.user_id, s.est_cnt, COUNT(*) AS exact_cnt,
+               s.est_cnt >= COUNT(*) AS over_ok
+        FROM events e JOIN read_parquet('{_cm_sidecar(sf_dir)}') s
+          USING (user_id)
+        GROUP BY e.user_id, s.est_cnt
     """
 
 

@@ -46,6 +46,7 @@ CHECKED = [
     "union_by_name_orders",
     "grouping_sets_docs",
     "percent_rank_events",
+    "top_bigrams_docs",
 ]
 
 

@@ -1,6 +1,7 @@
 """HLL sketch accuracy + mergeability vs exact distinct counts."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -60,3 +61,35 @@ class TestHll:
         exact = len(set(r["user_id"] for r in ds.take_all()))
         est = hll_distinct(ds, "user_id")
         assert abs(est - exact) / exact < 0.1
+
+
+class TestCountMin:
+    def test_vectorized_matches_scalar_replay(self, ray_session):
+        import ray.data as rd
+        from geotile.oracle_ref import cm_estimates_ref
+        from geotile.ops.sketch import cm_estimate, cm_sketch
+
+        rng = np.random.default_rng(13)
+        # heavy skew so collisions actually occur at w=64
+        vals = np.concatenate(
+            [rng.zipf(1.5, 3000) % 500, np.full(500, 7)]
+        ).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(6)
+        grid = cm_sketch(ds, "v", w=64, d=4)
+        ids = np.unique(vals)
+        est = cm_estimate(grid, ids)
+        ref = cm_estimates_ref(vals.tolist(), ids.tolist(), w=64, d=4)
+        assert {int(i): int(e) for i, e in zip(ids, est)} == ref
+
+    def test_never_underestimates(self, ray_session):
+        import ray.data as rd
+        from geotile.ops.sketch import cm_estimate, cm_sketch
+
+        rng = np.random.default_rng(5)
+        vals = rng.integers(0, 200, 4000).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(4)
+        grid = cm_sketch(ds, "v", w=32, d=3)  # tiny w forces collisions
+        ids, true = np.unique(vals, return_counts=True)
+        est = cm_estimate(grid, ids)
+        assert (est >= true).all()
+        assert grid.sum() == 3 * len(vals)  # every value lands d times
