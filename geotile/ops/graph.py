@@ -86,6 +86,13 @@ def connected_components(
         )
 
     edges_b = edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if edges_b.count() == 0:
+        # Ray never schedules empty blocks, so an empty edge list would
+        # otherwise propagate a schemaless dataset into consumers
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+        )
 
     # round 0 folded in: lbl(u) = min(u, min over neighbors) via one
     # groupby over the symmetric edges plus the self-edge
@@ -267,6 +274,12 @@ def pagerank_int(
     edges_b = edges.map_batches(
         sym, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    if edges_b.count() == 0:
+        # same empty-edge schema guard as connected_components
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+        )
 
     scores: rd.Dataset | None = None  # None = implicit uniform s0
 

@@ -110,6 +110,11 @@ def anti_join(
         lambda t: pa.table({right_key: t[right_key].combine_chunks().unique()}),
         batch_format="pyarrow",
     ).materialize()
+    if keys.count() == 0:
+        # empty key set = nothing to subtract; also dodges Ray's
+        # schemaless empty-dataset block (map fns never run on empty
+        # blocks, so `keys` would concat to a zero-column table)
+        return left
     if keys.count() <= max_broadcast_keys:
         arr = pa.concat_tables([ray.get(r) for r in keys.to_arrow_refs()])[
             right_key
