@@ -3049,6 +3049,41 @@ def q_cm_user_counts(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_train_split_docs(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5) — the assignment
+    every training-data pipeline ends with: split = Knuth hash of
+    doc_id mod 100 (shard-stable, reproducible, no RNG state), then
+    per-(split, lang) counts + char mass. One vectorized partial per
+    batch; the shuffle is (3 × languages) rows."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((did * np.uint64(2654435761)) % np.uint64(4294967296)) % np.uint64(100)
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        tt = pa.table(
+            {"split": pa.array(split), "lang": t["lang"], "n_chars": t["n_chars"]}
+        )
+        g = tt.group_by(["split", "lang"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "split": g["split"],
+                "lang": g["lang"],
+                "n": g["count_all"].cast(pa.int64()),
+                "sum_n_chars": g["n_chars_sum"].cast(pa.int64()),
+            }
+        )
+
+    return _rename(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["split", "lang"])
+        .sum(["n", "sum_n_chars"]),
+        ["split", "lang", "n", "sum_n_chars"],
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -3096,6 +3131,7 @@ QUERIES = {
     "percent_rank_events": q_percent_rank_events,
     "top_bigrams_docs": q_top_bigrams_docs,
     "cm_user_counts": q_cm_user_counts,
+    "train_split_docs": q_train_split_docs,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "union_by_name_orders": q_union_by_name_orders,
     "value_histogram_events": q_value_histogram_events,
@@ -3236,6 +3272,17 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "train_split_docs": """
+        WITH s AS (SELECT CASE WHEN b < 90 THEN 'train'
+                               WHEN b < 95 THEN 'val'
+                               ELSE 'test' END AS split, lang, n_chars
+                   FROM (SELECT (doc_id * 2654435761 % 4294967296) % 100 AS b,
+                                lang, n_chars
+                         FROM documents))
+        SELECT split, lang, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        FROM s GROUP BY 1, 2
     """,
     "top_bigrams_docs": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk

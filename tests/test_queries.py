@@ -47,6 +47,7 @@ CHECKED = [
     "grouping_sets_docs",
     "percent_rank_events",
     "top_bigrams_docs",
+    "train_split_docs",
 ]
 
 
