@@ -2147,15 +2147,25 @@ def q_mode_event_type_user(sf_dir: str):
         types, code = np.unique(df["event_type"].to_numpy(), return_inverse=True)
         users, uidx = np.unique(u, return_inverse=True)
         k = len(types)
-        # sum split partials per (user, type)
-        tot = np.bincount(uidx * k + code, weights=n, minlength=len(users) * k)
-        tot = tot.astype(np.int64).reshape(len(users), k)
-        best = tot.argmax(axis=1)  # ties -> lowest code = lexicographic min
+        # compact O(present pairs) reduction — a dense users×k matrix
+        # would be per-bucket memory proportional to user cardinality
+        uk, inv = np.unique(uidx * k + code, return_inverse=True)
+        tot = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(tot, inv, n)  # sum split partials per (user, type)
+        uu = uk // k
+        new = np.r_[True, uu[1:] != uu[:-1]]
+        starts = np.flatnonzero(new)
+        runid = np.cumsum(new) - 1
+        mx = np.maximum.reduceat(tot, starts)
+        # first index achieving the run max — uk ascending means code
+        # ascending within a user, so "first" = lexicographic-min type
+        cand = np.where(tot == mx[runid], np.arange(len(uk)), np.iinfo(np.int64).max)
+        sel = np.minimum.reduceat(cand, starts)
         return pd.DataFrame(
             {
-                "user_id": users,
-                "mode_type": types[best],
-                "n_events": tot[np.arange(len(users)), best],
+                "user_id": users[uu[sel]],
+                "mode_type": types[uk[sel] % k],
+                "n_events": tot[sel],
             }
         )
 
