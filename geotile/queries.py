@@ -3094,6 +3094,87 @@ def q_train_split_docs(sf_dir: str):
     )
 
 
+def q_global_sort_orders(sf_dir: str):
+    """Global ORDER BY via Ray's range-partitioned distributed sort —
+    the one all-to-all primitive the rest of this engine deliberately
+    avoids (top-k uses partial reduction, quantiles use histogram
+    refinement). Exposed as its own query because total ordering IS
+    sometimes the requirement (final deliverable files, merge-join
+    prep); (o_totalprice DESC, o_orderkey ASC) makes the order total so
+    both engines agree on ties."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = orders.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(1000)
+
+    def rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_totalprice": t["o_totalprice"]}
+        )
+
+    return top.map_batches(rank, batch_format="pyarrow")
+
+
+def _ndjson_cache(sf_dir: str) -> str:
+    """events as newline-delimited JSON (ts as epoch_us int), derived
+    once from the parquet and cached content-free (pure projection —
+    keyed by sf name only; regenerating is cheap and deterministic)."""
+    import json as _json
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    out = _oracle_cache_dir() / f"events_ndjson_{pathlib.Path(sf_dir).name}"
+    marker = out / "_DONE"
+    if not marker.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value", "ts"],
+        )
+        us = t["ts"].cast(pa.int64()).to_pylist()
+        with open(out / "part-0.jsonl", "w") as f:
+            for eid, et, v, u in zip(
+                t["event_id"].to_pylist(), t["event_type"].to_pylist(),
+                t["value"].to_pylist(), us,
+            ):
+                f.write(_json.dumps(
+                    {"event_id": eid, "event_type": et, "value": v, "ts_us": u}
+                ) + "\n")
+        marker.touch()
+    return str(out / "part-0.jsonl")
+
+
+def q_ndjson_events_ingest(sf_dir: str):
+    """Source-format breadth: the same per-type aggregate computed from
+    an NDJSON shard via ``ray.data.read_json`` (log-style ingestion —
+    the format most raw event streams arrive in), oracled against the
+    PARQUET view: two independent ingestion paths must produce
+    identical counts and e4-lattice value sums."""
+    path = _ndjson_cache(sf_dir)
+    ds = rd.read_json(path)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.round(pc.multiply(t["value"], pa.scalar(10000.0))).cast(pa.int64())
+        g = t.append_column("q", q).group_by("event_type").aggregate(
+            [([], "count_all"), ("q", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": g["count_all"].cast(pa.int64()),
+                "sum_value_e4": g["q_sum"].cast(pa.int64()),
+            }
+        )
+
+    return _rename(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .sum(["n", "sum_value_e4"]),
+        ["event_type", "n", "sum_value_e4"],
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -3142,6 +3223,8 @@ QUERIES = {
     "top_bigrams_docs": q_top_bigrams_docs,
     "cm_user_counts": q_cm_user_counts,
     "train_split_docs": q_train_split_docs,
+    "global_sort_orders": q_global_sort_orders,
+    "ndjson_events_ingest": q_ndjson_events_ingest,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "union_by_name_orders": q_union_by_name_orders,
     "value_histogram_events": q_value_histogram_events,
@@ -3282,6 +3365,16 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "global_sort_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 1000
+    """,
+    "ndjson_events_ingest": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_e4
+        FROM events GROUP BY event_type
     """,
     "train_split_docs": """
         WITH s AS (SELECT CASE WHEN b < 90 THEN 'train'

@@ -48,6 +48,8 @@ CHECKED = [
     "percent_rank_events",
     "top_bigrams_docs",
     "train_split_docs",
+    "global_sort_orders",
+    "ndjson_events_ingest",
 ]
 
 
