@@ -3175,6 +3175,94 @@ def q_ndjson_events_ingest(sf_dir: str):
     )
 
 
+def q_user_sequence_strings(sf_dir: str):
+    """Sequence serialization — turning each user's event stream into a
+    TEXT token sequence (the events→LM-training-corpus step): the first
+    10 events per user under the (ts, event_id) total order, joined
+    with '>'. One co-partition by user; inside a bucket one lexsort
+    builds per-user runs, the ≤10-prefix mask is run arithmetic, and
+    the string assembly is ONE Arrow ``binary_join`` over a ListArray —
+    no per-user Python string work."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    LIMIT = 10
+
+    def seqs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "seq": pd.Series(dtype=str)}
+            )
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        us, ets = u[order], et[order]
+        n = len(us)
+        i = np.arange(n)
+        new = np.r_[True, us[1:] != us[:-1]]
+        run_start = i[new][np.cumsum(new) - 1]
+        keep = (i - run_start) < LIMIT
+        us, ets = us[keep], ets[keep]
+        users, counts = np.unique(us, return_counts=True)
+        offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(ets, pa.string())
+        )
+        seq = pc.binary_join(lst, ">")
+        return pd.DataFrame({"user_id": users, "seq": seq.to_pandas()})
+
+    return (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("bucket")
+        .map_groups(seqs, batch_format="pandas")
+    )
+
+
+def q_winsorized_stats_events(sf_dir: str):
+    """Winsorized aggregate (outlier-robust cleaning: clip to the exact
+    p05/p95 order statistics, then aggregate): two rank selections via
+    histogram refinement, both cuts broadcast as scalars, one clipping
+    pass — counts of clipped tails are integers and the clipped sum
+    lands on the e4 lattice per element, so the SQL replay (rank-select
+    CTE + LEAST/GREATEST) matches bit-for-bit."""
+    from geotile.ops.quantile import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["value"])
+    qt = exact_quantiles(ev, "value", q_pcts=(5, 95), max_pull=50_000)
+    cuts = dict(zip(qt["q_pct"].to_pylist(), qt["value"].to_pylist()))
+    lo, hi = float(cuts[5]), float(cuts[95])
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        w = np.minimum(np.maximum(v, lo), hi)
+        q = np.round(w * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "n_lo": pa.array([int((v < lo).sum())], pa.int64()),
+                "n_hi": pa.array([int((v > hi).sum())], pa.int64()),
+                "sum_w_e4": pa.array([int(q.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
+        .sum(["n", "n_lo", "n_hi", "sum_w_e4"])
+    )
+    return pd.DataFrame(
+        {
+            "n": [agg["sum(n)"]],
+            "n_lo": [agg["sum(n_lo)"]],
+            "n_hi": [agg["sum(n_hi)"]],
+            "sum_w_e4": [agg["sum(sum_w_e4)"]],
+        }
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -3225,6 +3313,8 @@ QUERIES = {
     "train_split_docs": q_train_split_docs,
     "global_sort_orders": q_global_sort_orders,
     "ndjson_events_ingest": q_ndjson_events_ingest,
+    "user_sequence_strings": q_user_sequence_strings,
+    "winsorized_stats_events": q_winsorized_stats_events,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "union_by_name_orders": q_union_by_name_orders,
     "value_histogram_events": q_value_histogram_events,
@@ -3365,6 +3455,31 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "winsorized_stats_events": """
+        WITH s AS (SELECT value,
+                          row_number() OVER (ORDER BY value) rn,
+                          count(*) OVER () c
+                   FROM events),
+        lo AS (SELECT value AS v FROM s
+               WHERE rn = CAST(ceil(0.05 * c) AS BIGINT)),
+        hi AS (SELECT value AS v FROM s
+               WHERE rn = CAST(ceil(0.95 * c) AS BIGINT))
+        SELECT COUNT(*) AS n,
+               CAST(COUNT(*) FILTER (e.value < lo.v) AS BIGINT) AS n_lo,
+               CAST(COUNT(*) FILTER (e.value > hi.v) AS BIGINT) AS n_hi,
+               CAST(SUM(CAST(round(LEAST(GREATEST(e.value, lo.v), hi.v)
+                                   * 10000) AS BIGINT)) AS BIGINT)
+                 AS sum_w_e4
+        FROM events e, lo, hi
+    """,
+    "user_sequence_strings": """
+        WITH r AS (SELECT user_id, event_type,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn
+                   FROM events)
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS seq
+        FROM r WHERE rn <= 10 GROUP BY user_id
     """,
     "global_sort_orders": """
         SELECT o_orderkey, o_totalprice FROM orders

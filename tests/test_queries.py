@@ -50,6 +50,8 @@ CHECKED = [
     "train_split_docs",
     "global_sort_orders",
     "ndjson_events_ingest",
+    "user_sequence_strings",
+    "winsorized_stats_events",
 ]
 
 
