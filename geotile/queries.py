@@ -3263,6 +3263,87 @@ def q_winsorized_stats_events(sf_dir: str):
     )
 
 
+def q_region_revenue(sf_dir: str):
+    """TPC-H Q5-shaped 5-table join — the deepest relational pipeline
+    in the battery: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with
+    a date filter and per-region revenue. Join strategy by size:
+    nation+region (tiny) broadcast-fold into customer AT THE MAP,
+    orders ⋈ customer and lineitem ⋈ (orders×region) both-sides-large
+    via bucketed co-partition (the intermediate is materialized —
+    schema-probe contract). Revenue lands on the e4 lattice PER ELEMENT
+    before any summation, so join order and summation order can never
+    shift the driver hash."""
+    from geotile.ops.relational import bucketed_join
+
+    nat = {r["n_nationkey"]: r["n_regionkey"]
+           for r in _read(sf_dir, "nation").take_all()}
+    reg = {r["r_regionkey"]: r["r_name"]
+           for r in _read(sf_dir, "region").take_all()}
+    n2r = {nk: reg[rk] for nk, rk in nat.items()}
+    n2r_ref = ray.put(n2r)
+
+    def cust_map(t: pa.Table, _ref=n2r_ref) -> pa.Table:
+        m = ray.get(_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(nk, return_inverse=True)
+        names = np.asarray([m[int(x)] for x in uk])
+        return pa.table(
+            {"c_custkey": t["c_custkey"].cast(pa.int64()),
+             "region": pa.array(names[inv])}
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_map, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    CUT = np.datetime64("1998-01-01").astype("datetime64[us]").astype(np.int64)
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64())
+        keep = pc.less(us, pa.scalar(CUT))
+        f = t.filter(keep)
+        return pa.table(
+            {"o_orderkey": f["o_orderkey"].cast(pa.int64()),
+             "o_custkey": f["o_custkey"].cast(pa.int64())}
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ord_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    oc = bucketed_join(orders, cust, "o_custkey", "c_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "region"]), batch_format="pyarrow"
+    ).materialize()  # feeds another bucketed_join (schema-probe law)
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"].cast(pa.int64()),
+             "q": _e(rev, 10000)}
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = bucketed_join(li, oc, "l_orderkey", "o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("region", as_index=False).agg(
+            rev_e4=("q", "sum"), n=("q", "size")
+        )
+        return g[["region", "rev_e4", "n"]]
+
+    return _rename(
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("region")
+        .sum(["rev_e4", "n"]),
+        ["region", "rev_e4", "n"],
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -3315,6 +3396,7 @@ QUERIES = {
     "ndjson_events_ingest": q_ndjson_events_ingest,
     "user_sequence_strings": q_user_sequence_strings,
     "winsorized_stats_events": q_winsorized_stats_events,
+    "region_revenue": q_region_revenue,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "union_by_name_orders": q_union_by_name_orders,
     "value_histogram_events": q_value_histogram_events,
@@ -3455,6 +3537,19 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "region_revenue": """
+        SELECT r.r_name AS region,
+               CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT) AS rev_e4,
+               COUNT(*) AS n
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
     """,
     "winsorized_stats_events": """
         WITH s AS (SELECT value,

@@ -52,6 +52,7 @@ CHECKED = [
     "ndjson_events_ingest",
     "user_sequence_strings",
     "winsorized_stats_events",
+    "region_revenue",
 ]
 
 
