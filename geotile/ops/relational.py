@@ -460,6 +460,48 @@ def cube_aggregate(
     return summed.map_batches(finish, batch_format="pyarrow")
 
 
+def lookup_join(
+    fact: rd.Dataset,
+    fact_key: str,
+    dim: rd.Dataset,
+    dim_key: str,
+    dim_val: str,
+    max_broadcast: int = 1 << 20,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Size-guarded dimension lookup (inner) join: appends ``dim_val``
+    to every fact row whose ``fact_key`` hits the dim. When the dim
+    fits ``max_broadcast`` rows it ships ONCE as a ray.put sorted-array
+    pair and the join is a searchsorted inside ``map_batches`` — zero
+    shuffle on the fact side (the same guard-then-fallback shape as
+    ``anti_join``); a bigger dim falls back to the bucketed
+    co-partition join. Dim keys must be UNIQUE int64 (true for every
+    dimension this engine produces); the bucketed fallback would
+    duplicate fact rows on dup keys exactly like SQL."""
+    dim_m = dim.materialize()
+    if dim_m.count() <= max_broadcast:
+        tbl = pa.concat_tables([__import__("ray").get(r) for r in dim_m.to_arrow_refs()])
+        keys = tbl[dim_key].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tbl[dim_val].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        import ray
+
+        ref = ray.put((keys, vals))
+
+        def look(t: pa.Table, _ref=ref) -> pa.Table:
+            k, v = ray.get(_ref)
+            fk = t[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(k, fk)
+            safe = np.minimum(pos, len(k) - 1) if len(k) else pos
+            valid = (pos < len(k)) & (k[safe] == fk) if len(k) else np.zeros(len(fk), bool)
+            out = t.filter(pa.array(valid))
+            return out.append_column(dim_val, pa.array(v[pos[valid]]))
+
+        return fact.map_batches(look, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_join(fact, dim_m, fact_key, dim_key, n_buckets=n_buckets)
+
+
 def union_by_name(a: rd.Dataset, b: rd.Dataset) -> rd.Dataset:
     """UNION ALL BY NAME — schema-evolution union: the Dataset API's
     ``union`` requires identical schemas; this aligns by COLUMN NAME,

@@ -238,3 +238,56 @@ class TestKmeansLloyd:
         ids = np.arange(100, 150, dtype=np.int64)
         got = self._run(ids, V, k=5, iters=1)
         assert got == _km_brute(ids, V, 5, 1)
+
+
+class TestLookupJoin:
+    def _data(self):
+        rng = np.random.default_rng(41)
+        fact = pd.DataFrame(
+            {
+                "fk": rng.integers(0, 50, 400).astype(np.int64),
+                "x": rng.integers(0, 1000, 400).astype(np.int64),
+            }
+        )
+        dim = pd.DataFrame(
+            {
+                "dk": np.arange(0, 40, dtype=np.int64),  # keys 40-49 miss
+                "val": [f"v{i}" for i in range(40)],
+            }
+        )
+        want = fact.merge(dim, left_on="fk", right_on="dk")[
+            ["fk", "x", "val"]
+        ].sort_values(["fk", "x", "val"]).reset_index(drop=True)
+        return fact, dim, want
+
+    @pytest.mark.parametrize("max_broadcast", [1 << 20, 1])  # both paths
+    def test_matches_pandas_merge(self, ray_session, max_broadcast):
+        from geotile.ops.relational import lookup_join
+
+        fact, dim, want = self._data()
+        got = (
+            lookup_join(
+                _from_pandas(fact).repartition(5), "fk",
+                _from_pandas(dim), "dk", "val",
+                max_broadcast=max_broadcast,
+            )
+            .to_pandas()[["fk", "x", "val"]]
+            # bucketed fallback returns ints as float64 (pandas-merge
+            # null-padding convention — callers cast back, as here)
+            .astype({"fk": np.int64, "x": np.int64})
+            .sort_values(["fk", "x", "val"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_empty_dim_drops_everything(self, ray_session):
+        from geotile.ops.relational import lookup_join
+
+        fact, _, _ = self._data()
+        dim = pd.DataFrame(
+            {"dk": pd.Series(dtype=np.int64), "val": pd.Series(dtype=str)}
+        )
+        out = lookup_join(
+            _from_pandas(fact), "fk", _from_pandas(dim), "dk", "val"
+        ).to_pandas()
+        assert len(out) == 0
