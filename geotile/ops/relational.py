@@ -480,11 +480,22 @@ def lookup_join(
     duplicate fact rows on dup keys exactly like SQL."""
     dim_m = dim.materialize()
     if dim_m.count() <= max_broadcast:
-        tbl = pa.concat_tables([__import__("ray").get(r) for r in dim_m.to_arrow_refs()])
+        import ray as _ray
+
+        parts = [_ray.get(r) for r in dim_m.to_arrow_refs()]
+        # Ray emits SCHEMALESS blocks for empty inputs (UDFs never run
+        # on empty blocks) — drop them before concat (battery smoke)
+        parts = [p for p in parts if p.num_columns > 0]
+        if not parts:
+            return fact.limit(0)  # empty dim ⇒ empty inner join
+        tbl = pa.concat_tables(parts)
         keys = tbl[dim_key].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         vals = tbl[dim_val].combine_chunks().to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
+        val_type = tbl.schema.field(dim_val).type  # pin: an all-miss
+        # batch would otherwise emit a null-typed column and break the
+        # downstream concat (found by the battery smoke test)
         import ray
 
         ref = ray.put((keys, vals))
@@ -496,7 +507,9 @@ def lookup_join(
             safe = np.minimum(pos, len(k) - 1) if len(k) else pos
             valid = (pos < len(k)) & (k[safe] == fk) if len(k) else np.zeros(len(fk), bool)
             out = t.filter(pa.array(valid))
-            return out.append_column(dim_val, pa.array(v[pos[valid]]))
+            return out.append_column(
+                dim_val, pa.array(v[pos[valid]], type=val_type)
+            )
 
         return fact.map_batches(look, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_join(fact, dim_m, fact_key, dim_key, n_buckets=n_buckets)
