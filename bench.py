@@ -210,6 +210,7 @@ def main() -> None:
         q_minhash_pairs_docs,
         q_pagerank_dups,
         q_pricing_summary,
+        q_region_revenue,
         q_tfidf_docs,
         q_window_events,
     )
@@ -225,6 +226,7 @@ def main() -> None:
         ("cohort_retention_users", q_cohort_retention_users),  # r3c
         ("pagerank_dups", q_pagerank_dups),                    # r3c
         ("embedding_cov_moments", q_embedding_cov_moments),    # r3c
+        ("region_revenue", q_region_revenue),  # r3c: 5-table Q5 shape
     ]:
         t0 = time.time()
         res = fn(SF_DIR)
