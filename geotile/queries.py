@@ -3360,6 +3360,73 @@ def q_region_revenue(sf_dir: str):
     )
 
 
+def q_multi_distinct_daily(sf_dir: str):
+    """Multi-DISTINCT aggregate — COUNT(DISTINCT user_id) AND
+    COUNT(DISTINCT event_type) per day, each from one pass of deduped
+    partials (the classic hard case for single-shuffle engines). Users:
+    per-batch distinct (day·2^33 + user) packed keys → ONE single-int
+    groupby (packing contract: user_id < 2^33, asserted — wider id
+    spaces would swap in the hash-bucket co-partition dedup the engine
+    already uses for pair dedup). Types: per-batch distinct
+    (day, type) string rows → a (days × vocab)-cardinality groupby.
+    Both aggregates are day-scale; the driver merges two tiny tables —
+    never row data."""
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    DAY_US = 86_400_000_000
+
+    def upart(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (u < (1 << 33)).all() and (u >= 0).all(), "packing contract"
+        return pa.table({"k": pa.array(np.unique(day * (1 << 33) + u))})
+
+    def tpart(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        et = t["event_type"].to_numpy()
+        types, code = np.unique(et, return_inverse=True)
+        dt = np.unique(day * len(types) + code)
+        return pa.table(
+            {"day": pa.array(dt // len(types)),
+             "event_type": pa.array(types[dt % len(types)])}
+        )
+
+    users = (
+        ev.map_batches(upart, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k").count()
+        .map_batches(
+            lambda t: pa.table(
+                {"day": pc.shift_right(t["k"], pa.scalar(33)),
+                 "one": pa.array(np.ones(len(t), np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day").sum("one")
+        .take_all()
+    )  # day-scale
+    types = (
+        ev.map_batches(tpart, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"]).count()
+        .map_batches(
+            lambda t: pa.table(
+                {"day": t["day"], "one": pa.array(np.ones(len(t), np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day").sum("one")
+        .take_all()
+    )
+    nu = {r["day"]: r["sum(one)"] for r in users}
+    nt = {r["day"]: r["sum(one)"] for r in types}
+    days = sorted(nu)
+    return pd.DataFrame(
+        {
+            "day": np.asarray(days, dtype=np.int64),
+            "n_users": np.asarray([nu[d] for d in days], dtype=np.int64),
+            "n_types": np.asarray([nt.get(d, 0) for d in days], dtype=np.int64),
+        }
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "cust_nation_orders": q_cust_nation_orders,
@@ -3413,6 +3480,7 @@ QUERIES = {
     "user_sequence_strings": q_user_sequence_strings,
     "winsorized_stats_events": q_winsorized_stats_events,
     "region_revenue": q_region_revenue,
+    "multi_distinct_daily": q_multi_distinct_daily,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "union_by_name_orders": q_union_by_name_orders,
     "value_histogram_events": q_value_histogram_events,
@@ -3553,6 +3621,12 @@ ORACLE_SQL = {
         EXCEPT
         SELECT user_id FROM events
         WHERE event_type = 'purchase' AND value > 200
+    """,
+    "multi_distinct_daily": """
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events GROUP BY 1
     """,
     "region_revenue": """
         SELECT r.r_name AS region,

@@ -53,6 +53,7 @@ CHECKED = [
     "user_sequence_strings",
     "winsorized_stats_events",
     "region_revenue",
+    "multi_distinct_daily",
 ]
 
 
