@@ -5456,3 +5456,203 @@ def _gtfs_stop_features_sql() -> str:
         FROM parents p JOIN stops ss ON ss.stop_id = p.stop_id
         WHERE p.stop_id NOT IN (SELECT stop_id FROM used)
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join — the broadcast-vs-shuffle middle ground (ops/bloom)
+# ---------------------------------------------------------------------------
+
+def q_bloom_semi_join_lineitem(sf_dir: str):
+    """EXACT semi-join via a Bloom prefilter (geotile/ops/bloom.py):
+    lineitems whose order is URGENT. The distributed-built 10-bit/key
+    filter (constant-size partial bitmaps, driver OR is filter-scale)
+    broadcasts at 1.25 bytes/key — 6.4× smaller than a raw int64
+    keyset — and kills ~99% of non-matching fact rows BEFORE the exact
+    hash-bucketed verify join, so the shuffle carries survivors only.
+    Bloom has no false negatives and the verify is exact, hence the
+    plain IN-subquery SQL replay."""
+    from geotile.ops.bloom import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_returnflag"])
+    keys = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_orderkey"]),
+        batch_format="pyarrow",
+    ).materialize()  # executed once; count() below is metadata-cheap
+    j = bloom_semi_join(li, keys, "l_orderkey", "o_orderkey",
+                        n_keys=max(keys.count(), 1))
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.append_column("q_e2", _e(t["l_quantity"], 100))
+        g = t.group_by("l_returnflag").aggregate([("q_e2", "sum"), ("q_e2", "count")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "sum_qty_e2": g["q_e2_sum"].cast(pa.int64()),
+                         "n_items": g["q_e2_count"].cast(pa.int64())})
+
+    out = j.map_batches(part, batch_format="pyarrow").groupby(
+        "l_returnflag").sum(["sum_qty_e2", "n_items"])
+    return _rename(out, ["l_returnflag", "sum_qty_e2", "n_items"])
+
+
+QUERIES["bloom_semi_join_lineitem"] = q_bloom_semi_join_lineitem
+ORACLE_SQL["bloom_semi_join_lineitem"] = """
+        SELECT l_returnflag,
+               SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_e2,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+    """
+
+
+# ---------------------------------------------------------------------------
+# Contiguous token-budget sharding — the LLM-corpus packing step
+# ---------------------------------------------------------------------------
+
+def q_token_shards_docs(sf_dir: str):
+    """Pack documents (in doc_id order) into contiguous ~20k-char
+    shards: a doc's shard is its EXCLUSIVE running-char prefix // C —
+    the deterministic token-budget sharding an LLM training pipeline
+    uses to cut a corpus into fixed-cost work units. Distributed
+    prefix sum in two row-scale passes and zero driver row data:
+    (1) per-batch (bucket, chars) partials with bucket = doc_id >> 10
+    → bucket-scale groupby → driver exclusive scan over bucket sums
+    (bucket count is N/1024; a 100-TB corpus would add one more scan
+    level, same shape); (2) one bucket co-partition pass where each
+    bucket sorts its own ≤1024 rows, cumsums from its broadcast base
+    offset, and pre-aggregates per shard — shards spanning a bucket
+    boundary merge in the final shard-scale groupby."""
+    C = 20_000
+    SHIFT = 10
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def bpart(t: pa.Table) -> pa.Table:
+        b = pc.shift_right(t["doc_id"], pa.scalar(SHIFT))
+        g = pa.table({"bucket": b, "chars": t["n_chars"]}).group_by(
+            "bucket").aggregate([("chars", "sum")])
+        return pa.table({"bucket": g["bucket"],
+                         "chars": g["chars_sum"].cast(pa.int64())})
+
+    sums = ds.map_batches(bpart, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("bucket").sum(
+        "chars").take_all()  # bucket-scale
+    sums.sort(key=lambda r: r["bucket"])
+    base, acc = {}, 0
+    for r in sums:
+        base[r["bucket"]] = acc
+        acc += r["sum(chars)"]
+    base_ref = ray.put(base)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.shift_right(t["doc_id"], pa.scalar(SHIFT)))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        offs = _broadcast(base_ref)
+        df = df.sort_values("doc_id", kind="stable")
+        chars = df["n_chars"].to_numpy(np.int64)
+        pre = offs[int(df["bucket"].iloc[0])] + np.cumsum(chars) - chars
+        shard = pre // C
+        uniq, inv = np.unique(shard, return_inverse=True)
+        n = np.bincount(inv)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, chars)
+        return pd.DataFrame({"shard_id": uniq, "n_docs": n.astype(np.int64),
+                             "sum_chars": tot})
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+        .groupby("shard_id").sum(["n_docs", "sum_chars"])
+    )
+    return _rename(out, ["shard_id", "n_docs", "sum_chars"])
+
+
+QUERIES["token_shards_docs"] = q_token_shards_docs
+ORACLE_SQL["token_shards_docs"] = """
+        WITH p AS (
+            SELECT doc_id, n_chars,
+                   COALESCE(SUM(n_chars) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS pre
+            FROM documents)
+        SELECT CAST(pre // 20000 AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS sum_chars
+        FROM p GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency/frequency/monetary customer pipeline
+# ---------------------------------------------------------------------------
+
+def q_rfm_segments(sf_dir: str):
+    """RFM segmentation over orders: per customer, last-order day
+    (recency), order count (frequency), e2 spend (monetary), each
+    folded into fixed integer buckets, then segment counts. One
+    customer-cardinality shuffle (per-batch partials merge with
+    Max/Sum aggregates); the bucket fold and final groupby are
+    segment-scale. All arithmetic on integer lattices so the SQL
+    replay is bit-exact."""
+    from ray.data.aggregate import Max, Sum
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["o_orderdate"].cast(pa.int64()),
+                        pa.scalar(DAY_US)).cast(pa.int64())
+        g = pa.table({
+            "c": t["o_custkey"], "day": day,
+            "m_e2": _e(t["o_totalprice"], 100),
+        }).group_by("c").aggregate(
+            [("day", "max"), ("m_e2", "sum"), ("m_e2", "count")])
+        return pa.table({"c": g["c"], "last_day": g["day_max"],
+                         "m_e2": g["m_e2_sum"].cast(pa.int64()),
+                         "n": g["m_e2_count"].cast(pa.int64())})
+
+    per_cust = ds.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True).groupby("c").aggregate(
+        Max("last_day"), Sum("n"), Sum("m_e2"))
+
+    def seg(t: pa.Table) -> pa.Table:
+        last = t["max(last_day)"].to_numpy(zero_copy_only=False)
+        n = t["sum(n)"].to_numpy(zero_copy_only=False)
+        m = t["sum(m_e2)"].to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "r_bucket": pa.array(last // 365, pa.int64()),
+            "f_bucket": pa.array(np.minimum(n // 5, 3).astype(np.int64)),
+            "m_bucket": pa.array(np.minimum(m // 10_000_000, 3).astype(np.int64)),
+            "m_e2": pa.array(m.astype(np.int64)),
+        }).group_by(["r_bucket", "f_bucket", "m_bucket"]).aggregate(
+            [("m_e2", "sum"), ("m_e2", "count")])
+        return pa.table({"r_bucket": g["r_bucket"], "f_bucket": g["f_bucket"],
+                         "m_bucket": g["m_bucket"],
+                         "total_m_e2": g["m_e2_sum"].cast(pa.int64()),
+                         "n_customers": g["m_e2_count"].cast(pa.int64())})
+
+    out = per_cust.map_batches(seg, batch_format="pyarrow").groupby(
+        ["r_bucket", "f_bucket", "m_bucket"]).sum(["total_m_e2", "n_customers"])
+    return _rename(out, ["r_bucket", "f_bucket", "m_bucket",
+                         "total_m_e2", "n_customers"])
+
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLE_SQL["rfm_segments"] = """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
+                     AS last_day,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS m_e2
+            FROM orders GROUP BY o_custkey)
+        SELECT CAST(last_day // 365 AS BIGINT) AS r_bucket,
+               CAST(LEAST(n_orders // 5, 3) AS BIGINT) AS f_bucket,
+               CAST(LEAST(m_e2 // 10000000, 3) AS BIGINT) AS m_bucket,
+               SUM(m_e2) AS total_m_e2,
+               COUNT(*) AS n_customers
+        FROM per_cust GROUP BY 1, 2, 3
+    """

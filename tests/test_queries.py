@@ -54,6 +54,9 @@ CHECKED = [
     "winsorized_stats_events",
     "region_revenue",
     "multi_distinct_daily",
+    "bloom_semi_join_lineitem",
+    "token_shards_docs",
+    "rfm_segments",
 ]
 
 

@@ -309,3 +309,48 @@ class TestGroupedQuantiles:
         )
         got = grouped_quantiles(ds, "value", "g", q_pcts=(50,)).to_pandas()
         assert dict(zip(got["group"], got["value"])) == {"x": 5.0, "y": 2.0}
+
+
+class TestBloomSemiJoin:
+    def test_prefilter_has_no_false_negatives_and_join_is_exact(self, ray_session):
+        import ray.data as rd
+
+        from geotile.ops.bloom import bloom_build, bloom_prefilter, bloom_semi_join
+
+        rng = np.random.default_rng(7)
+        keys = np.unique(rng.integers(0, 1 << 40, 500))
+        fact_keys = rng.integers(0, 1 << 40, 20000)
+        # force real overlap
+        fact_keys[: 3000] = rng.choice(keys, 3000)
+        fact = rd.from_arrow(
+            pa.table({"k": pa.array(fact_keys), "v": pa.array(np.arange(20000))})
+        ).repartition(6)
+        kds = rd.from_arrow(pa.table({"key": pa.array(keys)})).repartition(3)
+
+        ref, m, kk = bloom_build(kds, "key", len(keys))
+        surv = bloom_prefilter(fact, "k", ref, m, kk).to_pandas()
+        member = np.isin(fact_keys, keys)
+        # no false negatives: every true member survives
+        assert member.sum() <= len(surv)
+        assert set(fact_keys[member]) <= set(surv["k"])
+        # prefilter is selective (fp rate ~1% at 10 bits/key)
+        assert len(surv) < 0.1 * len(fact_keys) + member.sum()
+
+        out = bloom_semi_join(fact, kds, "k", "key", n_keys=len(keys)).to_pandas()
+        exp = pd.DataFrame({"k": fact_keys, "v": np.arange(20000)})[member]
+        got = out.sort_values(["k", "v"]).reset_index(drop=True)
+        exp = exp.sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "v"]], exp[["k", "v"]])
+
+    def test_negative_keys_and_tiny_filter(self, ray_session):
+        import ray.data as rd
+
+        from geotile.ops.bloom import bloom_semi_join
+
+        fact = rd.from_arrow(
+            pa.table({"k": pa.array([-5, -5, 0, 3, 9], pa.int64()),
+                      "v": pa.array([1, 2, 3, 4, 5])})
+        )
+        kds = rd.from_arrow(pa.table({"key": pa.array([-5, 9], pa.int64())}))
+        out = bloom_semi_join(fact, kds, "k", "key", n_keys=2).to_pandas()
+        assert sorted(out["v"]) == [1, 2, 5]
