@@ -349,3 +349,183 @@ def pagerank_int(
             .materialize()
         )
     return scores
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    a: str = "a",
+    b: str = "b",
+    n_buckets: int = 16,
+) -> rd.Dataset:
+    """Exact triangle count of the undirected simple graph ``(a, b)``
+    via degree-ordered orientation + wedge semi-join — the MapReduce-
+    classic (Suri & Vassilvitskii, "Counting Triangles and the Curse of
+    the Last Reducer", WWW'11):
+
+    1. degree per node (edge-scale groupby);
+    2. orient each edge low→high in the (degree, id) total order —
+       max out-degree drops to O(√m), so per-source wedge generation
+       is bounded even at power-law hubs;
+    3. wedges: per source, all C(outdeg, 2) out-neighbor pairs (one
+       source co-partition);
+    4. a wedge (w1, w2) closes a triangle iff the undirected edge
+       {w1, w2} exists — checked by a hash-bucketed co-partition
+       semi-count against the packed edge-key set (never a broadcast
+       of the edge set). Each triangle has exactly ONE out-degree-2
+       apex under an acyclic orientation, so it is counted once.
+
+    Driver holds the degree dict (node-scale; the graphs this engine
+    feeds it — dup-pair graphs — are dimension-scale. A planetary
+    node space would derive degrees in-bucket like pagerank_int).
+    Returns one row: (n_nodes, n_edges, n_triangles). Node ids must
+    be non-negative and < 2^31 (packed-pair key contract, asserted).
+    """
+    import ray
+
+    from geotile.ops.join import _get_broadcast
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (u >= 0).all() and (v >= 0).all() and max(u.max(initial=0), v.max(initial=0)) < (1 << 31), \
+            "triangle_count packed-key contract: ids in [0, 2^31)"
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi  # drop self-loops
+        k = np.unique(lo[keep] * (1 << 31) + hi[keep])
+        return pa.table({"k": pa.array(k)})
+
+    ekeys = (
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k").count().select_columns(["k"]).materialize()
+    )
+    m = ekeys.count()
+    if m == 0:
+        return rd.from_arrow(pa.table({
+            "n_nodes": pa.array([0], pa.int64()),
+            "n_edges": pa.array([0], pa.int64()),
+            "n_triangles": pa.array([0], pa.int64()),
+        }))
+
+    def ends(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([k >> 31, k & ((1 << 31) - 1)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    deg_rows = ekeys.map_batches(ends, batch_format="pyarrow").groupby(
+        "node").sum("d").take_all()  # node-scale
+    nodes_arr = np.array(sorted(r["node"] for r in deg_rows), dtype=np.int64)
+    deg_map = {r["node"]: r["sum(d)"] for r in deg_rows}
+    degs_arr = np.array([deg_map[n] for n in nodes_arr], dtype=np.int64)
+    n_nodes = len(nodes_arr)
+    deg_ref = ray.put((nodes_arr, degs_arr))
+
+    def orient(t: pa.Table) -> pa.Table:
+        nodes, degs = _get_broadcast(deg_ref)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        lo, hi = k >> 31, k & ((1 << 31) - 1)
+        dl = degs[np.searchsorted(nodes, lo)]
+        dh = degs[np.searchsorted(nodes, hi)]
+        fwd = (dl < dh) | ((dl == dh) & (lo < hi))
+        return pa.table({"src": pa.array(np.where(fwd, lo, hi)),
+                         "dst": pa.array(np.where(fwd, hi, lo))})
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        out = df["dst"].to_numpy(np.int64)
+        out = np.unique(out)
+        if len(out) < 2:
+            return pd.DataFrame({"k": np.empty(0, np.int64)})
+        i, j = np.triu_indices(len(out), 1)
+        w1, w2 = out[i], out[j]  # out is sorted, so w1 < w2 canonically
+        return pd.DataFrame({"k": w1 * (1 << 31) + w2})
+
+    wk = (
+        ekeys.map_batches(orient, batch_format="pyarrow")
+        .groupby("src").map_groups(wedges, batch_format="pandas")
+    )
+
+    # closure semi-count: bucket wedge keys and edge keys by hash, count
+    # wedge∈edges per bucket, sum — the edge set never broadcasts
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t["k"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "k": t["k"],
+                "bucket": pa.array(_bucket_of(k, n_buckets)),
+                "__side": pa.array(np.full(len(t), side, np.int8)),
+            })
+        return fn
+
+    both = wk.map_batches(tag(0), batch_format="pyarrow").union(
+        ekeys.map_batches(tag(1), batch_format="pyarrow"))
+
+    def closed(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["__side"] == 0]["k"].to_numpy(np.int64)
+        e = df[df["__side"] == 1]["k"].to_numpy(np.int64)
+        return pd.DataFrame({"n": np.array([np.isin(w, e).sum()], np.int64)})
+
+    tri = sum(r["n"] for r in both.groupby("bucket").map_groups(
+        closed, batch_format="pandas").take_all())
+    return rd.from_arrow(pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([int(m)], pa.int64()),
+        "n_triangles": pa.array([int(tri)], pa.int64()),
+    }))
+
+
+def bfs_levels(
+    edges: rd.Dataset,
+    seeds: rd.Dataset,
+    seed_key: str = "node",
+    a: str = "a",
+    b: str = "b",
+    rounds: int = 3,
+    n_buckets: int = 16,
+) -> rd.Dataset:
+    """Fixed-round BSP breadth-first search: level = hop distance from
+    the seed set, capped at ``rounds``. Returns (node, level) for every
+    reached node (seeds at level 0). Each round is one pass over the
+    materialized symmetric edge list: a size-guarded semi-join keeps
+    edges whose source is in the frontier, the distinct neighbor set
+    anti-joins the visited set, and the survivors become the next
+    frontier — frontier/visited never land on the driver (both the
+    semi- and anti-join fall back to hash-bucketed co-partition when
+    the keyset outgrows the broadcast guard), matching the reachability
+    pattern of pagerank_int/connected_components."""
+    from geotile.ops.relational import anti_join, semi_join
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([u, v])),
+                         "v": pa.array(np.concatenate([v, u]))})
+
+    e = edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def lvl(x: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t[seed_key].cast(pa.int64()),
+                             "level": pa.array(np.full(len(t), x, np.int64))})
+        return fn
+
+    visited = seeds.map_batches(lvl(0), batch_format="pyarrow").materialize()
+    frontier = visited
+    if e.count() == 0:
+        return visited
+    for r in range(1, rounds + 1):
+        hits = semi_join(e, frontier, "u", "node", n_buckets=n_buckets)
+        nb = hits.map_batches(
+            lambda t: pa.table({"node": t["v"]}), batch_format="pyarrow"
+        ).groupby("node").count().select_columns(["node"])
+        fresh = anti_join(nb.materialize(), visited, "node", "node",
+                          n_buckets=n_buckets)
+        frontier = fresh.map_batches(
+            lambda t, _x=r: pa.table(
+                {"node": t["node"], "level": pa.array(np.full(len(t), _x, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+    return visited

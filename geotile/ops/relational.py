@@ -137,7 +137,71 @@ def anti_join(
     def keep_miss(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["__rk"].isna()][lcols]
 
-    return joined.map_batches(keep_miss, batch_format="pandas")
+    return _restore_schema(joined.map_batches(keep_miss, batch_format="pandas"), left)
+
+
+def _restore_schema(ds: rd.Dataset, like: rd.Dataset) -> rd.Dataset:
+    """Cast ``ds`` back to ``like``'s column types. The bucketed join's
+    union pads each side's missing columns with nulls, which upcasts
+    int64 through pandas to float64 — semi/anti joins emit left rows
+    unchanged, so the original schema is always restorable."""
+    schema = like.schema().base_schema
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({n: t[n].cast(schema.field(n).type) for n in schema.names})
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def semi_join(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    max_broadcast_keys: int = 1 << 20,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Rows of ``left`` whose key DOES appear in ``right_keys`` — the
+    mirror of :func:`anti_join`, same size-guarded strategy: the
+    deduped key set broadcasts when small (one ray.put of 8-byte keys,
+    ``is_in`` filter inside map_batches), and falls back to the hash-
+    bucketed co-partition inner join beyond ``max_broadcast_keys`` so
+    driver memory never scales with the key side. (For keysets in the
+    awkward middle — too big to broadcast raw, too selective to
+    shuffle the fact side — see ops/bloom.bloom_semi_join, which
+    broadcasts a 10-bit/key Bloom prefilter instead.)"""
+    import pyarrow.compute as pc
+    import ray
+
+    from geotile.ops.join import _cached_stage
+
+    keys = right_keys.map_batches(
+        lambda t: pa.table({right_key: t[right_key].combine_chunks().unique()}),
+        batch_format="pyarrow",
+    ).materialize()
+    if keys.count() == 0:
+        # empty keyset = empty semi join, with left's schema preserved
+        # (Ray never schedules empty blocks, so filter-everything maps
+        # would propagate a schemaless dataset)
+        return rd.from_arrow(left.schema().base_schema.empty_table())
+    if keys.count() <= max_broadcast_keys:
+        arr = pa.concat_tables([ray.get(r) for r in keys.to_arrow_refs()])[
+            right_key
+        ].combine_chunks().unique()
+        ref = ray.put(arr)
+
+        def semi(t: pa.Table) -> pa.Table:
+            ks = _cached_stage(("semikeys", ref.hex()), lambda: ray.get(ref))
+            return t.filter(pc.is_in(t[left_key], ks))
+
+        return left.map_batches(semi, batch_format="pyarrow")
+    # per-batch unique above is not a global dedup — an inner join on a
+    # key that repeats across batches would duplicate left rows
+    dedup = keys.groupby(right_key).count().map_batches(
+        lambda t: pa.table({"__rk": t[right_key]}), batch_format="pyarrow"
+    )
+    joined = bucketed_join(left, dedup, left_key, "__rk", n_buckets=n_buckets)
+    return _restore_schema(joined, left)
 
 
 def sessionize(

@@ -5656,3 +5656,154 @@ ORACLE_SQL["rfm_segments"] = """
                COUNT(*) AS n_customers
         FROM per_cust GROUP BY 1, 2, 3
     """
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the near-dup pair graph: triangles + BFS levels
+# ---------------------------------------------------------------------------
+
+def q_triangle_dups(sf_dir: str):
+    """Exact triangle count (ops/graph.triangle_count — degree-ordered
+    orientation bounds per-source wedge fan-out at O(√m), wedge closure
+    checked by a bucketed co-partition semi-count, never an edge-set
+    broadcast) over the embedding near-dup pair graph: triangle density
+    distinguishes tight dup clusters from chains of borderline pairs.
+    SQL replay = canonical 3-way self-join on the a<b pair list."""
+    from geotile.ops.dedup import embedding_dup_pairs
+    from geotile.ops.graph import triangle_count
+
+    pairs = embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.35
+    )
+    return triangle_count(pairs.select_columns(["a", "b"]))
+
+
+QUERIES["triangle_dups"] = q_triangle_dups
+ORACLE_SQL["triangle_dups"] = f"""
+        WITH pairs AS ({EMBEDDING_DUPS_SQL}),
+        e AS (SELECT a, b FROM pairs),
+        nodes AS (SELECT DISTINCT n FROM
+                  (SELECT a AS n FROM e UNION ALL SELECT b FROM e))
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM e ab JOIN e bc ON bc.a = ab.b
+                          JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
+                 AS n_triangles
+    """
+
+
+def q_bfs_dups(sf_dir: str):
+    """Fixed-round BSP breadth-first search (ops/graph.bfs_levels):
+    hop distance ≤ 3 from the seed set (vec_id % 11 == 0) over the
+    symmetrized near-dup graph — the reachability primitive behind
+    'quarantine everything within k hops of a known-bad document'.
+    Every round is a size-guarded semi-join (frontier) + anti-join
+    (visited) over the materialized edge list; no frontier row lands
+    on the driver. SQL replay = three chained level CTEs."""
+    from geotile.ops.dedup import embedding_dup_pairs
+    from geotile.ops.graph import bfs_levels
+
+    pairs = embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.35
+    )
+    def pick_seeds(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(v[v % 11 == 0])})
+
+    seeds = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        pick_seeds, batch_format="pyarrow", zero_copy_batch=True)
+    return bfs_levels(pairs.select_columns(["a", "b"]), seeds, rounds=3)
+
+
+QUERIES["bfs_dups"] = q_bfs_dups
+ORACLE_SQL["bfs_dups"] = f"""
+        WITH pairs AS ({EMBEDDING_DUPS_SQL}),
+        e AS (SELECT a AS u, b AS v FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+        l0 AS (SELECT vec_id AS node FROM embeddings WHERE vec_id % 11 = 0),
+        l1 AS (SELECT DISTINCT e.v AS node FROM e JOIN l0 ON e.u = l0.node
+               WHERE e.v NOT IN (SELECT node FROM l0)),
+        l2 AS (SELECT DISTINCT e.v AS node FROM e JOIN l1 ON e.u = l1.node
+               WHERE e.v NOT IN (SELECT node FROM l0)
+                 AND e.v NOT IN (SELECT node FROM l1)),
+        l3 AS (SELECT DISTINCT e.v AS node FROM e JOIN l2 ON e.u = l2.node
+               WHERE e.v NOT IN (SELECT node FROM l0)
+                 AND e.v NOT IN (SELECT node FROM l1)
+                 AND e.v NOT IN (SELECT node FROM l2))
+        SELECT node, CAST(0 AS BIGINT) AS level FROM l0
+        UNION ALL SELECT node, CAST(1 AS BIGINT) FROM l1
+        UNION ALL SELECT node, CAST(2 AS BIGINT) FROM l2
+        UNION ALL SELECT node, CAST(3 AS BIGINT) FROM l3
+    """
+
+
+# ---------------------------------------------------------------------------
+# Grouped linear regression — exact rational slope per group
+# ---------------------------------------------------------------------------
+
+def q_linreg_hour_value(sf_dir: str):
+    """Per-event-type least-squares slope of value vs hour-of-day, as
+    an EXACT rational: slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²). Per
+    batch one Arrow groupby emits the five integer moments on the
+    (hour, value·10⁴) lattice — every batch/group sum fits int64 —
+    then the type-scale epilogue forms the >64-bit numerator /
+    denominator in Python arbitrary-precision ints and emits them as
+    digit strings (DuckDB replays in HUGEINT and casts to VARCHAR;
+    the driver's value hash compares decimal digits, not floats)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    HOUR_US = 3_600_000_000
+
+    def part(t: pa.Table) -> pa.Table:
+        x = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // HOUR_US) % 24
+        y = pc.round(pc.multiply(t["value"], pa.scalar(1e4))).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "event_type": t["event_type"],
+            "x": pa.array(x), "y": pa.array(y),
+            "xy": pa.array(x * y), "xx": pa.array(x * x),
+        }).group_by("event_type").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"),
+             ([], "count_all")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "sx": g["x_sum"], "sy": g["y_sum"], "sxy": g["xy_sum"],
+            "sxx": g["xx_sum"], "n": g["count_all"].cast(pa.int64()),
+        })
+
+    rows = ev.map_batches(part, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("event_type").sum(
+        ["sx", "sy", "sxy", "sxx", "n"]).take_all()  # type-scale
+    rows.sort(key=lambda r: r["event_type"])
+    num, den = [], []
+    for r in rows:
+        n, sx, sy = int(r["sum(n)"]), int(r["sum(sx)"]), int(r["sum(sy)"])
+        num.append(str(n * int(r["sum(sxy)"]) - sx * sy))
+        den.append(str(n * int(r["sum(sxx)"]) - sx * sx))
+    return pd.DataFrame({
+        "event_type": [r["event_type"] for r in rows],
+        "n": np.array([r["sum(n)"] for r in rows], np.int64),
+        "slope_num": num, "slope_den": den,
+    })
+
+
+QUERIES["linreg_hour_value"] = q_linreg_hour_value
+ORACLE_SQL["linreg_hour_value"] = """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(date_part('hour', ts) AS BIGINT) AS x,
+                   CAST(round(value * 10000) AS BIGINT) AS y
+            FROM events),
+        s AS (
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM b GROUP BY event_type)
+        SELECT event_type, n,
+               CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                    AS VARCHAR) AS slope_num,
+               CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                    AS VARCHAR) AS slope_den
+        FROM s
+    """

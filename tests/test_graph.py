@@ -123,3 +123,94 @@ class TestPagerankInt:
         assert self._run(edges, iters=1, n_buckets=2) == _pr_brute(
             edges, iters=1
         )
+
+
+class TestTriangleCount:
+    def test_matches_brute_force(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from geotile.ops.graph import triangle_count
+
+        rng = np.random.default_rng(11)
+        n = 40
+        # dense-ish random graph with hubs (exercises degree ordering)
+        a, b = rng.integers(0, n, 300), rng.integers(0, n, 300)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        ds = rd.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                     "b": pa.array(b, pa.int64())})).repartition(4)
+        got = triangle_count(ds).to_pandas().iloc[0]
+
+        E = {(min(x, y), max(x, y)) for x, y in zip(a.tolist(), b.tolist())}
+        nodes = {x for e in E for x in e}
+        adj = {v: set() for v in nodes}
+        for x, y in E:
+            adj[x].add(y); adj[y].add(x)
+        tri = sum(1 for u, v, w in itertools.combinations(sorted(nodes), 3)
+                  if v in adj[u] and w in adj[u] and w in adj[v])
+        assert got["n_triangles"] == tri
+        assert got["n_edges"] == len(E)
+        assert got["n_nodes"] == len(nodes)
+
+    def test_empty_and_triangle_free(self, ray_session):
+        import ray.data as rd
+
+        from geotile.ops.graph import triangle_count
+
+        empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                        "b": pa.array([], pa.int64())}))
+        assert triangle_count(empty).to_pandas().iloc[0]["n_triangles"] == 0
+        path = rd.from_arrow(pa.table({"a": pa.array([0, 1, 2], pa.int64()),
+                                       "b": pa.array([1, 2, 3], pa.int64())}))
+        row = triangle_count(path).to_pandas().iloc[0]
+        assert (row["n_triangles"], row["n_edges"], row["n_nodes"]) == (0, 3, 4)
+
+
+class TestBfsLevels:
+    def test_matches_brute_force(self, ray_session):
+        from collections import deque
+
+        import ray.data as rd
+
+        from geotile.ops.graph import bfs_levels
+
+        rng = np.random.default_rng(23)
+        n = 60
+        a, b = rng.integers(0, n, 100), rng.integers(0, n, 100)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        seeds = [0, 7, 14]
+        ds = rd.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                     "b": pa.array(b, pa.int64())})).repartition(3)
+        sd = rd.from_arrow(pa.table({"node": pa.array(seeds, pa.int64())}))
+        got = bfs_levels(ds, sd, rounds=3).to_pandas()
+        got = dict(zip(got["node"], got["level"]))
+
+        adj = {}
+        for x, y in zip(a.tolist(), b.tolist()):
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        exp = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            if exp[u] >= 3:
+                continue
+            for v in adj.get(u, ()):
+                if v not in exp:
+                    exp[v] = exp[u] + 1
+                    q.append(v)
+        assert got == exp
+
+    def test_no_edges_returns_seeds(self, ray_session):
+        import ray.data as rd
+
+        from geotile.ops.graph import bfs_levels
+
+        e = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64())}))
+        sd = rd.from_arrow(pa.table({"node": pa.array([5, 9], pa.int64())}))
+        got = bfs_levels(e, sd).to_pandas()
+        assert sorted(got["node"]) == [5, 9] and (got["level"] == 0).all()

@@ -57,6 +57,9 @@ CHECKED = [
     "bloom_semi_join_lineitem",
     "token_shards_docs",
     "rfm_segments",
+    "triangle_dups",
+    "bfs_dups",
+    "linreg_hour_value",
 ]
 
 

@@ -354,3 +354,35 @@ class TestBloomSemiJoin:
         kds = rd.from_arrow(pa.table({"key": pa.array([-5, 9], pa.int64())}))
         out = bloom_semi_join(fact, kds, "k", "key", n_keys=2).to_pandas()
         assert sorted(out["v"]) == [1, 2, 5]
+
+
+class TestSemiJoin:
+    def test_both_paths_match_pandas(self, ray_session):
+        import ray.data as rd
+
+        from geotile.ops.relational import semi_join
+
+        rng = np.random.default_rng(3)
+        fk = rng.integers(0, 500, 4000)
+        fact = rd.from_arrow(pa.table({"k": pa.array(fk, pa.int64()),
+                                       "v": pa.array(np.arange(4000))})).repartition(5)
+        keys = np.unique(rng.integers(0, 500, 120))
+        # duplicate keys across batches must not duplicate fact rows
+        kds = rd.from_arrow(pa.table({"key": pa.array(
+            np.concatenate([keys, keys]), pa.int64())})).repartition(3)
+        exp = pd.DataFrame({"k": fk, "v": np.arange(4000)})
+        exp = exp[np.isin(fk, keys)].sort_values(["k", "v"]).reset_index(drop=True)
+        for cap in (1 << 20, 1):  # broadcast path, then bucketed path
+            got = semi_join(fact, kds, "k", "key", max_broadcast_keys=cap
+                            ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got[["k", "v"]], exp)
+
+    def test_empty_keys(self, ray_session):
+        import ray.data as rd
+
+        from geotile.ops.relational import semi_join
+
+        fact = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+        kds = rd.from_arrow(pa.table({"key": pa.array([], pa.int64())}))
+        out = semi_join(fact, kds, "k", "key")
+        assert out.count() == 0 and out.schema().names == ["k"]
