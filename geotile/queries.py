@@ -4569,6 +4569,7 @@ def oracle_sql() -> dict[str, str]:
     out["cm_user_counts"] = _cm_sql(sf01)
     out["hll_grouped_users"] = _hll_grouped_sql(sf01)
     out["phash_neighbor_stats"] = _phash_neighbor_sql(img01)
+    out["image_dup_clusters"] = _image_dup_clusters_sql(img01)
     out["ivf_ann"] = _IVF_ANN_SQL
     return out
 
@@ -5806,4 +5807,180 @@ ORACLE_SQL["linreg_hour_value"] = """
                CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
                     AS VARCHAR) AS slope_den
         FROM s
+    """
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup clustering: pHash Hamming pairs -> connected components
+# ---------------------------------------------------------------------------
+
+def q_image_dup_clusters(sf_dir: str):
+    """Image-corpus deduplication end-to-end: perceptual-hash Hamming
+    pairs at distance <= 1 (dedup.hamming_pairs — exact 2-band
+    pigeonhole, cap=None so the SQL band-join replay matches row for
+    row) fed through distributed connected components, electing the
+    min image index as each cluster's canonical representative — the
+    keep-one-per-cluster step of an image training-set dedup. The
+    bytes column never leaves storage (read prunes to image_id/phash);
+    int ids come from the zero-padded id suffix so the SQL replay
+    parses the same integers."""
+    from geotile.ops.dedup import hamming_pairs
+    from geotile.ops.graph import connected_components
+    from geotile.ops.tiles import read_image_table
+    from geotile.synth import image_index
+
+    ds = read_image_table(_image_dir_for(sf_dir), columns=["image_id", "phash"])
+
+    def to_int_id(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"img": pa.array(image_index(t["image_id"]).astype(np.int64)),
+             "phash": t["phash"]}
+        )
+
+    ids = ds.map_batches(to_int_id, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = hamming_pairs(ids, "img", "phash", max_hamming=1, cap=None)
+    return connected_components(
+        pairs.select_columns(["a", "b"]), "a", "b", n_buckets=8
+    )
+
+
+QUERIES["image_dup_clusters"] = q_image_dup_clusters
+
+
+def _image_dup_clusters_sql(img_dir: str) -> str:
+    """Recursive-CTE replay of pigeonhole Hamming-1 pairs + label
+    propagation to the min-id component representative (same walk CTE
+    as the embedding dup-cluster oracle)."""
+    return f"""
+        WITH RECURSIVE t AS (
+            SELECT CAST(substr(image_id, 5) AS BIGINT) AS img, phash
+            FROM read_parquet('{img_dir}/part-*.parquet')),
+        b AS (SELECT img, phash, u.band,
+                     CASE u.band WHEN 0 THEN phash & 4294967295
+                                 ELSE (phash >> 32) & 4294967295 END AS key
+              FROM t, unnest([0, 1]) AS u(band)),
+        cand AS (SELECT DISTINCT a.img i1, c.img i2, a.phash p1, c.phash p2
+                 FROM b a JOIN b c
+                   ON c.band = a.band AND c.key = a.key AND a.img < c.img),
+        pairs AS (SELECT i1, i2 FROM cand WHERE bit_count(xor(p1, p2)) <= 1),
+        e AS (SELECT i1 AS u, i2 AS v FROM pairs
+              UNION SELECT i2, i1 FROM pairs),
+        walk(u, lbl) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM e)
+            UNION
+            SELECT e.u, w.lbl FROM e JOIN walk w ON w.u = e.v
+        )
+        SELECT u AS node, min(lbl) AS cluster_id FROM walk GROUP BY u
+    """
+
+
+# ---------------------------------------------------------------------------
+# Grid-density spatial clustering (DBSCAN-style) over derived event points
+# ---------------------------------------------------------------------------
+
+_DBSCAN_MINPTS = 5
+
+
+def q_spatial_dbscan_events(sf_dir: str):
+    """Grid-density spatial clustering (the DBSCAN-on-a-grid classic):
+    deterministic non-uniform points derived from event ids (squared
+    uniforms concentrate mass toward the origin, so the density
+    threshold is non-trivial), quantized to a 20x20 cell grid; cells
+    with >= 5 points are dense; dense cells merge into clusters via
+    4-adjacency connected components, singletons keeping their own
+    key as cluster id. Output (cluster_id, n_cells, n_points).
+
+    Scale shape: the ONLY data-scale pass is the per-batch cell-count
+    partial; everything after (dense filter, adjacency semi-join, CC,
+    label lookup) runs at grid-resolution scale, independent of row
+    count — the property that makes grid clustering the 100-TB
+    substitute for point-pair DBSCAN."""
+    from geotile.ops.graph import connected_components
+    from geotile.ops.relational import anti_join, lookup_join, semi_join
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def cell_counts(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = (e * 2654435761 % 4294967296).astype(np.float64) / 4294967296.0
+        w = ((e * 40503 + 7) % 65536).astype(np.float64) / 65536.0
+        ix = np.floor(u * u * 10.0 / 0.5).astype(np.int64)
+        iy = np.floor(w * w * 10.0 / 0.5).astype(np.int64)
+        k = ix * 64 + iy
+        uk, c = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(uk), "n": pa.array(c.astype(np.int64))})
+
+    counts = (
+        ev.map_batches(cell_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k").sum("n")
+    )
+    dense = _rename(counts, ["k", "n"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], _DBSCAN_MINPTS)),
+        batch_format="pyarrow",
+    ).materialize()  # grid-resolution scale (<= 400 rows at any sf)
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        # rightward (ix+1) and upward (iy+1) candidates; iy < 20 << 64
+        # so +1 never carries across the packing boundary
+        return pa.table({
+            "a": pa.array(np.concatenate([k, k])),
+            "b": pa.array(np.concatenate([k + 64, k + 1])),
+        })
+
+    cand = dense.map_batches(adjacency, batch_format="pyarrow")
+    edges = semi_join(cand, dense, "b", "k")  # keep edges whose nb is dense
+    cc = connected_components(edges, "a", "b", n_buckets=4)
+    singles = anti_join(dense.select_columns(["k"]), cc, "k", "node")
+    labels = cc.union(
+        singles.map_batches(
+            lambda t: pa.table({"node": t["k"], "cluster_id": t["k"]}),
+            batch_format="pyarrow",
+        )
+    )
+    labeled = lookup_join(dense, "k", labels, "node", "cluster_id")
+    out = labeled.map_batches(
+        lambda t: pa.table({
+            "cluster_id": t["cluster_id"],
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "n": t["n"],
+        }),
+        batch_format="pyarrow",
+    ).groupby("cluster_id").sum(["one", "n"])
+    return _rename(out, ["cluster_id", "n_cells", "n_points"])
+
+
+QUERIES["spatial_dbscan_events"] = q_spatial_dbscan_events
+ORACLE_SQL["spatial_dbscan_events"] = f"""
+        WITH RECURSIVE pts AS (
+            SELECT CAST(floor(((CAST(event_id * 2654435761 % 4294967296
+                                     AS DOUBLE) / 4294967296.0)
+                               * (CAST(event_id * 2654435761 % 4294967296
+                                       AS DOUBLE) / 4294967296.0))
+                              * 10.0 / 0.5) AS BIGINT) AS ix,
+                   CAST(floor(((CAST((event_id * 40503 + 7) % 65536
+                                     AS DOUBLE) / 65536.0)
+                               * (CAST((event_id * 40503 + 7) % 65536
+                                       AS DOUBLE) / 65536.0))
+                              * 10.0 / 0.5) AS BIGINT) AS iy
+            FROM events),
+        cells AS (SELECT ix * 64 + iy AS k, count(*) AS n
+                  FROM pts GROUP BY 1),
+        dense AS (SELECT k, n FROM cells WHERE n >= {_DBSCAN_MINPTS}),
+        e0 AS (SELECT d.k AS a, nb.k AS b
+               FROM dense d JOIN dense nb
+                 ON nb.k = d.k + 64 OR nb.k = d.k + 1),
+        e AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+        walk(u, lbl) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM e)
+            UNION
+            SELECT e.u, w.lbl FROM e JOIN walk w ON w.u = e.v
+        ),
+        cc AS (SELECT u AS node, min(lbl) AS cluster_id FROM walk GROUP BY u),
+        lab AS (SELECT d.k, d.n,
+                       coalesce(cc.cluster_id, d.k) AS cluster_id
+                FROM dense d LEFT JOIN cc ON cc.node = d.k)
+        SELECT cluster_id, count(*) AS n_cells,
+               CAST(SUM(n) AS BIGINT) AS n_points
+        FROM lab GROUP BY 1
     """

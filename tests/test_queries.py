@@ -60,6 +60,7 @@ CHECKED = [
     "triangle_dups",
     "bfs_dups",
     "linreg_hour_value",
+    "spatial_dbscan_events",
 ]
 
 
