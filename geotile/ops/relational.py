@@ -733,6 +733,70 @@ def grouped_rolling(
     )
 
 
+def grouped_range_rolling(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    val: str,
+    span: int,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Per-key RANGE-frame time window — SQL's
+    ``sum(val) OVER (PARTITION BY key ORDER BY ts
+    RANGE BETWEEN span PRECEDING AND CURRENT ROW)`` — the value-based
+    frame ``grouped_rolling``'s ROWS frame can't express: the window
+    covers every row whose ``ts`` lies in ``[ts_i - span, ts_i]``,
+    INCLUDING peers of the current row at the exact same timestamp
+    (RANGE-frame semantics; ties share one frame).
+
+    ``ts_col`` must be int64 (epoch units matching ``span``); ``val``
+    an exact-integer lattice column so the prefix-sum difference is
+    associative and bit-identical to the SQL replay.
+
+    Shape: one hash co-partition on ``key``, then each bucket group
+    handles all its keys in a single vectorized pass — lexsort by
+    (key, ts), ONE composite-key searchsorted for both frame edges
+    (keys separated by more than the ts range, so no run clamping is
+    needed). Composite contract asserted: n_distinct_keys x (ts_range
+    + span + 1) must fit int64 — beyond it, re-bucket ts to coarser
+    units. Appends int64 ``range_sum`` / ``range_n``."""
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
+        n = len(df)
+        if n == 0:
+            out = df.copy()
+            out["range_sum"] = pd.Series(dtype=np.int64)
+            out["range_n"] = pd.Series(dtype=np.int64)
+            return out
+        keys = df[key].to_numpy(np.int64)
+        ts = df[ts_col].to_numpy(np.int64)
+        order = np.lexsort([ts, keys])
+        df = df.iloc[order].reset_index(drop=True)
+        keys, ts = keys[order], ts[order]
+        t0 = ts.min()
+        # dense-rank keys so the composite stride is the ts range, not
+        # the raw key magnitude
+        uk, kidx = np.unique(keys, return_inverse=True)
+        stride = int(ts.max()) - int(t0) + span + 1
+        assert len(uk) * stride < (1 << 63), \
+            "grouped_range_rolling composite contract: keys x ts-range overflow"
+        comp = kidx * stride + (ts - t0)
+        v = df[val].to_numpy(np.int64)
+        csum = np.concatenate([[0], np.cumsum(v)])
+        lo = np.searchsorted(comp, comp - span, side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        df["range_sum"] = csum[hi] - csum[lo]
+        df["range_n"] = (hi - lo).astype(np.int64)
+        return df
+
+    return (
+        _with_bucket(ds, key, n_buckets)
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+    )
+
+
 def grouped_ntile(
     ds: rd.Dataset,
     key: str,

@@ -5984,3 +5984,127 @@ ORACLE_SQL["spatial_dbscan_events"] = f"""
                CAST(SUM(n) AS BIGINT) AS n_points
         FROM lab GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE windowed aggregate + decorrelated correlated-aggregate subquery
+# ---------------------------------------------------------------------------
+
+def q_range_window_events(sf_dir: str):
+    """RANGE-frame time window (relational.grouped_range_rolling):
+    per-user trailing 1-hour sum + count of value, ordered by ts —
+    the value-based frame the ROWS-frame rolling op can't express
+    (peers at the same timestamp share one frame, exactly SQL's RANGE
+    semantics). Values on the e4 integer lattice so the prefix-sum
+    difference replays bit-exactly."""
+    from geotile.ops.relational import grouped_range_rolling
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(10000.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "tsi": t["ts"].cast(pa.int64()),
+            "v_e4": v,
+        })
+
+    rolled = grouped_range_rolling(
+        ev.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True),
+        key="user_id", ts_col="tsi", val="v_e4", span=HOUR_US,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "range_sum_e4": t["range_sum"].cast(pa.int64()),
+            "range_n": t["range_n"].cast(pa.int64()),
+        })
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["range_window_events"] = q_range_window_events
+ORACLE_SQL["range_window_events"] = """
+        SELECT event_id,
+               SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) OVER w
+                 AS range_sum_e4,
+               COUNT(*) OVER w AS range_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+    """
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Correlated aggregate subquery, decorrelated (the TPC-H Q17
+    family): orders whose price exceeds 1.5x their OWN customer's
+    average order price. Plan = one customer-scale groupby building
+    (sum_cents, n) packed into a single int64 dim value, then a
+    size-guarded lookup_join appends it to every fact row — zero
+    fact-side shuffle — and the filter compares the exact integer
+    rational 2·price·n > 3·sum (no float division anywhere, so the
+    threshold can't flip on summation order)."""
+    from geotile.ops.relational import lookup_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.floor(pc.add(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "cents": c})
+
+    fact = orders.map_batches(cents, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["o_custkey", "cents"]).group_by("o_custkey").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "s": g["cents_sum"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    agg = fact.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_custkey").sum(["s", "n"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        s = t["sum(s)"].to_numpy(zero_copy_only=False)
+        n = t["sum(n)"].to_numpy(zero_copy_only=False)
+        assert (n < (1 << 16)).all() and (s < (1 << 46)).all(), \
+            "above_avg packing contract: n < 2^16, sum_cents < 2^46"
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "packed": pa.array(s * (1 << 16) + n)})
+
+    dim = agg.map_batches(pack, batch_format="pyarrow")
+    joined = lookup_join(fact, "o_custkey", dim, "o_custkey", "packed")
+
+    def keep(t: pa.Table) -> pa.Table:
+        p = t["packed"].to_numpy(zero_copy_only=False)
+        s, n = p >> 16, p & 0xFFFF
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "price_cents": t["cents"]}).filter(
+            pa.array(2 * c * n > 3 * s))
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+QUERIES["above_avg_orders"] = q_above_avg_orders
+ORACLE_SQL["above_avg_orders"] = """
+        WITH f AS (SELECT o_orderkey, o_custkey,
+                          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                            AS cents
+                   FROM orders),
+        c AS (SELECT o_custkey, SUM(cents) AS s, COUNT(*) AS n
+              FROM f GROUP BY 1)
+        SELECT f.o_orderkey, f.o_custkey, f.cents AS price_cents
+        FROM f JOIN c USING (o_custkey)
+        WHERE 2 * f.cents * c.n > 3 * c.s
+    """

@@ -61,6 +61,8 @@ CHECKED = [
     "bfs_dups",
     "linreg_hour_value",
     "spatial_dbscan_events",
+    "range_window_events",
+    "above_avg_orders",
 ]
 
 

@@ -386,3 +386,43 @@ class TestSemiJoin:
         kds = rd.from_arrow(pa.table({"key": pa.array([], pa.int64())}))
         out = semi_join(fact, kds, "k", "key")
         assert out.count() == 0 and out.schema().names == ["k"]
+
+
+class TestGroupedRangeRolling:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from geotile.ops.relational import grouped_range_rolling
+
+        rng = np.random.default_rng(17)
+        n = 800
+        key = rng.integers(0, 12, n)
+        ts = rng.integers(0, 5000, n)  # dup timestamps likely (peers)
+        v = rng.integers(-50, 50, n)
+        eid = np.arange(n)
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array(key, pa.int64()), "tsi": pa.array(ts, pa.int64()),
+            "v": pa.array(v, pa.int64()), "id": pa.array(eid, pa.int64()),
+        })).repartition(5)
+        out = grouped_range_rolling(ds, "k", "tsi", "v", span=300,
+                                    n_buckets=4).to_pandas()
+        got = out.set_index("id")
+        for i in range(n):
+            m = (key == key[i]) & (ts >= ts[i] - 300) & (ts <= ts[i])
+            assert got.loc[i, "range_sum"] == v[m].sum(), i
+            assert got.loc[i, "range_n"] == m.sum(), i
+
+    def test_peers_share_frame(self, ray_session):
+        import ray.data as rd
+
+        from geotile.ops.relational import grouped_range_rolling
+
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "tsi": pa.array([10, 10, 10], pa.int64()),
+            "v": pa.array([1, 2, 4], pa.int64()),
+            "id": pa.array([0, 1, 2], pa.int64()),
+        }))
+        out = grouped_range_rolling(ds, "k", "tsi", "v", span=5,
+                                    n_buckets=2).to_pandas()
+        assert (out["range_sum"] == 7).all() and (out["range_n"] == 3).all()
