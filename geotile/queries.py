@@ -5919,6 +5919,16 @@ def q_spatial_dbscan_events(sf_dir: str):
         batch_format="pyarrow",
     ).materialize()  # grid-resolution scale (<= 400 rows at any sf)
 
+    if dense.count() == 0:
+        # no dense cell at all (degenerate tiny input): Ray drops empty
+        # blocks, so the downstream semi/lookup joins would see a
+        # SCHEMALESS dataset — short-circuit with the typed empty result
+        return ray.data.from_arrow(pa.table({
+            "cluster_id": pa.array([], pa.int64()),
+            "n_cells": pa.array([], pa.int64()),
+            "n_points": pa.array([], pa.int64()),
+        }))
+
     def adjacency(t: pa.Table) -> pa.Table:
         k = t["k"].to_numpy(zero_copy_only=False)
         # rightward (ix+1) and upward (iy+1) candidates; iy < 20 << 64
