@@ -920,3 +920,67 @@ def asof_join(
         return out
 
     return lb.union(rb).groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def grouped_islands(
+    ds: rd.Dataset,
+    key: str,
+    step_col: str,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Gaps-and-islands: per ``key``, over a (possibly duplicated)
+    integer step axis (hour/day index), find the maximal runs of
+    CONSECUTIVE steps and reduce them to one row per key —
+    ``n_islands``, ``longest`` (run length), ``longest_start`` (the
+    smallest start among longest runs), ``n_active`` (distinct steps).
+    The SQL equivalent is the classic ``step - ROW_NUMBER()`` trick
+    plus two grouped layers; here it is one co-partition and one
+    vectorized pass.
+
+    Shape: callers should pre-deduplicate (key, step) per batch (an
+    Arrow group_by) so the shuffle carries distinct pairs, not raw
+    rows; this function hash-co-partitions on ``key`` (the one
+    shuffle), then each bucket group handles ALL its keys in a single
+    vectorized pass — lexsort, cross-batch dedup, run-length via
+    np.diff, per-key reduceat. No per-key Python, no global sort.
+    Partitioning assumption: one key's distinct steps fit one bucket
+    group (steps are calendar-scale, so this holds at any corpus
+    size)."""
+    out_cols = ["n_islands", "longest", "longest_start", "n_active"]
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=np.int64),
+                                 **{c: pd.Series(dtype=np.int64)
+                                    for c in out_cols}})
+        k = df[key].to_numpy(np.int64)
+        s = df[step_col].to_numpy(np.int64)
+        order = np.lexsort([s, k])
+        k, s = k[order], s[order]
+        keep = np.r_[True, (k[1:] != k[:-1]) | (s[1:] != s[:-1])]
+        k, s = k[keep], s[keep]
+        new_isl = np.r_[True, (k[1:] != k[:-1]) | (s[1:] - s[:-1] != 1)]
+        isl_at = np.flatnonzero(new_isl)
+        isl_key, isl_start = k[isl_at], s[isl_at]
+        isl_len = np.diff(np.r_[isl_at, len(k)])
+        kstart = np.flatnonzero(np.r_[True, isl_key[1:] != isl_key[:-1]])
+        n_islands = np.diff(np.r_[kstart, len(isl_key)])
+        longest = np.maximum.reduceat(isl_len, kstart)
+        n_active = np.add.reduceat(isl_len, kstart)
+        # smallest start among the longest islands of each key: mask
+        # non-candidates to +inf index, take the per-key min position
+        # (islands within a key are start-ascending after the lexsort)
+        cand = isl_len == np.repeat(longest, n_islands)
+        pos = np.where(cand, np.arange(len(isl_key)), len(isl_key))
+        longest_start = isl_start[np.minimum.reduceat(pos, kstart)]
+        return pd.DataFrame({key: isl_key[kstart],
+                             "n_islands": n_islands.astype(np.int64),
+                             "longest": longest.astype(np.int64),
+                             "longest_start": longest_start,
+                             "n_active": n_active.astype(np.int64)})
+
+    return (
+        _with_bucket(ds, key, n_buckets)
+        .groupby("bucket")
+        .map_groups(islands, batch_format="pandas")
+    )

@@ -6118,3 +6118,93 @@ ORACLE_SQL["above_avg_orders"] = """
         FROM f JOIN c USING (o_custkey)
         WHERE 2 * f.cents * c.n > 3 * c.s
     """
+
+
+def q_streaks_users(sf_dir: str):
+    """Gaps-and-islands (the SQL `step - ROW_NUMBER()` classic): per
+    user, maximal runs of CONSECUTIVE active hours — longest streak,
+    its start, island count, distinct active hours. Plan = per-batch
+    (user, hour) Arrow dedup partial (the shuffle carries distinct
+    pairs, never raw events), then ops/relational.grouped_islands: one
+    hash co-partition on user_id and a single vectorized pass per
+    bucket group (lexsort + run-length via np.diff + per-key
+    reduceat). Reference parity: the dedup-then-order family of
+    gtfs-to-geojson's stop-sequence handling (SURVEY O1/D2), lifted to
+    the time axis."""
+    from geotile.ops.relational import grouped_islands
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        h = pc.divide(t["ts"].cast(pa.int64()),
+                      pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "h": h}).group_by(
+            ["user_id", "h"]).aggregate([])
+
+    pairs = ev.map_batches(hours, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return grouped_islands(pairs, "user_id", "h")
+
+
+QUERIES["streaks_users"] = q_streaks_users
+ORACLE_SQL["streaks_users"] = """
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 3600000000 AS h FROM events),
+        r AS (SELECT user_id, h,
+                     h - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h)
+                       AS grp
+              FROM d),
+        i AS (SELECT user_id, min(h) AS start, count(*) AS len
+              FROM r GROUP BY user_id, grp),
+        i2 AS (SELECT *, max(len) OVER (PARTITION BY user_id) AS mx FROM i)
+        SELECT user_id, count(*) AS n_islands,
+               CAST(max(len) AS BIGINT) AS longest,
+               min(start) FILTER (WHERE len = mx) AS longest_start,
+               CAST(sum(len) AS BIGINT) AS n_active
+        FROM i2 GROUP BY user_id
+    """
+
+
+def q_novelty_daily(sf_dir: str):
+    """First-seen novelty curve: how many NEW (user, event_type) pairs
+    appear each day — the discovery-rate statistic of a growing corpus
+    (same shape as "new URLs/day" in a crawl). Plan = pack the pair
+    into ONE int64 key (user_id * 8 + type index over the closed
+    5-type vocabulary — asserted), per-batch min-ts partial, a
+    pair-cardinality groupby min, then a day-scale count. The fact
+    table is never shuffled; the one exchange carries distinct pairs
+    only (multi-key-groupby law: packed single-int key)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    types = pa.array(["click", "error", "purchase", "signup", "view"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["event_type"], value_set=types)
+        assert idx.null_count == 0, "novelty packing: unseen event_type"
+        k = pc.add(pc.multiply(t["user_id"], pa.scalar(8, pa.int64())),
+                   idx.cast(pa.int64()))
+        us = t["ts"].cast(pa.int64())
+        g = pa.table({"k": k, "us": us}).group_by("k").aggregate(
+            [("us", "min")])
+        return g.rename_columns(["k", "us"])
+
+    firsts = ev.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).groupby("k").min("us")
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["min(us)"], pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"day": day}).group_by("day").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["day", "n_new"])
+
+    out = (firsts.map_batches(to_day, batch_format="pyarrow")
+           .groupby("day").sum("n_new"))
+    return _rename(out, ["day", "n_new"])
+
+
+QUERIES["novelty_daily"] = q_novelty_daily
+ORACLE_SQL["novelty_daily"] = """
+        WITH f AS (SELECT user_id, event_type, min(epoch_us(ts)) AS us
+                   FROM events GROUP BY 1, 2)
+        SELECT us // 86400000000 AS day, count(*) AS n_new
+        FROM f GROUP BY 1
+    """

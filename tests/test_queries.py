@@ -63,6 +63,8 @@ CHECKED = [
     "spatial_dbscan_events",
     "range_window_events",
     "above_avg_orders",
+    "streaks_users",
+    "novelty_daily",
 ]
 
 
