@@ -984,3 +984,73 @@ def grouped_islands(
         .groupby("bucket")
         .map_groups(islands, batch_format="pandas")
     )
+
+
+def snapshot_diff(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    key: str,
+    val: str,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Change-data-capture diff of two table snapshots on an int64
+    ``key`` with one exact-integer ``val`` column each: emits one row
+    per changed key — ``change`` in {'added','removed','changed'} with
+    both sides' values (missing side = -1 sentinel, so the output
+    stays non-nullable int64 for the driver hash). Unchanged keys are
+    dropped inside the bucket task, so the diff's output is
+    change-cardinality, not snapshot-cardinality.
+
+    Shape: one hash co-partition per side (the only shuffles), then
+    each bucket group classifies its keys in a single vectorized pass —
+    a sorted composite scan, no pandas merge. Partitioning assumption:
+    keys are unique within each snapshot (asserted)."""
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": t[key].cast(pa.int64()),
+                "v": t[val].cast(pa.int64()),
+                "side": pa.array(np.full(len(t), side, np.int8)),
+                "bucket": t["bucket"],
+            })
+
+        return fn
+
+    ab = _with_bucket(a, key, n_buckets).map_batches(
+        tag(0), batch_format="pyarrow")
+    bb = _with_bucket(b, key, n_buckets).map_batches(
+        tag(1), batch_format="pyarrow")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        s = df["side"].to_numpy(np.int8)
+        order = np.lexsort([s, k])
+        k, v, s = k[order], v[order], s[order]
+        new = np.r_[True, k[1:] != k[:-1]]
+        start = np.flatnonzero(new)
+        cnt = np.diff(np.r_[start, len(k)])
+        side_sum = (np.add.reduceat(s.astype(np.int64), start)
+                    if len(start) else np.zeros(0, np.int64))
+        both = cnt == 2
+        # a duplicated key inside one snapshot shows up as cnt>2 or a
+        # cnt==2 pair whose sides don't sum to exactly 0+1
+        assert cnt.max(initial=0) <= 2 and (side_sum[both] == 1).all(), \
+            "snapshot_diff contract: unique keys per side"
+        only = ~both
+        a_side = s[start] == 0  # for singletons: which side it came from
+        a_val = np.where(both | (only & a_side), v[start], -1)
+        b_idx = np.minimum(start + cnt - 1, len(k) - 1)
+        b_val = np.where(both | (only & ~a_side), v[b_idx], -1)
+        changed = both & (a_val != b_val)
+        keep = only | changed
+        change = np.where(changed[keep], "changed",
+                          np.where(a_side[keep], "removed", "added"))
+        return pd.DataFrame({key: k[start][keep],
+                             "change": change,
+                             "a_val": a_val[keep],
+                             "b_val": b_val[keep]})
+
+    return ab.union(bb).groupby("bucket").map_groups(
+        classify, batch_format="pandas")

@@ -6208,3 +6208,119 @@ ORACLE_SQL["novelty_daily"] = """
         SELECT us // 86400000000 AS day, count(*) AS n_new
         FROM f GROUP BY 1
     """
+
+
+def q_snapshot_diff_orders(sf_dir: str):
+    """Change-data-capture: diff two snapshots of the orders table —
+    snapshot A drops every 97th key ("deleted later"), snapshot B drops
+    every 89th key ("not yet created") and bumps every 7th key's price
+    by 500 cents ("updated") — emitting added/removed/changed rows
+    only. Plan = ops/relational.snapshot_diff: one co-partition per
+    side, a single vectorized sorted-composite classify per bucket
+    (no pandas merge), output at change-cardinality with -1 sentinels
+    keeping the value columns non-nullable."""
+    from geotile.ops.relational import snapshot_diff
+
+    def snap(which: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            cents = pc.floor(pc.add(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0)),
+                pa.scalar(0.5))).cast(pa.int64()).to_numpy(
+                    zero_copy_only=False)
+            if which == "a":
+                keep = k % 97 != 0
+                return pa.table({"o_orderkey": k[keep], "cents": cents[keep]})
+            keep = k % 89 != 0
+            bump = np.where(k % 7 == 0, 500, 0)
+            return pa.table({"o_orderkey": k[keep],
+                             "cents": (cents + bump)[keep]})
+
+        return fn
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    a = orders.map_batches(snap("a"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    b = orders.map_batches(snap("b"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = snapshot_diff(a, b, "o_orderkey", "cents")
+    return _rename(out, ["o_orderkey", "change", "a_cents", "b_cents"])
+
+
+QUERIES["snapshot_diff_orders"] = q_snapshot_diff_orders
+ORACLE_SQL["snapshot_diff_orders"] = """
+        WITH f AS (SELECT o_orderkey,
+                          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                            AS cents
+                   FROM orders),
+        a AS (SELECT o_orderkey, cents FROM f WHERE o_orderkey % 97 <> 0),
+        b AS (SELECT o_orderkey,
+                     cents + CASE WHEN o_orderkey % 7 = 0
+                                  THEN 500 ELSE 0 END AS cents
+              FROM f WHERE o_orderkey % 89 <> 0)
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change,
+               COALESCE(a.cents, -1) AS a_cents,
+               COALESCE(b.cents, -1) AS b_cents
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           OR a.cents <> b.cents
+    """
+
+
+def q_profile_orders(sf_dir: str):
+    """Data-quality profile of the orders table: per-column null
+    count, EXACT distinct count, min/max — the pre-training ingest
+    audit. Plan = ops/profile.profile_dataset: a column-cardinality
+    bounds pass (one row per column per batch) + a distinct pass whose
+    per-batch Arrow dedup bounds the one shuffle by distinct values;
+    floats profile on the cents lattice, timestamps as epoch-µs, so
+    every cell is exact against the SQL replay."""
+    from geotile.ops.profile import profile_dataset
+
+    ds = _read(sf_dir, "orders")
+    return profile_dataset(ds, {
+        "o_orderkey": "int",
+        "o_custkey": "int",
+        "o_orderstatus": "str",
+        "o_totalprice": "cents",
+        "o_orderdate": "ts_us",
+        "o_orderpriority": "str",
+    })
+
+
+QUERIES["profile_orders"] = q_profile_orders
+ORACLE_SQL["profile_orders"] = """
+        WITH f AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                            AS cents,
+                          epoch_us(o_orderdate) AS us, o_orderpriority
+                   FROM orders)
+        SELECT 'o_custkey' AS col,
+               count(*) - count(o_custkey) AS nulls,
+               count(DISTINCT o_custkey) AS n_distinct,
+               CAST(min(o_custkey) AS VARCHAR) AS min_v,
+               CAST(max(o_custkey) AS VARCHAR) AS max_v FROM f
+        UNION ALL
+        SELECT 'o_orderdate', count(*) - count(us), count(DISTINCT us),
+               CAST(min(us) AS VARCHAR), CAST(max(us) AS VARCHAR) FROM f
+        UNION ALL
+        SELECT 'o_orderkey', count(*) - count(o_orderkey),
+               count(DISTINCT o_orderkey),
+               CAST(min(o_orderkey) AS VARCHAR),
+               CAST(max(o_orderkey) AS VARCHAR) FROM f
+        UNION ALL
+        SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority) FROM f
+        UNION ALL
+        SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus) FROM f
+        UNION ALL
+        SELECT 'o_totalprice', count(*) - count(cents),
+               count(DISTINCT cents),
+               CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR) FROM f
+    """

@@ -65,6 +65,8 @@ CHECKED = [
     "above_avg_orders",
     "streaks_users",
     "novelty_daily",
+    "snapshot_diff_orders",
+    "profile_orders",
 ]
 
 
