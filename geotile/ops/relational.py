@@ -1054,3 +1054,65 @@ def snapshot_diff(
 
     return ab.union(bb).groupby("bucket").map_groups(
         classify, batch_format="pandas")
+
+
+def global_row_number(
+    ds: rd.Dataset,
+    val: str,
+    tie: str,
+    shift: int = 8,
+) -> rd.Dataset:
+    """0-based global row index under ``ORDER BY (val, tie)`` — the
+    distributed ROW_NUMBER primitive — WITHOUT Ray's all-to-all sort:
+    (1) one bucket-cardinality count partial on the ORDER-ALIGNED
+    coarse bucket ``val >> shift`` + a driver exclusive scan over the
+    sorted bucket counts (bucket count is value-range/2^shift — a
+    100-TB run adds one more scan level, same shape); (2) one bucket
+    co-partition pass where each group lexsorts its OWN rows and adds
+    its broadcast base offset. Appends int64 ``idx``.
+
+    Contract: ``val`` non-negative int64; (val, tie) unique. Skew:
+    bucket granularity is 2^shift on the value axis — lower ``shift``
+    when the value distribution is heavy-tailed so no single bucket
+    swallows the table."""
+    import ray
+
+    from geotile.ops.join import _get_broadcast
+
+    def bpart(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.shift_right(t[val].cast(pa.int64()), pa.scalar(shift))
+        g = pa.table({"b": b}).group_by("b").aggregate([([], "count_all")])
+        return g.rename_columns(["b", "n"])
+
+    sums = (ds.map_batches(bpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("b").sum("n").take_all())  # bucket-scale
+    sums.sort(key=lambda r: r["b"])
+    base, acc = {}, 0
+    for r in sums:
+        base[r["b"]] = acc
+        acc += r["sum(n)"]
+    base_ref = ray.put(base)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.shift_right(t[val].cast(pa.int64()),
+                                     pa.scalar(shift)))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        offs = _get_broadcast(base_ref)
+        v = df[val].to_numpy(np.int64)
+        t = df[tie].to_numpy(np.int64)
+        order = np.lexsort([t, v])
+        df = df.iloc[order].drop(columns=["bucket"]).reset_index(drop=True)
+        df["idx"] = offs[int(v[order[0]]) >> shift] + np.arange(
+            len(df), dtype=np.int64)
+        return df
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").map_groups(rank, batch_format="pandas"))

@@ -6324,3 +6324,119 @@ ORACLE_SQL["profile_orders"] = """
                count(DISTINCT cents),
                CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR) FROM f
     """
+
+
+def q_linear_scores_embeddings(sf_dir: str):
+    """Batched model inference + top-k: score every embedding with a
+    broadcast linear model (deterministic int weights w_j =
+    ((j+1)·2654435761) mod 2001 − 1000) and keep the global top-20 —
+    the relevance-scoring / reranking stage of a retrieval pipeline.
+    Per batch the list column flattens zero-copy to an (n × d) matrix
+    and ONE float64 BLAS matvec scores all rows on the trunc(v·10⁴)
+    lattice (exact: |score| ≤ 64·10⁴·10³ ≪ 2^53); each batch emits
+    only its top-20 partial, so the final reduce sees k·num_blocks
+    rows, never the corpus."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    K = 20
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        vals = col.values.to_numpy(zero_copy_only=False)
+        d = len(vals) // n
+        j = np.arange(d, dtype=np.int64)
+        w = ((j + 1) * 2654435761) % 2001 - 1000
+        q = np.trunc(vals.reshape(n, d).astype(np.float64) * 10000.0)
+        s = (q @ w.astype(np.float64)).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        # partial top-K by (score desc, vec_id asc)
+        order = np.lexsort([ids, -s])[:K]
+        return pa.table({"vec_id": pa.array(ids[order]),
+                         "score": pa.array(s[order])})
+
+    parts = emb.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            batch_size=65536).materialize()
+    df = parts.to_pandas()  # k × num_blocks rows — tiny final reduce
+    df = df.sort_values(["score", "vec_id"], ascending=[False, True],
+                        kind="stable").head(K).reset_index(drop=True)
+    return df
+
+
+QUERIES["linear_scores_embeddings"] = q_linear_scores_embeddings
+ORACLE_SQL["linear_scores_embeddings"] = """
+        WITH e AS (SELECT vec_id,
+                          unnest(range(len(embedding))) AS j,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q
+                   FROM embeddings),
+        s AS (SELECT vec_id,
+                     SUM(q * (((j + 1) * 2654435761) % 2001 - 1000)) AS sc
+              FROM e GROUP BY 1)
+        SELECT vec_id, CAST(sc AS BIGINT) AS score
+        FROM s ORDER BY sc DESC, vec_id LIMIT 20
+    """
+
+
+def q_revenue_deciles(sf_dir: str):
+    """Revenue-concentration report: rank every customer by exact
+    lifetime revenue and aggregate per decile (rank-formula decile
+    ``idx·10 // n``, NOT value quantiles — ties split by custkey).
+    Plan = customer-scale revenue groupby, then
+    ops/relational.global_row_number: a distributed ROW_NUMBER with no
+    all-to-all sort — one bucket-cardinality count partial on the
+    order-aligned coarse bucket (cents >> 16), a driver exclusive scan
+    over bucket counts, one co-partition pass lexsorting each bucket
+    from its broadcast base offset — and a decile-scale final sum."""
+    from geotile.ops.relational import global_row_number
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"o_custkey": t["o_custkey"], "rev": cents}).group_by(
+            "o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_custkey", "rev"])
+
+    rev = (orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("o_custkey").sum("rev"))
+    rev = _rename(rev, ["o_custkey", "rev"]).materialize()  # customer-scale
+    n = rev.count()
+    ranked = global_row_number(rev, "rev", "o_custkey", shift=16)
+
+    def to_decile(t: pa.Table) -> pa.Table:
+        dec = pc.divide(pc.multiply(t["idx"], pa.scalar(10, pa.int64())),
+                        pa.scalar(n, pa.int64()))
+        g = pa.table({"decile": dec, "rev": t["rev"],
+                      }).group_by("decile").aggregate(
+            [("rev", "sum"), ([], "count_all")])
+        return pa.table({"decile": g["decile"],
+                         "revenue": g["rev_sum"],
+                         "n_cust": g["count_all"].cast(pa.int64())})
+
+    out = (ranked.map_batches(to_decile, batch_format="pyarrow")
+           .groupby("decile").sum(["revenue", "n_cust"]))
+    return _rename(out, ["decile", "revenue", "n_cust"])
+
+
+QUERIES["revenue_deciles"] = q_revenue_deciles
+ORACLE_SQL["revenue_deciles"] = """
+        WITH r AS (SELECT o_custkey,
+                          SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS rev
+                   FROM orders GROUP BY 1),
+        k AS (SELECT o_custkey, rev,
+                     ROW_NUMBER() OVER (ORDER BY rev, o_custkey) - 1 AS idx,
+                     COUNT(*) OVER () AS n
+              FROM r)
+        SELECT (idx * 10) // n AS decile,
+               CAST(SUM(rev) AS BIGINT) AS revenue,
+               COUNT(*) AS n_cust
+        FROM k GROUP BY 1
+    """

@@ -67,6 +67,8 @@ CHECKED = [
     "novelty_daily",
     "snapshot_diff_orders",
     "profile_orders",
+    "linear_scores_embeddings",
+    "revenue_deciles",
 ]
 
 
