@@ -6440,3 +6440,34 @@ ORACLE_SQL["revenue_deciles"] = """
                COUNT(*) AS n_cust
         FROM k GROUP BY 1
     """
+
+
+def q_fuzzy_token_pairs_docs(sf_dir: str):
+    """Fuzzy vocabulary dedup (FastSS, Bocek et al. 2007): every
+    distinct token pair within Levenshtein distance 2, with corpus
+    counts — the spelling-variant collapse step of a text-cleaning
+    pipeline. Plan = ops/fuzzy.fuzzy_token_pairs: one corpus-scale
+    token-count groupby, then everything runs at VOCABULARY scale —
+    deletion-neighborhood candidate generation (lev<=d pairs must
+    share a <=d-deletion variant), hash-bucketed all-pairs inside
+    variant runs, pair-string dedup, exact DP verify at candidate
+    scale. The oracle replays with DuckDB's levenshtein over the
+    distinct-token self-join."""
+    from geotile.ops.fuzzy import fuzzy_token_pairs
+
+    return fuzzy_token_pairs(_read(sf_dir, "documents", ["text"]),
+                             max_d=2)
+
+
+QUERIES["fuzzy_token_pairs_docs"] = q_fuzzy_token_pairs_docs
+ORACLE_SQL["fuzzy_token_pairs_docs"] = """
+        WITH v AS (SELECT w AS tok, count(*) AS n
+                   FROM (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents)
+                   GROUP BY 1)
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist,
+               a.n AS n_a, b.n AS n_b
+        FROM v a JOIN v b
+          ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2
+    """

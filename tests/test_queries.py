@@ -69,6 +69,7 @@ CHECKED = [
     "profile_orders",
     "linear_scores_embeddings",
     "revenue_deciles",
+    "fuzzy_token_pairs_docs",
 ]
 
 
