@@ -1116,3 +1116,124 @@ def global_row_number(
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("bucket").map_groups(rank, batch_format="pandas"))
+
+
+def session_intervals(
+    ds: rd.Dataset,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_us: int = 1_800_000_000,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Per-key sessions as INTERVALS (key, a_us, b_us): one hash
+    co-partition on ``key``, then each bucket group handles ALL its
+    keys in a single vectorized pass — lexsort by (key, ts), session
+    starts where the key changes or the gap exceeds ``gap_us``,
+    per-session min/max via reduceat. The interval-algebra front end
+    of :func:`interval_max_concurrency` (sessionize() keeps per-row
+    session ids; this emits one row per session)."""
+
+    def to_iv(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=np.int64),
+                                 "a_us": pd.Series(dtype=np.int64),
+                                 "b_us": pd.Series(dtype=np.int64)})
+        k = df[key].to_numpy(np.int64)
+        t = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort([t, k])
+        k, t = k[order], t[order]
+        new = np.r_[True, (k[1:] != k[:-1]) | (np.diff(t) > gap_us)]
+        start = np.flatnonzero(new)
+        end = np.r_[start[1:], len(t)] - 1
+        return pd.DataFrame({key: k[start], "a_us": t[start],
+                             "b_us": t[end]})
+
+    return (_with_bucket(ds, key, n_buckets)
+            .groupby("bucket").map_groups(to_iv, batch_format="pandas"))
+
+
+def interval_max_concurrency(
+    intervals: rd.Dataset,
+    a_col: str = "a_us",
+    b_col: str = "b_us",
+    t_shift: int = 34,
+) -> pd.DataFrame:
+    """Sweep-line over closed intervals [a, b]: the maximum number
+    simultaneously active, the earliest time it is reached, and the
+    interval count — peak-load / max-concurrency analysis. Returns a
+    one-row pandas frame (max_cc, t_at_max, n_intervals).
+
+    The running sum over boundary deltas is a GLOBAL prefix sum on the
+    time axis, done with the order-aligned coarse-bucket pattern (same
+    shape as token-budget sharding): (1) per-batch per-bucket delta
+    sums (bucket = t >> t_shift — time-range/2^t_shift buckets, a
+    constant for any corpus over a fixed calendar span), driver
+    exclusive scan gives each bucket its base concurrency; (2) one
+    co-partition pass where each bucket groups deltas per timestamp
+    (so equal-time starts/ends need no tie-break), cumsums from its
+    base, and emits ONE candidate row (its max, earliest argmax);
+    (3) a bucket-cardinality final reduce on the driver."""
+    import ray
+
+    from geotile.ops.join import _get_broadcast
+
+    def bounds(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = t[a_col].cast(pa.int64())
+        b = pc.add(t[b_col].cast(pa.int64()), pa.scalar(1, pa.int64()))
+        ts = pa.concat_arrays([a.combine_chunks(), b.combine_chunks()])
+        n = len(a)
+        d = np.r_[np.ones(n, np.int64), -np.ones(n, np.int64)]
+        return pa.table({"t": ts, "d": pa.array(d)})
+
+    deltas = intervals.map_batches(bounds, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+    n_intervals = deltas.count() // 2
+
+    def bpart(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.shift_right(t["t"], pa.scalar(t_shift))
+        g = pa.table({"b": b, "d": t["d"]}).group_by("b").aggregate(
+            [("d", "sum")])
+        return g.rename_columns(["b", "d"])
+
+    sums = (deltas.map_batches(bpart, batch_format="pyarrow")
+            .groupby("b").sum("d").take_all())  # bucket-scale
+    sums.sort(key=lambda r: r["b"])
+    base, acc = {}, 0
+    for r in sums:
+        base[r["b"]] = acc
+        acc += r["sum(d)"]
+    base_ref = ray.put(base)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("bucket",
+                               pc.shift_right(t["t"], pa.scalar(t_shift)))
+
+    def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
+        offs = _get_broadcast(base_ref)
+        t = df["t"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        # aggregate deltas per timestamp: concurrency at time t is the
+        # prefix AFTER all of t's deltas, so ties need no ordering
+        ut, inv = np.unique(t, return_inverse=True)
+        dsum = np.zeros(len(ut), np.int64)
+        np.add.at(dsum, inv, d)
+        cc = offs[int(t[0]) >> t_shift] + np.cumsum(dsum)
+        at = int(np.argmax(cc))
+        return pd.DataFrame({"max_cc": [int(cc[at])],
+                             "t_at_max": [int(ut[at])]})
+
+    cands = (deltas.map_batches(add_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("bucket").map_groups(bucket_max,
+                                           batch_format="pandas")
+             .to_pandas())  # bucket-cardinality
+    mx = int(cands["max_cc"].max())
+    t_at = int(cands.loc[cands["max_cc"] == mx, "t_at_max"].min())
+    return pd.DataFrame({"max_cc": [mx], "t_at_max": [t_at],
+                         "n_intervals": [int(n_intervals)]})

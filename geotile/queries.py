@@ -6471,3 +6471,95 @@ ORACLE_SQL["fuzzy_token_pairs_docs"] = """
         FROM v a JOIN v b
           ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2
     """
+
+
+def q_session_concurrency_events(sf_dir: str):
+    """Peak concurrency sweep-line (interval algebra): sessionize
+    events (30-min gap), then find the maximum number of sessions
+    active at once, the earliest instant it happens, and the session
+    count. Plan = relational.session_intervals (one co-partition,
+    vectorized lexsort/reduceat sessions-to-intervals) feeding
+    relational.interval_max_concurrency — a GLOBAL prefix sum over
+    boundary deltas done with the order-aligned coarse-bucket pattern
+    (per-bucket delta sums, driver exclusive scan, per-bucket cumsum
+    from broadcast bases, bucket-cardinality final reduce). Per-ts
+    delta grouping makes equal-time starts/ends tie-break-free."""
+    from geotile.ops.relational import (interval_max_concurrency,
+                                        session_intervals)
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return interval_max_concurrency(session_intervals(ev))
+
+
+QUERIES["session_concurrency_events"] = q_session_concurrency_events
+ORACLE_SQL["session_concurrency_events"] = """
+        WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                    OR ts - lag(ts) OVER w
+                                       > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS is_new
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s2 AS (SELECT user_id, us,
+                      SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s),
+        iv AS (SELECT user_id, sid, min(us) AS a, max(us) AS b
+               FROM s2 GROUP BY 1, 2),
+        bd AS (SELECT a AS t, 1 AS d FROM iv
+               UNION ALL SELECT b + 1, -1 FROM iv),
+        g AS (SELECT t, SUM(d) AS d FROM bd GROUP BY t),
+        run AS (SELECT t, SUM(d) OVER (ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING) AS cc
+                FROM g),
+        m AS (SELECT max(cc) AS mx FROM run)
+        SELECT CAST(m.mx AS BIGINT) AS max_cc,
+               CAST(min(run.t) AS BIGINT) AS t_at_max,
+               (SELECT count(*) FROM iv) AS n_intervals
+        FROM run JOIN m ON run.cc = m.mx
+        GROUP BY m.mx
+    """
+
+
+def q_sliding_distinct_users(sf_dir: str):
+    """Sliding-window COUNT DISTINCT (3-hour window, 1-hour hop): how
+    many distinct users were active in each trailing 3h window — the
+    distinct-cardinality variant the sliding SUM windows can't
+    express. Plan = explode each event into its 3 covering windows,
+    pack (window, user) into ONE int64 key (user < 2^33 asserted,
+    hour index < 2^30), per-batch Arrow dedup partial so the one
+    shuffle carries distinct pairs, then a window-scale count."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = pc.divide(t["ts"].cast(pa.int64()),
+                      pa.scalar(3_600_000_000, pa.int64()))
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        assert (u < (1 << 33)).all() and u.min(initial=0) >= 0, \
+            "sliding_distinct packing contract: user_id < 2^33"
+        hv = h.to_numpy(zero_copy_only=False)
+        ks = [((hv - k) << 33) | u for k in (0, 1, 2)]
+        g = pa.table({"k": pa.array(np.concatenate(ks))}).group_by(
+            "k").aggregate([])
+        return g
+
+    pairs = ev.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("k").count()
+
+    def to_window(t: pa.Table) -> pa.Table:
+        w = pc.shift_right(t["k"], pa.scalar(33))
+        g = pa.table({"w": w}).group_by("w").aggregate([([], "count_all")])
+        return g.rename_columns(["w", "n_users"])
+
+    out = (pairs.map_batches(to_window, batch_format="pyarrow")
+           .groupby("w").sum("n_users"))
+    return _rename(out, ["w", "n_users"])
+
+
+QUERIES["sliding_distinct_users"] = q_sliding_distinct_users
+ORACLE_SQL["sliding_distinct_users"] = """
+        WITH x AS (SELECT DISTINCT
+                          (epoch_us(ts) // 3600000000) - k AS w, user_id
+                   FROM events CROSS JOIN unnest([0, 1, 2]) AS t(k))
+        SELECT w, count(*) AS n_users FROM x GROUP BY 1
+    """

@@ -70,6 +70,8 @@ CHECKED = [
     "linear_scores_embeddings",
     "revenue_deciles",
     "fuzzy_token_pairs_docs",
+    "session_concurrency_events",
+    "sliding_distinct_users",
 ]
 
 
