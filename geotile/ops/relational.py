@@ -1137,7 +1137,8 @@ def session_intervals(
         if len(df) == 0:
             return pd.DataFrame({key: pd.Series(dtype=np.int64),
                                  "a_us": pd.Series(dtype=np.int64),
-                                 "b_us": pd.Series(dtype=np.int64)})
+                                 "b_us": pd.Series(dtype=np.int64),
+                                 "n_rows": pd.Series(dtype=np.int64)})
         k = df[key].to_numpy(np.int64)
         t = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
         order = np.lexsort([t, k])
@@ -1146,7 +1147,8 @@ def session_intervals(
         start = np.flatnonzero(new)
         end = np.r_[start[1:], len(t)] - 1
         return pd.DataFrame({key: k[start], "a_us": t[start],
-                             "b_us": t[end]})
+                             "b_us": t[end],
+                             "n_rows": (end - start + 1).astype(np.int64)})
 
     return (_with_bucket(ds, key, n_buckets)
             .groupby("bucket").map_groups(to_iv, batch_format="pandas"))
@@ -1237,3 +1239,49 @@ def interval_max_concurrency(
     t_at = int(cands.loc[cands["max_cc"] == mx, "t_at_max"].min())
     return pd.DataFrame({"max_cc": [mx], "t_at_max": [t_at],
                          "n_intervals": [int(n_intervals)]})
+
+
+def upsert_merge(
+    base: rd.Dataset,
+    updates: rd.Dataset,
+    key: str,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """MERGE / last-writer-wins compaction — the lakehouse upsert: rows
+    of ``updates`` REPLACE base rows with the same ``key``; new keys
+    append; untouched base rows pass through. Both inputs must share
+    one schema and hold at most one row per key per side (the CDC
+    "apply" counterpart of :func:`snapshot_diff`).
+
+    Shape: one hash co-partition per side (same single-shuffle budget
+    as bucketed_join), then each bucket group resolves winners in one
+    vectorized pass — lexsort by (key, side), keep the last row per
+    key. No pandas merge, output is base ∪ updates cardinality."""
+    names = list(base.schema().names)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(names + ["bucket"])
+            return t.append_column(
+                "__side", pa.array(np.full(len(t), side, np.int8)))
+
+        return fn
+
+    bb = _with_bucket(base, key, n_buckets).map_batches(
+        tag(0), batch_format="pyarrow")
+    ub = _with_bucket(updates, key, n_buckets).map_batches(
+        tag(1), batch_format="pyarrow")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy(np.int64)
+        s = df["__side"].to_numpy(np.int8)
+        order = np.lexsort([s, k])
+        k_s, s_s = k[order], s[order]
+        new_pair = np.r_[True, (k_s[1:] != k_s[:-1]) | (s_s[1:] != s_s[:-1])]
+        assert new_pair.all(), "upsert_merge contract: one row per key per side"
+        last = np.r_[k_s[1:] != k_s[:-1], True]
+        return df.iloc[order[last]].drop(
+            columns=["bucket", "__side"]).reset_index(drop=True)
+
+    return bb.union(ub).groupby("bucket").map_groups(
+        resolve, batch_format="pandas")

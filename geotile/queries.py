@@ -6563,3 +6563,158 @@ ORACLE_SQL["sliding_distinct_users"] = """
                    FROM events CROSS JOIN unnest([0, 1, 2]) AS t(k))
         SELECT w, count(*) AS n_users FROM x GROUP BY 1
     """
+
+
+def q_running_revenue_orders(sf_dir: str):
+    """Running total (SUM OVER ... ROWS UNBOUNDED PRECEDING): each
+    order's cumulative customer revenue and order sequence number, in
+    (date, key) order. Plan = relational.grouped_rolling with the
+    frame opened to the whole run (one key co-partition, prefix sums
+    clamped to run starts — unbounded is the frame=infinity special
+    case of the ROWS-frame family). Exact-integer cents lattice so the
+    cumulative sum is association-order-proof."""
+    from geotile.ops.relational import grouped_rolling
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "date_us": t["o_orderdate"].cast(pa.int64()),
+                         "cents": cents})
+
+    ds = orders.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = grouped_rolling(ds, "o_custkey", ["date_us", "o_orderkey"],
+                          "cents", frame=1 << 40)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "running_cents": t["roll_sum"],
+                         "seq": t["roll_n"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["running_revenue_orders"] = q_running_revenue_orders
+ORACLE_SQL["running_revenue_orders"] = """
+        SELECT o_orderkey,
+               SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                 OVER w AS running_cents,
+               COUNT(*) OVER w AS seq
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+def q_session_stats_users(sf_dir: str):
+    """Session-length distribution: for each session size (events per
+    session) the number of sessions and their total wall duration —
+    the engagement histogram of a sessionized event stream. Plan =
+    relational.session_intervals (one co-partition, vectorized
+    lexsort/reduceat pass emitting per-session rows with n_rows), then
+    a per-batch Arrow partial and a session-size-scale groupby."""
+    from geotile.ops.relational import session_intervals
+
+    iv = session_intervals(_read(sf_dir, "events", ["user_id", "ts"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        dur = pc.subtract(t["b_us"], t["a_us"])
+        g = pa.table({"n_events": t["n_rows"], "dur": dur}).group_by(
+            "n_events").aggregate([([], "count_all"), ("dur", "sum")])
+        return pa.table({"n_events": g["n_events"],
+                         "n_sessions": g["count_all"].cast(pa.int64()),
+                         "sum_duration_us": g["dur_sum"]})
+
+    out = (iv.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_events").sum(["n_sessions", "sum_duration_us"]))
+    return _rename(out, ["n_events", "n_sessions", "sum_duration_us"])
+
+
+QUERIES["session_stats_users"] = q_session_stats_users
+ORACLE_SQL["session_stats_users"] = """
+        WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                    OR ts - lag(ts) OVER w
+                                       > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS is_new
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s2 AS (SELECT user_id, us,
+                      SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s),
+        iv AS (SELECT user_id, sid, min(us) AS a, max(us) AS b,
+                      count(*) AS n_ev
+               FROM s2 GROUP BY 1, 2)
+        SELECT CAST(n_ev AS BIGINT) AS n_events,
+               count(*) AS n_sessions,
+               CAST(SUM(b - a) AS BIGINT) AS sum_duration_us
+        FROM iv GROUP BY 1
+    """
+
+
+def q_upsert_orders(sf_dir: str):
+    """Lakehouse MERGE / upsert compaction: apply an update batch to
+    the orders snapshot — every 10th key's row is REPLACED (status 'U',
+    price +1111 cents), every 500th key also INSERTS a new row under
+    key+10^9 — untouched rows pass through. Plan =
+    relational.upsert_merge: one co-partition per side, winners
+    resolved in one vectorized lexsort keep-last pass (no pandas
+    merge), with a one-row-per-key-per-side contract assert."""
+    from geotile.ops.relational import upsert_merge
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderstatus": t["o_orderstatus"],
+                         "cents": cents})
+
+    base = orders.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def updates(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        rep = k % 10 == 0
+        ins = k % 500 == 0
+        return pa.table({
+            "o_orderkey": np.r_[k[rep], k[ins] + 1_000_000_000],
+            "o_orderstatus": pa.array(
+                ["U"] * int(rep.sum()) + ["N"] * int(ins.sum())),
+            "cents": np.r_[c[rep] + 1111, c[ins]],
+        })
+
+    upd = base.map_batches(updates, batch_format="pyarrow")
+    return upsert_merge(base, upd, "o_orderkey")
+
+
+QUERIES["upsert_orders"] = q_upsert_orders
+ORACLE_SQL["upsert_orders"] = """
+        WITH base AS (SELECT o_orderkey, o_orderstatus,
+                             CAST(floor(o_totalprice * 100.0 + 0.5)
+                                  AS BIGINT) AS cents
+                      FROM orders),
+        upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                       cents + 1111 AS cents
+                FROM base WHERE o_orderkey % 10 = 0
+                UNION ALL
+                SELECT o_orderkey + 1000000000, 'N', cents
+                FROM base WHERE o_orderkey % 500 = 0)
+        SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """

@@ -72,6 +72,9 @@ CHECKED = [
     "fuzzy_token_pairs_docs",
     "session_concurrency_events",
     "sliding_distinct_users",
+    "running_revenue_orders",
+    "session_stats_users",
+    "upsert_orders",
 ]
 
 

@@ -208,10 +208,10 @@ class TestIntervalSweep:
         for k, g in df.groupby("user_id"):
             t = np.sort(g["ts"].to_numpy().astype("datetime64[us]")
                         .astype(np.int64))
-            start = t[0]
+            start = si = 0
             for i in range(1, len(t)):
                 if t[i] - t[i - 1] > 10_000:
-                    exp.append((k, start, t[i - 1]))
-                    start = t[i]
-            exp.append((k, start, t[-1]))
+                    exp.append((k, t[si], t[i - 1], i - si))
+                    si = i
+            exp.append((k, t[si], t[-1], len(t) - si))
         assert sorted(map(tuple, got.to_numpy())) == sorted(exp)
