@@ -6718,3 +6718,67 @@ ORACLE_SQL["upsert_orders"] = """
         SELECT * FROM base
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
     """
+
+
+def q_label_centroids(sf_dir: str):
+    """Grouped vector aggregate (class centroids): per (label, dim)
+    the exact count and lattice coordinate sum — the supervised
+    counterpart of the covariance moments, and the input to LDA /
+    nearest-centroid classifiers. Per batch the list column flattens
+    zero-copy to an (n × d) matrix; rows group by label with ONE
+    argsort + reduceat (no per-label Python); partials pack
+    (label, dim) into a single int64 key so the pair-cardinality
+    groupby stays on the cheap path. The float centroid itself
+    (s_q/n) is a scalar epilogue left out of the compared columns."""
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s_q": pa.array([], pa.int64())})
+        vals = col.values.to_numpy(zero_copy_only=False)
+        d = len(vals) // n
+        q = np.trunc(vals.reshape(n, d).astype(np.float64) * 10000.0)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        q, lab = q[order], lab[order]
+        start = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        cnt = np.diff(np.r_[start, n])
+        sums = np.add.reduceat(q, start, axis=0)  # (labels, d)
+        ul = lab[start]
+        key = (np.repeat(ul, d) * 4096 +
+               np.tile(np.arange(d, dtype=np.int64), len(ul)))
+        return pa.table({
+            "key": pa.array(key),
+            "n": pa.array(np.repeat(cnt, d).astype(np.int64)),
+            "s_q": pa.array(sums.reshape(-1).astype(np.int64)),
+        })
+
+    agg = (emb.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=65536)
+           .groupby("key").sum(["n", "s_q"]))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table({"label": pa.array(k // 4096),
+                         "dim": pa.array(k % 4096),
+                         "n": t["sum(n)"],
+                         "s_q": t["sum(s_q)"]})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+QUERIES["label_centroids"] = q_label_centroids
+ORACLE_SQL["label_centroids"] = """
+        WITH e AS (SELECT label,
+                          unnest(range(len(embedding))) AS dim,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q
+                   FROM embeddings)
+        SELECT CAST(label AS BIGINT) AS label, dim,
+               count(*) AS n, CAST(SUM(q) AS BIGINT) AS s_q
+        FROM e GROUP BY 1, 2
+    """

@@ -75,6 +75,7 @@ CHECKED = [
     "running_revenue_orders",
     "session_stats_users",
     "upsert_orders",
+    "label_centroids",
 ]
 
 
