@@ -6782,3 +6782,103 @@ ORACLE_SQL["label_centroids"] = """
                count(*) AS n, CAST(SUM(q) AS BIGINT) AS s_q
         FROM e GROUP BY 1, 2
     """
+
+
+def q_dense_rank_orders(sf_dir: str):
+    """Per-key DENSE_RANK window (rank of each order inside its
+    customer by price, ties share a rank with no gaps) — the in-group
+    ranking member of the window family (alongside lag, rolling,
+    range, ntile, percent_rank). One hash co-partition on custkey,
+    then each bucket group ranks ALL its keys in a single vectorized
+    pass: lexsort by (key, cents desc), distinct-value cumsum reset at
+    run starts. No global sort, no per-key Python."""
+    from geotile.ops.relational import _with_bucket
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"], "cents": cents})
+
+    ds = orders.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_custkey"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        order = np.lexsort([-c, k])
+        df = df.iloc[order].drop(columns=["bucket"]).reset_index(drop=True)
+        k, c = k[order], c[order]
+        new_run = np.r_[True, k[1:] != k[:-1]]
+        new_val = np.r_[True, new_run[1:] | (c[1:] != c[:-1])]
+        d = np.cumsum(new_val)
+        run_start_d = d[np.flatnonzero(new_run)[np.cumsum(new_run) - 1]]
+        df["drank"] = (d - run_start_d + 1).astype(np.int64)
+        return df
+
+    out = (_with_bucket(ds, "o_custkey", 32)
+           .groupby("bucket").map_groups(rank, batch_format="pandas"))
+    return out.select_columns(["o_orderkey", "drank"])
+
+
+QUERIES["dense_rank_orders"] = q_dense_rank_orders
+ORACLE_SQL["dense_rank_orders"] = """
+        SELECT o_orderkey,
+               DENSE_RANK() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT) DESC) AS drank
+        FROM orders
+    """
+
+
+def q_double_charge_orders(sf_dir: str):
+    """Duplicate-transaction detection (GROUP BY ... HAVING n >= 2):
+    customers with 2+ orders in the same $1000 price band — the
+    anomaly-screening scan of a payments pipeline. Pack
+    (custkey, band) into ONE int64 key (band < 2^27 over the $1000
+    lattice, custkey < 2^36 asserted), per-batch count partials, one
+    pair-cardinality groupby, filter n >= 2 inside the epilogue
+    batch (HAVING never materializes the passing groups driver-side)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        band = cents // 100_000
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        assert (cust < (1 << 36)).all() and (band < (1 << 27)).all(), \
+            "double_charge packing contract"
+        k = cust * (1 << 27) + band
+        g = pa.table({"k": pa.array(k)}).group_by("k").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["k", "n"])
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("k").sum("n"))
+
+    def having(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["sum(n)"], pa.scalar(2)))
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": pa.array(k >> 27),
+                         "band": pa.array(k & ((1 << 27) - 1)),
+                         "n": t["sum(n)"].cast(pa.int64())})
+
+    return agg.map_batches(having, batch_format="pyarrow")
+
+
+QUERIES["double_charge_orders"] = q_double_charge_orders
+ORACLE_SQL["double_charge_orders"] = """
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                 // 100000 AS band,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2 HAVING count(*) >= 2
+    """

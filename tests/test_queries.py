@@ -76,6 +76,8 @@ CHECKED = [
     "session_stats_users",
     "upsert_orders",
     "label_centroids",
+    "dense_rank_orders",
+    "double_charge_orders",
 ]
 
 
