@@ -6882,3 +6882,114 @@ ORACLE_SQL["double_charge_orders"] = """
                count(*) AS n
         FROM orders GROUP BY 1, 2 HAVING count(*) >= 2
     """
+
+
+def q_centroid_confusion(sf_dir: str):
+    """Two-phase ML scoring: learn nearest-centroid class prototypes
+    from the data (pass 1 = the label_centroids aggregate), broadcast
+    the tiny model, classify every vector, and emit the confusion
+    matrix (true label × predicted, counts) — train-then-score inside
+    one engine, the evaluation loop of an embedding-quality pipeline.
+    All arithmetic is exact integer: centroids are floor(Σq·10³/n+½)
+    on the 10⁷ lattice (IEEE double division, bit-identical in numpy
+    and DuckDB below the asserted 2^53 bound), distances are int64
+    ‖q·10³‖² − 2q·10³·μ + ‖μ‖² via one integer matmul per batch, ties
+    break to the smaller label. The model is vec-count-independent
+    (classes × dims), so phase 2 is a pure broadcast map — no
+    shuffle touches the corpus."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def _mat(t: pa.Table):
+        col = t["embedding"].combine_chunks()
+        n = len(col)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        d = len(vals) // n if n else 0
+        q = np.trunc(vals.reshape(n, d).astype(np.float64) * 10000.0)
+        return q, d
+
+    def moments(t: pa.Table) -> pa.Table:
+        q, d = _mat(t)
+        if not len(q):
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s_q": pa.array([], pa.int64())})
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        q, lab = q[order], lab[order]
+        start = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        cnt = np.diff(np.r_[start, len(lab)])
+        sums = np.add.reduceat(q, start, axis=0)
+        ul = lab[start]
+        key = (np.repeat(ul, d) * 4096 +
+               np.tile(np.arange(d, dtype=np.int64), len(ul)))
+        return pa.table({"key": pa.array(key),
+                         "n": pa.array(np.repeat(cnt, d).astype(np.int64)),
+                         "s_q": pa.array(sums.reshape(-1).astype(np.int64))})
+
+    agg = (emb.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=65536)
+           .groupby("key").sum(["n", "s_q"]).take_all())  # classes×dims
+    labels = sorted({r["key"] // 4096 for r in agg})
+    lidx = {l: i for i, l in enumerate(labels)}
+    dmax = max(r["key"] % 4096 for r in agg) + 1
+    mu = np.zeros((len(labels), dmax), np.int64)
+    for r in agg:
+        s_q, n = r["sum(s_q)"], r["sum(n)"]
+        assert abs(s_q) * 1000 < (1 << 53), "centroid lattice contract"
+        mu[lidx[r["key"] // 4096], r["key"] % 4096] = int(
+            np.floor(s_q * 1000.0 / n + 0.5))
+    model_ref = ray.put((np.array(labels, np.int64), mu))
+
+    def classify(t: pa.Table) -> pa.Table:
+        labs, mu = _broadcast(model_ref)
+        q, d = _mat(t)
+        if not len(q):
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        qq = q.astype(np.int64) * 1000
+        # ||qq - mu_c||^2 = ||qq||^2 - 2 qq.mu_c + ||mu_c||^2, int64
+        cross = qq @ mu.T                      # (n, classes) exact int64
+        dist = (qq * qq).sum(axis=1, keepdims=True) - 2 * cross \
+            + (mu * mu).sum(axis=1)[None, :]
+        pred = labs[np.argmin(dist, axis=1)]   # ties -> smaller label
+        true = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({"key": pa.array(true * 4096 + pred)}).group_by(
+            "key").aggregate([([], "count_all")])
+        return g.rename_columns(["key", "n"])
+
+    conf = (emb.map_batches(classify, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=65536)
+            .groupby("key").sum("n"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table({"label": pa.array(k // 4096),
+                         "pred": pa.array(k % 4096),
+                         "n": t["sum(n)"].cast(pa.int64())})
+
+    return conf.map_batches(unpack, batch_format="pyarrow")
+
+
+QUERIES["centroid_confusion"] = q_centroid_confusion
+ORACLE_SQL["centroid_confusion"] = """
+        WITH e AS (SELECT vec_id, label,
+                          unnest(range(len(embedding))) AS dim,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q
+                   FROM embeddings),
+        c AS (SELECT label AS c_label, dim,
+                     CAST(floor(SUM(q) * 1000.0 / count(*) + 0.5)
+                          AS BIGINT) AS mu
+              FROM e GROUP BY 1, 2),
+        d AS (SELECT e.vec_id, e.label, c.c_label,
+                     SUM((e.q * 1000 - c.mu) * (e.q * 1000 - c.mu))
+                       AS dist2
+              FROM e JOIN c ON e.dim = c.dim GROUP BY 1, 2, 3),
+        p AS (SELECT vec_id, label, c_label,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dist2, c_label) AS rn
+              FROM d)
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(c_label AS BIGINT) AS pred, count(*) AS n
+        FROM p WHERE rn = 1 GROUP BY 1, 2
+    """

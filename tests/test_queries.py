@@ -78,6 +78,7 @@ CHECKED = [
     "label_centroids",
     "dense_rank_orders",
     "double_charge_orders",
+    "centroid_confusion",
 ]
 
 
