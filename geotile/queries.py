@@ -6993,3 +6993,115 @@ ORACLE_SQL["centroid_confusion"] = """
                CAST(c_label AS BIGINT) AS pred, count(*) AS n
         FROM p WHERE rn = 1 GROUP BY 1, 2
     """
+
+
+def q_dominant_dim_embeddings(sf_dir: str):
+    """Per-row ARGMAX over a list column: which dimension dominates
+    each embedding (ties to the smaller dim), counted per dimension —
+    the "dead/hot neuron" activation histogram of a representation
+    check. One np.argmax per batch on the trunc(v·10⁴) lattice (ties
+    resolve to the first index, matching the ROW_NUMBER replay's
+    (q DESC, dim) order), then a dim-cardinality count shuffle."""
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vals = col.values.to_numpy(zero_copy_only=False)
+        d = len(vals) // n
+        q = np.trunc(vals.reshape(n, d).astype(np.float64) * 10000.0)
+        top = np.argmax(q, axis=1)  # first max = smallest dim on ties
+        cnt = np.bincount(top, minlength=d)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"dim": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    out = (emb.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=65536)
+           .groupby("dim").sum("n"))
+    return _rename(out, ["dim", "n"])
+
+
+QUERIES["dominant_dim_embeddings"] = q_dominant_dim_embeddings
+ORACLE_SQL["dominant_dim_embeddings"] = """
+        WITH e AS (SELECT vec_id,
+                          unnest(range(len(embedding))) AS dim,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q
+                   FROM embeddings),
+        p AS (SELECT vec_id, dim,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY q DESC, dim) AS rn
+              FROM e)
+        SELECT dim, count(*) AS n FROM p WHERE rn = 1 GROUP BY 1
+    """
+
+
+def q_weekly_type_wow(sf_dir: str):
+    """Week-over-week reporting: per (event_type, week) the event
+    count, the previous week's count (LAG, -1 when absent), and the
+    delta — the trend table every metrics pipeline materializes. Plan
+    = packed (type-index, week) count partials (closed 5-type
+    vocabulary asserted), one pair-cardinality groupby, then the LAG
+    runs INSIDE one tiny aggregate-scale task via the co-partitioned
+    grouped_rolling lag path."""
+    from geotile.ops.relational import grouped_rolling
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    types = pa.array(["click", "error", "purchase", "signup", "view"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["event_type"], value_set=types)
+        assert idx.null_count == 0, "weekly_wow: unseen event_type"
+        wk = pc.divide(t["ts"].cast(pa.int64()),
+                       pa.scalar(604_800_000_000, pa.int64()))
+        k = pc.add(pc.multiply(idx.cast(pa.int64()),
+                               pa.scalar(1 << 32, pa.int64())), wk)
+        g = pa.table({"k": k}).group_by("k").aggregate([([], "count_all")])
+        return g.rename_columns(["k", "n"])
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("k").sum("n"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"ti": pa.array(k >> 32),
+                         "week": pa.array(k & 0xFFFFFFFF),
+                         "n": t["sum(n)"].cast(pa.int64())})
+
+    weekly = agg.map_batches(unpack, batch_format="pyarrow")
+    rolled = grouped_rolling(weekly, "ti", ["week"], "n", frame=1,
+                             lag_col="n", lag_default=-1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ti = t["ti"].to_numpy(zero_copy_only=False)
+        names = types.to_pylist()
+        et = pa.array([names[i] for i in ti], pa.string())
+        prev = t["prev_n"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": et, "week": t["week"],
+                         "n": t["n"], "prev_n": t["prev_n"],
+                         "wow": pa.array(np.where(prev >= 0, n - prev, 0))})
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["weekly_type_wow"] = q_weekly_type_wow
+ORACLE_SQL["weekly_type_wow"] = """
+        WITH w AS (SELECT event_type,
+                          epoch_us(ts) // 604800000000 AS week,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT event_type, week, n,
+               COALESCE(LAG(n) OVER (PARTITION BY event_type
+                                     ORDER BY week), -1) AS prev_n,
+               CASE WHEN LAG(n) OVER (PARTITION BY event_type
+                                      ORDER BY week) IS NULL THEN 0
+                    ELSE n - LAG(n) OVER (PARTITION BY event_type
+                                          ORDER BY week) END AS wow
+        FROM w
+    """

@@ -79,6 +79,8 @@ CHECKED = [
     "dense_rank_orders",
     "double_charge_orders",
     "centroid_confusion",
+    "dominant_dim_embeddings",
+    "weekly_type_wow",
 ]
 
 
