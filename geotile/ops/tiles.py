@@ -176,6 +176,57 @@ class ImageHistogramStage:
         )
 
 
+class ImagePatchStage:
+    """Actor-pool stage: ViT-style patch summary — each image reduces
+    to a GRID x GRID grid of EXACT integer patch statistics (sum of all
+    channel values, pixel count) with integer split boundaries
+    (r*h//GRID), so mixed image sizes coexist in one batch. Decoder
+    dispatch is actor state (once per actor); patch reduction is two
+    np.add.reduceat passes per size group — no per-pixel Python. The
+    patch grid is the downstream unit of a patch-embedding (ViT)
+    pipeline; emitting (sum, count) keeps the stage's output exact and
+    mergeable instead of shipping float means."""
+
+    GRID = 4
+
+    def __init__(self):
+        self.decoders = ImageDecodeStage(verify=False).decoders
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.GRID
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        out_id, out_patch, out_sum, out_npx = [], [], [], []
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (wi, hi) in enumerate(zip(ws, hs)):
+            groups.setdefault((wi, hi), []).append(i)
+        for (wi, hi), slots in groups.items():
+            px = np.stack([self.decoders[fmts[i]](payloads[i], wi, hi)
+                           for i in slots])
+            s = px.astype(np.int64).sum(axis=3)          # (n, h, w)
+            rb = (np.arange(g) * hi) // g
+            cb = (np.arange(g) * wi) // g
+            s = np.add.reduceat(s, rb, axis=1)           # (n, g, w)
+            s = np.add.reduceat(s, cb, axis=2)           # (n, g, g)
+            rc = np.diff(np.r_[rb, hi])
+            cc = np.diff(np.r_[cb, wi])
+            npx = (rc[:, None] * cc[None, :]).reshape(-1)
+            k = len(slots)
+            out_id.append(np.repeat(ids[slots], g * g))
+            out_patch.append(np.tile(np.arange(g * g, dtype=np.int64), k))
+            out_sum.append(s.reshape(-1))
+            out_npx.append(np.tile(npx.astype(np.int64), k))
+        return pa.table({
+            "image_id": pa.array(np.concatenate(out_id)),
+            "patch": pa.array(np.concatenate(out_patch)),
+            "sum_px": pa.array(np.concatenate(out_sum)),
+            "n_px": pa.array(np.concatenate(out_npx)),
+        })
+
+
 class ImageEmbedStage:
     """Actor-pool feature-extraction stage: image rows → fixed-dim
     embedding (list<float32>). No vision model ships in this container,

@@ -4547,6 +4547,7 @@ def oracle_sql() -> dict[str, str]:
     img01 = _image_dir_for("/root/testdata/sf0.01")
     out["image_invariants"] = _image_invariants_sql(img01)
     out["image_channel_histogram"] = _image_hist_sql(img01)
+    out["image_patch_sums"] = _image_patch_sql(img01)
     out["image_embeddings"] = _image_embeddings_sql(img01)
     out["image_resize"] = f"""
         SELECT image_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
@@ -5081,6 +5082,70 @@ def _image_hist_sql(img: str) -> str:
     return (
         f"SELECT channel, bin, cnt "
         f"FROM read_parquet('{_image_hist_sidecar(img)}')"
+    )
+
+
+def _image_patch_sidecar(img: str, n: int = 512) -> str:
+    """Generator-replay sidecar for image_patch_sums: rebuild the
+    expected patch sums from synth.pixel_pattern (ground truth the
+    payloads were ENCODED from — independent of the PNG decode path)
+    with a DIFFERENT reduction kernel (2D inclusion-exclusion over
+    prefix sums vs the stage's reduceat). Content-keyed on synth.py."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    import geotile.synth as _sy
+
+    G = 4
+    p = _oracle_cache_dir() / (
+        f"oracle_imgpatch_{Path(img).name}_{n}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["image_id", "w", "h"])
+        order = pc.sort_indices(t["image_id"])[:n]
+        ids = t["image_id"].take(order).to_numpy(zero_copy_only=False)
+        ws = t["w"].take(order).to_numpy(zero_copy_only=False)
+        hs = t["h"].take(order).to_numpy(zero_copy_only=False)
+        idx = _sy.image_index(t["image_id"].take(order)).astype(np.uint64)
+        rows_id, rows_patch, rows_sum, rows_npx = [], [], [], []
+        for wi, hi in set(zip(ws.tolist(), hs.tolist())):
+            m = (ws == wi) & (hs == hi)
+            px = _sy.pixel_pattern(idx[m], wi, hi)  # (k, h, w, 3) uint8
+            g2 = px.astype(np.int64).sum(axis=3)
+            # 2D prefix sums with a zero border, then inclusion-exclusion
+            P = np.zeros((g2.shape[0], hi + 1, wi + 1), np.int64)
+            P[:, 1:, 1:] = g2.cumsum(axis=1).cumsum(axis=2)
+            rb = np.r_[(np.arange(G) * hi) // G, hi]
+            cb = np.r_[(np.arange(G) * wi) // G, wi]
+            for r in range(G):
+                for c in range(G):
+                    sm = (P[:, rb[r + 1], cb[c + 1]] - P[:, rb[r], cb[c + 1]]
+                          - P[:, rb[r + 1], cb[c]] + P[:, rb[r], cb[c]])
+                    rows_id.append(ids[m])
+                    rows_patch.append(np.full(int(m.sum()), r * G + c,
+                                              np.int64))
+                    rows_sum.append(sm)
+                    rows_npx.append(np.full(
+                        int(m.sum()),
+                        int((rb[r + 1] - rb[r]) * (cb[c + 1] - cb[c])),
+                        np.int64))
+        out = pa.table({
+            "image_id": pa.array(np.concatenate(rows_id)),
+            "patch": pa.array(np.concatenate(rows_patch)),
+            "sum_px": pa.array(np.concatenate(rows_sum)),
+            "n_px": pa.array(np.concatenate(rows_npx)),
+        })
+        import pyarrow.parquet as pqw
+
+        pqw.write_table(out, p)
+    return str(p)
+
+
+def _image_patch_sql(img: str) -> str:
+    return (
+        f"SELECT image_id, patch, sum_px, n_px "
+        f"FROM read_parquet('{_image_patch_sidecar(img)}')"
     )
 
 
@@ -7105,3 +7170,23 @@ ORACLE_SQL["weekly_type_wow"] = """
                                           ORDER BY week) END AS wow
         FROM w
     """
+
+
+def q_image_patch_sums(sf_dir: str):
+    """ViT patch prep (multimodal): each of the first 512 images
+    reduces to a 4×4 grid of exact integer patch statistics (channel
+    sum + pixel count, integer split boundaries so mixed sizes coexist
+    in one batch). Actor-pool stage (decoder state once per actor),
+    two reduceat passes per size group — no per-pixel Python. Oracle:
+    generator-replay sidecar rebuilt from synth.pixel_pattern with an
+    independent inclusion-exclusion prefix-sum kernel."""
+    from geotile.ops.tiles import ImagePatchStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(512)
+    return ds.map_batches(
+        ImagePatchStage, batch_format="pyarrow", batch_size=256,
+        concurrency=2,
+    )
+
+
+QUERIES["image_patch_sums"] = q_image_patch_sums

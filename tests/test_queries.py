@@ -229,6 +229,33 @@ def test_image_invariant_oracles(ray_session, con):
             assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (name, c)
 
 
+def test_image_patch_sums_oracle(ray_session, con):
+    """Engine decode-path patch sums (reduceat kernel) vs the
+    generator-replay sidecar (pixel_pattern ground truth,
+    inclusion-exclusion prefix-sum kernel) at sf0.001; also sanity:
+    patch pixel counts tile each image exactly."""
+    from geotile.queries import QUERIES, _image_dir_for, _image_patch_sql
+
+    img = _image_dir_for(SF)
+    got = (
+        QUERIES["image_patch_sums"](SF)
+        .to_pandas()
+        .sort_values(["image_id", "patch"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(_image_patch_sql(img))
+        .df()
+        .sort_values(["image_id", "patch"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == 512 * 16
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    per_img = got.groupby("image_id")["n_px"].sum()
+    assert set(per_img.unique()) <= {32 * 32, 40 * 24, 16 * 16}
+
+
 def test_image_channel_histogram_oracle(ray_session, con):
     """Engine decode-path histogram vs the generator-replay sidecar
     (pixel_pattern ground truth, np.unique counting) at sf0.001; also
