@@ -4548,6 +4548,13 @@ def oracle_sql() -> dict[str, str]:
     out["image_invariants"] = _image_invariants_sql(img01)
     out["image_channel_histogram"] = _image_hist_sql(img01)
     out["image_patch_sums"] = _image_patch_sql(img01)
+    out["caption_stop_stats"] = f"""
+        SELECT fmt,
+               CAST(string_split(caption, ' ')[5] AS BIGINT) // 4
+                 AS stop_bucket,
+               count(*) AS n, CAST(SUM(w * h) AS BIGINT) AS sum_px
+        FROM read_parquet('{img01}/part-*.parquet') GROUP BY 1, 2
+    """
     out["image_embeddings"] = _image_embeddings_sql(img01)
     out["image_resize"] = f"""
         SELECT image_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
@@ -7190,3 +7197,50 @@ def q_image_patch_sums(sf_dir: str):
 
 
 QUERIES["image_patch_sums"] = q_image_patch_sums
+
+
+def q_caption_stop_stats(sf_dir: str):
+    """Structured extraction from captions on a METADATA-ONLY scan of
+    the multimodal table: parse the stop id out of each caption
+    ("tile N near stop M"), aggregate image count + pixel mass per
+    (fmt, stop-bucket of 4). The read prunes to (fmt, caption, w, h) — the
+    binary payload column never leaves storage, the core discipline
+    for wide image tables. Packed (fmt-index, bucket) single-int key
+    over the closed {png, raw} fmt set (asserted)."""
+    from geotile.ops.tiles import read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["fmt", "caption", "w", "h"])
+    fmts = pa.array(["png", "raw"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        fi = pc.index_in(t["fmt"], value_set=fmts)
+        assert fi.null_count == 0, "caption_stop_stats: unseen fmt"
+        stop = pc.cast(pc.list_element(
+            pc.split_pattern(t["caption"], " "), 4), pa.int64())
+        k = pc.add(pc.multiply(fi.cast(pa.int64()),
+                               pa.scalar(1 << 40, pa.int64())),
+                   pc.divide(stop, pa.scalar(4, pa.int64())))
+        px = pc.multiply(t["w"].cast(pa.int64()), t["h"].cast(pa.int64()))
+        g = pa.table({"k": k, "px": px}).group_by("k").aggregate(
+            [([], "count_all"), ("px", "sum")])
+        return g.rename_columns(["k", "n", "sum_px"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("k").sum(["n", "sum_px"]))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        names = fmts.to_pylist()
+        return pa.table({
+            "fmt": pa.array([names[i] for i in (k >> 40)], pa.string()),
+            "stop_bucket": pa.array(k & ((1 << 40) - 1)),
+            "n": t["sum(n)"].cast(pa.int64()),
+            "sum_px": t["sum(sum_px)"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+QUERIES["caption_stop_stats"] = q_caption_stop_stats

@@ -229,6 +229,27 @@ def test_image_invariant_oracles(ray_session, con):
             assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (name, c)
 
 
+def test_caption_stop_stats_oracle(ray_session, con):
+    """Metadata-only caption extraction vs direct SQL over the image
+    parquet (payload column never read)."""
+    from geotile.queries import QUERIES, _image_dir_for
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["caption_stop_stats"](SF).to_pandas()
+           .sort_values(["fmt", "stop_bucket"]).reset_index(drop=True))
+    exp = con.execute(f"""
+        SELECT fmt,
+               CAST(string_split(caption, ' ')[5] AS BIGINT) // 4
+                 AS stop_bucket,
+               count(*) AS n, CAST(SUM(w * h) AS BIGINT) AS sum_px
+        FROM read_parquet('{img}/part-*.parquet') GROUP BY 1, 2
+        ORDER BY 1, 2
+    """).df().reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
 def test_image_patch_sums_oracle(ray_session, con):
     """Engine decode-path patch sums (reduceat kernel) vs the
     generator-replay sidecar (pixel_pattern ground truth,
