@@ -7244,3 +7244,138 @@ def q_caption_stop_stats(sf_dir: str):
 
 
 QUERIES["caption_stop_stats"] = q_caption_stop_stats
+
+
+def q_hierarchy_rollup_customers(sf_dir: str):
+    """Hierarchical (tree-path) rollup — the BOM/org-chart aggregate:
+    customers form a decimal-digit hierarchy (node = custkey // 10^k),
+    and every level-k ancestor accumulates its descendants' revenue
+    and customer count. Unlike the column ROLLUP/CUBE ops this rolls
+    up a PATH: each customer-scale row explodes to its 4 ancestors
+    (bounded fan-out), packed (node, level) single-int keys, one
+    ancestor-cardinality groupby. Revenue stays on the exact cents
+    lattice end to end."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"c": t["o_custkey"], "rev": cents}).group_by(
+            "c").aggregate([("rev", "sum"), ([], "count_all")])
+        c = g["c"].to_numpy(zero_copy_only=False)
+        rev = g["rev_sum"].to_numpy(zero_copy_only=False)
+        n = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (c < (1 << 40)).all(), "hierarchy packing contract"
+        keys, revs, ns = [], [], []
+        for lvl, d in enumerate((1, 10, 100, 1000)):
+            keys.append((c // d) * 4 + lvl)
+            revs.append(rev)
+            ns.append(n)
+        return pa.table({"k": pa.array(np.concatenate(keys)),
+                         "rev": pa.array(np.concatenate(revs)),
+                         "n_orders": pa.array(np.concatenate(ns))})
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("k").sum(["rev", "n_orders"]))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(k >> 2),
+                         "level": pa.array(k & 3),
+                         "rev": t["sum(rev)"],
+                         "n_orders": t["sum(n_orders)"].cast(pa.int64())})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+QUERIES["hierarchy_rollup_customers"] = q_hierarchy_rollup_customers
+ORACLE_SQL["hierarchy_rollup_customers"] = """
+        WITH f AS (SELECT o_custkey,
+                          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                            AS cents
+                   FROM orders),
+        x AS (SELECT o_custkey // t.d AS node, t.level, cents
+              FROM f CROSS JOIN (VALUES (0, 1), (1, 10), (2, 100),
+                                        (3, 1000)) t(level, d))
+        SELECT node, CAST(level AS BIGINT) AS level,
+               CAST(SUM(cents) AS BIGINT) AS rev,
+               count(*) AS n_orders
+        FROM x GROUP BY 1, 2
+    """
+
+
+def q_daily_metrics_long(sf_dir: str):
+    """UNPIVOT / melt: one wide per-day aggregate fanned into the long
+    (day, metric, v) shape a metrics store ingests — n_events,
+    n_users (exact distinct), sum_value_e4 as three rows per day.
+    Plan = per-batch partials for all three metrics at once (packed
+    (day, user) keys feed the distinct), two day-scale groupbys, one
+    tiny melt epilogue batch."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        v = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(10000.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"day": day, "v": v}).group_by("day").aggregate(
+            [([], "count_all"), ("v", "sum")])
+        return pa.table({"day": g["day"],
+                         "n_events": g["count_all"].cast(pa.int64()),
+                         "sum_v": g["v_sum"]})
+
+    base = (ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("day").sum(["n_events", "sum_v"]))
+    base = _rename(base, ["day", "n_events", "sum_v"]).materialize()
+
+    def upart(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        assert (u < (1 << 33)).all(), "daily_metrics packing contract"
+        d = day.to_numpy(zero_copy_only=False)
+        g = pa.table({"k": pa.array((d << 33) | u)}).group_by(
+            "k").aggregate([])
+        return g
+
+    users = (ev.map_batches(upart, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("k").count()
+             .map_batches(lambda t: pa.table(
+                 {"day": pc.shift_right(t["k"], pa.scalar(33))})
+                 .group_by("day").aggregate([([], "count_all")])
+                 .rename_columns(["day", "n_users"]),
+                 batch_format="pyarrow")
+             .groupby("day").sum("n_users"))
+    users = _rename(users, ["day", "n_users"]).materialize()
+
+    # day-scale epilogue: melt the wide row into (day, metric, v)
+    b = base.to_pandas().merge(users.to_pandas(), on="day")
+    out = pd.DataFrame({
+        "day": np.tile(b["day"].to_numpy(), 3),
+        "metric": np.repeat(
+            np.array(["n_events", "n_users", "sum_value_e4"]), len(b)),
+        "v": np.r_[b["n_events"].to_numpy(), b["n_users"].to_numpy(),
+                   b["sum_v"].to_numpy()],
+    })
+    return out
+
+
+QUERIES["daily_metrics_long"] = q_daily_metrics_long
+ORACLE_SQL["daily_metrics_long"] = """
+        WITH w AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS n_events,
+                          count(DISTINCT user_id) AS n_users,
+                          SUM(CAST(floor(value * 10000.0 + 0.5)
+                                   AS BIGINT)) AS sum_v
+                   FROM events GROUP BY 1)
+        SELECT day, 'n_events' AS metric, CAST(n_events AS BIGINT) AS v
+        FROM w
+        UNION ALL
+        SELECT day, 'n_users', CAST(n_users AS BIGINT) FROM w
+        UNION ALL
+        SELECT day, 'sum_value_e4', CAST(sum_v AS BIGINT) FROM w
+    """

@@ -81,6 +81,8 @@ CHECKED = [
     "centroid_confusion",
     "dominant_dim_embeddings",
     "weekly_type_wow",
+    "hierarchy_rollup_customers",
+    "daily_metrics_long",
 ]
 
 
