@@ -7379,3 +7379,89 @@ ORACLE_SQL["daily_metrics_long"] = """
         UNION ALL
         SELECT day, 'sum_value_e4', CAST(sum_v AS BIGINT) FROM w
     """
+
+
+def q_type_lift_daily(sf_dir: str):
+    """Market-basket pair analysis: over (user, day) baskets, for every
+    event-type pair the number of baskets containing BOTH, plus each
+    type's basket count and the basket total — the exact integer parts
+    of support/lift (the float lift itself is a scalar epilogue kept
+    out of the compared columns). Scale trick: baskets collapse to a
+    5-bit type MASK (packed (user, day) key, bitwise-OR partials), so
+    pair expansion runs at 2^5 mask cardinality — the quadratic step
+    never touches basket-scale data."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    types = pa.array(["click", "error", "purchase", "signup", "view"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["event_type"], value_set=types)
+        assert idx.null_count == 0, "type_lift: unseen event_type"
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        assert (u < (1 << 28)).all(), "type_lift packing contract"
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        k = (u << 20) | day
+        bit = np.int64(1) << idx.cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # per-batch bitwise-OR combiner via max over per-(basket,bit)
+        # dedup, then OR at the groupby below can't express OR — use
+        # sum of DISTINCT bits: dedup (basket, bit) then sum is OR
+        g = pa.table({"k": pa.array(k), "bit": pa.array(bit)}).group_by(
+            ["k", "bit"]).aggregate([])
+        return g
+
+    # distinct (basket, bit) pairs -> sum(bit) per basket == OR
+    masks = (ev.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["k", "bit"]).count()
+             .map_batches(lambda t: pa.table(
+                 {"k": t["k"], "bit": t["bit"]}).group_by("k").aggregate(
+                 [("bit", "sum")]).rename_columns(["k", "mask"]),
+                 batch_format="pyarrow")
+             .groupby("k").sum("mask"))
+
+    def mask_counts(t: pa.Table) -> pa.Table:
+        m = t["sum(mask)"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(m, minlength=32)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"mask": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    mc = (masks.map_batches(mask_counts, batch_format="pyarrow")
+          .groupby("mask").sum("n").take_all())  # 2^5 rows
+    cnt = np.zeros(32, np.int64)
+    for r in mc:
+        cnt[r["mask"]] = r["sum(n)"]
+    total = int(cnt.sum())
+    names = types.to_pylist()
+    rows = []
+    for a in range(5):
+        n_a = int(cnt[(np.arange(32) & (1 << a)) > 0].sum())
+        for b in range(a + 1, 5):
+            n_b = int(cnt[(np.arange(32) & (1 << b)) > 0].sum())
+            both = int(cnt[((np.arange(32) & (1 << a)) > 0)
+                           & ((np.arange(32) & (1 << b)) > 0)].sum())
+            if both:  # oracle's inner join only emits co-occurring pairs
+                rows.append((names[a], names[b], both, n_a, n_b, total))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "n_both",
+                                       "n_a", "n_b", "n_baskets"])
+
+
+QUERIES["type_lift_daily"] = q_type_lift_daily
+ORACLE_SQL["type_lift_daily"] = """
+        WITH b AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day, event_type
+                   FROM events),
+        m AS (SELECT event_type, count(*) AS n
+              FROM b GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM
+                (SELECT DISTINCT user_id, day FROM b))
+        SELECT a.event_type AS type_a, c.event_type AS type_b,
+               count(*) AS n_both,
+               (SELECT n FROM m WHERE event_type = a.event_type) AS n_a,
+               (SELECT n FROM m WHERE event_type = c.event_type) AS n_b,
+               (SELECT n FROM tot) AS n_baskets
+        FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                         AND a.event_type < c.event_type
+        GROUP BY 1, 2
+    """

@@ -83,6 +83,7 @@ CHECKED = [
     "weekly_type_wow",
     "hierarchy_rollup_customers",
     "daily_metrics_long",
+    "type_lift_daily",
 ]
 
 
