@@ -1090,9 +1090,19 @@ def global_row_number(
                            zero_copy_batch=True)
             .groupby("b").sum("n").take_all())  # bucket-scale
     sums.sort(key=lambda r: r["b"])
+    # auto-coarsen: Ray's map_groups pays a per-GROUP machinery cost
+    # (~ms each — the multi-key-groupby law), so cap the rank pass at
+    # ~256 groups by merging adjacent buckets driver-side (order is
+    # preserved: coarsening a shift-aligned bucketing stays aligned).
+    # Measured: 7.6k groups at shift=16 cost 19.7s on a 150k-row rank;
+    # 120 groups run it in ~3s.
+    extra = 0
+    while len({r["b"] >> extra for r in sums}) > 256:
+        extra += 1
+    eff_shift = shift + extra
     base, acc = {}, 0
     for r in sums:
-        base[r["b"]] = acc
+        base.setdefault(r["b"] >> extra, acc)
         acc += r["sum(n)"]
     base_ref = ray.put(base)
 
@@ -1101,7 +1111,7 @@ def global_row_number(
 
         return t.append_column(
             "bucket", pc.shift_right(t[val].cast(pa.int64()),
-                                     pa.scalar(shift)))
+                                     pa.scalar(eff_shift)))
 
     def rank(df: pd.DataFrame) -> pd.DataFrame:
         offs = _get_broadcast(base_ref)
@@ -1109,7 +1119,7 @@ def global_row_number(
         t = df[tie].to_numpy(np.int64)
         order = np.lexsort([t, v])
         df = df.iloc[order].drop(columns=["bucket"]).reset_index(drop=True)
-        df["idx"] = offs[int(v[order[0]]) >> shift] + np.arange(
+        df["idx"] = offs[int(v[order[0]]) >> eff_shift] + np.arange(
             len(df), dtype=np.int64)
         return df
 
