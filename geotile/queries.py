@@ -7465,3 +7465,123 @@ ORACLE_SQL["type_lift_daily"] = """
                          AND a.event_type < c.event_type
         GROUP BY 1, 2
     """
+
+
+def q_topk_ties_orders(sf_dir: str):
+    """Global top-k WITH ties (RANK() <= k): rows whose rank — ties
+    share, gaps after — is <= 5, i.e. every row with cents >= the
+    value at global rank 5; the SQL-semantics variant of the partial
+    top-k operator. Plan: per-batch partial top-5 values
+    (threshold-pruned), tiny driver reduce finds the global rank-5
+    threshold, one broadcast filter pass — the corpus never sorts."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"], "cents": cents})
+
+    fact = orders.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def top5(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        k = min(5, len(c))
+        top = np.partition(c, len(c) - k)[len(c) - k:]
+        return pa.table({"cents": pa.array(np.sort(top)[::-1])})
+
+    parts = fact.map_batches(top5, batch_format="pyarrow").take_all()
+    allv = np.sort(np.array([r["cents"] for r in parts]))[::-1]
+    thr = int(allv[4])  # value at global rank 5 (ties included below)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["cents"], pa.scalar(thr)))
+
+    return fact.map_batches(keep, batch_format="pyarrow")
+
+
+QUERIES["topk_ties_orders"] = q_topk_ties_orders
+ORACLE_SQL["topk_ties_orders"] = """
+        WITH r AS (SELECT o_orderkey,
+                          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                            AS cents,
+                          RANK() OVER (ORDER BY
+                            CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT) DESC) AS rk
+                   FROM orders)
+        SELECT o_orderkey, cents FROM r WHERE rk <= 5
+    """
+
+
+def q_type_trigrams_users(sf_dir: str):
+    """Sequential pattern mining one level past bigrams: counts of
+    (prev2, prev1, cur) event-type TRIGRAMS over each user's time-
+    ordered stream — double-LAG windowing. One co-partition on user,
+    each bucket group handles all its keys in a single vectorized
+    pass (lexsort by (user, ts, event_id), two shifted views masked at
+    run starts, packed 3-digit base-5 type codes), then a
+    125-cardinality count shuffle."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    types = pa.array(["click", "error", "purchase", "signup", "view"])
+    names = types.to_pylist()
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["event_type"], value_set=types)
+        assert idx.null_count == 0, "trigrams: unseen event_type"
+        return pa.table({"user_id": t["user_id"],
+                         "us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "ti": idx.cast(pa.int64())})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def tri(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        ti = df["ti"].to_numpy(np.int64)
+        order = np.lexsort([eid, us, u])
+        u, ti = u[order], ti[order]
+        n = len(u)
+        if n < 3:
+            return pd.DataFrame({"code": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        same2 = u[2:] == u[:-2]  # rows 2.. whose two predecessors share
+        code = ti[:-2] * 25 + ti[1:-1] * 5 + ti[2:]
+        cnt = np.bincount(code[same2], minlength=125)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"code": nz.astype(np.int64),
+                             "n": cnt[nz].astype(np.int64)})
+
+    agg = (_with_bucket(ds, "user_id", 32)
+           .groupby("bucket").map_groups(tri, batch_format="pandas")
+           .groupby("code").sum("n"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        c = t["code"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "t1": pa.array([names[i] for i in c // 25], pa.string()),
+            "t2": pa.array([names[i] for i in (c // 5) % 5], pa.string()),
+            "t3": pa.array([names[i] for i in c % 5], pa.string()),
+            "n": t["sum(n)"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+QUERIES["type_trigrams_users"] = q_type_trigrams_users
+ORACLE_SQL["type_trigrams_users"] = """
+        WITH s AS (SELECT user_id, event_type,
+                          LAG(event_type, 1) OVER w AS p1,
+                          LAG(event_type, 2) OVER w AS p2
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id))
+        SELECT p2 AS t1, p1 AS t2, event_type AS t3, count(*) AS n
+        FROM s WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+    """

@@ -84,6 +84,8 @@ CHECKED = [
     "hierarchy_rollup_customers",
     "daily_metrics_long",
     "type_lift_daily",
+    "topk_ties_orders",
+    "type_trigrams_users",
 ]
 
 
