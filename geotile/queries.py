@@ -5596,9 +5596,15 @@ def q_token_shards_docs(sf_dir: str):
     bucket sorts its own ≤1024 rows, cumsums from its broadcast base
     offset, and pre-aggregates per shard — shards spanning a bucket
     boundary merge in the final shard-scale groupby."""
-    C = 20_000
-    SHIFT = 10
-    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return _shard_by_chars(_read(sf_dir, "documents",
+                                 ["doc_id", "n_chars"]))
+
+
+def _shard_by_chars(ds, C: int = 20_000, SHIFT: int = 10):
+    """Contiguous char-budget sharding of a (doc_id, n_chars) dataset
+    (doc_id order): the two-pass distributed exclusive prefix sum used
+    by token_shards_docs and llm_corpus_prep — bucket-scale driver
+    scan, one co-partition pass, shard-scale merge."""
 
     def bpart(t: pa.Table) -> pa.Table:
         b = pc.shift_right(t["doc_id"], pa.scalar(SHIFT))
@@ -7584,4 +7590,73 @@ ORACLE_SQL["type_trigrams_users"] = """
                                 ORDER BY ts, event_id))
         SELECT p2 AS t1, p1 AS t2, event_type AS t3, count(*) AS n
         FROM s WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+    """
+
+
+def q_llm_corpus_prep(sf_dir: str):
+    """Composite flagship for LLM corpus preparation — three engine
+    stages CHAINED: (1) boilerplate dedup — keep the smallest doc_id
+    per 30-char text prefix, grouped on the composite (h64, prefix) so
+    the shuffle compares 8-byte hashes, with (doc_id, n_chars,
+    n_tokens) packed into ONE int64 min-value (doc_id in the high bits
+    makes min() pick the canonical row and carry its attributes for
+    free); (2) quality filter — survivors with 30..90 whitespace
+    tokens; (3) contiguous 20k-char shard packing via the two-pass
+    distributed exclusive prefix sum. Output: per shard, doc count and
+    char mass. The oracle replays the whole chain as nested CTEs."""
+    from geotile.ops.hashing import hash_strings
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        pfx = pc.utf8_slice_codeunits(t["text"], 0, 30).combine_chunks()
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        nt = ntok.to_numpy(zero_copy_only=False)
+        assert (d < (1 << 38)).all() and (nc < (1 << 14)).all() \
+            and (nt < (1 << 10)).all(), "corpus_prep packing contract"
+        v = (d << 24) | (nc << 10) | nt
+        h = hash_strings(pfx).view(np.int64)
+        g = pa.table({"h64": pa.array(h), "pfx": pfx,
+                      "v": pa.array(v)}).group_by(
+            ["h64", "pfx"]).aggregate([("v", "min")])
+        return g.rename_columns(["h64", "pfx", "v"])
+
+    survivors = (docs.map_batches(prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                 .groupby(["h64", "pfx"]).min("v"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        v = t["min(v)"].to_numpy(zero_copy_only=False)
+        nt = v & ((1 << 10) - 1)
+        keep = (nt >= 30) & (nt <= 90)
+        return pa.table({"doc_id": pa.array((v >> 24)[keep]),
+                         "n_chars": pa.array(((v >> 10)
+                                              & ((1 << 14) - 1))[keep])})
+
+    kept = survivors.map_batches(unpack, batch_format="pyarrow")
+    return _shard_by_chars(kept)
+
+
+QUERIES["llm_corpus_prep"] = q_llm_corpus_prep
+ORACLE_SQL["llm_corpus_prep"] = """
+        WITH t AS (SELECT doc_id, n_chars,
+                          len(string_split(text, ' ')) AS n_tokens,
+                          text[:30] AS pfx
+                   FROM documents),
+        d AS (SELECT pfx, min(doc_id) AS doc_id FROM t GROUP BY 1),
+        s AS (SELECT t.doc_id, t.n_chars
+              FROM t JOIN d USING (doc_id)
+              WHERE t.n_tokens BETWEEN 30 AND 90),
+        p AS (SELECT doc_id, n_chars,
+                     COALESCE(SUM(n_chars) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS pre
+              FROM s)
+        SELECT pre // 20000 AS shard_id, count(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM p GROUP BY 1
     """

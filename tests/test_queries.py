@@ -86,6 +86,7 @@ CHECKED = [
     "type_lift_daily",
     "topk_ties_orders",
     "type_trigrams_users",
+    "llm_corpus_prep",
 ]
 
 
