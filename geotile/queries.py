@@ -7660,3 +7660,104 @@ ORACLE_SQL["llm_corpus_prep"] = """
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM p GROUP BY 1
     """
+
+
+def q_ks_lang_docs(sf_dir: str):
+    """Distribution-drift detector: EXACT Kolmogorov–Smirnov statistic
+    between each language's n_chars distribution and the global one,
+    as integer rational parts — ks_num = max over the value grid of
+    |F_lang·n_all − F_all·n_lang| (both cumulative counts, so the max
+    is exact; the float KS = ks_num / (n_lang·n_all) stays out of the
+    compared columns). Plan: one (lang, n_chars)-cardinality count
+    groupby (packed key over the closed 5-lang set), then the grid
+    walk runs in a single aggregate-scale epilogue task."""
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    langs = pa.array(["de", "en", "es", "fr", "zh"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        li = pc.index_in(t["lang"], value_set=langs)
+        assert li.null_count == 0, "ks: unseen lang"
+        k = pc.add(pc.multiply(li.cast(pa.int64()),
+                               pa.scalar(1 << 20, pa.int64())),
+                   t["n_chars"])
+        g = pa.table({"k": k}).group_by("k").aggregate([([], "count_all")])
+        return g.rename_columns(["k", "n"])
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("k").sum("n").take_all())  # (lang, value)-scale
+    names = langs.to_pylist()
+    k = np.array([r["k"] for r in agg], np.int64)
+    n = np.array([r["sum(n)"] for r in agg], np.int64)
+    li, val = k >> 20, k & ((1 << 20) - 1)
+    grid = np.unique(val)
+    rows = []
+    n_all = int(n.sum())
+    # global cumulative counts over the grid
+    g_cnt = np.zeros(len(grid), np.int64)
+    np.add.at(g_cnt, np.searchsorted(grid, val), n)
+    g_cum = np.cumsum(g_cnt)
+    for L in range(len(names)):
+        m = li == L
+        if not m.any():
+            continue
+        l_cnt = np.zeros(len(grid), np.int64)
+        np.add.at(l_cnt, np.searchsorted(grid, val[m]), n[m])
+        l_cum = np.cumsum(l_cnt)
+        n_lang = int(l_cnt.sum())
+        ks_num = int(np.abs(l_cum * n_all - g_cum * n_lang).max())
+        rows.append((names[L], n_lang, n_all, ks_num))
+    return pd.DataFrame(rows, columns=["lang", "n_lang", "n_all",
+                                       "ks_num"])
+
+
+QUERIES["ks_lang_docs"] = q_ks_lang_docs
+ORACLE_SQL["ks_lang_docs"] = """
+        WITH grid AS (SELECT DISTINCT n_chars AS v FROM documents),
+        tot AS (SELECT count(*) AS n_all FROM documents),
+        lt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        cum AS (SELECT l.lang, g.v,
+                       (SELECT count(*) FROM documents d
+                        WHERE d.lang = l.lang AND d.n_chars <= g.v)
+                         AS f_lang,
+                       (SELECT count(*) FROM documents d
+                        WHERE d.n_chars <= g.v) AS f_all
+                FROM lt l CROSS JOIN grid g)
+        SELECT c.lang, lt.n_lang, tot.n_all,
+               CAST(max(abs(c.f_lang * tot.n_all - c.f_all * lt.n_lang))
+                    AS BIGINT) AS ks_num
+        FROM cum c JOIN lt ON lt.lang = c.lang CROSS JOIN tot
+        GROUP BY 1, 2, 3
+    """
+
+
+def q_benford_prices(sf_dir: str):
+    """Benford first-digit screen over order prices (the classic fraud
+    / synthetic-data audit): leading digit of the cents lattice,
+    counts per digit. Vectorized digit extraction via one decimal
+    string cast (matching the SQL substring replay exactly — no float
+    log10 edge cases)."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        d = pc.utf8_slice_codeunits(cents.cast(pa.string()), 0, 1)
+        g = pa.table({"digit": d}).group_by("digit").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["digit", "n"])
+
+    out = (orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("digit").sum("n"))
+    return _rename(out, ["digit", "n"])
+
+
+QUERIES["benford_prices"] = q_benford_prices
+ORACLE_SQL["benford_prices"] = """
+        SELECT substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    """

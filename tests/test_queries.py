@@ -87,6 +87,8 @@ CHECKED = [
     "topk_ties_orders",
     "type_trigrams_users",
     "llm_corpus_prep",
+    "ks_lang_docs",
+    "benford_prices",
 ]
 
 
