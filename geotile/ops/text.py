@@ -379,3 +379,37 @@ def lang_id(ds: rd.Dataset, concurrency=None) -> rd.Dataset:
         return _cached_stage(("langid",), LangIdStage)(t)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048, zero_copy_batch=True)
+
+
+class RegexTokenizerStage:
+    """Actor-pool tokenizer with the GPT-2-style pre-tokenizer split
+    (alpha runs | digit runs | single non-space symbols) — the BPE
+    front end. The three patterns COMPILE ONCE per actor in
+    ``__init__`` (the stateful-stage contract: setup per actor, work
+    per batch); ``__call__`` counts matches per document. Python's
+    ``re`` and DuckDB's RE2 agree on these pure character-class
+    patterns, which is what makes the SQL replay exact."""
+
+    def __init__(self):
+        import re
+
+        self.alpha = re.compile(r"[a-z]+")
+        self.digit = re.compile(r"[0-9]+")
+        self.other = re.compile(r"[^a-z0-9\s]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        na = np.empty(n, np.int64)
+        nd = np.empty(n, np.int64)
+        no = np.empty(n, np.int64)
+        for i, s in enumerate(texts):  # per-DOC loop; regexes are state
+            na[i] = len(self.alpha.findall(s))
+            nd[i] = len(self.digit.findall(s))
+            no[i] = len(self.other.findall(s))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_alpha": pa.array(na),
+            "n_digit": pa.array(nd),
+            "n_symbol": pa.array(no),
+        })

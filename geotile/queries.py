@@ -7761,3 +7761,31 @@ ORACLE_SQL["benford_prices"] = """
                count(*) AS n
         FROM orders GROUP BY 1
     """
+
+
+def q_regex_tokens_docs(sf_dir: str):
+    """BPE-style regex pre-tokenization (the GPT-2 front-end split:
+    alpha runs | digit runs | lone symbols) as an ACTOR-POOL stage —
+    the three regexes compile once per actor in __init__, each batch
+    only runs findall (the stateful-stage pattern, SURVEY §2.8).
+    Oracle: DuckDB regexp_extract_all over the same pure
+    character-class patterns (re and RE2 agree on these)."""
+    from geotile.ops.text import RegexTokenizerStage
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        RegexTokenizerStage, batch_format="pyarrow", batch_size=512,
+        concurrency=2,
+    )
+
+
+QUERIES["regex_tokens_docs"] = q_regex_tokens_docs
+ORACLE_SQL["regex_tokens_docs"] = """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+                 AS n_alpha,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                 AS n_digit,
+               CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]'))
+                    AS BIGINT) AS n_symbol
+        FROM documents
+    """

@@ -89,6 +89,7 @@ CHECKED = [
     "llm_corpus_prep",
     "ks_lang_docs",
     "benford_prices",
+    "regex_tokens_docs",
 ]
 
 
