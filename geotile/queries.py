@@ -7789,3 +7789,50 @@ ORACLE_SQL["regex_tokens_docs"] = """
                     AS BIGINT) AS n_symbol
         FROM documents
     """
+
+
+def q_pushdown_orders(sf_dir: str):
+    """Prune at the read — BOTH prunings the 100-TB discipline asks
+    for: a row-group/predicate filter (1996-H1 order dates, pushed
+    into the parquet scan via a pyarrow expression so non-matching row
+    groups never leave storage) AND column projection (3 of 6
+    columns). Downstream is one priority-scale aggregate on the cents
+    lattice."""
+    import datetime
+
+    expr = ((pc.field("o_orderdate")
+             >= pa.scalar(datetime.datetime(1996, 1, 1)))
+            & (pc.field("o_orderdate")
+               < pa.scalar(datetime.datetime(1996, 7, 1))))
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"],
+                         filter=expr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"o_orderpriority": t["o_orderpriority"],
+                      "cents": cents}).group_by(
+            "o_orderpriority").aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "rev": g["cents_sum"]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("o_orderpriority").sum(["n", "rev"]))
+    return _rename(out, ["o_orderpriority", "n", "rev"])
+
+
+QUERIES["pushdown_orders"] = q_pushdown_orders
+ORACLE_SQL["pushdown_orders"] = """
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+        GROUP BY 1
+    """

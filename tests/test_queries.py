@@ -90,6 +90,7 @@ CHECKED = [
     "ks_lang_docs",
     "benford_prices",
     "regex_tokens_docs",
+    "pushdown_orders",
 ]
 
 
