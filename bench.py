@@ -207,11 +207,13 @@ def main() -> None:
         q_dup_span_docs,
         q_embedding_cov_moments,
         q_knn_embeddings,
+        q_llm_corpus_prep,
         q_minhash_pairs_docs,
         q_pagerank_dups,
         q_pricing_summary,
         q_region_revenue,
         q_tfidf_docs,
+        q_upsert_orders,
         q_window_events,
     )
 
@@ -227,6 +229,8 @@ def main() -> None:
         ("pagerank_dups", q_pagerank_dups),                    # r3c
         ("embedding_cov_moments", q_embedding_cov_moments),    # r3c
         ("region_revenue", q_region_revenue),  # r3c: 5-table Q5 shape
+        ("llm_corpus_prep", q_llm_corpus_prep),  # r3d: dedup->filter->shard chain
+        ("upsert_orders", q_upsert_orders),      # r3d: MERGE co-partition
     ]:
         t0 = time.time()
         res = fn(SF_DIR)
