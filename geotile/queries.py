@@ -7840,3 +7840,78 @@ ORACLE_SQL["pushdown_orders"] = """
           AND o_orderdate < TIMESTAMP '1996-07-01'
         GROUP BY 1
     """
+
+
+def q_near_price_pairs(sf_dir: str):
+    """Inequality self-join WITHOUT a join: count unordered order
+    pairs whose prices differ by <= 1 cent ACROSS different customers
+    (near-duplicate payment screening). The quadratic |a-b|<=1 range
+    join collapses to counting algebra on two count tables —
+    Σ C(n_c,2) + Σ n_c·n_{c+1} over per-cents counts, minus the same
+    two sums over per-(customer,cents) counts — so the engine does two
+    count groupbys (value- and pair-cardinality) and a value-domain
+    epilogue; no row ever meets another row. The oracle runs the real
+    range join (DuckDB IEJoin) — two entirely different algorithms
+    must agree on one number."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"cust": t["o_custkey"], "c": cents})
+
+    fact = orders.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def cpart(t: pa.Table) -> pa.Table:
+        g = t.select(["c"]).group_by("c").aggregate([([], "count_all")])
+        return g.rename_columns(["c", "n"])
+
+    by_c = (fact.map_batches(cpart, batch_format="pyarrow")
+            .groupby("c").sum("n").take_all())  # value-cardinality
+
+    def ucpart(t: pa.Table) -> pa.Table:
+        cu = t["cust"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        assert (cu < (1 << 24)).all() and (c < (1 << 38)).all(), \
+            "near_price packing contract"
+        g = pa.table({"k": pa.array((cu << 38) | c)}).group_by(
+            "k").aggregate([([], "count_all")])
+        return g.rename_columns(["k", "n"])
+
+    by_uc = (fact.map_batches(ucpart, batch_format="pyarrow")
+             .groupby("k").sum("n").take_all())  # pair-cardinality
+
+    def pair_sum(keys: np.ndarray, n: np.ndarray,
+                 stride: int = 1) -> int:
+        """Σ C(n_k,2) + Σ n_k · n_{k+stride} over a sparse count map."""
+        order = np.argsort(keys)
+        keys, n = keys[order], n[order]
+        same = int((n * (n - 1) // 2).sum())
+        j = np.searchsorted(keys, keys + stride)
+        ok = (j < len(keys)) & (keys[np.minimum(j, len(keys) - 1)]
+                                == keys + stride)
+        adj = int((n[ok] * n[np.minimum(j, len(keys) - 1)[ok]]).sum())
+        return same + adj
+
+    kc = np.array([r["c"] for r in by_c], np.int64)
+    nc = np.array([r["sum(n)"] for r in by_c], np.int64)
+    ku = np.array([r["k"] for r in by_uc], np.int64)
+    nu = np.array([r["sum(n)"] for r in by_uc], np.int64)
+    total = pair_sum(kc, nc)
+    same_cust = pair_sum(ku, nu)  # stride 1 within the same cust block
+    return pd.DataFrame({"n_pairs": [total - same_cust]})
+
+
+QUERIES["near_price_pairs"] = q_near_price_pairs
+ORACLE_SQL["near_price_pairs"] = """
+        WITH f AS (SELECT row_number() OVER () AS rid, o_custkey,
+                          CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT) AS c
+                   FROM orders)
+        SELECT count(*) AS n_pairs
+        FROM f a JOIN f b
+          ON b.c BETWEEN a.c - 1 AND a.c + 1
+         AND a.o_custkey <> b.o_custkey AND a.rid < b.rid
+    """

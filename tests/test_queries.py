@@ -91,6 +91,7 @@ CHECKED = [
     "benford_prices",
     "regex_tokens_docs",
     "pushdown_orders",
+    "near_price_pairs",
 ]
 
 
