@@ -7915,3 +7915,67 @@ ORACLE_SQL["near_price_pairs"] = """
           ON b.c BETWEEN a.c - 1 AND a.c + 1
          AND a.o_custkey <> b.o_custkey AND a.rid < b.rid
     """
+
+
+def q_weighted_median_lineitem(sf_dir: str):
+    """Grouped WEIGHTED median: per return flag, the quantity at which
+    half the revenue mass sits below (lower weighted median, ties
+    down) — the inventory-planning statistic plain medians can't
+    express. quantity's closed integer domain (1..50) makes this
+    exact with ONE packed (flag, qty) revenue-sum groupby at
+    flag×domain cardinality; the cumulative threshold walk is a
+    domain-size epilogue. Weights stay on the cents lattice."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    flags = pa.array(["A", "N", "R"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        fi = pc.index_in(t["l_returnflag"], value_set=flags)
+        assert fi.null_count == 0, "wmedian: unseen returnflag"
+        q = t["l_quantity"].cast(pa.int64())
+        cents = pc.floor(pc.add(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        k = pc.add(pc.multiply(fi.cast(pa.int64()),
+                               pa.scalar(1 << 10, pa.int64())), q)
+        g = pa.table({"k": k, "w": cents}).group_by("k").aggregate(
+            [("w", "sum")])
+        return g.rename_columns(["k", "w"])
+
+    agg = (li.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("k").sum("w").take_all())  # flag x domain scale
+    names = flags.to_pylist()
+    k = np.array([r["k"] for r in agg], np.int64)
+    w = np.array([r["sum(w)"] for r in agg], np.int64)
+    rows = []
+    for fi in range(len(names)):
+        m = (k >> 10) == fi
+        if not m.any():
+            continue
+        qs, ws = k[m] & 1023, w[m]
+        order = np.argsort(qs)
+        qs, ws = qs[order], ws[order]
+        cum = np.cumsum(ws)
+        tot = int(cum[-1])
+        at = int(np.searchsorted(2 * cum, tot))  # first 2*cum >= tot
+        rows.append((names[fi], int(qs[at]), tot))
+    return pd.DataFrame(rows, columns=["l_returnflag", "wmedian_qty",
+                                       "total_cents"])
+
+
+QUERIES["weighted_median_lineitem"] = q_weighted_median_lineitem
+ORACLE_SQL["weighted_median_lineitem"] = """
+        WITH w AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                          SUM(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS ws
+                   FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT l_returnflag, q,
+                     SUM(ws) OVER (PARTITION BY l_returnflag
+                                   ORDER BY q) AS cum,
+                     SUM(ws) OVER (PARTITION BY l_returnflag) AS tot
+              FROM w)
+        SELECT l_returnflag, CAST(min(q) AS BIGINT) AS wmedian_qty,
+               CAST(min(tot) AS BIGINT) AS total_cents
+        FROM c WHERE 2 * cum >= tot GROUP BY 1
+    """

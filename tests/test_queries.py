@@ -92,6 +92,7 @@ CHECKED = [
     "regex_tokens_docs",
     "pushdown_orders",
     "near_price_pairs",
+    "weighted_median_lineitem",
 ]
 
 
