@@ -4548,6 +4548,22 @@ def oracle_sql() -> dict[str, str]:
     out["image_invariants"] = _image_invariants_sql(img01)
     out["image_channel_histogram"] = _image_hist_sql(img01)
     out["image_patch_sums"] = _image_patch_sql(img01)
+    out["fmt_size_association"] = f"""
+        WITH cell AS (SELECT fmt,
+                             CASE WHEN w * h >= 1024 THEN 1 ELSE 0 END
+                               AS size_class,
+                             count(*) AS n
+                      FROM read_parquet('{img01}/part-*.parquet')
+                      GROUP BY 1, 2),
+        m AS (SELECT *, SUM(n) OVER (PARTITION BY fmt) AS r,
+                     SUM(n) OVER (PARTITION BY size_class) AS c,
+                     SUM(n) OVER () AS nn
+              FROM cell)
+        SELECT fmt, CAST(size_class AS BIGINT) AS size_class,
+               CAST(n AS BIGINT) AS n,
+               CAST(n * nn - r * c AS BIGINT) AS dev
+        FROM m
+    """
     out["caption_stop_stats"] = f"""
         SELECT fmt,
                CAST(string_split(caption, ' ')[5] AS BIGINT) // 4
@@ -7979,3 +7995,54 @@ ORACLE_SQL["weighted_median_lineitem"] = """
                CAST(min(tot) AS BIGINT) AS total_cents
         FROM c WHERE 2 * cum >= tot GROUP BY 1
     """
+
+
+def q_fmt_size_association(sf_dir: str):
+    """Categorical-association screen on multimodal metadata (the
+    chi-square contingency test in exact integer parts): for each
+    (fmt, size-class) cell the observed count and the signed deviation
+    numerator dev = n_ij·N − r_i·c_j (zero iff fmt ⟂ size; the float
+    chi² = Σ dev²/(r·c·N) stays out of the compared columns; the
+    2^53 bound is asserted). One metadata-only scan — the payload
+    column never leaves storage — and a cell-cardinality groupby; the
+    marginals join is a cell-scale epilogue."""
+    from geotile.ops.tiles import read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["fmt", "w", "h"])
+    fmts = pa.array(["png", "raw"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        fi = pc.index_in(t["fmt"], value_set=fmts)
+        assert fi.null_count == 0, "fmt_size: unseen fmt"
+        px = pc.multiply(t["w"].cast(pa.int64()), t["h"].cast(pa.int64()))
+        size_cls = pc.if_else(pc.greater_equal(px, pa.scalar(1024)),
+                              pa.scalar(1, pa.int64()),
+                              pa.scalar(0, pa.int64()))
+        k = pc.add(pc.multiply(fi.cast(pa.int64()),
+                               pa.scalar(2, pa.int64())), size_cls)
+        g = pa.table({"k": k}).group_by("k").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["k", "n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("k").sum("n").take_all())  # 4 cells
+    names = fmts.to_pylist()
+    k = np.array([r["k"] for r in agg], np.int64)
+    n = np.array([r["sum(n)"] for r in agg], np.int64)
+    N = int(n.sum())
+    r = np.zeros(2, np.int64)
+    c = np.zeros(2, np.int64)
+    np.add.at(r, k >> 1, n)
+    np.add.at(c, k & 1, n)
+    assert N * int(n.max()) < (1 << 53), "fmt_size lattice contract"
+    rows = []
+    for i in range(len(k)):
+        fi, sc = int(k[i] >> 1), int(k[i] & 1)
+        dev = int(n[i]) * N - int(r[fi]) * int(c[sc])
+        rows.append((names[fi], sc, int(n[i]), dev))
+    return pd.DataFrame(rows, columns=["fmt", "size_class", "n", "dev"])
+
+
+QUERIES["fmt_size_association"] = q_fmt_size_association

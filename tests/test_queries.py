@@ -241,6 +241,34 @@ def test_image_invariant_oracles(ray_session, con):
             assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (name, c)
 
 
+def test_fmt_size_association_oracle(ray_session, con):
+    """Chi-square contingency parts vs direct SQL over the image
+    parquet; sanity: devs sum to zero over the table."""
+    from geotile.queries import QUERIES, _image_dir_for
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["fmt_size_association"](SF)
+           .sort_values(["fmt", "size_class"]).reset_index(drop=True))
+    exp = con.execute(f"""
+        WITH cell AS (SELECT fmt,
+                             CASE WHEN w * h >= 1024 THEN 1 ELSE 0 END
+                               AS size_class, count(*) AS n
+                      FROM read_parquet('{img}/part-*.parquet')
+                      GROUP BY 1, 2),
+        m AS (SELECT *, SUM(n) OVER (PARTITION BY fmt) AS r,
+                     SUM(n) OVER (PARTITION BY size_class) AS c,
+                     SUM(n) OVER () AS nn FROM cell)
+        SELECT fmt, CAST(size_class AS BIGINT) AS size_class,
+               CAST(n AS BIGINT) AS n,
+               CAST(n * nn - r * c AS BIGINT) AS dev
+        FROM m ORDER BY 1, 2
+    """).df().reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert int(got["dev"].sum()) == 0
+
+
 def test_caption_stop_stats_oracle(ray_session, con):
     """Metadata-only caption extraction vs direct SQL over the image
     parquet (payload column never read)."""
