@@ -8046,3 +8046,56 @@ def q_fmt_size_association(sf_dir: str):
 
 
 QUERIES["fmt_size_association"] = q_fmt_size_association
+
+
+def q_daily_churn_users(sf_dir: str):
+    """Day-over-day churn: for each day, how many users were active
+    the PREVIOUS day but not this one (every activity-island end emits
+    a churn event at end+1, including the final island — the LEAD
+    IS NULL convention). Plan = per-batch (user, day) Arrow dedup
+    partial, one co-partition on user, a single vectorized pass per
+    bucket group (island ends via np.diff over the sorted dedup'd
+    composite), then a day-scale count."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.divide(t["ts"].cast(pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "day": d}).group_by(
+            ["user_id", "day"]).aggregate([])
+
+    pairs = ev.map_batches(days, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        order = np.lexsort([d, u])
+        u, d = u[order], d[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        # island end = next row is another user OR a non-consecutive day
+        end = np.r_[(u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1), True]
+        churn_day = d[end] + 1
+        uniq, cnt = np.unique(churn_day, return_counts=True)
+        return pd.DataFrame({"day": uniq, "n_churned": cnt.astype(np.int64)})
+
+    out = (_with_bucket(pairs, "user_id", 32)
+           .groupby("bucket").map_groups(ends, batch_format="pandas")
+           .groupby("day").sum("n_churned"))
+    return _rename(out, ["day", "n_churned"])
+
+
+QUERIES["daily_churn_users"] = q_daily_churn_users
+ORACLE_SQL["daily_churn_users"] = """
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day FROM events),
+        x AS (SELECT user_id, day,
+                     LEAD(day) OVER (PARTITION BY user_id
+                                     ORDER BY day) AS nxt
+              FROM d)
+        SELECT day + 1 AS day, count(*) AS n_churned
+        FROM x WHERE nxt IS NULL OR nxt > day + 1 GROUP BY 1
+    """

@@ -93,6 +93,7 @@ CHECKED = [
     "pushdown_orders",
     "near_price_pairs",
     "weighted_median_lineitem",
+    "daily_churn_users",
 ]
 
 
