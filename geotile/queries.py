@@ -8099,3 +8099,61 @@ ORACLE_SQL["daily_churn_users"] = """
         SELECT day + 1 AS day, count(*) AS n_churned
         FROM x WHERE nxt IS NULL OR nxt > day + 1 GROUP BY 1
     """
+
+
+def q_dense_type_day_matrix(sf_dir: str):
+    """Cross-join spine + zero-fill: the DENSE (event_type × day)
+    count matrix — every combination present even when no event
+    happened (the reporting-grid contract; sparse groupbys silently
+    drop empty cells). Plan = packed (type, day) count partials, then
+    the densification runs in one aggregate-scale epilogue against the
+    5 × day-range spine derived from the data's own min/max day. The
+    oracle builds the same spine with CROSS JOIN generate_series."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    types = pa.array(["click", "error", "purchase", "signup", "view"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ti = pc.index_in(t["event_type"], value_set=types)
+        assert ti.null_count == 0, "dense_matrix: unseen event_type"
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        k = pc.add(pc.multiply(ti.cast(pa.int64()),
+                               pa.scalar(1 << 32, pa.int64())), day)
+        g = pa.table({"k": k}).group_by("k").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["k", "n"])
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("k").sum("n").take_all())  # type x day scale
+    names = types.to_pylist()
+    k = np.array([r["k"] for r in agg], np.int64)
+    n = np.array([r["sum(n)"] for r in agg], np.int64)
+    ti, day = k >> 32, k & 0xFFFFFFFF
+    d0, d1 = int(day.min()), int(day.max())
+    span = d1 - d0 + 1
+    dense = np.zeros((len(names), span), np.int64)
+    dense[ti, day - d0] = n
+    return pd.DataFrame({
+        "event_type": np.repeat(np.array(names), span),
+        "day": np.tile(np.arange(d0, d1 + 1, dtype=np.int64),
+                       len(names)),
+        "n": dense.reshape(-1),
+    })
+
+
+QUERIES["dense_type_day_matrix"] = q_dense_type_day_matrix
+ORACLE_SQL["dense_type_day_matrix"] = """
+        WITH b AS (SELECT min(epoch_us(ts) // 86400000000) AS d0,
+                          max(epoch_us(ts) // 86400000000) AS d1
+                   FROM events),
+        spine AS (SELECT t.event_type, g.day
+                  FROM (SELECT DISTINCT event_type FROM events) t
+                  CROSS JOIN (SELECT unnest(generate_series(
+                      (SELECT d0 FROM b), (SELECT d1 FROM b))) AS day) g),
+        c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2)
+        SELECT s.event_type, s.day, COALESCE(c.n, 0) AS n
+        FROM spine s LEFT JOIN c USING (event_type, day)
+    """

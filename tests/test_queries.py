@@ -94,6 +94,7 @@ CHECKED = [
     "near_price_pairs",
     "weighted_median_lineitem",
     "daily_churn_users",
+    "dense_type_day_matrix",
 ]
 
 
