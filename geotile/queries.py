@@ -8148,7 +8148,8 @@ ORACLE_SQL["dense_type_day_matrix"] = """
                           max(epoch_us(ts) // 86400000000) AS d1
                    FROM events),
         spine AS (SELECT t.event_type, g.day
-                  FROM (SELECT DISTINCT event_type FROM events) t
+                  FROM (VALUES ('click'), ('error'), ('purchase'),
+                               ('signup'), ('view')) t(event_type)
                   CROSS JOIN (SELECT unnest(generate_series(
                       (SELECT d0 FROM b), (SELECT d1 FROM b))) AS day) g),
         c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
