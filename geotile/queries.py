@@ -8158,3 +8158,54 @@ ORACLE_SQL["dense_type_day_matrix"] = """
         SELECT s.event_type, s.day, COALESCE(c.n, 0) AS n
         FROM spine s LEFT JOIN c USING (event_type, day)
     """
+
+
+def q_anomaly_counts_users(sf_dir: str):
+    """Own-distribution anomaly screen: per user the exact p95 of
+    their value distribution (rank ceil(0.95·n), the ROW_NUMBER
+    semantics) and how many of their events exceed it. Unlike the
+    histogram-refinement grouped quantiles (whose interval lattice is
+    dimension-scale in the group count), this co-partitions on the
+    HIGH-cardinality user key and does quantile + threshold count in
+    ONE vectorized pass per bucket group (lexsort, per-run rank pick,
+    reduceat count) — the per-user contract is only that one user's
+    rows fit one bucket task."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def screen(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        order = np.lexsort([v, u])
+        u, v = u[order], v[order]
+        start = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        n = np.diff(np.r_[start, len(u)])
+        idx95 = start + np.ceil(0.95 * n).astype(np.int64) - 1
+        p95 = v[idx95]
+        above = np.add.reduceat(
+            (v > np.repeat(p95, n)).astype(np.int64), start)
+        return pd.DataFrame({"user_id": u[start],
+                             "n": n.astype(np.int64),
+                             "p95": p95,
+                             "n_above": above.astype(np.int64)})
+
+    return (_with_bucket(ev, "user_id", 32)
+            .groupby("bucket").map_groups(screen, batch_format="pandas"))
+
+
+QUERIES["anomaly_counts_users"] = q_anomaly_counts_users
+ORACLE_SQL["anomaly_counts_users"] = """
+        WITH r AS (SELECT user_id, value,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY value) AS rn,
+                          count(*) OVER (PARTITION BY user_id) AS n
+                   FROM events),
+        t AS (SELECT user_id, value AS p95, n FROM r
+              WHERE rn = CAST(ceil(0.95 * n) AS BIGINT))
+        SELECT e.user_id, CAST(t.n AS BIGINT) AS n, t.p95,
+               SUM(CASE WHEN e.value > t.p95 THEN 1 ELSE 0 END)
+                 AS n_above
+        FROM events e JOIN t USING (user_id)
+        GROUP BY 1, 2, 3
+    """

@@ -95,6 +95,7 @@ CHECKED = [
     "weighted_median_lineitem",
     "daily_churn_users",
     "dense_type_day_matrix",
+    "anomaly_counts_users",
 ]
 
 
