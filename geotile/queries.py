@@ -8209,3 +8209,60 @@ ORACLE_SQL["anomaly_counts_users"] = """
         FROM events e JOIN t USING (user_id)
         GROUP BY 1, 2, 3
     """
+
+
+def q_drawdown_users(sf_dir: str):
+    """Running-extreme window (MAX OVER ... ROWS UNBOUNDED PRECEDING):
+    per event, the user's running maximum value so far and the current
+    drawdown (run-max − value) — the peak-tracking member of the
+    window family the rolling SUMs don't cover. One co-partition on
+    user, np.maximum.accumulate per run (reset at run starts by
+    substituting −∞ at each first row), e4 lattice end to end."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(10000.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "us": t["ts"].cast(pa.int64()), "v": v})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        order = np.lexsort([eid, us, u])
+        u, eid, v = u[order], eid[order], v[order]
+        new = np.r_[True, u[1:] != u[:-1]]
+        # segment-reset cumulative max: pandas' grouped cummax is the
+        # C-path prefix max with per-run resets (a lift/offset trick
+        # would overflow int64 once a bucket holds ~2^18 users)
+        seg = np.cumsum(new) - 1
+        run_max = pd.Series(v).groupby(seg).cummax().to_numpy(np.int64)
+        return pd.DataFrame({"event_id": eid,
+                             "run_max_e4": run_max,
+                             "drawdown_e4": run_max - v})
+
+    return (_with_bucket(ds, "user_id", 32)
+            .groupby("bucket").map_groups(window, batch_format="pandas"))
+
+
+QUERIES["drawdown_users"] = q_drawdown_users
+ORACLE_SQL["drawdown_users"] = """
+        WITH f AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                            AS v
+                   FROM events)
+        SELECT event_id,
+               MAX(v) OVER w AS run_max_e4,
+               MAX(v) OVER w - v AS drawdown_e4
+        FROM f
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """

@@ -96,6 +96,7 @@ CHECKED = [
     "daily_churn_users",
     "dense_type_day_matrix",
     "anomaly_counts_users",
+    "drawdown_users",
 ]
 
 
