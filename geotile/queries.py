@@ -8266,3 +8266,67 @@ ORACLE_SQL["drawdown_users"] = """
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
+
+
+def q_rolling_distinct_types(sf_dir: str):
+    """Windowed COUNT DISTINCT (distinct event types among each
+    user's last 5 events) — the distinct-cardinality ROWS frame that
+    plain rolling sums can't express. Over the closed 5-type
+    vocabulary the window collapses to a rolling BITMASK OR: five
+    shifted views of the per-row type bit, run-start masked, one
+    popcount — fully vectorized in the per-bucket pass, no per-row
+    set structure."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+    types = pa.array(["click", "error", "purchase", "signup", "view"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["event_type"], value_set=types)
+        assert idx.null_count == 0, "rolling_distinct: unseen type"
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "us": t["ts"].cast(pa.int64()),
+                         "ti": idx.cast(pa.int64())})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        ti = df["ti"].to_numpy(np.int64)
+        order = np.lexsort([eid, us, u])
+        u, eid, ti = u[order], eid[order], ti[order]
+        n = len(u)
+        bit = np.int64(1) << ti
+        pos = np.arange(n)
+        run_start = pos[np.r_[True, u[1:] != u[:-1]]][
+            np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1]
+        mask = bit.copy()
+        for s in range(1, 5):  # OR in the s-th predecessor if in-run
+            ok = pos - s >= run_start
+            shifted = np.zeros(n, np.int64)
+            shifted[s:] = bit[:-s]
+            mask |= np.where(ok, shifted, 0)
+        # popcount over 5 bits
+        d = (mask & 1) + ((mask >> 1) & 1) + ((mask >> 2) & 1) \
+            + ((mask >> 3) & 1) + ((mask >> 4) & 1)
+        return pd.DataFrame({"event_id": eid,
+                             "n_distinct_5": d.astype(np.int64)})
+
+    return (_with_bucket(ds, "user_id", 32)
+            .groupby("bucket").map_groups(window, batch_format="pandas"))
+
+
+QUERIES["rolling_distinct_types"] = q_rolling_distinct_types
+ORACLE_SQL["rolling_distinct_types"] = """
+        SELECT event_id,
+               count(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                 AS n_distinct_5
+        FROM events
+    """

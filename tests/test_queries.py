@@ -97,6 +97,7 @@ CHECKED = [
     "dense_type_day_matrix",
     "anomaly_counts_users",
     "drawdown_users",
+    "rolling_distinct_types",
 ]
 
 
