@@ -8330,3 +8330,71 @@ ORACLE_SQL["rolling_distinct_types"] = """
                  AS n_distinct_5
         FROM events
     """
+
+
+def q_decay_score_users(sf_dir: str):
+    """Geometric-decay engagement score (the bounded-horizon EWMA,
+    exact): per event, Σ_{j=0..9} v_{i−j}·2^{9−j} over the user's last
+    10 events — recency-weighted relevance on the e4 lattice, exact
+    integers end to end (an unbounded EWMA forces floats; the bounded
+    horizon keeps the driver hash bit-stable). Vectorized as ten
+    run-masked shifted adds in one co-partition pass; the SQL replay
+    writes the same ten LAG terms explicitly."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(10000.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "us": t["ts"].cast(pa.int64()), "v": v})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        order = np.lexsort([eid, us, u])
+        u, eid, v = u[order], eid[order], v[order]
+        n = len(u)
+        pos = np.arange(n)
+        new = np.r_[True, u[1:] != u[:-1]]
+        run_start = pos[new][np.cumsum(new) - 1]
+        score = v * (1 << 9)
+        for j in range(1, 10):
+            ok = pos - j >= run_start
+            shifted = np.zeros(n, np.int64)
+            shifted[j:] = v[:-j]
+            score += np.where(ok, shifted, 0) * (1 << (9 - j))
+        return pd.DataFrame({"event_id": eid,
+                             "decay_score_e4": score})
+
+    return (_with_bucket(ds, "user_id", 32)
+            .groupby("bucket").map_groups(window, batch_format="pandas"))
+
+
+QUERIES["decay_score_users"] = q_decay_score_users
+ORACLE_SQL["decay_score_users"] = """
+        WITH f AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                            AS v
+                   FROM events)
+        SELECT event_id,
+               v * 512
+               + COALESCE(LAG(v, 1) OVER w, 0) * 256
+               + COALESCE(LAG(v, 2) OVER w, 0) * 128
+               + COALESCE(LAG(v, 3) OVER w, 0) * 64
+               + COALESCE(LAG(v, 4) OVER w, 0) * 32
+               + COALESCE(LAG(v, 5) OVER w, 0) * 16
+               + COALESCE(LAG(v, 6) OVER w, 0) * 8
+               + COALESCE(LAG(v, 7) OVER w, 0) * 4
+               + COALESCE(LAG(v, 8) OVER w, 0) * 2
+               + COALESCE(LAG(v, 9) OVER w, 0) AS decay_score_e4
+        FROM f
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """

@@ -98,6 +98,7 @@ CHECKED = [
     "anomaly_counts_users",
     "drawdown_users",
     "rolling_distinct_types",
+    "decay_score_users",
 ]
 
 
