@@ -8398,3 +8398,251 @@ ORACLE_SQL["decay_score_users"] = """
         FROM f
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
+
+
+def q_gini_impurity_users(sf_dir: str):
+    """Per-group diversity / concentration metric (Gini impurity of
+    each user's event-type mix) — exact integer parts end to end:
+    gini = 1 − Σ(c/n)² is reported as n, ssq = Σc², and
+    gini_ppm = (n² − ssq)·10⁶ ÷ n² in INTEGER division, so no float
+    ever enters the driver hash. Per-batch packed (user,type) count
+    partials → one exact pair groupby → a pair-cardinality per-user
+    combine. (n²·10⁶ overflows int64 only past ~3M events per user —
+    asserted.)"""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = pa.array(["click", "error", "purchase", "signup", "view"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ti = pc.index_in(t["event_type"], value_set=types).cast(pa.int64())
+        assert ti.null_count == 0, "gini: unseen event type"
+        k = pc.add(pc.multiply(t["user_id"], pa.scalar(8, pa.int64())), ti)
+        return pa.table({"k": k}).group_by("k").aggregate([("k", "count")])
+
+    pairs = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+              .groupby("k").sum("k_count")
+
+    def per_user(t: pa.Table) -> pa.Table:
+        c = t["sum(k_count)"].to_numpy().astype(np.int64)
+        u = np.right_shift(t["k"].to_numpy().astype(np.int64), 3)
+        return pa.table({"user_id": u, "n": c, "ssq": c * c}) \
+                 .group_by("user_id") \
+                 .aggregate([("n", "sum"), ("ssq", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    per = pairs.map_batches(per_user, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .groupby("user_id") \
+               .aggregate(Sum("n_sum", alias_name="n"),
+                          Sum("ssq_sum", alias_name="ssq"))
+
+    def epilogue(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.int64)
+        ssq = t["ssq"].to_numpy().astype(np.int64)
+        assert (n < 3_000_000).all(), "gini: n^2*1e6 would overflow"
+        ppm = (n * n - ssq) * 1_000_000 // (n * n)
+        return pa.table({"user_id": t["user_id"], "n": n, "ssq": ssq,
+                         "gini_ppm": ppm})
+
+    return per.map_batches(epilogue, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+QUERIES["gini_impurity_users"] = q_gini_impurity_users
+ORACLE_SQL["gini_impurity_users"] = """
+        WITH c AS (SELECT user_id, event_type, count(*) AS c
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id, SUM(c) AS n, SUM(c * c) AS ssq,
+               (SUM(c) * SUM(c) - SUM(c * c)) * 1000000
+                 // (SUM(c) * SUM(c)) AS gini_ppm
+        FROM c GROUP BY 1
+    """
+
+
+def q_division_completion_users(sf_dir: str):
+    """Relational DIVISION with a completion timestamp: users who
+    performed ALL five event types, and the day their vocabulary
+    became complete (max over types of each type's first-seen day) —
+    the \"for all\" join no equi-join family member expresses. Two
+    exact aggregate levels: per-batch packed (user,type) MIN-day
+    partials → pair groupby MIN → per-user (count, max) combine with
+    a HAVING count = |vocabulary| filter."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    types = pa.array(["click", "error", "purchase", "signup", "view"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ti = pc.index_in(t["event_type"], value_set=types).cast(pa.int64())
+        assert ti.null_count == 0, "division: unseen event type"
+        k = pc.add(pc.multiply(t["user_id"], pa.scalar(8, pa.int64())), ti)
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"k": k, "d": day}).group_by("k") \
+                 .aggregate([("d", "min")])
+
+    first = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("k").min("d_min")
+
+    def per_user(t: pa.Table) -> pa.Table:
+        u = np.right_shift(t["k"].to_numpy().astype(np.int64), 3)
+        d = t["min(d_min)"].to_numpy().astype(np.int64)
+        one = np.ones(len(u), np.int64)
+        return pa.table({"user_id": u, "nt": one, "d": d}) \
+                 .group_by("user_id") \
+                 .aggregate([("nt", "sum"), ("d", "max")])
+
+    from ray.data.aggregate import Max, Sum
+
+    per = first.map_batches(per_user, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .groupby("user_id") \
+               .aggregate(Sum("nt_sum", alias_name="nt"),
+                          Max("d_max", alias_name="completed_day"))
+
+    def having(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["nt"], pa.scalar(5, pa.int64())))
+        return f.select(["user_id", "completed_day"])
+
+    return per.map_batches(having, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+QUERIES["division_completion_users"] = q_division_completion_users
+ORACLE_SQL["division_completion_users"] = """
+        WITH m AS (SELECT user_id, event_type,
+                          MIN(CAST(ts AS DATE)) AS d0
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(MAX(d0) - DATE '1970-01-01' AS BIGINT)
+                 AS completed_day
+        FROM m GROUP BY 1 HAVING COUNT(*) = 5
+    """
+
+
+def q_locf_events(sf_dir: str):
+    """LOCF gap-fill (last-observation-carried-forward): per event,
+    the value of the user's most recent PURCHASE at-or-before it
+    (−1 before the first purchase) — the imputation window the
+    frame-sum family can't express because the carried value rides an
+    arbitrary distance. Vectorized as an index-carrying forward fill:
+    marker = position where purchase else −1, grouped cummax (pandas
+    C path, resets per user run), then one gather. The SQL replay
+    uses LAST_VALUE ... IGNORE NULLS."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(10000.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        isp = pc.equal(t["event_type"], pa.scalar("purchase")) \
+                .cast(pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "us": t["ts"].cast(pa.int64()),
+                         "v": v, "isp": isp})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        isp = df["isp"].to_numpy(np.int64)
+        order = np.lexsort([eid, us, u])
+        u, eid, v, isp = u[order], eid[order], v[order], isp[order]
+        n = len(u)
+        pos = np.arange(n)
+        seg = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        marker = np.where(isp == 1, pos, np.int64(-1))
+        carried = pd.Series(marker).groupby(seg).cummax() \
+                    .to_numpy(np.int64)
+        out = np.where(carried >= 0, v[np.maximum(carried, 0)],
+                       np.int64(-1))
+        return pd.DataFrame({"event_id": eid,
+                             "last_purchase_e4": out})
+
+    return (_with_bucket(ds, "user_id", 32)
+            .groupby("bucket").map_groups(window, batch_format="pandas"))
+
+
+QUERIES["locf_events"] = q_locf_events
+ORACLE_SQL["locf_events"] = """
+        WITH f AS (SELECT event_id, user_id, ts,
+                          CASE WHEN event_type = 'purchase'
+                               THEN CAST(floor(value * 10000.0 + 0.5)
+                                         AS BIGINT) END AS pv
+                   FROM events)
+        SELECT event_id,
+               COALESCE(LAST_VALUE(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 -1) AS last_purchase_e4
+        FROM f
+    """
+
+
+def q_clamped_balance_users(sf_dir: str):
+    """Clamped running balance (inventory / credit semantics):
+    S_i = max(0, S_{i−1} + Δ_i) with Δ = value_e4 − 500000 — the
+    nonlinear recurrence a plain window SUM can't express. Collapsed
+    to closed form S_i = P_i − min(0, min_{j≤i} P_j) (P = prefix sum),
+    so the engine runs two C-path grouped scans (cumsum + cummin) per
+    co-partition instead of a sequential loop; the SQL replay computes
+    the same closed form from two stacked window passes — both sides
+    exact int64 on the e4 lattice."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(10000.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "us": t["ts"].cast(pa.int64()),
+                         "d": pc.subtract(v, pa.scalar(500000, pa.int64()))})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        order = np.lexsort([eid, us, u])
+        u, eid, d = u[order], eid[order], d[order]
+        seg = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        g = pd.Series(d).groupby(seg)
+        p = g.cumsum().to_numpy(np.int64)
+        low = np.minimum(pd.Series(p).groupby(seg).cummin()
+                         .to_numpy(np.int64), 0)
+        return pd.DataFrame({"event_id": eid, "balance_e4": p - low})
+
+    return (_with_bucket(ds, "user_id", 32)
+            .groupby("bucket").map_groups(window, batch_format="pandas"))
+
+
+QUERIES["clamped_balance_users"] = q_clamped_balance_users
+ORACLE_SQL["clamped_balance_users"] = """
+        WITH f AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                            - 500000 AS d
+                   FROM events),
+        p AS (SELECT event_id, user_id, ts,
+                     SUM(d) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS pp
+              FROM f)
+        SELECT event_id,
+               pp - LEAST(0, MIN(pp) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS balance_e4
+        FROM p
+    """

@@ -99,6 +99,10 @@ CHECKED = [
     "drawdown_users",
     "rolling_distinct_types",
     "decay_score_users",
+    "gini_impurity_users",
+    "division_completion_users",
+    "locf_events",
+    "clamped_balance_users",
 ]
 
 
