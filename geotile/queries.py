@@ -8646,3 +8646,244 @@ ORACLE_SQL["clamped_balance_users"] = """
                  AS balance_e4
         FROM p
     """
+
+
+def q_posting_lists_embeddings(sf_dir: str):
+    """Inverted-index build over a vector column (embedding
+    sparsification): every dim whose activation clears the threshold
+    on the trunc-e4 lattice becomes a posting; output = per-dim
+    posting count + activation mass — the index-construction shape of
+    sparse retrieval. Per-batch 2-D mask → bincount/add.at partials at
+    dim cardinality (64), one dim-scale groupby; the corpus itself
+    never shuffles. UNNEST-with-position replay in SQL."""
+    em = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from geotile.ops.ann import _emb_matrix
+        arr = _emb_matrix(t)
+        q = np.trunc(arr * 10000.0).astype(np.int64)
+        mask = q >= 2500
+        rows, dims = np.nonzero(mask)
+        n = np.bincount(dims, minlength=arr.shape[1]).astype(np.int64)
+        s = np.zeros(arr.shape[1], np.int64)
+        np.add.at(s, dims, q[rows, dims])
+        keep = n > 0
+        return pa.table({"dim": np.nonzero(keep)[0].astype(np.int64),
+                         "n_postings": n[keep], "mass_e4": s[keep]})
+
+    out = em.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("dim").sum(["n_postings", "mass_e4"])
+    return _rename(out, ["dim", "n_postings", "mass_e4"])
+
+
+QUERIES["posting_lists_embeddings"] = q_posting_lists_embeddings
+ORACLE_SQL["posting_lists_embeddings"] = """
+        WITH e AS (SELECT unnest(range(len(embedding))) AS dim,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q
+                   FROM embeddings)
+        SELECT dim, COUNT(*) AS n_postings, SUM(q) AS mass_e4
+        FROM e WHERE q >= 2500 GROUP BY dim
+    """
+
+
+def q_shipping_priority_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers
+    ⋈ date-filtered orders ⋈ ship-date-filtered lineitem, revenue per
+    order, global top 10. Two bucketed co-partition joins on DIFFERENT
+    keys (custkey then orderkey) — the multi-shuffle chain a single
+    broadcast can't honestly replace once the dimension side is
+    fact-scale — with predicates applied before each shuffle so only
+    qualifying rows move. Revenue on the per-element e4 lattice BEFORE
+    summation; top-k via per-block partials, never a global sort."""
+    from geotile.ops.relational import bucketed_join
+
+    CUT = np.datetime64("1996-06-01", "us")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], pa.scalar("BUILDING")))
+            .select(["c_custkey"]), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(
+            pc.less(t["o_orderdate"], pa.scalar(CUT))),
+            batch_format="pyarrow")
+    oc = bucketed_join(orders, cust, "o_custkey", "c_custkey",
+                       n_buckets=16)
+    oc = oc.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_day": pc.divide(t["o_orderdate"].cast(pa.int64()),
+                               pa.scalar(86_400_000_000, pa.int64()))}),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]) \
+        .map_batches(lambda t: t.filter(
+            pc.greater(t["l_shipdate"], pa.scalar(CUT))),
+            batch_format="pyarrow")
+    j = bucketed_join(li, oc, "l_orderkey", "o_orderkey", n_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0)), pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"o_orderkey": t["o_orderkey"], "o_day": t["o_day"],
+                      "revenue_e4": rev}) \
+            .group_by(["o_orderkey", "o_day"]) \
+            .aggregate([("revenue_e4", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "o_day": g["o_day"],
+                         "revenue_e4": g["revenue_e4_sum"]})
+
+    per_order = j.map_batches(partial, batch_format="pyarrow") \
+                 .groupby(["o_orderkey", "o_day"]).sum("revenue_e4")
+    per_order = _rename(per_order, ["o_orderkey", "o_day", "revenue_e4"])
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("revenue_e4", "descending"),
+                                            ("o_orderkey", "ascending")])
+        return t.take(idx[:10])
+
+    return per_order.map_batches(block_topk, batch_format="pyarrow") \
+                    .repartition(1) \
+                    .map_batches(block_topk, batch_format="pyarrow")
+
+
+QUERIES["shipping_priority_q3"] = q_shipping_priority_q3
+ORACLE_SQL["shipping_priority_q3"] = """
+        SELECT l_orderkey AS o_orderkey,
+               CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS o_day,
+               SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 10000.0 + 0.5) AS BIGINT)) AS revenue_e4
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-06-01'
+          AND l_shipdate > TIMESTAMP '1996-06-01'
+        GROUP BY 1, 2
+        ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10
+    """
+
+
+def q_revenue_share_nations(sf_dir: str):
+    """Ratio-to-report (percent-of-total contribution): revenue per
+    nation plus its share of the grand total in exact ppm by integer
+    division — the SUM() OVER () report window. Fact side maps
+    custkey→nation through the per-worker broadcast dim cache and
+    pre-aggregates per batch; the grand total is an aggregate-scale
+    (25-row) driver epilogue, so no second pass over the facts."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    nat = {r["n_nationkey"]: r["n_name"] for r in nation}
+    ck = np.array(sorted(r["c_custkey"] for r in cust), dtype=np.int64)
+    by_key = {r["c_custkey"]: r["c_nationkey"] for r in cust}
+    dim_ref = ray.put(
+        (ck, pa.array([nat[by_key[k]] for k in ck], pa.string())))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, nats = _broadcast(dim_ref)
+        idx = pa.array(np.searchsorted(keys, t["o_custkey"].to_numpy()))
+        rev = pc.floor(pc.add(pc.multiply(t["o_totalprice"],
+                                          pa.scalar(100.0)),
+                              pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"nation": pc.take(nats, idx), "rev_e2": rev}) \
+            .group_by("nation").aggregate([("rev_e2", "sum")])
+        return pa.table({"nation": g["nation"],
+                         "rev_e2": g["rev_e2_sum"]})
+
+    per = orders.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .groupby("nation").sum("rev_e2")
+    df = _rename(per, ["nation", "rev_e2"]).to_pandas()  # 25 rows
+    total = int(df["rev_e2"].sum())
+    df["share_ppm"] = (df["rev_e2"].to_numpy(np.int64) * 1_000_000
+                       // total).astype(np.int64)
+    return df
+
+
+QUERIES["revenue_share_nations"] = q_revenue_share_nations
+ORACLE_SQL["revenue_share_nations"] = """
+        WITH r AS (SELECT n_name AS nation,
+                          SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS rev_e2
+                   FROM orders
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+                   GROUP BY 1)
+        SELECT nation, rev_e2,
+               rev_e2 * 1000000 // SUM(rev_e2) OVER () AS share_ppm
+        FROM r
+    """
+
+
+def q_monotone_run_users(sf_dir: str):
+    """Longest strictly-increasing run per user (value-adjacency
+    islands — momentum/trend detection): runs break wherever
+    v ≤ previous v or the user changes, island lengths via one
+    bincount, per-user max over islands at island cardinality. The
+    calendar-streak operator counts day gaps; this one is ordered on
+    event time and cuts on the VALUE sequence."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(10000.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "us": t["ts"].cast(pa.int64()), "v": v})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        order = np.lexsort([eid, us, u])
+        u, v = u[order], v[order]
+        brk = np.r_[True, (u[1:] != u[:-1]) | (v[1:] <= v[:-1])]
+        isl = np.cumsum(brk) - 1
+        lengths = np.bincount(isl).astype(np.int64)
+        isl_user = u[brk]  # island start rows carry the island's user
+        per = pd.DataFrame({"user_id": isl_user, "L": lengths}) \
+            .groupby("user_id", sort=False)["L"].max()
+        return pd.DataFrame({"user_id": per.index.to_numpy(np.int64),
+                             "longest_inc_run": per.to_numpy(np.int64)})
+
+    return (_with_bucket(ds, "user_id", 32)
+            .groupby("bucket").map_groups(window, batch_format="pandas"))
+
+
+QUERIES["monotone_run_users"] = q_monotone_run_users
+ORACLE_SQL["monotone_run_users"] = """
+        WITH f AS (SELECT user_id, ts, event_id,
+                          CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                            AS v
+                   FROM events),
+        l AS (SELECT user_id, ts, event_id, v,
+                     LAG(v) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pv
+              FROM f),
+        g AS (SELECT user_id,
+                     SUM(CASE WHEN pv IS NULL OR v <= pv THEN 1
+                              ELSE 0 END) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS isl
+              FROM l),
+        c AS (SELECT user_id, isl, COUNT(*) AS c
+              FROM g GROUP BY 1, 2)
+        SELECT user_id, CAST(MAX(c) AS BIGINT) AS longest_inc_run
+        FROM c GROUP BY 1
+    """

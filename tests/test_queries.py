@@ -103,6 +103,10 @@ CHECKED = [
     "division_completion_users",
     "locf_events",
     "clamped_balance_users",
+    "posting_lists_embeddings",
+    "shipping_priority_q3",
+    "revenue_share_nations",
+    "monotone_run_users",
 ]
 
 
