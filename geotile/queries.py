@@ -4572,6 +4572,7 @@ def oracle_sql() -> dict[str, str]:
         FROM read_parquet('{img01}/part-*.parquet') GROUP BY 1, 2
     """
     out["image_embeddings"] = _image_embeddings_sql(img01)
+    out["tile_pyramid_counts"] = _tile_pyramid_sql(img01)
     out["image_resize"] = f"""
         SELECT image_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
                TRUE AS mean_ok
@@ -8886,4 +8887,214 @@ ORACLE_SQL["monotone_run_users"] = """
               FROM g GROUP BY 1, 2)
         SELECT user_id, CAST(MAX(c) AS BIGINT) AS longest_inc_run
         FROM c GROUP BY 1
+    """
+
+
+def _tile_pyramid_sql(img_dir: str) -> str:
+    """Oracle for tile_pyramid_counts: each level's cell id derived
+    DIRECTLY from lon/lat (quantize + Morton spread at that res) —
+    independent of the engine's shift-based parent coarsening, so a
+    nesting bug in either derivation breaks the match."""
+    parts = []
+    for r in (12, 10, 8, 6):
+        parts.append(f"""
+        SELECT {_sql_cell('lon', 'lat', r)} AS cell,
+               CAST({r} AS BIGINT) AS level, count(*) AS n_tiles
+        FROM read_parquet('{img_dir}/part-*.parquet')
+        GROUP BY 1""")
+    return " UNION ALL ".join(parts)
+
+
+def q_tile_pyramid_counts(sf_dir: str):
+    """Zoom-pyramid rollup (tile map-server aggregation): tile counts
+    at res 12 coarsened up through res 10/8/6 — the multi-resolution
+    aggregation a slippy-map service precomputes. The fine cell is
+    encoded ONCE per row; every coarser level is a 2-bit-per-step
+    shift (aperture-4 Morton nesting), so the pyramid costs one encode
+    + three shifts, and the shuffle moves only per-cell count partials
+    (≤ 1.33× the res-12 cell cardinality, geometric series)."""
+    from geotile.geom import cells
+
+    from geotile.ops.tiles import read_image_table
+
+    img = _image_dir_for(sf_dir)
+    ds = read_image_table(img, columns=["lon", "lat"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        fine = cells.encode(lon, lat, 12)
+        levels = []
+        for r in (12, 10, 8, 6):
+            levels.append(fine if r == 12 else cells.parent(fine, r))
+        cell = np.concatenate(levels).view(np.int64)
+        return pa.table({"cell": cell}).group_by("cell") \
+                 .aggregate([("cell", "count")])
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("cell").sum("cell_count")
+
+    def epilogue(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy()
+        return pa.table({"cell": c,
+                         "level": (c >> 58).astype(np.int64),
+                         "n_tiles": t["sum(cell_count)"].cast(pa.int64())})
+
+    return out.map_batches(epilogue, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+QUERIES["tile_pyramid_counts"] = q_tile_pyramid_counts
+
+
+def q_scd2_orders(sf_dir: str):
+    """SCD Type-2 dimension build (validity intervals from a change
+    log): per customer, the order-priority history as
+    [valid_from_day, valid_to_day) rows — a new interval opens at
+    every priority CHANGE point, closes at the next one (−1 = open).
+    One co-partition pass: shifted-view change detection, then the
+    next-change day gathered by one roll of the change-row subset —
+    no LEAD materialization over the full fact."""
+    from geotile.ops.relational import _with_bucket
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+
+    vocab = pa.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                      "4-NOT SPECIFIED", "5-LOW"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["o_orderdate"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        pi = pc.index_in(t["o_orderpriority"], value_set=vocab)
+        assert pi.null_count == 0, "scd2: unseen priority"
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"], "day": day,
+                         "pi": pi.cast(pa.int64())})
+
+    ds = orders.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    names = np.asarray(vocab.to_pylist())
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["o_custkey"].to_numpy(np.int64)
+        k = df["o_orderkey"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        p = df["pi"].to_numpy(np.int64)
+        order = np.lexsort([k, d, c])
+        c, d, p = c[order], d[order], p[order]
+        new = np.r_[True, c[1:] != c[:-1]]
+        chg = new | np.r_[False, p[1:] != p[:-1]]
+        cc, dc, pc_ = c[chg], d[chg], p[chg]
+        nxt = np.r_[dc[1:], np.int64(-1)]
+        same = np.r_[cc[1:] == cc[:-1], False]
+        return pd.DataFrame({"o_custkey": cc,
+                             "o_orderpriority": names[pc_],
+                             "valid_from_day": dc,
+                             "valid_to_day": np.where(same, nxt,
+                                                      np.int64(-1))})
+
+    return (_with_bucket(ds, "o_custkey", 32)
+            .groupby("bucket").map_groups(window, batch_format="pandas"))
+
+
+QUERIES["scd2_orders"] = q_scd2_orders
+ORACLE_SQL["scd2_orders"] = """
+        WITH f AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+                          CAST(CAST(o_orderdate AS DATE)
+                               - DATE '1970-01-01' AS BIGINT) AS day
+                   FROM orders),
+        l AS (SELECT *, LAG(o_orderpriority) OVER (
+                    PARTITION BY o_custkey ORDER BY day, o_orderkey)
+                  AS pp
+              FROM f),
+        c AS (SELECT o_custkey, o_orderpriority, day,
+                     LEAD(day) OVER (PARTITION BY o_custkey
+                                     ORDER BY day, o_orderkey) AS nxt
+              FROM l WHERE pp IS NULL OR pp <> o_orderpriority)
+        SELECT o_custkey, o_orderpriority, day AS valid_from_day,
+               COALESCE(nxt, -1) AS valid_to_day
+        FROM c
+    """
+
+
+def q_gap_filled_daily_users(sf_dir: str):
+    """Gap-filled per-user daily time series: each user's activity
+    counts on a DENSE day spine bounded by their own [first, last]
+    active day, absent days zero-filled — the per-key variable-length
+    spine the fixed-vocabulary dense matrix can't express. Exact
+    (user, day) count partials shuffle at pair cardinality; the spine
+    explosion (repeat + cumsum-arange) and the searchsorted zero-fill
+    merge run inside the per-bucket pass, so fan-out stays bounded by
+    each user's own span."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = day.to_numpy(zero_copy_only=False)
+        assert (d >= 0).all() and (d < 1 << 20).all(), "day pack range"
+        k = (u << 20) | d
+        return pa.table({"k": k}).group_by("k") \
+                 .aggregate([("k", "count")])
+
+    pairs = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+              .groupby("k").sum("k_count")
+
+    def add_user(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        return pa.table({"k": k, "n": t["sum(k_count)"].cast(pa.int64()),
+                         "user_id": (k >> 20).astype(np.int64)})
+
+    def spine(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        order = np.argsort(k)
+        k, n = k[order], n[order]
+        u = k >> 20
+        d = k & ((1 << 20) - 1)
+        new = np.r_[True, u[1:] != u[:-1]]
+        starts = np.nonzero(new)[0]
+        ends = np.r_[starts[1:], len(u)] - 1
+        lo, hi, uu = d[starts], d[ends], u[starts]
+        span = hi - lo + 1
+        # dense day spine per user: repeat + cumsum-arange explosion
+        user_col = np.repeat(uu, span)
+        base = np.repeat(lo, span)
+        off = np.arange(span.sum(), dtype=np.int64) \
+            - np.repeat(np.cumsum(span) - span, span)
+        day_col = base + off
+        kk = (user_col << 20) | day_col
+        pos = np.searchsorted(k, kk)
+        hit = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == kk)
+        out_n = np.where(hit, n[np.minimum(pos, len(k) - 1)],
+                         np.int64(0))
+        return pd.DataFrame({"user_id": user_col, "day": day_col,
+                             "n": out_n})
+
+    enriched = pairs.map_batches(add_user, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return (_with_bucket(enriched, "user_id", 32)
+            .groupby("bucket").map_groups(spine, batch_format="pandas"))
+
+
+QUERIES["gap_filled_daily_users"] = q_gap_filled_daily_users
+ORACLE_SQL["gap_filled_daily_users"] = """
+        WITH c AS (SELECT user_id,
+                          CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                               AS BIGINT) AS day, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+              FROM c GROUP BY 1),
+        s AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+              FROM b)
+        SELECT s.user_id, CAST(s.day AS BIGINT) AS day,
+               COALESCE(c.n, 0) AS n
+        FROM s LEFT JOIN c USING (user_id, day)
     """

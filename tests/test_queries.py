@@ -107,6 +107,8 @@ CHECKED = [
     "shipping_priority_q3",
     "revenue_share_nations",
     "monotone_run_users",
+    "scd2_orders",
+    "gap_filled_daily_users",
 ]
 
 
@@ -355,3 +357,22 @@ def test_image_channel_histogram_oracle(ray_session, con):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
     per_chan = got.groupby("channel")["cnt"].sum().to_numpy()
     assert (per_chan == per_chan[0]).all()  # same pixel count per channel
+
+
+def test_tile_pyramid_counts_oracle(ray_session, con):
+    """Shift-coarsened pyramid (engine) vs direct per-level quantize+
+    spread encode in SQL — two independent derivations of the same
+    aperture-4 nesting; also sanity: every level's total equals the
+    image count."""
+    from geotile.queries import QUERIES, _image_dir_for, _tile_pyramid_sql
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["tile_pyramid_counts"](SF).to_pandas()
+           .sort_values(["cell"]).reset_index(drop=True))
+    exp = (con.execute(_tile_pyramid_sql(img)).df()
+           .sort_values(["cell"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    totals = got.groupby("level")["n_tiles"].sum()
+    assert (totals.to_numpy() == totals.to_numpy()[0]).all()
