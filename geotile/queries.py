@@ -4573,6 +4573,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["image_embeddings"] = _image_embeddings_sql(img01)
     out["tile_pyramid_counts"] = _tile_pyramid_sql(img01)
+    out["caption_geo_consistency"] = _caption_geo_sql(img01)
     out["image_resize"] = f"""
         SELECT image_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
                TRUE AS mean_ok
@@ -9097,4 +9098,191 @@ ORACLE_SQL["gap_filled_daily_users"] = """
         SELECT s.user_id, CAST(s.day AS BIGINT) AS day,
                COALESCE(c.n, 0) AS n
         FROM s LEFT JOIN c USING (user_id, day)
+    """
+
+
+def _caption_geo_sql(img_dir: str) -> str:
+    """Oracle for caption_geo_consistency: nearest stop replayed as a
+    30-row CROSS JOIN + ROW_NUMBER argmin in the same meter frame
+    (identical literals and multiply/add order as the engine's numpy
+    kernel, so d² is bit-identical and the argmin tie-break — first
+    stop index — matches exactly)."""
+    from geotile.geom.buffer import meter_frame
+    from geotile.ops.join import _ANCHOR_LAT
+    from geotile.synth import N_STOPS, STOP_LATS, STOP_LONS
+
+    mx, my = meter_frame(_ANCHOR_LAT)
+    vals = ", ".join(
+        f"({i}, {STOP_LONS[i]!r}, {STOP_LATS[i]!r})"
+        for i in range(N_STOPS))
+    return f"""
+        WITH s(sid, slon, slat) AS (VALUES {vals}),
+        p AS (SELECT image_id,
+                     CAST(string_split(caption, ' ')[5] AS BIGINT)
+                       AS caption_stop, lon, lat
+              FROM read_parquet('{img_dir}/part-*.parquet')),
+        d AS (SELECT p.image_id, p.caption_stop, s.sid,
+                     ((p.lon - s.slon) * {mx!r})
+                       * ((p.lon - s.slon) * {mx!r})
+                     + ((p.lat - s.slat) * {my!r})
+                       * ((p.lat - s.slat) * {my!r}) AS d2
+              FROM p CROSS JOIN s),
+        r AS (SELECT image_id, caption_stop, sid,
+                     ROW_NUMBER() OVER (PARTITION BY image_id
+                                        ORDER BY d2, sid) AS rn
+              FROM d)
+        SELECT caption_stop, count(*) AS n,
+               SUM(CASE WHEN sid = caption_stop THEN 1 ELSE 0 END)
+                 AS n_match
+        FROM r WHERE rn = 1 GROUP BY 1
+    """
+
+
+def q_caption_geo_consistency(sf_dir: str):
+    """Cross-modal consistency audit on the multimodal table: does the
+    stop id WRITTEN IN each image's caption agree with the stop
+    nearest to the image's georeferenced position? Per caption-stop:
+    image count + geometric agreement count — the caption-vs-geometry
+    validation a georeferenced image corpus needs before training on
+    either modality. Metadata-only scan (payload pruned); the 30-stop
+    table is a module constant on every worker, the N×30 meter-frame
+    d² argmin is one vectorized kernel per batch; only 30-row count
+    partials shuffle."""
+    from geotile.geom.buffer import meter_frame
+    from geotile.ops.join import _ANCHOR_LAT
+    from geotile.ops.tiles import read_image_table
+    from geotile.synth import STOP_LATS, STOP_LONS
+
+    mx, my = meter_frame(_ANCHOR_LAT)
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["caption", "lon", "lat"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        stop = pc.cast(pc.list_element(
+            pc.split_pattern(t["caption"], " "), 4), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        dx = (lon[:, None] - STOP_LONS[None, :]) * mx
+        dy = (lat[:, None] - STOP_LATS[None, :]) * my
+        nearest = np.argmin(dx * dx + dy * dy, axis=1)  # first-index tie
+        match = (nearest == stop).astype(np.int64)
+        g = pa.table({"caption_stop": stop, "m": match}) \
+            .group_by("caption_stop") \
+            .aggregate([([], "count_all"), ("m", "sum")])
+        return g.rename_columns(["caption_stop", "n", "n_match"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("caption_stop").sum(["n", "n_match"])
+    return _rename(out, ["caption_stop", "n", "n_match"])
+
+
+QUERIES["caption_geo_consistency"] = q_caption_geo_consistency
+
+
+def q_rebase_index_users(sf_dir: str):
+    """FIRST_VALUE rebase (indexed time series): every event's value
+    expressed per-mille of the SAME user's first observation
+    (idx_pm = v·1000 ÷ v_first in integer division) — the
+    base-100-style normalization comparative series need. The first
+    value is gathered once per run (run-start positions broadcast by
+    segment id), no expanding window."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(10000.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "us": t["ts"].cast(pa.int64()), "v": v})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        order = np.lexsort([eid, us, u])
+        u, eid, v = u[order], eid[order], v[order]
+        new = np.r_[True, u[1:] != u[:-1]]
+        first = v[new][np.cumsum(new) - 1]  # run-start value per row
+        return pd.DataFrame({"event_id": eid,
+                             "idx_pm": v * 1000 // first})
+
+    return (_with_bucket(ds, "user_id", 32)
+            .groupby("bucket").map_groups(window, batch_format="pandas"))
+
+
+QUERIES["rebase_index_users"] = q_rebase_index_users
+ORACLE_SQL["rebase_index_users"] = """
+        WITH f AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                            AS v
+                   FROM events)
+        SELECT event_id,
+               v * 1000 // FIRST_VALUE(v) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS idx_pm
+        FROM f
+    """
+
+
+def q_except_all_users(sf_dir: str):
+    """EXCEPT ALL (bag/multiset difference, the set op the DISTINCT
+    set family doesn't cover): each user's click occurrences minus
+    their view occurrences, kept only where positive — computed as
+    count algebra (two per-side counts, one subtraction) instead of
+    materializing and anti-matching occurrence rows. Per-batch packed
+    (user, side) count partials; the shuffle is user-cardinality."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_c = pc.equal(t["event_type"], pa.scalar("click"))
+        is_v = pc.equal(t["event_type"], pa.scalar("view"))
+        keep = pc.or_(is_c, is_v)
+        f = t.append_column("side", is_c.cast(pa.int64())).filter(keep)
+        k = pc.add(pc.multiply(f["user_id"], pa.scalar(2, pa.int64())),
+                   f["side"])
+        return pa.table({"k": k}).group_by("k") \
+                 .aggregate([("k", "count")])
+
+    counts = ev.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .groupby("k").sum("k_count")
+
+    def per_user(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        n = t["sum(k_count)"].to_numpy().astype(np.int64)
+        sign = np.where((k & 1) == 1, n, -n)
+        return pa.table({"user_id": (k >> 1).astype(np.int64),
+                         "d": sign}) \
+                 .group_by("user_id").aggregate([("d", "sum")])
+
+    diff = counts.map_batches(per_user, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+                 .groupby("user_id").sum("d_sum")
+
+    def positive(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["sum(d_sum)"], pa.scalar(0)))
+        return pa.table({"user_id": f["user_id"],
+                         "mult": f["sum(d_sum)"].cast(pa.int64())})
+
+    return diff.map_batches(positive, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+QUERIES["except_all_users"] = q_except_all_users
+ORACLE_SQL["except_all_users"] = """
+        WITH d AS (SELECT user_id FROM events
+                   WHERE event_type = 'click'
+                   EXCEPT ALL
+                   SELECT user_id FROM events
+                   WHERE event_type = 'view')
+        SELECT user_id, count(*) AS mult FROM d GROUP BY 1
     """

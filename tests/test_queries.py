@@ -109,6 +109,8 @@ CHECKED = [
     "monotone_run_users",
     "scd2_orders",
     "gap_filled_daily_users",
+    "rebase_index_users",
+    "except_all_users",
 ]
 
 
@@ -376,3 +378,20 @@ def test_tile_pyramid_counts_oracle(ray_session, con):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
     totals = got.groupby("level")["n_tiles"].sum()
     assert (totals.to_numpy() == totals.to_numpy()[0]).all()
+
+
+def test_caption_geo_consistency_oracle(ray_session, con):
+    """Engine numpy d² argmin vs the SQL CROSS JOIN + ROW_NUMBER replay
+    (same meter frame, same literals); also sanity: totals equal the
+    image count and matches never exceed totals."""
+    from geotile.queries import QUERIES, _caption_geo_sql, _image_dir_for
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["caption_geo_consistency"](SF).to_pandas()
+           .sort_values(["caption_stop"]).reset_index(drop=True))
+    exp = (con.execute(_caption_geo_sql(img)).df()
+           .sort_values(["caption_stop"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert (got["n_match"] <= got["n"]).all()
