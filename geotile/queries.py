@@ -9286,3 +9286,224 @@ ORACLE_SQL["except_all_users"] = """
                    WHERE event_type = 'view')
         SELECT user_id, count(*) AS mult FROM d GROUP BY 1
     """
+
+
+def q_nation_pair_revenue(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping): revenue between every
+    (supplier-nation, customer-nation) pair per ship year. The
+    dual-dimension join plan: customer resolves through TWO bucketed
+    co-partition shuffles (orders⋈customer on custkey, then
+    lineitem⋈that on orderkey — both fact-scale at 100 TB), while the
+    supplier side is a broadcast searchsorted gather (suppkey→nationkey
+    int array, ~10 MB even at 100 TB). Revenue on the per-element e4
+    lattice before summation; partials are bounded by 25×25×years so
+    the final shuffle is trivial."""
+    from geotile.ops.relational import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    oc = bucketed_join(orders, cust, "o_custkey", "c_custkey",
+                       n_buckets=16)
+    oc = oc.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "cnat": t["c_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+    j = bucketed_join(li, oc, "l_orderkey", "o_orderkey", n_buckets=16)
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    sk = np.array(sorted(r["s_suppkey"] for r in sup), dtype=np.int64)
+    by = {r["s_suppkey"]: r["s_nationkey"] for r in sup}
+    snat = np.array([by[k] for k in sk], dtype=np.int64)
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    nk = np.array(sorted(r["n_nationkey"] for r in nation), dtype=np.int64)
+    nname = {r["n_nationkey"]: r["n_name"] for r in nation}
+    names = pa.array([nname[k] for k in nk], pa.string())
+    dim_ref = ray.put((sk, snat, nk, names))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk_, snat_, _, _ = _broadcast(dim_ref)
+        s = t["l_suppkey"].to_numpy()
+        idx = np.minimum(np.searchsorted(sk_, s), len(sk_) - 1)
+        hit = sk_[idx] == s  # inner-join semantics on the broadcast side
+        rev = pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0)), pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({
+            "snat": pa.array(snat_[idx[hit]]),
+            "cnat": pc.array_filter(t["cnat"], pa.array(hit)),
+            "l_year": pc.array_filter(pc.year(t["l_shipdate"]),
+                                      pa.array(hit)),
+            "revenue_e4": pc.array_filter(rev, pa.array(hit)),
+        }).group_by(["snat", "cnat", "l_year"]).aggregate(
+            [("revenue_e4", "sum"), ([], "count_all")])
+        return pa.table({"snat": g["snat"], "cnat": g["cnat"],
+                         "l_year": g["l_year"],
+                         "revenue_e4": g["revenue_e4_sum"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(["snat", "cnat", "l_year"])
+           .sum(["revenue_e4", "n"]))
+    agg = _rename(agg, ["snat", "cnat", "l_year", "revenue_e4", "n"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        _, _, nk_, names_ = _broadcast(dim_ref)
+        si = pa.array(np.searchsorted(nk_, t["snat"].to_numpy()))
+        ci = pa.array(np.searchsorted(nk_, t["cnat"].to_numpy()))
+        return pa.table({"supp_nation": pc.take(names_, si),
+                         "cust_nation": pc.take(names_, ci),
+                         "l_year": t["l_year"],
+                         "revenue_e4": t["revenue_e4"],
+                         "n": t["n"]})
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
+QUERIES["nation_pair_revenue"] = q_nation_pair_revenue
+ORACLE_SQL["nation_pair_revenue"] = """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 10000.0 + 0.5) AS BIGINT)) AS revenue_e4,
+               COUNT(*) AS n
+        FROM lineitem
+        JOIN orders   ON l_orderkey  = o_orderkey
+        JOIN customer ON o_custkey   = c_custkey
+        JOIN supplier ON l_suppkey   = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        GROUP BY 1, 2, 3
+    """
+
+
+def q_custdist_orders(sf_dir: str):
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly k orders — INCLUDING the zero-order customers a
+    plain orders groupby can never see. Plan = per-batch custkey count
+    partials → custkey groupby (the honest shuffle), materialized per
+    the bucketed_join schema-probe contract, then a LEFT co-partition
+    join from customer so missing keys surface as NaN → 0, and a
+    count-cardinality histogram (the second aggregation is over
+    order-count values, a few dozen rows at any scale)."""
+    from geotile.ops.relational import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table({"custkey": g["o_custkey"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    counts = (orders.map_batches(partial, batch_format="pyarrow")
+              .groupby("custkey").sum("cnt"))
+    counts = _rename(counts, ["custkey", "cnt"]).materialize()
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = bucketed_join(cust, counts, "c_custkey", "custkey",
+                      n_buckets=16, how="left")
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = np.nan_to_num(c, nan=0.0).astype(np.int64)
+        g = pa.table({"c_count": pa.array(k)}).group_by("c_count") \
+            .aggregate([([], "count_all")])
+        return pa.table({"c_count": g["c_count"],
+                         "custdist": g["count_all"].cast(pa.int64())})
+
+    out = (j.map_batches(hist, batch_format="pyarrow")
+           .groupby("c_count").sum("custdist"))
+    return _rename(out, ["c_count", "custdist"])
+
+
+QUERIES["custdist_orders"] = q_custdist_orders
+ORACLE_SQL["custdist_orders"] = """
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               count(*) AS custdist
+        FROM per_cust GROUP BY 1
+    """
+
+
+# 10 fixed promo windows over the Jan-2024 event domain: window w is
+# [2024-01-01 12:00 + 3w days, +36 h) — sf-independent literals shared
+# by the Ray plan and the SQL replay.
+_PROMO_BASE_US = 1_704_110_400_000_000
+_PROMO_STEP_US = 259_200 * 1_000_000
+_PROMO_LEN_US = 129_600 * 1_000_000
+_PROMO_WINDOWS = [(w, _PROMO_BASE_US + w * _PROMO_STEP_US,
+                   _PROMO_BASE_US + w * _PROMO_STEP_US + _PROMO_LEN_US)
+                  for w in range(10)]
+
+
+def q_promo_session_overlap(sf_dir: str):
+    """Broadcast interval-overlap join: sessionized user activity ×
+    a small set of promo windows — sessions touching each window and
+    the distinct users behind them. The small side is 10 literal
+    intervals evaluated as a vectorized N×10 overlap mask per batch
+    (never a shuffle join); the big side is
+    relational.session_intervals (one co-partition). Distinct users
+    per window via (window, user) dedup partials — cardinality is
+    bounded by 10× users, then a 10-row epilogue."""
+    from geotile.ops.relational import session_intervals
+
+    iv = session_intervals(_read(sf_dir, "events", ["user_id", "ts"]))
+    wa = np.array([a for _, a, _ in _PROMO_WINDOWS], dtype=np.int64)
+    wb = np.array([b for _, _, b in _PROMO_WINDOWS], dtype=np.int64)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a_us"].to_numpy(np.int64)[:, None]
+        b = df["b_us"].to_numpy(np.int64)[:, None]
+        m = (a <= wb[None, :]) & (b >= wa[None, :])
+        sess, win = np.nonzero(m)
+        g = pd.DataFrame({"window_id": win.astype(np.int64),
+                          "user_id": df["user_id"].to_numpy(np.int64)[sess]})
+        g = g.groupby(["window_id", "user_id"], as_index=False).size()
+        return g.rename(columns={"size": "n_sessions"})
+
+    per_user = (iv.map_batches(pairs, batch_format="pandas")
+                .groupby(["window_id", "user_id"]).sum("n_sessions"))
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by("window_id").aggregate(
+            [("sum(n_sessions)", "sum"), ([], "count_all")])
+        return pa.table({"window_id": g["window_id"],
+                         "n_sessions": g["sum(n_sessions)_sum"],
+                         "n_users": g["count_all"].cast(pa.int64())})
+
+    out = (per_user.map_batches(final, batch_format="pyarrow")
+           .groupby("window_id").sum(["n_sessions", "n_users"]))
+    return _rename(out, ["window_id", "n_sessions", "n_users"])
+
+
+QUERIES["promo_session_overlap"] = q_promo_session_overlap
+ORACLE_SQL["promo_session_overlap"] = """
+        WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                    OR ts - lag(ts) OVER w
+                                       > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS is_new
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s2 AS (SELECT user_id, us,
+                      SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s),
+        iv AS (SELECT user_id, sid, min(us) AS a, max(us) AS b
+               FROM s2 GROUP BY 1, 2),
+        promo(window_id, wa, wb) AS (VALUES """ + ", ".join(
+    f"(CAST({w} AS BIGINT), CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+    for w, a, b in _PROMO_WINDOWS) + """)
+        SELECT window_id,
+               count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users
+        FROM iv JOIN promo ON a <= wb AND b >= wa
+        GROUP BY 1
+    """

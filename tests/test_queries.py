@@ -111,6 +111,9 @@ CHECKED = [
     "gap_filled_daily_users",
     "rebase_index_users",
     "except_all_users",
+    "nation_pair_revenue",
+    "custdist_orders",
+    "promo_session_overlap",
 ]
 
 
