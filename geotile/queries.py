@@ -9507,3 +9507,224 @@ ORACLE_SQL["promo_session_overlap"] = """
         FROM iv JOIN promo ON a <= wb AND b >= wa
         GROUP BY 1
     """
+
+
+def q_spearman_users(sf_dir: str):
+    """Per-user Spearman rank statistic between event VALUE and event
+    TIME (does a user's spend trend up over their history?) under a
+    deterministic ROW_NUMBER tie-break — the rank-correlation window
+    op. One co-partition on user, then BOTH rank permutations for
+    every user in a bucket come from two lexsorts + reduceat (no
+    per-user loop). rho_ppm = floor(num·10⁶/den + 0.5) evaluated in
+    IEEE doubles with the identical op order as the SQL replay, so
+    the hash matches bit-for-bit even where the product exceeds 2⁵³."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "sum_d2": pd.Series(dtype=np.int64),
+                                 "rho_ppm": pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        n = len(u)
+        o_t = np.lexsort((e, t, u))
+        ut = u[o_t]
+        new = np.r_[True, ut[1:] != ut[:-1]]
+        first = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rank_t = np.empty(n, np.int64)
+        rank_t[o_t] = np.arange(n) - first[seg] + 1
+        o_v = np.lexsort((e, t, v, u))
+        rank_v = np.empty(n, np.int64)
+        rank_v[o_v] = np.arange(n) - first[seg] + 1
+        d2 = (rank_t - rank_v) ** 2
+        sum_d2 = np.add.reduceat(d2[o_t], first)
+        nn = np.diff(np.r_[first, n]).astype(np.int64)
+        users = ut[first]
+        keep = nn >= 2
+        nn, sum_d2, users = nn[keep], sum_d2[keep], users[keep]
+        den = nn * (nn * nn - 1)
+        num = den - 6 * sum_d2
+        rho = np.floor(num.astype(np.float64) * 1000000.0
+                       / den.astype(np.float64) + 0.5).astype(np.int64)
+        return pd.DataFrame({"user_id": users, "n": nn,
+                             "sum_d2": sum_d2, "rho_ppm": rho})
+
+    return (_with_bucket(ev, "user_id", 32)
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+
+
+QUERIES["spearman_users"] = q_spearman_users
+ORACLE_SQL["spearman_users"] = """
+        WITH r AS (SELECT user_id,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rt,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value, ts, event_id) AS rv
+                   FROM events),
+        agg AS (SELECT user_id, count(*) AS n,
+                       SUM((rt - rv) * (rt - rv)) AS sum_d2
+                FROM r GROUP BY 1 HAVING count(*) >= 2)
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               CAST(sum_d2 AS BIGINT) AS sum_d2,
+               CAST(floor(CAST(n * (n * n - 1) - 6 * sum_d2 AS DOUBLE)
+                          * 1000000.0
+                          / CAST(n * (n * n - 1) AS DOUBLE) + 0.5)
+                    AS BIGINT) AS rho_ppm
+        FROM agg
+    """
+
+
+def q_mannwhitney_daily(sf_dir: str):
+    """Per-day Mann-Whitney U (×2, exact integer) between click and
+    view values on the cents lattice — the nonparametric A/B test as
+    COUNT ALGEBRA: per-batch (day, cents, side) count partials packed
+    into one int key, a lattice-cardinality groupby, then each day's
+    U from one sorted-merge pass over its distinct-cents rows
+    (2·Σ n_a·cumB(<c) + Σ n_a·n_b(c)). Row pairs never materialize;
+    the shuffle is value-domain-bounded, not row-bounded."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_c = pc.equal(t["event_type"], pa.scalar("click"))
+        is_v = pc.equal(t["event_type"], pa.scalar("view"))
+        f = t.append_column("side", is_c.cast(pa.int64())) \
+             .filter(pc.or_(is_c, is_v))
+        day = pc.divide(f["ts"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.floor(pc.multiply(f["value"],
+                                     pa.scalar(100.0))).cast(pa.int64())
+        c = cents.to_numpy(zero_copy_only=False)
+        assert ((c >= 0) & (c < 1 << 20)).all(), "cents outside pack range"
+        key = pc.add(pc.add(
+            pc.multiply(day, pa.scalar(1 << 21, pa.int64())),
+            pc.multiply(cents, pa.scalar(2, pa.int64()))), f["side"])
+        g = pa.table({"k": key}).group_by("k").aggregate([([], "count_all")])
+        return pa.table({"k": g["k"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    counts = (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby("k").sum("n"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        return pa.table({"day": pa.array(k >> 21),
+                         "cents": pa.array((k >> 1) & ((1 << 20) - 1)),
+                         "side": pa.array(k & 1),
+                         "n": t["sum(n)"]})
+
+    lattice = counts.map_batches(unpack, batch_format="pyarrow")
+
+    def per_day(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                              "n_click": pd.Series(dtype=np.int64),
+                              "n_view": pd.Series(dtype=np.int64),
+                              "u2x": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        a = df[df["side"] == 1].sort_values("cents")
+        b = df[df["side"] == 0].sort_values("cents")
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ca = a["cents"].to_numpy(np.int64)
+        na = a["n"].to_numpy(np.int64)
+        cb = b["cents"].to_numpy(np.int64)
+        nb = b["n"].to_numpy(np.int64)
+        cum = np.cumsum(nb)
+        lo = np.searchsorted(cb, ca, "left")
+        hi = np.searchsorted(cb, ca, "right")
+        lt = np.where(lo > 0, cum[lo - 1], 0)
+        eq = np.where(hi > lo, nb[np.minimum(lo, len(nb) - 1)], 0)
+        return pd.DataFrame({
+            "day": [np.int64(df["day"].iloc[0])],
+            "n_click": [na.sum()], "n_view": [nb.sum()],
+            "u2x": [2 * int((na * lt).sum()) + int((na * eq).sum())]})
+
+    return lattice.groupby("day").map_groups(per_day,
+                                             batch_format="pandas")
+
+
+QUERIES["mannwhitney_daily"] = q_mannwhitney_daily
+ORACLE_SQL["mannwhitney_daily"] = """
+        WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          CAST(floor(value * 100.0) AS BIGINT) AS c,
+                          event_type
+                   FROM events WHERE event_type IN ('click', 'view')),
+        a AS (SELECT day, c, count(*) AS n FROM e
+              WHERE event_type = 'click' GROUP BY 1, 2),
+        b AS (SELECT day, c, count(*) AS n FROM e
+              WHERE event_type = 'view' GROUP BY 1, 2),
+        lt AS (SELECT a.day, SUM(a.n * b.n) AS s
+               FROM a JOIN b ON a.day = b.day AND b.c < a.c GROUP BY 1),
+        eq AS (SELECT a.day, SUM(a.n * b.n) AS s
+               FROM a JOIN b ON a.day = b.day AND b.c = a.c GROUP BY 1),
+        na AS (SELECT day, SUM(n) AS n FROM a GROUP BY 1),
+        nb AS (SELECT day, SUM(n) AS n FROM b GROUP BY 1)
+        SELECT CAST(na.day AS BIGINT) AS day,
+               CAST(na.n AS BIGINT) AS n_click,
+               CAST(nb.n AS BIGINT) AS n_view,
+               CAST(2 * COALESCE(lt.s, 0) + COALESCE(eq.s, 0) AS BIGINT)
+                   AS u2x
+        FROM na JOIN nb ON na.day = nb.day
+        LEFT JOIN lt ON na.day = lt.day
+        LEFT JOIN eq ON na.day = eq.day
+    """
+
+
+def q_twap_users(sf_dir: str):
+    """Time-weighted average position per user (each event's value
+    holds until the user's next event — the TWAP/state-duration
+    integral): one co-partition on user, then durations for every
+    user in a bucket from ONE shifted-diff over the lexsorted frame
+    (run-boundary masked), weighted sums via reduceat on the exact
+    cents×µs integer lattice (≤ 2⁶³ by domain bound). The LEAD window
+    never materializes per-row next-event columns into a shuffle."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "dur_us": pd.Series(dtype=np.int64),
+                                 "wsum": pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(df["value"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        o = np.lexsort((e, t, u))
+        uu, tu, cu = u[o], t[o], cents[o]
+        same = np.r_[uu[1:] == uu[:-1], False]
+        dur = np.where(same, np.r_[tu[1:] - tu[:-1], 0], 0)
+        new = np.r_[True, uu[1:] != uu[:-1]]
+        first = np.flatnonzero(new)
+        return pd.DataFrame({
+            "user_id": uu[first],
+            "n": np.diff(np.r_[first, len(uu)]).astype(np.int64),
+            "dur_us": np.add.reduceat(dur, first),
+            "wsum": np.add.reduceat(cu * dur, first)})
+
+    return (_with_bucket(ev, "user_id", 32)
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+
+
+QUERIES["twap_users"] = q_twap_users
+ORACLE_SQL["twap_users"] = """
+        WITH x AS (SELECT user_id, epoch_us(ts) AS us,
+                          CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                          LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+                   FROM events)
+        SELECT user_id, count(*) AS n,
+               CAST(COALESCE(SUM(nxt - us), 0) AS BIGINT) AS dur_us,
+               CAST(COALESCE(SUM(cents * (nxt - us)), 0) AS BIGINT) AS wsum
+        FROM x GROUP BY 1
+    """

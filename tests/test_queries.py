@@ -114,6 +114,9 @@ CHECKED = [
     "nation_pair_revenue",
     "custdist_orders",
     "promo_session_overlap",
+    "spearman_users",
+    "mannwhitney_daily",
+    "twap_users",
 ]
 
 
