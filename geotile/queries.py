@@ -9728,3 +9728,184 @@ ORACLE_SQL["twap_users"] = """
                CAST(COALESCE(SUM(cents * (nxt - us)), 0) AS BIGINT) AS wsum
         FROM x GROUP BY 1
     """
+
+
+def q_distance_rings_docs(sf_dir: str):
+    """Distance-ring bucketing (the radial variant of the square-grid
+    quantizer): each derived point is assigned to a concentric ring
+    around (5,5) by comparing d² against fixed squared radii — no
+    sqrt ever runs, so the float path is two subtractions, two
+    multiplies, one add, five compares, identical to the SQL replay.
+    Ring counts + char mass are 6-row partials; nothing shuffles at
+    row scale."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    radii2 = np.array([1.0, 4.0, 9.0, 16.0, 25.0])
+
+    def rings(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        x, y = _derived_points(d)
+        d2 = (x - 5.0) * (x - 5.0) + (y - 5.0) * (y - 5.0)
+        ring = (d2[:, None] > radii2[None, :]).sum(axis=1).astype(np.int64)
+        g = pa.table({"ring": pa.array(ring),
+                      "n_chars": t["n_chars"]}).group_by("ring") \
+            .aggregate([([], "count_all"), ("n_chars", "sum")])
+        return pa.table({"ring": g["ring"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "sum_chars": g["n_chars_sum"]})
+
+    out = (ds.map_batches(rings, batch_format="pyarrow")
+           .groupby("ring").sum(["n", "sum_chars"]))
+    return _rename(out, ["ring", "n", "sum_chars"])
+
+
+QUERIES["distance_rings_docs"] = q_distance_rings_docs
+ORACLE_SQL["distance_rings_docs"] = """
+        WITH pts AS (
+            SELECT doc_id, n_chars,
+                   (doc_id * 2654435761 % 4294967296) / 4294967296.0
+                       * 10.0 AS x,
+                   ((doc_id * 40503 + 7) % 65536) / 65536.0 * 10.0 AS y
+            FROM documents),
+        r AS (SELECT n_chars,
+                     CAST((x-5.0)*(x-5.0) + (y-5.0)*(y-5.0) > 1.0 AS INT)
+                   + CAST((x-5.0)*(x-5.0) + (y-5.0)*(y-5.0) > 4.0 AS INT)
+                   + CAST((x-5.0)*(x-5.0) + (y-5.0)*(y-5.0) > 9.0 AS INT)
+                   + CAST((x-5.0)*(x-5.0) + (y-5.0)*(y-5.0) > 16.0 AS INT)
+                   + CAST((x-5.0)*(x-5.0) + (y-5.0)*(y-5.0) > 25.0 AS INT)
+                       AS ring
+              FROM pts)
+        SELECT CAST(ring AS BIGINT) AS ring, count(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM r GROUP BY 1
+    """
+
+
+# PQ codebook: 4 subspaces × 16 dims, 4 centroids per subspace;
+# centroid j's coordinate i is _PQ_CVALS[(i + j) % 4] — literals shared
+# verbatim by the numpy path and the generated SQL replay.
+_PQ_CVALS = (-0.3, -0.1, 0.1, 0.3)
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 4
+
+
+def q_pq_codes_embeddings(sf_dir: str):
+    """Product-quantization encoding of the 64-dim embedding column:
+    each vector is compressed to a 4-symbol code (argmin centroid per
+    16-dim subspace, first-wins ties), then the corpus becomes a
+    256-cardinality code histogram — the ANN-compression layout step.
+    Distances accumulate left-to-right per coordinate so the IEEE
+    float path is the literal op-order of the SQL replay's generated
+    expression; partials are code-cardinality, the corpus never
+    shuffles."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vals = emb.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), 64)
+        code = np.zeros(len(t), np.int64)
+        for s in range(_PQ_M):
+            sub = vals[:, s * _PQ_SUB:(s + 1) * _PQ_SUB]
+            dists = []
+            for j in range(_PQ_K):
+                acc = None
+                for i in range(_PQ_SUB):
+                    c = _PQ_CVALS[(i + j) % 4]
+                    term = (sub[:, i] - c) * (sub[:, i] - c)
+                    acc = term if acc is None else acc + term
+                dists.append(acc)
+            d = np.stack(dists, axis=1)
+            code = code * 4 + np.argmin(d, axis=1)
+        lab = t["label"].to_numpy().astype(np.int64)
+        g = pa.table({"code": pa.array(code),
+                      "label": pa.array(lab)}).group_by("code") \
+            .aggregate([([], "count_all"), ("label", "sum")])
+        return pa.table({"code": g["code"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "label_sum": g["label_sum"]})
+
+    out = (ds.map_batches(encode, batch_format="pyarrow")
+           .groupby("code").sum(["n", "label_sum"]))
+    return _rename(out, ["code", "n", "label_sum"])
+
+
+def _pq_oracle_sql() -> str:
+    def dist(s: int, j: int) -> str:
+        terms = []
+        for i in range(_PQ_SUB):
+            c = repr(_PQ_CVALS[(i + j) % 4])
+            e = f"CAST(embedding[{s * _PQ_SUB + i + 1}] AS DOUBLE)"
+            terms.append(f"(({e}) - ({c})) * (({e}) - ({c}))")
+        return " + ".join(terms)
+
+    subs = []
+    for s in range(_PQ_M):
+        d = [dist(s, j) for j in range(_PQ_K)]
+        case = (f"CASE WHEN ({d[0]}) <= ({d[1]}) AND ({d[0]}) <= ({d[2]})"
+                f" AND ({d[0]}) <= ({d[3]}) THEN 0"
+                f" WHEN ({d[1]}) <= ({d[2]}) AND ({d[1]}) <= ({d[3]})"
+                f" THEN 1 WHEN ({d[2]}) <= ({d[3]}) THEN 2 ELSE 3 END")
+        subs.append(f"({case}) AS c{s}")
+    return f"""
+        WITH codes AS (SELECT label, {', '.join(subs)} FROM embeddings)
+        SELECT CAST(((c0 * 4 + c1) * 4 + c2) * 4 + c3 AS BIGINT) AS code,
+               count(*) AS n, CAST(SUM(label) AS BIGINT) AS label_sum
+        FROM codes GROUP BY 1
+    """
+
+
+QUERIES["pq_codes_embeddings"] = q_pq_codes_embeddings
+ORACLE_SQL["pq_codes_embeddings"] = _pq_oracle_sql()
+
+
+def q_pattern_triples_users(sf_dir: str):
+    """MATCH_RECOGNIZE-lite: per user, occurrences of the exact
+    consecutive event pattern view → click → purchase in time order
+    (deterministic event_id tie-break). One co-partition on user,
+    then the whole bucket's pattern scan is two shifted compares over
+    the lexsorted type-code array with run-boundary masking — the
+    two-LAG window replay without materializing lag columns."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    tcode = {"view": 0, "click": 1, "purchase": 2, "signup": 3,
+             "error": 4}
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "n_triples": pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        c = df["event_type"].map(tcode).to_numpy(np.int64)
+        o = np.lexsort((e, t, u))
+        uu, cu = u[o], c[o]
+        hit = np.zeros(len(uu), bool)
+        if len(uu) >= 3:
+            hit[:-2] = ((cu[:-2] == 0) & (cu[1:-1] == 1) & (cu[2:] == 2)
+                        & (uu[:-2] == uu[2:]))
+        g = pd.DataFrame({"user_id": uu[hit]}) \
+            .groupby("user_id", as_index=False).size()
+        return g.rename(columns={"size": "n_triples"})
+
+    return (_with_bucket(ev, "user_id", 32)
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))
+
+
+QUERIES["pattern_triples_users"] = q_pattern_triples_users
+ORACLE_SQL["pattern_triples_users"] = """
+        WITH s AS (SELECT user_id, event_type,
+                          LEAD(event_type, 1) OVER w AS t1,
+                          LEAD(event_type, 2) OVER w AS t2
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id))
+        SELECT user_id, count(*) AS n_triples
+        FROM s
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        GROUP BY 1
+    """

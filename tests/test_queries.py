@@ -117,6 +117,9 @@ CHECKED = [
     "spearman_users",
     "mannwhitney_daily",
     "twap_users",
+    "distance_rings_docs",
+    "pq_codes_embeddings",
+    "pattern_triples_users",
 ]
 
 
