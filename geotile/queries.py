@@ -9909,3 +9909,217 @@ ORACLE_SQL["pattern_triples_users"] = """
         WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
         GROUP BY 1
     """
+
+
+_COMPACT_TARGET = 20_000  # chars per output bin
+
+
+def q_compaction_plan_docs(sf_dir: str):
+    """Lakehouse file-compaction planner: assign doc_id-ordered files
+    to output bins by cumulative size (bin = exclusive-prefix-chars //
+    target) — the greedy floor-cumsum packing every table-maintenance
+    service runs. NO global sort: pass A takes order-aligned coarse
+    id-range buckets (per-batch sum partials, driver exclusive scan
+    over ≤4096 bucket bases), pass B restores each bucket's exact
+    prefix with one in-bucket lexsorted cumsum + broadcast base, then
+    bins aggregate at bin cardinality. The window-cumsum replay costs
+    one bucket-count driver scan, never an all-to-all."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n = docs.count()  # metadata-only on a pure parquet read
+    shift = max(0, int(n).bit_length() - 12)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.shift_right(t["doc_id"], pa.scalar(shift, pa.int64()))
+        g = pa.table({"bucket": b, "c": t["n_chars"]}).group_by(
+            "bucket").aggregate([("c", "sum")])
+        return pa.table({"bucket": g["bucket"], "c": g["c_sum"]})
+
+    per_bucket = (docs.map_batches(partial, batch_format="pyarrow")
+                  .groupby("bucket").sum("c")).take_all()
+    per_bucket.sort(key=lambda r: r["bucket"])
+    bk = np.array([r["bucket"] for r in per_bucket], dtype=np.int64)
+    sums = np.array([r["sum(c)"] for r in per_bucket], dtype=np.int64)
+    bases = np.r_[0, np.cumsum(sums)[:-1]]
+    base_ref = ray.put((bk, bases))
+
+    def bins(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"bin": pd.Series(dtype=np.int64),
+                                 "n_docs": pd.Series(dtype=np.int64),
+                                 "sum_chars": pd.Series(dtype=np.int64),
+                                 "min_doc": pd.Series(dtype=np.int64),
+                                 "max_doc": pd.Series(dtype=np.int64)})
+        bk_, bases_ = _broadcast(base_ref)
+        d = df["doc_id"].to_numpy(np.int64)
+        c = df["n_chars"].to_numpy(np.int64)
+        o = np.argsort(d, kind="stable")
+        d, c = d[o], c[o]
+        base = bases_[np.searchsorted(bk_, d[0] >> shift)]
+        prev = base + np.cumsum(c) - c
+        g = pd.DataFrame({"bin": prev // _COMPACT_TARGET,
+                          "n_chars": c, "doc_id": d}) \
+            .groupby("bin", as_index=False) \
+            .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"),
+                 min_doc=("doc_id", "min"), max_doc=("doc_id", "max"))
+        return g
+
+    ded = docs.map_batches(
+        lambda t: t.append_column(
+            "bucket", pc.shift_right(t["doc_id"],
+                                     pa.scalar(shift, pa.int64()))),
+        batch_format="pyarrow")
+    out = (ded.groupby("bucket").map_groups(bins, batch_format="pandas")
+           .groupby("bin")
+           .aggregate(rd.aggregate.Sum("n_docs"),
+                      rd.aggregate.Sum("sum_chars"),
+                      rd.aggregate.Min("min_doc"),
+                      rd.aggregate.Max("max_doc")))
+    return _rename(out, ["bin", "n_docs", "sum_chars", "min_doc",
+                         "max_doc"])
+
+
+QUERIES["compaction_plan_docs"] = q_compaction_plan_docs
+ORACLE_SQL["compaction_plan_docs"] = """
+        WITH c AS (SELECT doc_id, n_chars,
+                          COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS prev
+                   FROM documents)
+        SELECT CAST(prev // 20000 AS BIGINT) AS bin,
+               count(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM c GROUP BY 1
+    """
+
+
+def q_dominant_supplier_parts(sf_dir: str):
+    """TPC-H Q20-flavoured dominance ranking: per supplier, how many
+    parts where THIS supplier is the STRICT top shipper by total
+    quantity (unique argmax — ties disqualify the part). Quantity
+    sums are integer-exact (TPC-H quantities are integral), so the
+    argmax needs no float tie hazard. Plan: (part,supp) sum partials
+    → pair-cardinality groupby, then ONE part-bucket co-partition
+    resolves every part's argmax + tie flag in a single lexsort pass
+    — no join back, and only supplier-cardinality partials leave."""
+    from geotile.ops.relational import _with_bucket
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].cast(pa.int64())
+        g = pa.table({"l_partkey": t["l_partkey"],
+                      "l_suppkey": t["l_suppkey"], "q": q}) \
+            .group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "l_suppkey": g["l_suppkey"], "q": g["q_sum"]})
+
+    ps = (li.map_batches(partial, batch_format="pyarrow")
+          .groupby(["l_partkey", "l_suppkey"]).sum("q"))
+    ps = _rename(ps, ["l_partkey", "l_suppkey", "q"])
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                                 "n_top_parts": pd.Series(dtype=np.int64)})
+        p = df["l_partkey"].to_numpy(np.int64)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        q = df["q"].to_numpy(np.int64)
+        o = np.lexsort((sk, -q, p))
+        p, sk, q = p[o], sk[o], q[o]
+        first = np.r_[True, p[1:] != p[:-1]]
+        # unique max: the next row is a different part or a strictly
+        # smaller quantity
+        nxt_same = np.r_[p[1:] == p[:-1], False]
+        nxt_eq = np.r_[q[1:] == q[:-1], False]
+        win = first & ~(nxt_same & nxt_eq)
+        g = pd.DataFrame({"l_suppkey": sk[win]}) \
+            .groupby("l_suppkey", as_index=False).size()
+        return g.rename(columns={"size": "n_top_parts"})
+
+    out = (_with_bucket(ps, "l_partkey", 16)
+           .groupby("bucket").map_groups(winners, batch_format="pandas")
+           .groupby("l_suppkey").sum("n_top_parts"))
+    return _rename(out, ["l_suppkey", "n_top_parts"])
+
+
+QUERIES["dominant_supplier_parts"] = q_dominant_supplier_parts
+ORACLE_SQL["dominant_supplier_parts"] = """
+        WITH ps AS (SELECT l_partkey, l_suppkey,
+                           SUM(CAST(l_quantity AS BIGINT)) AS q
+                    FROM lineitem GROUP BY 1, 2),
+        pt AS (SELECT l_partkey, max(q) AS mq FROM ps GROUP BY 1),
+        top AS (SELECT ps.l_partkey, ps.l_suppkey
+                FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+                              AND ps.q = pt.mq),
+        uniq AS (SELECT l_partkey FROM top
+                 GROUP BY 1 HAVING count(*) = 1)
+        SELECT l_suppkey, count(*) AS n_top_parts
+        FROM top JOIN uniq USING (l_partkey)
+        GROUP BY 1
+    """
+
+
+def q_activity_bitmap_users(sf_dir: str):
+    """User-activity bitmaps: each user's 30-day January activity as
+    one packed int64 bitmask (bit d = active on day d), then the
+    corpus collapses to a histogram over exact activity PATTERNS —
+    the roaring-bitmap layout step for cohort tooling. Distinct
+    (user, day) pairs via packed dedup partials, per-user mask as a
+    plain SUM of 1<<day over distinct days (bit_or without a bit_or
+    kernel), pattern histogram at mask cardinality."""
+    _DAY0 = 19723  # 2024-01-01
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        rel = pc.subtract(day, pa.scalar(_DAY0, pa.int64()))
+        r = rel.to_numpy(zero_copy_only=False)
+        assert ((r >= 0) & (r < 31)).all(), "day outside Jan-2024 window"
+        k = pc.add(pc.multiply(t["user_id"], pa.scalar(32, pa.int64())),
+                   rel)
+        return pa.table({"k": k}).group_by("k").aggregate([])
+
+    ded = (ev.map_batches(pairs, batch_format="pyarrow")
+           .groupby("k").count())
+
+    def per_user(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        bits = np.int64(1) << (k & 31)
+        g = pa.table({"user_id": pa.array(k >> 5),
+                      "bit": pa.array(bits)}).group_by("user_id") \
+            .aggregate([("bit", "sum"), ([], "count_all")])
+        return pa.table({"user_id": g["user_id"], "mask": g["bit_sum"],
+                         "n_days": g["count_all"].cast(pa.int64())})
+
+    masks = (ded.map_batches(per_user, batch_format="pyarrow")
+             .groupby("user_id").sum(["mask", "n_days"]))
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["sum(mask)", "sum(n_days)"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"mask": g["sum(mask)"],
+                         "n_days": g["sum(n_days)"],
+                         "n_users": g["count_all"].cast(pa.int64())})
+
+    out = (masks.map_batches(hist, batch_format="pyarrow")
+           .groupby(["mask", "n_days"]).sum("n_users"))
+    return _rename(out, ["mask", "n_days", "n_users"])
+
+
+QUERIES["activity_bitmap_users"] = q_activity_bitmap_users
+ORACLE_SQL["activity_bitmap_users"] = """
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 - 19723 AS day
+                   FROM events),
+        m AS (SELECT user_id,
+                     CAST(SUM(CAST(1 AS BIGINT) << CAST(day AS INT))
+                          AS BIGINT) AS mask,
+                     count(*) AS n_days
+              FROM d GROUP BY 1)
+        SELECT mask, CAST(n_days AS BIGINT) AS n_days,
+               count(*) AS n_users
+        FROM m GROUP BY 1, 2
+    """

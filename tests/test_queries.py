@@ -120,6 +120,9 @@ CHECKED = [
     "distance_rings_docs",
     "pq_codes_embeddings",
     "pattern_triples_users",
+    "compaction_plan_docs",
+    "dominant_supplier_parts",
+    "activity_bitmap_users",
 ]
 
 
