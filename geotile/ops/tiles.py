@@ -227,6 +227,53 @@ class ImagePatchStage:
         })
 
 
+class ImageGlcmStage:
+    """Actor-pool stage: 8-level gray co-occurrence texture summary —
+    per image, quantize integer gray ((r+g+b)//3 >> 5) and count
+    horizontal neighbor pairs into a 64-cell GLCM, emitting the exact
+    integer energy Σc² and the pair count. The whole size group counts
+    in ONE bincount over image-offset-packed pair codes (image·64 +
+    q_left·8 + q_right) — no per-image loop, no per-pixel Python. All
+    arithmetic is integer, so the generator-replay sidecar (a
+    different counting kernel over the same ground-truth pixels)
+    matches exactly."""
+
+    LEVELS = 8
+
+    def __init__(self):
+        self.decoders = ImageDecodeStage(verify=False).decoders
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        L = self.LEVELS
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        out_id, out_en, out_np = [], [], []
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (wi, hi) in enumerate(zip(ws, hs)):
+            groups.setdefault((wi, hi), []).append(i)
+        for (wi, hi), slots in groups.items():
+            px = np.stack([self.decoders[fmts[i]](payloads[i], wi, hi)
+                           for i in slots])
+            gray = px.astype(np.int64).sum(axis=3) // 3   # (n, h, w)
+            q = gray >> 5                                  # 0..7
+            k = len(slots)
+            code = (np.arange(k, dtype=np.int64)[:, None, None] * (L * L)
+                    + q[:, :, :-1] * L + q[:, :, 1:])
+            counts = np.bincount(code.ravel(),
+                                 minlength=k * L * L).reshape(k, L * L)
+            out_id.append(ids[slots])
+            out_en.append((counts.astype(np.int64) ** 2).sum(axis=1))
+            out_np.append(np.full(k, hi * (wi - 1), np.int64))
+        return pa.table({
+            "image_id": pa.array(np.concatenate(out_id)),
+            "glcm_energy": pa.array(np.concatenate(out_en)),
+            "n_pairs": pa.array(np.concatenate(out_np)),
+        })
+
+
 class ImageEmbedStage:
     """Actor-pool feature-extraction stage: image rows → fixed-dim
     embedding (list<float32>). No vision model ships in this container,

@@ -4597,6 +4597,9 @@ def oracle_sql() -> dict[str, str]:
     out["phash_neighbor_stats"] = _phash_neighbor_sql(img01)
     out["image_dup_clusters"] = _image_dup_clusters_sql(img01)
     out["ivf_ann"] = _IVF_ANN_SQL
+    out["image_glcm_energy"] = _image_glcm_sql(img01)
+    out["audio_frame_energy"] = _audio_energy_sql(
+        _audio_dir_for("/root/testdata/sf0.01"))
     return out
 
 
@@ -10123,3 +10126,192 @@ ORACLE_SQL["activity_bitmap_users"] = """
                count(*) AS n_users
         FROM m GROUP BY 1, 2
     """
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape (important stock): parts whose revenue exceeds
+    2× the mean part revenue — the global-fraction filter that needs
+    a whole-corpus scalar before any row can be kept. Two passes over
+    the PART-cardinality aggregate, not the fact table: per-part e4
+    revenue partials → part groupby (materialized once), then the
+    total/count reduce to two driver scalars that ride into the
+    filter closure — the fact table is read exactly once."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0)), pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"l_partkey": t["l_partkey"], "revenue_e4": rev}) \
+            .group_by("l_partkey").aggregate([("revenue_e4", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "revenue_e4": g["revenue_e4_sum"]})
+
+    pr = (li.map_batches(partial, batch_format="pyarrow")
+          .groupby("l_partkey").sum("revenue_e4"))
+    pr = _rename(pr, ["l_partkey", "revenue_e4"]).materialize()
+    tot = int(pr.sum("revenue_e4"))
+    n_parts = int(pr.count())
+
+    return pr.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["revenue_e4"],
+                        pa.scalar(2 * n_parts, pa.int64())),
+            pa.scalar(3 * tot, pa.int64()))),
+        batch_format="pyarrow")
+
+
+QUERIES["important_parts"] = q_important_parts
+ORACLE_SQL["important_parts"] = """
+        WITH pr AS (SELECT l_partkey,
+                           SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                          * 10000.0 + 0.5) AS BIGINT))
+                               AS revenue_e4
+                    FROM lineitem GROUP BY 1),
+        t AS (SELECT SUM(revenue_e4) AS tot, count(*) AS np FROM pr)
+        SELECT l_partkey, revenue_e4
+        FROM pr, t WHERE revenue_e4 * 2 * np > 3 * tot
+    """
+
+
+def q_image_glcm_energy(sf_dir: str):
+    """Texture analysis over the image corpus: per-image 8-level gray
+    co-occurrence energy (Σ counts² over the 64-cell horizontal-pair
+    GLCM) for the first 1024 images — the classic Haralick feature as
+    an actor-pool stage. The whole size group counts in one bincount
+    over image-offset-packed pair codes; every value is integer, so
+    the generator-replay sidecar (different kernel: per-column add.at
+    over pixel_pattern ground truth) matches exactly."""
+    from geotile.ops.tiles import ImageGlcmStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(1024)
+    return ds.map_batches(
+        ImageGlcmStage, batch_format="pyarrow", batch_size=256,
+        concurrency=2,
+    )
+
+
+QUERIES["image_glcm_energy"] = q_image_glcm_energy
+
+
+def _image_glcm_sidecar(img: str, n: int = 1024) -> str:
+    """Generator-replay sidecar for image_glcm_energy: rebuild each
+    image's GLCM from synth.pixel_pattern with a per-column np.add.at
+    kernel + python-int energy (vs the stage's single offset-packed
+    bincount). Content-keyed on synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_imgglcm_{Path(img).name}_{n}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["image_id", "w", "h"])
+        order = pc.sort_indices(t["image_id"])[:n]
+        ids = t["image_id"].take(order)
+        ws = t["w"].take(order).to_numpy(zero_copy_only=False)
+        hs = t["h"].take(order).to_numpy(zero_copy_only=False)
+        idx = _sy.image_index(ids).astype(np.uint64)
+        ids_py = ids.to_pylist()
+        en = np.zeros(len(ids_py), np.int64)
+        npair = np.zeros(len(ids_py), np.int64)
+        for wi, hi in set(zip(ws.tolist(), hs.tolist())):
+            m = np.nonzero((ws == wi) & (hs == hi))[0]
+            px = _sy.pixel_pattern(idx[m], wi, hi)
+            gray = (px[..., 0].astype(np.int64) + px[..., 1]
+                    + px[..., 2]) // 3
+            q = gray >> 5
+            for j, slot in enumerate(m):
+                acc = np.zeros(64, np.int64)
+                for x in range(wi - 1):
+                    np.add.at(acc, q[j, :, x] * 8 + q[j, :, x + 1], 1)
+                en[slot] = sum(int(c) * int(c) for c in acc)
+                npair[slot] = hi * (wi - 1)
+        out = pa.table({"image_id": ids, "glcm_energy": pa.array(en),
+                        "n_pairs": pa.array(npair)})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _image_glcm_sql(img: str) -> str:
+    return (f"SELECT image_id, glcm_energy, n_pairs "
+            f"FROM read_parquet('{_image_glcm_sidecar(img)}')")
+
+
+_SF_AUDIO_ROWS = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}
+
+
+def _audio_dir_for(sf_dir: str) -> str:
+    import os
+    from pathlib import Path
+
+    from geotile.synth import make_audio_table
+
+    sf_name = Path(sf_dir).name
+    n = _SF_AUDIO_ROWS.get(sf_name, 64)
+    out = Path(os.environ.get("GEOTILE_CACHE",
+                              "/tmp/geotile_cache")) / f"audio_{sf_name}"
+    make_audio_table(n, out)
+    return str(out)
+
+
+def q_audio_frame_energy(sf_dir: str):
+    """Audio-modality frame features: decode each PCM track and emit
+    one row per 1024-sample frame with its exact integer energy
+    (Σ s², < 2⁴⁰ so int64 is safe) — the framing front end of any
+    audio feature pipeline, run as an actor-pool stage over opaque
+    binary payloads + typed metadata (ops/audio.py; unsupported
+    codecs raise NotImplementedError by design in this container)."""
+    from geotile.ops.audio import AudioFrameStage, read_audio_table
+
+    ds = read_audio_table(_audio_dir_for(sf_dir))
+    return ds.map_batches(
+        AudioFrameStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+
+QUERIES["audio_frame_energy"] = q_audio_frame_energy
+
+
+def _audio_energy_sidecar(aud: str) -> str:
+    """Generator-replay sidecar for audio_frame_energy: regenerate the
+    PCM from synth.audio_samples and sum squares per frame in PYTHON
+    INTS (vs the stage's vectorized int64 square/reshape/sum) —
+    integer-exact, so any decode/frame bug shows as a mismatch.
+    Content-keyed on synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_audioenergy_{Path(aud).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(aud, columns=["track_id"])
+        ids = np.sort(t["track_id"].to_numpy(zero_copy_only=False))
+        pcm = _sy.audio_samples(ids)
+        frame = 1024
+        nfr = pcm.shape[1] // frame
+        rows_id, rows_fr, rows_en = [], [], []
+        for j, tid in enumerate(ids.tolist()):
+            for f in range(nfr):
+                chunk = pcm[j, f * frame:(f + 1) * frame].tolist()
+                rows_id.append(tid)
+                rows_fr.append(f)
+                rows_en.append(sum(int(v) * int(v) for v in chunk))
+        out = pa.table({"track_id": pa.array(rows_id, pa.int64()),
+                        "frame": pa.array(rows_fr, pa.int64()),
+                        "energy": pa.array(rows_en, pa.int64())})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _audio_energy_sql(aud: str) -> str:
+    return (f"SELECT track_id, frame, energy "
+            f"FROM read_parquet('{_audio_energy_sidecar(aud)}')")

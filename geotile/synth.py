@@ -570,3 +570,52 @@ def _write_image_part(pstart: int, pend: int, part: Path, w: int, h: int, chunk:
     tmp.rename(part)
 
 
+
+
+# ---------------------------------------------------------------------------
+# audio modality: deterministic PCM tracks (offline stand-in for a real
+# audio corpus — same schema/plumbing a decode stage would see)
+# ---------------------------------------------------------------------------
+
+AUDIO_SR = 16_000
+AUDIO_SAMPLES = 4_096
+
+
+def audio_samples(track_ids: np.ndarray) -> np.ndarray:
+    """(n, AUDIO_SAMPLES) int16 deterministic PCM: sample i of track t
+    is splitmix64(t·0x9E3779B1 + i) masked to 16 bits, centered."""
+    t = np.asarray(track_ids, dtype=np.uint64)
+    i = np.arange(AUDIO_SAMPLES, dtype=np.uint64)[None, :]
+    h = splitmix64(t[:, None] * np.uint64(0x9E3779B1) + i)
+    return ((h & np.uint64(0xFFFF)).astype(np.int64) - 32768).astype(np.int16)
+
+
+def make_audio_table(n: int, out_dir: str | Path,
+                     rows_per_file: int = 4096) -> Path:
+    """Write n PCM tracks as a directory of part files (schema:
+    track_id, sr, n_samples, codec, bytes). Skips existing parts —
+    generation is resumable, same convention as make_image_table."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for pstart in range(0, n, rows_per_file):
+        pend = min(n, pstart + rows_per_file)
+        part = out_dir / f"part-{pstart // rows_per_file:05d}.parquet"
+        if part.exists():
+            continue
+        ids = np.arange(pstart, pend, dtype=np.int64)
+        pcm = audio_samples(ids)
+        t = pa.table({
+            "track_id": pa.array(ids),
+            "sr": pa.array(np.full(len(ids), AUDIO_SR, np.int32)),
+            "n_samples": pa.array(
+                np.full(len(ids), AUDIO_SAMPLES, np.int32)),
+            "codec": pa.array(["pcm16"] * len(ids), pa.string()),
+            "bytes": pa.array([row.tobytes() for row in pcm],
+                              pa.binary()),
+        })
+        import os
+
+        tmp = part.with_suffix(f".tmp-{os.getpid()}")
+        pq.write_table(t, tmp)
+        tmp.rename(part)
+    return out_dir

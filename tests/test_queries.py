@@ -123,6 +123,7 @@ CHECKED = [
     "compaction_plan_docs",
     "dominant_supplier_parts",
     "activity_bitmap_users",
+    "important_parts",
 ]
 
 
@@ -407,3 +408,46 @@ def test_caption_geo_consistency_oracle(ray_session, con):
     for c in exp.columns:
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
     assert (got["n_match"] <= got["n"]).all()
+
+
+def test_image_glcm_energy_oracle(ray_session, con):
+    """Engine GLCM (offset-packed bincount over the decode path) vs the
+    generator-replay sidecar (per-column add.at over pixel_pattern
+    ground truth, python-int energy) at sf0.001 — integer-exact."""
+    from geotile.queries import QUERIES, _image_dir_for, _image_glcm_sql
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["image_glcm_energy"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_image_glcm_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "glcm_energy", "n_pairs"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_audio_frame_energy_oracle(ray_session, con):
+    """Engine frame energies (frombuffer + vectorized int64 sums) vs
+    the python-int generator replay at sf0.001; also: unsupported
+    codecs must raise NotImplementedError (the container gate)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pt
+
+    from geotile.ops.audio import AudioFrameStage
+    from geotile.queries import QUERIES, _audio_dir_for, _audio_energy_sql
+
+    aud = _audio_dir_for(SF)
+    got = (QUERIES["audio_frame_energy"](SF).to_pandas()
+           .sort_values(["track_id", "frame"]).reset_index(drop=True))
+    exp = (con.execute(_audio_energy_sql(aud)).df()
+           .sort_values(["track_id", "frame"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("track_id", "frame", "energy"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    stage = AudioFrameStage()
+    bad = pa.table({"track_id": pa.array([1], pa.int64()),
+                    "codec": pa.array(["mp3"]),
+                    "bytes": pa.array([b"xx"], pa.binary())})
+    with _pt.raises(NotImplementedError):
+        stage(bad)
