@@ -4598,8 +4598,9 @@ def oracle_sql() -> dict[str, str]:
     out["image_dup_clusters"] = _image_dup_clusters_sql(img01)
     out["ivf_ann"] = _IVF_ANN_SQL
     out["image_glcm_energy"] = _image_glcm_sql(img01)
-    out["audio_frame_energy"] = _audio_energy_sql(
-        _audio_dir_for("/root/testdata/sf0.01"))
+    aud01 = _audio_dir_for("/root/testdata/sf0.01")
+    out["audio_frame_energy"] = _audio_energy_sql(aud01)
+    out["audio_silence_runs"] = _audio_silence_sql(aud01)
     return out
 
 
@@ -10315,3 +10316,219 @@ def _audio_energy_sidecar(aud: str) -> str:
 def _audio_energy_sql(aud: str) -> str:
     return (f"SELECT track_id, frame, energy "
             f"FROM read_parquet('{_audio_energy_sidecar(aud)}')")
+
+
+def q_token_pair_support_docs(sf_dir: str):
+    """Market-basket co-occurrence at TEXT scale: unordered token
+    pairs sharing a document, kept at ≥25% support — a-priori's first
+    join as a GRAM MATRIX. Pass 1 reduces the corpus to its distinct
+    token vocabulary (dedup partials; vocab is Heaps'-law bounded and
+    broadcast sorted). Pass 2 builds each batch's doc×vocab presence
+    matrix and computes ALL pair counts in one V×V integer matmul —
+    pair rows never exist until the V²-bounded partials; the corpus
+    text never shuffles."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()  # metadata-only on a pure parquet read
+
+    def toks(t: pa.Table) -> pa.Table:
+        w = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        w = w.filter(pc.not_equal(w, pa.scalar("")))
+        return pa.table({"token": w}).group_by("token").aggregate([])
+
+    vocab_rows = (docs.map_batches(toks, batch_format="pyarrow")
+                  .groupby("token").count()).take_all()
+    vocab = np.array(sorted(r["token"] for r in vocab_rows))
+    vref = ray.put(vocab)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        v = _broadcast(vref)
+        V = len(v)
+        lists = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(t)), lens)
+        keep = flat != ""
+        code = np.searchsorted(v, flat[keep])
+        m = np.zeros((len(t), V), np.int64)
+        m[doc_of[keep], code] = 1
+        gram = m.T @ m
+        iu, ju = np.triu_indices(V, k=1)
+        s = gram[iu, ju]
+        nz = s > 0
+        return pa.table({"i": pa.array(iu[nz].astype(np.int64)),
+                         "j": pa.array(ju[nz].astype(np.int64)),
+                         "support": pa.array(s[nz])})
+
+    agg = (docs.map_batches(pairs, batch_format="pyarrow")
+           .groupby(["i", "j"]).sum("support"))
+
+    def final(t: pa.Table) -> pa.Table:
+        v = _broadcast(vref)
+        s = t["sum(support)"].to_numpy()
+        keep = s * 4 >= n_docs
+        return pa.table({
+            "t1": pa.array(v[t["i"].to_numpy()[keep]]),
+            "t2": pa.array(v[t["j"].to_numpy()[keep]]),
+            "support": pa.array(s[keep])})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+QUERIES["token_pair_support_docs"] = q_token_pair_support_docs
+ORACLE_SQL["token_pair_support_docs"] = """
+        WITH tok AS (SELECT DISTINCT doc_id, w
+                     FROM (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS w
+                           FROM documents) t(doc_id, w)
+                     WHERE w <> ''),
+        nd AS (SELECT count(*) AS n FROM documents),
+        p AS (SELECT a.w AS t1, b.w AS t2, count(*) AS support
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND a.w < b.w
+              GROUP BY 1, 2)
+        SELECT t1, t2, support FROM p, nd WHERE support * 4 >= nd.n
+    """
+
+
+def q_attribution_lasttouch(sf_dir: str):
+    """Marketing last-touch attribution: every purchase credits the
+    user's most recent PRIOR non-purchase event type ('none' when the
+    purchase opens the history) — the IGNORE-NULLS backward fill that
+    powers attribution reporting. One co-partition on user; the
+    forward-fill for every user in a bucket is a single
+    maximum.accumulate over segment-offset-shifted valid positions
+    (the reset never crosses a user), then one gather + one shift —
+    no per-user loop, no LAG column materialization."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"touch_type": pd.Series(dtype=object),
+                                 "n_purchases":
+                                     pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ty = df["event_type"].to_numpy()
+        o = np.lexsort((e, t, u))
+        uu, tyu = u[o], ty[o]
+        n = len(uu)
+        new = np.r_[True, uu[1:] != uu[:-1]]
+        seg = np.cumsum(new) - 1
+        gpos = np.arange(n, dtype=np.int64)
+        valid = tyu != "purchase"
+        big = np.int64(n + 2)
+        w = np.where(valid, gpos, -1) + seg * big
+        acc = np.maximum.accumulate(w)
+        prev = np.r_[np.int64(-1), acc[:-1]]
+        prev[new] = -1  # a purchase at history start has no touch
+        last_idx = np.where(prev >= 0, prev - seg * big, -1)
+        is_p = tyu == "purchase"
+        li = last_idx[is_p]
+        touch = np.where(li >= 0, tyu[np.maximum(li, 0)], "none")
+        g = pd.DataFrame({"touch_type": touch}) \
+            .groupby("touch_type", as_index=False).size()
+        return g.rename(columns={"size": "n_purchases"})
+
+    out = (_with_bucket(ev, "user_id", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .groupby("touch_type").sum("n_purchases"))
+    return _rename(out, ["touch_type", "n_purchases"])
+
+
+QUERIES["attribution_lasttouch"] = q_attribution_lasttouch
+ORACLE_SQL["attribution_lasttouch"] = """
+        WITH s AS (SELECT user_id, event_type,
+                          LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                          THEN event_type END
+                                     IGNORE NULLS)
+                              OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS touch
+                   FROM events)
+        SELECT COALESCE(touch, 'none') AS touch_type,
+               count(*) AS n_purchases
+        FROM s WHERE event_type = 'purchase' GROUP BY 1
+    """
+
+
+def q_audio_silence_runs(sf_dir: str):
+    """Silence detection over the audio corpus: per track, the number
+    of quiet samples (|s| < 8192) and the LONGEST quiet run — the
+    gaps-and-islands scan on the sample axis. The whole batch's runs
+    resolve in one diff pass over the row-padded flat mask (a False
+    column between tracks breaks runs), maxima via np.maximum.at —
+    no per-track loop. Oracle: python-int replay sidecar."""
+    from geotile.ops.audio import read_audio_table
+
+    ds = read_audio_table(_audio_dir_for(sf_dir))
+
+    def runs(t: pa.Table) -> pa.Table:
+        ids = t["track_id"].to_numpy(zero_copy_only=False)
+        payloads = t["bytes"].to_pylist()
+        pcm = np.stack([np.frombuffer(p, dtype=np.int16)
+                        for p in payloads])
+        quiet = np.abs(pcm.astype(np.int32)) < 8192
+        n_quiet = quiet.sum(axis=1).astype(np.int64)
+        padded = np.concatenate(
+            [quiet, np.zeros((len(ids), 1), bool)], axis=1).ravel()
+        d = np.diff(np.r_[np.int8(0), padded.view(np.int8)])
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        lengths = (ends - starts).astype(np.int64)
+        row = starts // (quiet.shape[1] + 1)
+        max_run = np.zeros(len(ids), np.int64)
+        np.maximum.at(max_run, row, lengths)
+        return pa.table({"track_id": pa.array(ids),
+                         "n_quiet": pa.array(n_quiet),
+                         "max_run": pa.array(max_run)})
+
+    return ds.map_batches(runs, batch_format="pyarrow", batch_size=64)
+
+
+QUERIES["audio_silence_runs"] = q_audio_silence_runs
+
+
+def _audio_silence_sidecar(aud: str) -> str:
+    """Python-loop replay for audio_silence_runs (per-sample scan with
+    plain ints vs the engine's flat diff kernel). Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_audiosilence_{Path(aud).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(aud, columns=["track_id"])
+        ids = np.sort(t["track_id"].to_numpy(zero_copy_only=False))
+        pcm = _sy.audio_samples(ids)
+        nq, mr = [], []
+        for j in range(len(ids)):
+            cnt = best = cur = 0
+            for v in pcm[j].tolist():
+                if abs(v) < 8192:
+                    cnt += 1
+                    cur += 1
+                    best = max(best, cur)
+                else:
+                    cur = 0
+            nq.append(cnt)
+            mr.append(best)
+        out = pa.table({"track_id": pa.array(ids),
+                        "n_quiet": pa.array(nq, pa.int64()),
+                        "max_run": pa.array(mr, pa.int64())})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _audio_silence_sql(aud: str) -> str:
+    return (f"SELECT track_id, n_quiet, max_run "
+            f"FROM read_parquet('{_audio_silence_sidecar(aud)}')")

@@ -124,6 +124,8 @@ CHECKED = [
     "dominant_supplier_parts",
     "activity_bitmap_users",
     "important_parts",
+    "token_pair_support_docs",
+    "attribution_lasttouch",
 ]
 
 
@@ -451,3 +453,18 @@ def test_audio_frame_energy_oracle(ray_session, con):
                     "bytes": pa.array([b"xx"], pa.binary())})
     with _pt.raises(NotImplementedError):
         stage(bad)
+
+
+def test_audio_silence_runs_oracle(ray_session, con):
+    """Engine flat-diff run detection vs the per-sample python-int
+    replay sidecar at sf0.001."""
+    from geotile.queries import QUERIES, _audio_dir_for, _audio_silence_sql
+
+    aud = _audio_dir_for(SF)
+    got = (QUERIES["audio_silence_runs"](SF).to_pandas()
+           .sort_values("track_id").reset_index(drop=True))
+    exp = (con.execute(_audio_silence_sql(aud)).df()
+           .sort_values("track_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("track_id", "n_quiet", "max_run"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
