@@ -10532,3 +10532,210 @@ def _audio_silence_sidecar(aud: str) -> str:
 def _audio_silence_sql(aud: str) -> str:
     return (f"SELECT track_id, n_quiet, max_run "
             f"FROM read_parquet('{_audio_silence_sidecar(aud)}')")
+
+
+def _ntile_of(idx: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) bucket (1-based) from a 0-based global rank:
+    the first n % k buckets hold n//k + 1 rows (standard remainder-
+    to-the-front semantics), computed branch-free."""
+    r = idx  # 0-based rank
+    q, rem = divmod(n, k)
+    cut = rem * (q + 1)
+    small = np.where(q > 0, (r - cut) // max(q, 1) + rem, 0)
+    return np.where(r < cut, r // (q + 1), small).astype(np.int64) + 1
+
+
+def q_decile_transition_users(sf_dir: str):
+    """Rank-mobility matrix: each user's spend QUINTILE in the first
+    half of January vs the second — the churn-analysis transition
+    table two independent distributed rankings feed. Spend partials
+    pack (user, half); each half ranks via
+    relational.global_row_number (order-aligned coarse buckets, no
+    all-to-all sort) and converts rank→NTILE(5) with the exact
+    remainder-to-the-front rule; the halves then meet in ONE
+    user-cardinality groupby of nibble-packed codes (q1 + q2·8 —
+    no join), and the 5×5 matrix falls out of code-cardinality
+    partials."""
+    from geotile.ops.relational import global_row_number
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def spend(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        half = pc.greater_equal(day, pa.scalar(19738, pa.int64()))
+        cents = pc.floor(pc.multiply(t["value"],
+                                     pa.scalar(100.0))).cast(pa.int64())
+        k = pc.add(pc.multiply(t["user_id"], pa.scalar(2, pa.int64())),
+                   half.cast(pa.int64()))
+        g = pa.table({"k": k, "cents": cents}).group_by("k") \
+            .aggregate([("cents", "sum")])
+        return pa.table({"k": g["k"], "spend": g["cents_sum"]})
+
+    sp = (ev.map_batches(spend, batch_format="pyarrow")
+          .groupby("k").sum("spend"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        return pa.table({"user_id": pa.array(k >> 1),
+                         "half": pa.array((k & 1).astype(np.int64)),
+                         "spend": t["sum(spend)"]})
+
+    sp = sp.map_batches(unpack, batch_format="pyarrow").materialize()
+
+    codes = []
+    for h, mul in ((0, 1), (1, 8)):
+        part = sp.filter(lambda r, _h=h: r["half"] == _h).materialize()
+        n_h = part.count()
+        ranked = global_row_number(part, "spend", "user_id", shift=12)
+        codes.append(ranked.map_batches(
+            lambda t, _n=n_h, _m=mul: pa.table({
+                "user_id": t["user_id"],
+                "code": pa.array(_ntile_of(t["idx"].to_numpy(), _n, 5)
+                                 * _m)}),
+            batch_format="pyarrow"))
+
+    both = (codes[0].union(codes[1])
+            .groupby("user_id").sum("code"))
+
+    def matrix(t: pa.Table) -> pa.Table:
+        c = t["sum(code)"].to_numpy()
+        q1, q2 = c % 8, c // 8
+        keep = (q1 > 0) & (q2 > 0)
+        g = pa.table({"q1": pa.array(q1[keep]),
+                      "q2": pa.array(q2[keep])}) \
+            .group_by(["q1", "q2"]).aggregate([([], "count_all")])
+        return pa.table({"q1": g["q1"], "q2": g["q2"],
+                         "n_users": g["count_all"].cast(pa.int64())})
+
+    out = (both.map_batches(matrix, batch_format="pyarrow")
+           .groupby(["q1", "q2"]).sum("n_users"))
+    return _rename(out, ["q1", "q2", "n_users"])
+
+
+QUERIES["decile_transition_users"] = q_decile_transition_users
+ORACLE_SQL["decile_transition_users"] = """
+        WITH s AS (SELECT user_id,
+                          CAST(epoch_us(ts) // 86400000000 >= 19738
+                               AS INT) AS half,
+                          CAST(floor(value * 100.0) AS BIGINT) AS cents
+                   FROM events),
+        sp AS (SELECT user_id, half, SUM(cents) AS spend
+               FROM s GROUP BY 1, 2),
+        h1 AS (SELECT user_id, NTILE(5) OVER (ORDER BY spend, user_id)
+                   AS q1 FROM sp WHERE half = 0),
+        h2 AS (SELECT user_id, NTILE(5) OVER (ORDER BY spend, user_id)
+                   AS q2 FROM sp WHERE half = 1)
+        SELECT CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+               count(*) AS n_users
+        FROM h1 JOIN h2 USING (user_id) GROUP BY 1, 2
+    """
+
+
+def q_revenue_concentration_orders(sf_dir: str):
+    """Lorenz-point concentration: what share of order revenue sits in
+    the top 1% of orders — WITHOUT ranking a single row. Equal prices
+    contribute equally to a SUM, so the top-k sum is pure count
+    algebra over the cents-value histogram (value-domain-bounded
+    partials): sort the histogram driver-side, take whole buckets
+    from the top, and pro-rate the one boundary bucket by count. One
+    scan, no co-partition, exact integers end-to-end."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"cents": cents}).group_by("cents") \
+            .aggregate([([], "count_all")])
+        return pa.table({"cents": g["cents"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    hist = (orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("cents").sum("n")).take_all()
+    cents = np.array([r["cents"] for r in hist], dtype=np.int64)
+    cnt = np.array([r["sum(n)"] for r in hist], dtype=np.int64)
+    o = np.argsort(-cents)
+    cents, cnt = cents[o], cnt[o]
+    n = int(cnt.sum())
+    k = max(1, n // 100)
+    cum = np.cumsum(cnt)
+    j = int(np.searchsorted(cum, k))  # boundary bucket index
+    whole = int((cents[:j] * cnt[:j]).sum())
+    used = int(cum[j - 1]) if j else 0
+    top = whole + (k - used) * int(cents[j])
+    total = int((cents * cnt).sum())
+    return pd.DataFrame({
+        "n_orders": [n], "top_k": [k], "top_cents": [top],
+        "total_cents": [total],
+        "share_ppm": [top * 1_000_000 // total]})
+
+
+QUERIES["revenue_concentration_orders"] = q_revenue_concentration_orders
+ORACLE_SQL["revenue_concentration_orders"] = """
+        WITH r AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT) AS cents,
+                          ROW_NUMBER() OVER (ORDER BY
+                              floor(o_totalprice * 100.0 + 0.5) DESC)
+                              AS rn,
+                          count(*) OVER () AS n
+                   FROM orders),
+        t AS (SELECT max(n) AS n,
+                     greatest(1, max(n) // 100) AS k,
+                     SUM(cents) AS tot,
+                     SUM(CASE WHEN rn <= greatest(1, n // 100)
+                              THEN cents ELSE 0 END) AS top
+              FROM r)
+        SELECT CAST(n AS BIGINT) AS n_orders, CAST(k AS BIGINT) AS top_k,
+               CAST(top AS BIGINT) AS top_cents,
+               CAST(tot AS BIGINT) AS total_cents,
+               top * 1000000 // tot AS share_ppm
+        FROM t
+    """
+
+
+def q_partitioned_sink_events(sf_dir: str):
+    """Resumable-output round trip: stream events into a
+    day-partitioned parquet layout (ray write_parquet with
+    partition_cols — one directory per day, the skip/retry unit at
+    100 TB) and verify by reading the LAYOUT back: per-partition row
+    counts come from the hive-partitioned re-read, not from the
+    writer's accounting, so a lost or truncated partition shows up as
+    a count mismatch against the source-side oracle."""
+    import shutil
+    from pathlib import Path
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def with_day(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "day", pc.divide(t["ts"].cast(pa.int64()),
+                             pa.scalar(86_400_000_000, pa.int64())))
+
+    out = Path("/tmp/geotile_cache") / f"sink_events_{Path(sf_dir).name}"
+    if out.exists():
+        shutil.rmtree(out)
+    ev.map_batches(with_day, batch_format="pyarrow") \
+        .drop_columns(["ts"]) \
+        .write_parquet(str(out), partition_cols=["day"])
+
+    back = rd.read_parquet(str(out))
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = t.select(["day"]).group_by("day").aggregate(
+            [([], "count_all")])
+        return pa.table({"day": g["day"].cast(pa.int64()),
+                         "n_rows": g["count_all"].cast(pa.int64())})
+
+    return (back.map_batches(counts, batch_format="pyarrow")
+            .groupby("day").sum("n_rows")
+            .map_batches(lambda t: t.rename_columns(["day", "n_rows"]),
+                         batch_format="pyarrow"))
+
+
+QUERIES["partitioned_sink_events"] = q_partitioned_sink_events
+ORACLE_SQL["partitioned_sink_events"] = """
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               count(*) AS n_rows
+        FROM events GROUP BY 1
+    """

@@ -126,6 +126,9 @@ CHECKED = [
     "important_parts",
     "token_pair_support_docs",
     "attribution_lasttouch",
+    "decile_transition_users",
+    "revenue_concentration_orders",
+    "partitioned_sink_events",
 ]
 
 
