@@ -4601,6 +4601,7 @@ def oracle_sql() -> dict[str, str]:
     aud01 = _audio_dir_for("/root/testdata/sf0.01")
     out["audio_frame_energy"] = _audio_energy_sql(aud01)
     out["audio_silence_runs"] = _audio_silence_sql(aud01)
+    out["tile_autocorr_cells"] = _spatial_autocorr_sql(img01)
     return out
 
 
@@ -9604,8 +9605,13 @@ def q_mannwhitney_daily(sf_dir: str):
                         pa.scalar(86_400_000_000, pa.int64()))
         cents = pc.floor(pc.multiply(f["value"],
                                      pa.scalar(100.0))).cast(pa.int64())
-        c = cents.to_numpy(zero_copy_only=False)
-        assert ((c >= 0) & (c < 1 << 20)).all(), "cents outside pack range"
+        # domain filter (mirrored in the SQL replay): the lattice pack
+        # carries 20 bits of non-negative cents
+        ok = pc.and_(pc.greater_equal(cents, pa.scalar(0, pa.int64())),
+                     pc.less(cents, pa.scalar(1 << 20, pa.int64())))
+        f = f.filter(ok)
+        day = day.filter(ok)
+        cents = cents.filter(ok)
         key = pc.add(pc.add(
             pc.multiply(day, pa.scalar(1 << 21, pa.int64())),
             pc.multiply(cents, pa.scalar(2, pa.int64()))), f["side"])
@@ -9659,7 +9665,9 @@ ORACLE_SQL["mannwhitney_daily"] = """
         WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
                           CAST(floor(value * 100.0) AS BIGINT) AS c,
                           event_type
-                   FROM events WHERE event_type IN ('click', 'view')),
+                   FROM events WHERE event_type IN ('click', 'view')
+                     AND floor(value * 100.0) >= 0
+                     AND floor(value * 100.0) < 1048576),
         a AS (SELECT day, c, count(*) AS n FROM e
               WHERE event_type = 'click' GROUP BY 1, 2),
         b AS (SELECT day, c, count(*) AS n FROM e
@@ -10080,10 +10088,12 @@ def q_activity_bitmap_users(sf_dir: str):
         day = pc.divide(t["ts"].cast(pa.int64()),
                         pa.scalar(86_400_000_000, pa.int64()))
         rel = pc.subtract(day, pa.scalar(_DAY0, pa.int64()))
-        r = rel.to_numpy(zero_copy_only=False)
-        assert ((r >= 0) & (r < 31)).all(), "day outside Jan-2024 window"
+        # domain filter (mirrored in the SQL replay): rows outside the
+        # 31-day January window are out of the bitmap's key space
+        keep = pc.and_(pc.greater_equal(rel, pa.scalar(0, pa.int64())),
+                       pc.less(rel, pa.scalar(31, pa.int64())))
         k = pc.add(pc.multiply(t["user_id"], pa.scalar(32, pa.int64())),
-                   rel)
+                   rel).filter(keep)
         return pa.table({"k": k}).group_by("k").aggregate([])
 
     ded = (ev.map_batches(pairs, batch_format="pyarrow")
@@ -10117,7 +10127,9 @@ QUERIES["activity_bitmap_users"] = q_activity_bitmap_users
 ORACLE_SQL["activity_bitmap_users"] = """
         WITH d AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 86400000000 - 19723 AS day
-                   FROM events),
+                   FROM events
+                   WHERE epoch_us(ts) // 86400000000 - 19723
+                         BETWEEN 0 AND 30),
         m AS (SELECT user_id,
                      CAST(SUM(CAST(1 AS BIGINT) << CAST(day AS INT))
                           AS BIGINT) AS mask,
@@ -10738,4 +10750,458 @@ ORACLE_SQL["partitioned_sink_events"] = """
         SELECT epoch_us(ts) // 86400000000 AS day,
                count(*) AS n_rows
         FROM events GROUP BY 1
+    """
+
+
+def q_spatial_autocorr_cells(sf_dir: str):
+    """Spatial-autocorrelation raw parts over the occupied res-10
+    grid (the Moran/Geary building blocks, exact integers): per-cell
+    tile counts c_i, plus Σ c_i·c_j and the pair count over all
+    8-neighbor ordered pairs of OCCUPIED cells. The neighbor 'join'
+    is count algebra: each occupied cell scatters (mass=c, occ=1) to
+    its ≤8 in-range neighbor keys, one cell-cardinality groupby merges
+    scatter with counts (union + sum — no join operator), and the
+    cross terms reduce to a single row. Nothing ever shuffles at tile
+    scale, only at occupied-cell scale."""
+    from geotile.geom import cells
+    from geotile.ops.tiles import read_image_table
+
+    img = _image_dir_for(sf_dir)
+    ds = read_image_table(img, columns=["lon", "lat"])
+    RES = 10
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        ix, iy = cells.to_ixy(cells.encode(lon, lat, RES))
+        k = (ix << 20) | iy
+        g = pa.table({"k": pa.array(k)}).group_by("k") \
+            .aggregate([([], "count_all")])
+        return pa.table({"k": g["k"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("k").sum("c")).materialize()
+    counts = _rename(counts, ["k", "c"])
+
+    def scatter(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        c = t["c"].to_numpy()
+        ix, iy = k >> 20, k & ((1 << 20) - 1)
+        ks, ms, os_ = [], [], []
+        n = 1 << RES
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+                ks.append((jx[ok] << 20) | jy[ok])
+                ms.append(c[ok])
+                os_.append(np.ones(int(ok.sum()), np.int64))
+        return pa.table({"k": pa.array(np.concatenate(ks)),
+                         "c": pa.array(np.zeros(sum(map(len, ks)),
+                                                np.int64)),
+                         "mass": pa.array(np.concatenate(ms)),
+                         "occ": pa.array(np.concatenate(os_))})
+
+    tagged = counts.map_batches(
+        lambda t: pa.table({"k": t["k"], "c": t["c"],
+                            "mass": pa.array(np.zeros(len(t), np.int64)),
+                            "occ": pa.array(np.zeros(len(t), np.int64))}),
+        batch_format="pyarrow")
+    merged = (tagged.union(counts.map_batches(scatter,
+                                              batch_format="pyarrow"))
+              .groupby("k").sum(["c", "mass", "occ"]))
+
+    def reduce_row(t: pa.Table) -> pa.Table:
+        c = t["sum(c)"].to_numpy()
+        mass = t["sum(mass)"].to_numpy()
+        occ = t["sum(occ)"].to_numpy()
+        occu = c > 0
+        return pa.table({
+            "n_cells": pa.array([int(occu.sum())], pa.int64()),
+            "sum_c": pa.array([int(c.sum())], pa.int64()),
+            "ssq_c": pa.array([int((c * c).sum())], pa.int64()),
+            "w_pairs": pa.array([int(occ[occu].sum())], pa.int64()),
+            "cross_sum": pa.array([int((c[occu] * mass[occu]).sum())],
+                                  pa.int64())})
+
+    return (merged.map_batches(reduce_row, batch_format="pyarrow")
+            .groupby(None)
+            .sum(["n_cells", "sum_c", "ssq_c", "w_pairs", "cross_sum"])
+            .map_batches(lambda t: t.rename_columns(
+                ["n_cells", "sum_c", "ssq_c", "w_pairs", "cross_sum"]),
+                batch_format="pyarrow"))
+
+
+QUERIES["tile_autocorr_cells"] = q_spatial_autocorr_cells
+
+
+def _spatial_autocorr_sql(img_dir: str) -> str:
+    qx = _sql_quant("lon", "180.0", "360.0", 10)
+    qy = _sql_quant("lat", "90.0", "180.0", 10)
+    return f"""
+        WITH pts AS (SELECT {qx} AS ix, {qy} AS iy
+                     FROM read_parquet('{img_dir}/part-*.parquet')),
+        c AS (SELECT ix, iy, count(*) AS c FROM pts GROUP BY 1, 2),
+        pair AS (SELECT a.c AS ca, b.c AS cb
+                 FROM c a JOIN c b
+                   ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+                  AND NOT (a.ix = b.ix AND a.iy = b.iy))
+        SELECT (SELECT count(*) FROM c) AS n_cells,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM c) AS sum_c,
+               (SELECT CAST(SUM(c * c) AS BIGINT) FROM c) AS ssq_c,
+               (SELECT count(*) FROM pair) AS w_pairs,
+               (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT)
+                FROM pair) AS cross_sum
+    """
+
+
+def q_funnel_windowed_users(sf_dir: str):
+    """Windowed event-to-event join: per purchase, views by the same
+    user in the trailing 24 h — the attribution-window count a plain
+    funnel can't express. One co-partition on user; inside a bucket
+    BOTH sides pack to local_user·SPAN + (ts − t₀) (SPAN covers the
+    time domain + window, overflow-asserted), so every purchase's
+    window count is two global searchsorteds over the packed view
+    array — no per-user loop, no row-pair materialization."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    W = 86_400_000_000  # 24 h in µs
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                              "n_purchases": pd.Series(dtype=np.int64),
+                              "n_converted": pd.Series(dtype=np.int64),
+                              "n_view_hits": pd.Series(dtype=np.int64)})
+        p = df[df["event_type"] == "purchase"]
+        v = df[df["event_type"] == "view"]
+        if len(p) == 0:
+            return empty
+        pu = p["user_id"].to_numpy(np.int64)
+        pt = p["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vu = v["user_id"].to_numpy(np.int64)
+        vt = v["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        users = np.unique(np.r_[pu, vu])
+        lu_p = np.searchsorted(users, pu)
+        lu_v = np.searchsorted(users, vu)
+        t0 = int(min(pt.min(), vt.min() if len(vt) else pt.min()))
+        span = np.int64(max(pt.max(), vt.max() if len(vt) else 0)
+                        - t0 + W + 2)
+        assert len(users) * span < (1 << 62), "pack overflow"
+        packed_v = np.sort(lu_v * span + (vt - t0))
+        base = lu_p * span
+        hi = np.searchsorted(packed_v, base + (pt - t0))
+        lo = np.searchsorted(packed_v,
+                             np.maximum(base + (pt - t0) - W, base))
+        hits = (hi - lo).astype(np.int64)
+        g = pd.DataFrame({"user_id": pu, "hits": hits,
+                          "conv": (hits > 0).astype(np.int64)}) \
+            .groupby("user_id", as_index=False) \
+            .agg(n_purchases=("hits", "size"),
+                 n_converted=("conv", "sum"),
+                 n_view_hits=("hits", "sum"))
+        return g
+
+    return (_with_bucket(ev, "user_id", 32)
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))
+
+
+QUERIES["funnel_windowed_users"] = q_funnel_windowed_users
+ORACLE_SQL["funnel_windowed_users"] = """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        j AS (SELECT p.user_id, p.event_id, count(v.ts) AS hits
+              FROM p LEFT JOIN v
+                ON v.user_id = p.user_id AND v.ts < p.ts
+               AND v.ts >= p.ts - INTERVAL 24 HOUR
+              GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_purchases,
+               CAST(count(*) FILTER (hits > 0) AS BIGINT) AS n_converted,
+               CAST(SUM(hits) AS BIGINT) AS n_view_hits
+        FROM j GROUP BY 1
+    """
+
+
+def q_bounce_rate_daily(sf_dir: str):
+    """Per-day session bounce rate inputs: sessions STARTING each day
+    and how many were single-event bounces — the engagement KPI over
+    the sessionized stream. relational.session_intervals does the one
+    co-partition; per-day partials are calendar-bounded."""
+    from geotile.ops.relational import session_intervals
+
+    iv = session_intervals(_read(sf_dir, "events", ["user_id", "ts"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["a_us"], pa.scalar(86_400_000_000, pa.int64()))
+        bounce = pc.equal(t["n_rows"], pa.scalar(1)).cast(pa.int64())
+        g = pa.table({"day": day, "b": bounce}).group_by("day") \
+            .aggregate([([], "count_all"), ("b", "sum")])
+        return pa.table({"day": g["day"],
+                         "n_sessions": g["count_all"].cast(pa.int64()),
+                         "n_bounce": g["b_sum"]})
+
+    out = (iv.map_batches(partial, batch_format="pyarrow")
+           .groupby("day").sum(["n_sessions", "n_bounce"]))
+    return _rename(out, ["day", "n_sessions", "n_bounce"])
+
+
+QUERIES["bounce_rate_daily"] = q_bounce_rate_daily
+ORACLE_SQL["bounce_rate_daily"] = """
+        WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                    OR ts - lag(ts) OVER w
+                                       > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS is_new
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s2 AS (SELECT user_id, us,
+                      SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s),
+        iv AS (SELECT user_id, sid, min(us) AS a, count(*) AS n_ev
+               FROM s2 GROUP BY 1, 2)
+        SELECT CAST(a // 86400000000 AS BIGINT) AS day,
+               count(*) AS n_sessions,
+               CAST(count(*) FILTER (n_ev = 1) AS BIGINT) AS n_bounce
+        FROM iv GROUP BY 1
+    """
+
+
+def q_adjacent_vector_dots(sf_dir: str):
+    """Windowed vector algebra with HALO exchange: for every adjacent
+    id pair (v, v+1), the exact trunc-e4 lattice dot product and both
+    squared norms — the LAG-over-a-vector-column op. Vectors
+    co-partition by vec_id>>6 (64 per group) and each group-boundary
+    vector is DUPLICATED into the previous bucket (ghost cell), so
+    every pair is complete in exactly one group — the owner guard
+    (a>>6 == bucket) makes the halo copy emit nothing of its own.
+    All arithmetic is int64 on the trunc lattice; the UNNEST-zip SQL
+    replay computes the same sums positionally."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def with_halo(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy()
+        b = vid >> 6
+        halo = (vid % 64 == 0) & (vid > 0)
+        out = pa.table({
+            "bucket": pa.array(np.r_[b, b[halo] - 1]),
+            "vec_id": pa.array(np.r_[vid, vid[halo]]),
+            "embedding": pa.concat_arrays(
+                [t["embedding"].combine_chunks(),
+                 t["embedding"].combine_chunks().take(
+                     pa.array(np.nonzero(halo)[0]))]),
+        })
+        return out
+
+    def dots(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                              "dot_e8": pd.Series(dtype=np.int64),
+                              "norm_a_e8": pd.Series(dtype=np.int64),
+                              "norm_b_e8": pd.Series(dtype=np.int64)})
+        if len(df) < 2:
+            return empty
+        bucket = int(df["bucket"].iloc[0])
+        vid = df["vec_id"].to_numpy(np.int64)
+        o = np.argsort(vid, kind="stable")
+        vid = vid[o]
+        q = np.trunc(np.stack(df["embedding"].to_numpy()[o])
+                     .astype(np.float64) * 10000.0).astype(np.int64)
+        adj = (np.diff(vid) == 1) & ((vid[:-1] >> 6) == bucket)
+        a = np.nonzero(adj)[0]
+        if len(a) == 0:
+            return empty
+        qa, qb = q[a], q[a + 1]
+        return pd.DataFrame({
+            "vec_id": vid[a],
+            "dot_e8": (qa * qb).sum(axis=1),
+            "norm_a_e8": (qa * qa).sum(axis=1),
+            "norm_b_e8": (qb * qb).sum(axis=1)})
+
+    return (ds.map_batches(with_halo, batch_format="pyarrow")
+            .groupby("bucket").map_groups(dots, batch_format="pandas"))
+
+
+QUERIES["adjacent_vector_dots"] = q_adjacent_vector_dots
+ORACLE_SQL["adjacent_vector_dots"] = """
+        WITH u AS (SELECT vec_id,
+                          unnest(range(len(embedding))) AS i,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_id,
+               CAST(SUM(a.q * b.q) AS BIGINT) AS dot_e8,
+               CAST(SUM(a.q * a.q) AS BIGINT) AS norm_a_e8,
+               CAST(SUM(b.q * b.q) AS BIGINT) AS norm_b_e8
+        FROM u a JOIN u b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+        GROUP BY 1
+    """
+
+
+def q_watermark_late_events(sf_dir: str):
+    """Streaming watermark accounting: replay the stream in a
+    deterministic out-of-order ARRIVAL permutation (hash of event_id —
+    the same derived-shuffle idiom as train_split) and count, per
+    event-time day, the events that arrive later than watermark−1h —
+    the lateness audit a streaming sink needs. The running max is a
+    DISTRIBUTED PREFIX-MAX: order-aligned arrival buckets, one
+    per-bucket max partial + a driver exclusive scan (≤4096 rows),
+    then each bucket resolves its own rows with one
+    maximum.accumulate seeded by its broadcast base."""
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    SHIFT = 20  # arrival domain is 2^32 → ≤4096 buckets
+
+    def arrival_of(vid: np.ndarray) -> np.ndarray:
+        return ((vid.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(4294967296)).astype(np.int64)
+
+    def pass_a(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        b = arrival_of(t["event_id"].to_numpy()) >> SHIFT
+        g = pa.table({"b": pa.array(b), "us": us}).group_by("b") \
+            .aggregate([("us", "max")])
+        return pa.table({"b": g["b"], "mx": g["us_max"]})
+
+    rows = (ev.map_batches(pass_a, batch_format="pyarrow")
+            .groupby("b").max("mx")).take_all()
+    rows.sort(key=lambda r: r["b"])
+    bks = np.array([r["b"] for r in rows], dtype=np.int64)
+    mxs = np.array([r["max(mx)"] for r in rows], dtype=np.int64)
+    bases = np.r_[np.int64(-(1 << 62)),
+                  np.maximum.accumulate(mxs)[:-1]]
+    base_ref = ray.put((bks, bases))
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        a = arrival_of(t["event_id"].to_numpy())
+        return pa.table({"event_id": t["event_id"],
+                         "us": t["ts"].cast(pa.int64()),
+                         "arrival": pa.array(a),
+                         "bucket": pa.array(a >> SHIFT)})
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                                 "n_events": pd.Series(dtype=np.int64),
+                                 "n_late": pd.Series(dtype=np.int64)})
+        bks_, bases_ = _broadcast(base_ref)
+        a = df["arrival"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        o = np.lexsort((e, a))
+        us = us[o]
+        base = bases_[np.searchsorted(bks_, a[o[0]] >> SHIFT)]
+        wm = np.maximum.accumulate(np.r_[base, us[:-1]])
+        seen_any = np.r_[base > -(1 << 61),
+                         np.ones(len(us) - 1, bool)]
+        is_late = seen_any & (us < wm - 3_600_000_000)
+        g = pd.DataFrame({"day": us // 86_400_000_000,
+                          "late": is_late.astype(np.int64)}) \
+            .groupby("day", as_index=False) \
+            .agg(n_events=("late", "size"), n_late=("late", "sum"))
+        return g
+
+    out = (ev.map_batches(with_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(late, batch_format="pandas")
+           .groupby("day").sum(["n_events", "n_late"]))
+    return _rename(out, ["day", "n_events", "n_late"])
+
+
+QUERIES["watermark_late_events"] = q_watermark_late_events
+ORACLE_SQL["watermark_late_events"] = """
+        WITH w AS (SELECT epoch_us(ts) AS us,
+                          MAX(epoch_us(ts)) OVER (
+                              ORDER BY (event_id * 2654435761
+                                        % 4294967296), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS wm
+                   FROM events)
+        SELECT CAST(us // 86400000000 AS BIGINT) AS day,
+               count(*) AS n_events,
+               CAST(count(*) FILTER (wm IS NOT NULL
+                    AND us < wm - 3600000000) AS BIGINT) AS n_late
+        FROM w GROUP BY 1
+    """
+
+
+def q_keyspace_gaps_orders(sf_dir: str):
+    """Key-space integrity audit over the F-status order ids: gap
+    count, missing-key total and largest hole between consecutive
+    present keys — the LEAD-diff island scan, distributed with NO
+    sort: keys co-partition into order-aligned id-range buckets
+    (driver-coarsened to ≤2048), each bucket resolves its interior
+    gaps in one sorted-diff pass, and the driver stitches the ≤2048
+    inter-bucket seams from per-bucket (min, max). The final answer
+    is one row; keys never leave their bucket."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    keys = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"],
+                                    pa.scalar("F")))
+        .select(["o_orderkey"]), batch_format="pyarrow")
+
+    def pass_a(t: pa.Table) -> pa.Table:
+        b = pc.shift_right(t["o_orderkey"], pa.scalar(12, pa.int64()))
+        g = pa.table({"b": b}).group_by("b").aggregate(
+            [([], "count_all")])
+        return pa.table({"b": g["b"], "n": g["count_all"]})
+
+    fine = (keys.map_batches(pass_a, batch_format="pyarrow")
+            .groupby("b").sum("n")).take_all()
+    extra = 0
+    while len({r["b"] >> extra for r in fine}) > 2048:
+        extra += 1
+    eff = 12 + extra
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["o_orderkey"],
+                         "bucket": pc.shift_right(
+                             t["o_orderkey"],
+                             pa.scalar(eff, pa.int64()))})
+
+    def in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(df["k"].to_numpy(np.int64))
+        d = np.diff(k) - 1
+        g = d[d > 0]
+        return pd.DataFrame({
+            "bucket": [np.int64(df["bucket"].iloc[0])],
+            "n_keys": [len(k)], "n_gaps": [len(g)],
+            "missing": [int(g.sum())],
+            "max_gap": [int(g.max()) if len(g) else 0],
+            "kmin": [int(k[0])], "kmax": [int(k[-1])]})
+
+    per_bucket = (keys.map_batches(with_bucket, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(in_bucket, batch_format="pandas")
+                  ).take_all()
+    per_bucket.sort(key=lambda r: r["bucket"])
+    n_keys = sum(r["n_keys"] for r in per_bucket)
+    n_gaps = sum(r["n_gaps"] for r in per_bucket)
+    missing = sum(r["missing"] for r in per_bucket)
+    max_gap = max((r["max_gap"] for r in per_bucket), default=0)
+    for prev, cur in zip(per_bucket, per_bucket[1:]):
+        seam = cur["kmin"] - prev["kmax"] - 1
+        if seam > 0:
+            n_gaps += 1
+            missing += seam
+            max_gap = max(max_gap, seam)
+    return pd.DataFrame({"n_keys": [n_keys], "n_gaps": [n_gaps],
+                         "missing_total": [missing],
+                         "max_gap": [max_gap]})
+
+
+QUERIES["keyspace_gaps_orders"] = q_keyspace_gaps_orders
+ORACLE_SQL["keyspace_gaps_orders"] = """
+        WITH k AS (SELECT o_orderkey AS k FROM orders
+                   WHERE o_orderstatus = 'F'),
+        d AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM k)
+        SELECT count(*) AS n_keys,
+               CAST(count(*) FILTER (nk - k > 1) AS BIGINT) AS n_gaps,
+               CAST(COALESCE(SUM(nk - k - 1) FILTER (nk - k > 1), 0)
+                    AS BIGINT) AS missing_total,
+               CAST(COALESCE(MAX(nk - k - 1), 0) AS BIGINT) AS max_gap
+        FROM d
     """

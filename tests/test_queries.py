@@ -129,6 +129,11 @@ CHECKED = [
     "decile_transition_users",
     "revenue_concentration_orders",
     "partitioned_sink_events",
+    "funnel_windowed_users",
+    "bounce_rate_daily",
+    "adjacent_vector_dots",
+    "watermark_late_events",
+    "keyspace_gaps_orders",
 ]
 
 
@@ -471,3 +476,17 @@ def test_audio_silence_runs_oracle(ray_session, con):
     assert len(got) == len(exp) > 0
     for c in ("track_id", "n_quiet", "max_run"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_spatial_autocorr_cells_oracle(ray_session, con):
+    """Engine scatter/union count algebra vs the SQL self-join over
+    quantized (ix, iy) at sf0.001 — exact integer parts."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _spatial_autocorr_sql)
+
+    img = _image_dir_for(SF)
+    got = QUERIES["tile_autocorr_cells"](SF).to_pandas()
+    exp = con.execute(_spatial_autocorr_sql(img)).df()
+    assert len(got) == len(exp) == 1
+    for c in ("n_cells", "sum_c", "ssq_c", "w_pairs", "cross_sum"):
+        assert int(got[c].iloc[0]) == int(exp[c].iloc[0]), c
