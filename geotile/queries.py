@@ -4602,6 +4602,7 @@ def oracle_sql() -> dict[str, str]:
     out["audio_frame_energy"] = _audio_energy_sql(aud01)
     out["audio_silence_runs"] = _audio_silence_sql(aud01)
     out["tile_autocorr_cells"] = _spatial_autocorr_sql(img01)
+    out["tile_stop_hulls"] = _stop_hulls_sql(img01)
     return out
 
 
@@ -11204,4 +11205,271 @@ ORACLE_SQL["keyspace_gaps_orders"] = """
                     AS BIGINT) AS missing_total,
                CAST(COALESCE(MAX(nk - k - 1), 0) AS BIGINT) AS max_gap
         FROM d
+    """
+
+
+def q_tile_stop_hulls(sf_dir: str):
+    """Distributed convex hull per caption stop: the hull is an
+    ASSOCIATIVE aggregate (hull(A∪B) = hull(hull(A)∪hull(B))), so each
+    batch emits only its ≤30 per-stop partial-hull vertices and the
+    final chain runs per stop over vertex-count-scale candidates —
+    the corpus's coordinates never shuffle. Companion count/bbox pass
+    is a plain 30-row Arrow aggregate; both scans prune to
+    (caption, lon, lat) so the payload column never leaves storage.
+    Oracle: independent Jarvis-march (gift-wrapping, exact Fraction
+    crosses) sidecar vs the engine's monotone chain."""
+    from geotile.geom.hull import convex_hull
+    from geotile.ops.tiles import read_image_table
+
+    img = _image_dir_for(sf_dir)
+    ds = read_image_table(img, columns=["caption", "lon", "lat"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        stop = pc.cast(pc.list_element(
+            pc.split_pattern(t["caption"], " "), 4), pa.int64())
+        g = pa.table({"stop": stop, "lon": t["lon"], "lat": t["lat"]}) \
+            .group_by("stop").aggregate(
+                [([], "count_all"), ("lon", "min"), ("lon", "max"),
+                 ("lat", "min"), ("lat", "max")])
+        return g.rename_columns(["stop", "n_points", "west", "east",
+                                 "south", "north"])
+
+    box = (ds.map_batches(stats, batch_format="pyarrow")
+           .groupby("stop")
+           .aggregate(rd.aggregate.Sum("n_points"),
+                      rd.aggregate.Min("west"), rd.aggregate.Max("east"),
+                      rd.aggregate.Min("south"),
+                      rd.aggregate.Max("north")))
+    box = _rename(box, ["stop", "n_points", "west", "east", "south",
+                        "north"]).to_pandas()
+
+    def partial_hulls(t: pa.Table) -> pa.Table:
+        stop = pc.cast(pc.list_element(
+            pc.split_pattern(t["caption"], " "), 4),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        ss, xs, ys = [], [], []
+        for s in np.unique(stop):
+            m = stop == s
+            ring = convex_hull(np.c_[lon[m], lat[m]])
+            pts = np.c_[lon[m], lat[m]] if ring is None else ring[:-1]
+            ss.append(np.full(len(pts), s, np.int64))
+            xs.append(pts[:, 0])
+            ys.append(pts[:, 1])
+        return pa.table({"stop": pa.array(np.concatenate(ss)),
+                         "lon": pa.array(np.concatenate(xs)),
+                         "lat": pa.array(np.concatenate(ys))})
+
+    def final_hull(df: pd.DataFrame) -> pd.DataFrame:
+        ring = convex_hull(np.c_[df["lon"].to_numpy(),
+                                 df["lat"].to_numpy()])
+        n = 0 if ring is None else len(ring) - 1
+        return pd.DataFrame({"stop": [np.int64(df["stop"].iloc[0])],
+                             "n_hull": [np.int64(n)]})
+
+    hull = (ds.map_batches(partial_hulls, batch_format="pyarrow")
+            .groupby("stop").map_groups(final_hull,
+                                        batch_format="pandas")
+            ).to_pandas()
+    out = box.merge(hull, on="stop")
+    out["stop"] = out["stop"].astype(np.int64)
+    return out[["stop", "n_points", "n_hull", "west", "south",
+                "east", "north"]]
+
+
+QUERIES["tile_stop_hulls"] = q_tile_stop_hulls
+
+
+def _stop_hulls_sidecar(img: str) -> str:
+    """Independent replay for tile_stop_hulls: Jarvis march with exact
+    Fraction cross products (vs the engine's monotone chain with
+    float-fast/Fraction-fallback), per-stop, over the same synth
+    coordinates. Content-keyed on synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from fractions import Fraction as F
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_stophulls_{Path(img).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["caption", "lon", "lat"])
+        stop = np.array([int(c.split(" ")[4])
+                         for c in t["caption"].to_pylist()], np.int64)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+
+        def jarvis(pts: list[tuple[float, float]]) -> int:
+            pts = sorted(set(pts))
+            if len(pts) < 3:
+                return 0
+            start = min(pts, key=lambda q: (q[1], q[0]))
+            hull, cur = [], start
+            while True:
+                hull.append(cur)
+                cand = pts[0] if pts[0] != cur else pts[1]
+                for q in pts:
+                    if q == cur:
+                        continue
+                    cr = ((F(cand[0]) - F(cur[0]))
+                          * (F(q[1]) - F(cur[1]))
+                          - (F(cand[1]) - F(cur[1]))
+                          * (F(q[0]) - F(cur[0])))
+                    if cr < 0:
+                        cand = q
+                    elif cr == 0:
+                        # collinear: keep the farthest (strict hull)
+                        d_c = ((F(cand[0]) - F(cur[0])) ** 2
+                               + (F(cand[1]) - F(cur[1])) ** 2)
+                        d_q = ((F(q[0]) - F(cur[0])) ** 2
+                               + (F(q[1]) - F(cur[1])) ** 2)
+                        if d_q > d_c:
+                            cand = q
+                cur = cand
+                if cur == start:
+                    return len(hull)
+
+        rows = []
+        for s in sorted(set(stop.tolist())):
+            m = stop == s
+            pts = list(zip(lon[m].tolist(), lat[m].tolist()))
+            rows.append({
+                "stop": s, "n_points": int(m.sum()),
+                "n_hull": jarvis(pts),
+                "west": float(lon[m].min()),
+                "south": float(lat[m].min()),
+                "east": float(lon[m].max()),
+                "north": float(lat[m].max())})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _stop_hulls_sql(img: str) -> str:
+    return (f"SELECT stop, n_points, n_hull, west, south, east, north "
+            f"FROM read_parquet('{_stop_hulls_sidecar(img)}')")
+
+
+def q_ri_audit_edges(sf_dir: str):
+    """Referential-integrity audit across three FK edges with injected
+    quarantine (parents with key % 97 / % 89 == 0 withheld — the
+    orphan-detection drill a lake ingestion gate runs). Each edge is
+    ONE relational.anti_join: small surviving keysets broadcast, and
+    the helper's co-partition fallback keeps the same plan legal when
+    the parent side outgrows a broadcast at 100 TB. Output is one row
+    per edge with child and orphan counts."""
+    from geotile.ops.relational import anti_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    orders_k = _read(sf_dir, "orders", ["o_orderkey"])
+    orders_c = _read(sf_dir, "orders", ["o_custkey"])
+    cust_k = _read(sf_dir, "customer", ["c_custkey"])
+    cust_n = _read(sf_dir, "customer", ["c_nationkey"])
+    nation_k = _read(sf_dir, "nation", ["n_nationkey"])
+
+    def quarantine(col: str, mod: int):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc.not_equal(
+                pc.subtract(t[col], pc.multiply(
+                    pc.divide(t[col], pa.scalar(mod)),
+                    pa.scalar(mod))), pa.scalar(0))
+            return t.filter(keep)
+        return fn
+
+    edges = [
+        ("lineitem->orders", li, "l_orderkey",
+         orders_k.map_batches(quarantine("o_orderkey", 97),
+                              batch_format="pyarrow"), "o_orderkey"),
+        ("orders->customer", orders_c, "o_custkey",
+         cust_k.map_batches(quarantine("c_custkey", 89),
+                            batch_format="pyarrow"), "c_custkey"),
+        ("customer->nation",
+         cust_n.map_batches(lambda t: pa.table(
+             {"c_nationkey": t["c_nationkey"].cast(pa.int64())}),
+             batch_format="pyarrow"), "c_nationkey",
+         nation_k.map_batches(lambda t: pa.table(
+             {"n_nationkey": t["n_nationkey"].cast(pa.int64())}),
+             batch_format="pyarrow"), "n_nationkey"),
+    ]
+    rows = []
+    for name, child, ck, parent, pk in edges:
+        n_child = child.count()
+        n_orphans = anti_join(child, parent, ck, pk).count()
+        rows.append({"edge": name, "n_child": n_child,
+                     "n_orphans": n_orphans})
+    return pd.DataFrame(rows)
+
+
+QUERIES["ri_audit_edges"] = q_ri_audit_edges
+ORACLE_SQL["ri_audit_edges"] = """
+        SELECT 'lineitem->orders' AS edge,
+               (SELECT count(*) FROM lineitem) AS n_child,
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN
+                      (SELECT o_orderkey FROM orders
+                       WHERE o_orderkey % 97 <> 0)) AS n_orphans
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN
+                      (SELECT c_custkey FROM customer
+                       WHERE c_custkey % 89 <> 0))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer
+                WHERE c_nationkey NOT IN
+                      (SELECT n_nationkey FROM nation))
+    """
+
+
+def q_conversion_latency_users(sf_dir: str):
+    """Conversion-latency histogram: days from each user's FIRST event
+    to their FIRST purchase (non-converters drop out) — the activation
+    curve. Two exact MIN aggregates ride one user-cardinality shuffle
+    (purchase-min uses a sentinel so Arrow's min never sees a null),
+    then the histogram is latency-cardinality."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    SENT = np.int64(1) << 62
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        is_p = pc.equal(t["event_type"], pa.scalar("purchase"))
+        pus = pc.if_else(is_p, us, pa.scalar(int(SENT), pa.int64()))
+        g = pa.table({"user_id": t["user_id"], "a": us, "p": pus}) \
+            .group_by("user_id").aggregate([("a", "min"), ("p", "min")])
+        return g.rename_columns(["user_id", "a", "p"])
+
+    firsts = (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id").min(["a", "p"]))
+
+    def hist(t: pa.Table) -> pa.Table:
+        a = t["min(a)"].to_numpy()
+        p = t["min(p)"].to_numpy()
+        conv = p < SENT
+        lat = (p[conv] // 86_400_000_000) - (a[conv] // 86_400_000_000)
+        g = pa.table({"latency_days": pa.array(lat)}) \
+            .group_by("latency_days").aggregate([([], "count_all")])
+        return pa.table({"latency_days": g["latency_days"],
+                         "n_users": g["count_all"].cast(pa.int64())})
+
+    out = (firsts.map_batches(hist, batch_format="pyarrow")
+           .groupby("latency_days").sum("n_users"))
+    return _rename(out, ["latency_days", "n_users"])
+
+
+QUERIES["conversion_latency_users"] = q_conversion_latency_users
+ORACLE_SQL["conversion_latency_users"] = """
+        WITH f AS (SELECT user_id, min(epoch_us(ts)) AS a,
+                          min(CASE WHEN event_type = 'purchase'
+                                   THEN epoch_us(ts) END) AS p
+                   FROM events GROUP BY 1)
+        SELECT CAST(p // 86400000000 - a // 86400000000 AS BIGINT)
+                   AS latency_days,
+               count(*) AS n_users
+        FROM f WHERE p IS NOT NULL GROUP BY 1
     """

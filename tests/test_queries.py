@@ -134,6 +134,8 @@ CHECKED = [
     "adjacent_vector_dots",
     "watermark_late_events",
     "keyspace_gaps_orders",
+    "ri_audit_edges",
+    "conversion_latency_users",
 ]
 
 
@@ -490,3 +492,20 @@ def test_spatial_autocorr_cells_oracle(ray_session, con):
     assert len(got) == len(exp) == 1
     for c in ("n_cells", "sum_c", "ssq_c", "w_pairs", "cross_sum"):
         assert int(got[c].iloc[0]) == int(exp[c].iloc[0]), c
+
+
+def test_tile_stop_hulls_oracle(ray_session, con):
+    """Engine monotone-chain distributed hull vs the Jarvis-march
+    Fraction-exact sidecar at sf0.001."""
+    from geotile.queries import QUERIES, _image_dir_for, _stop_hulls_sql
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["tile_stop_hulls"](SF)
+           .sort_values("stop").reset_index(drop=True))
+    exp = (con.execute(_stop_hulls_sql(img)).df()
+           .sort_values("stop").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("stop", "n_points", "n_hull"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    for c in ("west", "south", "east", "north"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
