@@ -11473,3 +11473,177 @@ ORACLE_SQL["conversion_latency_users"] = """
                count(*) AS n_users
         FROM f WHERE p IS NOT NULL GROUP BY 1
     """
+
+
+def q_moments4_by_type(sf_dir: str):
+    """Higher-moment sketch: per event type the exact power sums
+    Σq⁰..Σq⁴ on the floor-dollars lattice — the mergeable parts that
+    reconstruct variance, skewness and kurtosis downstream without a
+    second pass. q ≤ 490 keeps q⁴ ≤ 5.8·10¹⁰, so the int64 sums are
+    exact at any corpus size that fits a lake; partials are
+    type-cardinality."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.floor(t["value"]).cast(pa.int64())
+        q2 = pc.multiply(q, q)
+        g = pa.table({"event_type": t["event_type"], "s1": q,
+                      "s2": q2, "s3": pc.multiply(q2, q),
+                      "s4": pc.multiply(q2, q2)}) \
+            .group_by("event_type").aggregate(
+                [([], "count_all"), ("s1", "sum"), ("s2", "sum"),
+                 ("s3", "sum"), ("s4", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "s1": g["s1_sum"], "s2": g["s2_sum"],
+                         "s3": g["s3_sum"], "s4": g["s4_sum"]})
+
+    out = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type").sum(["n", "s1", "s2", "s3", "s4"]))
+    return _rename(out, ["event_type", "n", "s1", "s2", "s3", "s4"])
+
+
+QUERIES["moments4_by_type"] = q_moments4_by_type
+ORACLE_SQL["moments4_by_type"] = """
+        WITH q AS (SELECT event_type,
+                          CAST(floor(value) AS BIGINT) AS q
+                   FROM events)
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS s1,
+               CAST(SUM(q * q) AS BIGINT) AS s2,
+               CAST(SUM(q * q * q) AS BIGINT) AS s3,
+               CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+        FROM q GROUP BY 1
+    """
+
+
+def q_bottomk_quantile_events(sf_dir: str):
+    """Deterministic bottom-k quantile SKETCH with a two-phase exact
+    audit: sample = the k=1024 events with the smallest hash of
+    event_id (a mergeable bottom-k sketch — per-batch partial bottom-k,
+    one tiny final reduce, same shape as topk_orders), median
+    estimated from the sample, then ONE broadcast-scalar pass counts
+    how many corpus rows sit strictly below the estimate — the
+    exact-rank certificate an approximate op should ship with. Every
+    step is deterministic, so the SQL replay reproduces the sketch
+    itself, not just a tolerance."""
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    K = 1024
+
+    def bottom(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        h = ((eid.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(4294967296)).astype(np.int64)
+        cents = pc.floor(pc.multiply(t["value"], pa.scalar(100.0))) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, h))[:K]
+        return pa.table({"h": pa.array(h[o]),
+                         "event_id": pa.array(eid[o]),
+                         "cents": pa.array(cents[o])})
+
+    sample = (ev.map_batches(bottom, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(lambda t: t.take(pa.array(
+                  np.lexsort((t["event_id"].to_numpy(),
+                              t["h"].to_numpy()))[:K])),
+                  batch_format="pyarrow")).take_all()
+    k = len(sample)
+    cs = np.sort(np.array([r["cents"] for r in sample], dtype=np.int64))
+    est = int(cs[(k - 1) // 2])
+
+    def lt_count(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.multiply(t["value"], pa.scalar(100.0))) \
+            .cast(pa.int64())
+        n_lt = pc.sum(pc.less(cents, pa.scalar(est)).cast(pa.int64()))
+        return pa.table({"n_lt": pa.array([n_lt.as_py() or 0],
+                                          pa.int64()),
+                         "n": pa.array([len(t)], pa.int64())})
+
+    agg = ev.map_batches(lt_count, batch_format="pyarrow").to_pandas()
+    n_lt, n = int(agg["n_lt"].sum()), int(agg["n"].sum())
+    return pd.DataFrame({"sample_k": [k], "est_med_cents": [est],
+                         "n_lt": [n_lt], "n_total": [n],
+                         "rank_ppm": [n_lt * 1_000_000 // n]})
+
+
+QUERIES["bottomk_quantile_events"] = q_bottomk_quantile_events
+ORACLE_SQL["bottomk_quantile_events"] = """
+        WITH s AS (SELECT value FROM events
+                   ORDER BY (event_id * 2654435761 % 4294967296),
+                            event_id
+                   LIMIT 1024),
+        m AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS c
+              FROM s ORDER BY 1
+              LIMIT 1 OFFSET (SELECT (count(*) - 1) // 2 FROM s))
+        SELECT (SELECT count(*) FROM s) AS sample_k,
+               (SELECT c FROM m) AS est_med_cents,
+               (SELECT count(*) FROM events
+                WHERE CAST(floor(value * 100.0) AS BIGINT)
+                      < (SELECT c FROM m)) AS n_lt,
+               (SELECT count(*) FROM events) AS n_total,
+               (SELECT count(*) FROM events
+                WHERE CAST(floor(value * 100.0) AS BIGINT)
+                      < (SELECT c FROM m)) * 1000000
+                   // (SELECT count(*) FROM events) AS rank_ppm
+    """
+
+
+def q_ab_conversion_parts(sf_dir: str):
+    """Experimentation readout: users split into two deterministic
+    variants (user_id parity), per variant the exact two-proportion
+    parts — exposed users, converted users (≥1 purchase), events and
+    purchases — everything a z/χ² test consumes, no float on the
+    shuffle. Per-user flags ride one user-cardinality groupby; the
+    variant rollup is 2 rows."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        is_p = pc.equal(t["event_type"],
+                        pa.scalar("purchase")).cast(pa.int64())
+        g = pa.table({"user_id": t["user_id"], "p": is_p}) \
+            .group_by("user_id").aggregate(
+                [([], "count_all"), ("p", "sum")])
+        return pa.table({"user_id": g["user_id"],
+                         "n_events": g["count_all"].cast(pa.int64()),
+                         "n_purch": g["p_sum"]})
+
+    users = (ev.map_batches(per_user, batch_format="pyarrow")
+             .groupby("user_id").sum(["n_events", "n_purch"]))
+
+    def variants(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        npu = t["sum(n_purch)"].to_numpy()
+        g = pa.table({
+            "variant": pa.array((u % 2).astype(np.int64)),
+            "one": pa.array(np.ones(len(u), np.int64)),
+            "conv": pa.array((npu > 0).astype(np.int64)),
+            "ev": t["sum(n_events)"], "pu": pa.array(npu)}) \
+            .group_by("variant").aggregate(
+                [("one", "sum"), ("conv", "sum"), ("ev", "sum"),
+                 ("pu", "sum")])
+        return pa.table({"variant": g["variant"],
+                         "n_users": g["one_sum"],
+                         "n_converted": g["conv_sum"],
+                         "n_events": g["ev_sum"],
+                         "n_purchases": g["pu_sum"]})
+
+    out = (users.map_batches(variants, batch_format="pyarrow")
+           .groupby("variant").sum(["n_users", "n_converted",
+                                    "n_events", "n_purchases"]))
+    return _rename(out, ["variant", "n_users", "n_converted",
+                         "n_events", "n_purchases"])
+
+
+QUERIES["ab_conversion_parts"] = q_ab_conversion_parts
+ORACLE_SQL["ab_conversion_parts"] = """
+        WITH u AS (SELECT user_id, count(*) AS n_events,
+                          count(*) FILTER (event_type = 'purchase')
+                              AS n_purch
+                   FROM events GROUP BY 1)
+        SELECT user_id % 2 AS variant, count(*) AS n_users,
+               CAST(count(*) FILTER (n_purch > 0) AS BIGINT)
+                   AS n_converted,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(n_purch) AS BIGINT) AS n_purchases
+        FROM u GROUP BY 1
+    """

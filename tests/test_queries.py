@@ -136,6 +136,9 @@ CHECKED = [
     "keyspace_gaps_orders",
     "ri_audit_edges",
     "conversion_latency_users",
+    "moments4_by_type",
+    "bottomk_quantile_events",
+    "ab_conversion_parts",
 ]
 
 
