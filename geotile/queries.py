@@ -4603,6 +4603,7 @@ def oracle_sql() -> dict[str, str]:
     out["audio_silence_runs"] = _audio_silence_sql(aud01)
     out["tile_autocorr_cells"] = _spatial_autocorr_sql(img01)
     out["tile_stop_hulls"] = _stop_hulls_sql(img01)
+    out["audio_autocorr_tracks"] = _audio_autocorr_sql(aud01)
     return out
 
 
@@ -11647,3 +11648,220 @@ ORACLE_SQL["ab_conversion_parts"] = """
                CAST(SUM(n_purch) AS BIGINT) AS n_purchases
         FROM u GROUP BY 1
     """
+
+
+def q_session_duration_quantiles(sf_dir: str):
+    """Exact discrete quantiles OVER AN OPERATOR'S OUTPUT (composability
+    drill): p50/p90/p99 of sessionized durations, quantized to whole
+    seconds so the selection is count algebra over a bounded value
+    histogram — no sort, no sample. relational.session_intervals does
+    the one co-partition; the histogram partials are duration-domain
+    rows; the driver scan picks index floor((n−1)·p/100) exactly as
+    the SQL replay's LIMIT/OFFSET does."""
+    from geotile.ops.relational import session_intervals
+
+    iv = session_intervals(_read(sf_dir, "events", ["user_id", "ts"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        dur = pc.divide(pc.subtract(t["b_us"], t["a_us"]),
+                        pa.scalar(1_000_000, pa.int64()))
+        g = pa.table({"d": dur}).group_by("d").aggregate(
+            [([], "count_all")])
+        return pa.table({"d": g["d"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    hist = (iv.map_batches(partial, batch_format="pyarrow")
+            .groupby("d").sum("n")).take_all()
+    hist.sort(key=lambda r: r["d"])
+    ds_ = np.array([r["d"] for r in hist], dtype=np.int64)
+    ns = np.array([r["sum(n)"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(ns)
+    n = int(cum[-1])
+    rows = []
+    for p in (50, 90, 99):
+        idx = (n - 1) * p // 100
+        rows.append({"p": p,
+                     "dur_s": int(ds_[np.searchsorted(cum, idx + 1)]),
+                     "n_sessions": n})
+    return pd.DataFrame(rows)
+
+
+QUERIES["session_duration_quantiles"] = q_session_duration_quantiles
+ORACLE_SQL["session_duration_quantiles"] = """
+        WITH s AS (SELECT user_id, epoch_us(ts) AS us,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                    OR ts - lag(ts) OVER w
+                                       > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS is_new
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s2 AS (SELECT user_id, us,
+                      SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s),
+        iv AS (SELECT (max(us) - min(us)) // 1000000 AS d
+               FROM s2 GROUP BY user_id, sid),
+        nn AS (SELECT count(*) AS n FROM iv)
+        SELECT p, dur_s, n AS n_sessions FROM nn, (
+            SELECT 50 AS p,
+                   (SELECT d FROM iv ORDER BY d LIMIT 1 OFFSET
+                    (SELECT (count(*) - 1) * 50 // 100 FROM iv)) AS dur_s
+            UNION ALL
+            SELECT 90,
+                   (SELECT d FROM iv ORDER BY d LIMIT 1 OFFSET
+                    (SELECT (count(*) - 1) * 90 // 100 FROM iv))
+            UNION ALL
+            SELECT 99,
+                   (SELECT d FROM iv ORDER BY d LIMIT 1 OFFSET
+                    (SELECT (count(*) - 1) * 99 // 100 FROM iv))) q
+    """
+
+
+def q_dau_overlap_daily(sf_dir: str):
+    """Day-over-day active-user overlap (retention Jaccard): for each
+    consecutive day pair, |A∩B|, |A|, |B| and the Jaccard in exact
+    ppm. Set algebra without a self-join: distinct (user, day) pairs
+    dedup once; each user's sorted day list yields its adjacent-day
+    hits in one shifted compare inside a user co-partition, and the
+    per-day distinct counts ride the same dedup — the day-pair table
+    is calendar-bounded."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        k = pc.add(pc.multiply(t["user_id"],
+                               pa.scalar(1 << 20, pa.int64())), day)
+        return pa.table({"k": k}).group_by("k").aggregate([])
+
+    ded = (ev.map_batches(pairs, batch_format="pyarrow")
+           .groupby("k").count())
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        return pa.table({"user_id": pa.array(k >> 20),
+                         "day": pa.array(k & ((1 << 20) - 1))})
+
+    ud = ded.map_batches(unpack, batch_format="pyarrow").materialize()
+
+    def daily(t: pa.Table) -> pa.Table:
+        g = t.select(["day"]).group_by("day").aggregate(
+            [([], "count_all")])
+        return pa.table({"day": g["day"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    per_day = (ud.map_batches(daily, batch_format="pyarrow")
+               .groupby("day").sum("n")).take_all()
+    counts = {r["day"]: r["sum(n)"] for r in per_day}
+
+    def inter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                                 "n_inter": pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        o = np.lexsort((d, u))
+        uu, dd = u[o], d[o]
+        adj = (uu[1:] == uu[:-1]) & (dd[1:] == dd[:-1] + 1)
+        g = pd.DataFrame({"day": dd[:-1][adj]}) \
+            .groupby("day", as_index=False).size()
+        return g.rename(columns={"size": "n_inter"})
+
+    inter_rows = (_with_bucket(ud, "user_id", 32)
+                  .groupby("bucket").map_groups(inter,
+                                                batch_format="pandas")
+                  .groupby("day").sum("n_inter")).take_all()
+    rows = []
+    for r in sorted(inter_rows, key=lambda r: r["day"]):
+        d = r["day"]
+        i = r["sum(n_inter)"]
+        a, b = counts.get(d, 0), counts.get(d + 1, 0)
+        rows.append({"day": d, "n_inter": i, "n_a": a, "n_b": b,
+                     "jaccard_ppm": i * 1_000_000 // (a + b - i)})
+    return pd.DataFrame(rows)
+
+
+QUERIES["dau_overlap_daily"] = q_dau_overlap_daily
+ORACLE_SQL["dau_overlap_daily"] = """
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        c AS (SELECT day, count(*) AS n FROM d GROUP BY 1),
+        i AS (SELECT a.day, count(*) AS n_inter
+              FROM d a JOIN d b ON a.user_id = b.user_id
+                              AND b.day = a.day + 1
+              GROUP BY 1)
+        SELECT CAST(i.day AS BIGINT) AS day, i.n_inter,
+               ca.n AS n_a, cb.n AS n_b,
+               i.n_inter * 1000000 // (ca.n + cb.n - i.n_inter)
+                   AS jaccard_ppm
+        FROM i JOIN c ca ON ca.day = i.day
+        JOIN c cb ON cb.day = i.day + 1
+    """
+
+
+def q_audio_autocorr_tracks(sf_dir: str):
+    """Audio periodicity features: per track the exact zero-lag energy,
+    the lag-64 autocorrelation Σ s_i·s_{i+64} and the first peak
+    index (argmax |s|, first-wins) — the pitch-detection front end as
+    one vectorized pass per batch. All sums are int64-exact
+    (2¹⁵·2¹⁵·4096 < 2⁴³); python-int replay sidecar."""
+    from geotile.ops.audio import read_audio_table
+
+    ds = read_audio_table(_audio_dir_for(sf_dir))
+    LAG = 64
+
+    def feats(t: pa.Table) -> pa.Table:
+        ids = t["track_id"].to_numpy(zero_copy_only=False)
+        pcm = np.stack([np.frombuffer(p, dtype=np.int16)
+                        for p in t["bytes"].to_pylist()]).astype(np.int64)
+        return pa.table({
+            "track_id": pa.array(ids),
+            "energy0": pa.array((pcm * pcm).sum(axis=1)),
+            "ac_lag64": pa.array(
+                (pcm[:, :-LAG] * pcm[:, LAG:]).sum(axis=1)),
+            "peak_idx": pa.array(
+                np.argmax(np.abs(pcm), axis=1).astype(np.int64))})
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=64)
+
+
+QUERIES["audio_autocorr_tracks"] = q_audio_autocorr_tracks
+
+
+def _audio_autocorr_sidecar(aud: str) -> str:
+    """Python-int replay for audio_autocorr_tracks. Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_audioac_{Path(aud).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(aud, columns=["track_id"])
+        ids = np.sort(t["track_id"].to_numpy(zero_copy_only=False))
+        pcm = _sy.audio_samples(ids)
+        rows = []
+        for j, tid in enumerate(ids.tolist()):
+            s = [int(v) for v in pcm[j]]
+            e0 = sum(v * v for v in s)
+            ac = sum(s[i] * s[i + 64] for i in range(len(s) - 64))
+            best, arg = -1, 0
+            for i, v in enumerate(s):
+                if abs(v) > best:
+                    best, arg = abs(v), i
+            rows.append({"track_id": tid, "energy0": e0,
+                         "ac_lag64": ac, "peak_idx": arg})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _audio_autocorr_sql(aud: str) -> str:
+    return (f"SELECT track_id, energy0, ac_lag64, peak_idx "
+            f"FROM read_parquet('{_audio_autocorr_sidecar(aud)}')")

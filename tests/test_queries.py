@@ -139,6 +139,8 @@ CHECKED = [
     "moments4_by_type",
     "bottomk_quantile_events",
     "ab_conversion_parts",
+    "session_duration_quantiles",
+    "dau_overlap_daily",
 ]
 
 
@@ -511,4 +513,20 @@ def test_tile_stop_hulls_oracle(ray_session, con):
     for c in ("stop", "n_points", "n_hull"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
     for c in ("west", "south", "east", "north"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_audio_autocorr_tracks_oracle(ray_session, con):
+    """Engine vectorized autocorr features vs the python-int replay
+    sidecar at sf0.001."""
+    from geotile.queries import (QUERIES, _audio_autocorr_sql,
+                                 _audio_dir_for)
+
+    aud = _audio_dir_for(SF)
+    got = (QUERIES["audio_autocorr_tracks"](SF).to_pandas()
+           .sort_values("track_id").reset_index(drop=True))
+    exp = (con.execute(_audio_autocorr_sql(aud)).df()
+           .sort_values("track_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("track_id", "energy0", "ac_lag64", "peak_idx"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
