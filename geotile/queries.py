@@ -11865,3 +11865,209 @@ def _audio_autocorr_sidecar(aud: str) -> str:
 def _audio_autocorr_sql(aud: str) -> str:
     return (f"SELECT track_id, energy0, ac_lag64, peak_idx "
             f"FROM read_parquet('{_audio_autocorr_sidecar(aud)}')")
+
+
+def q_zonemap_events(sf_dir: str):
+    """Zone-map / partition-stats builder: per day partition the
+    min/max event_id, min/max value cents and row count — the
+    metadata layer a scan planner prunes with (the write-side twin of
+    pushdown_orders). One pass, day-cardinality partials, five exact
+    aggregates on one shuffle."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.floor(pc.multiply(t["value"],
+                                     pa.scalar(100.0))).cast(pa.int64())
+        g = pa.table({"day": day, "eid": t["event_id"],
+                      "c": cents}).group_by("day").aggregate(
+            [([], "count_all"), ("eid", "min"), ("eid", "max"),
+             ("c", "min"), ("c", "max")])
+        return g.rename_columns(["day", "n_rows", "min_id", "max_id",
+                                 "min_cents", "max_cents"])
+
+    out = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby("day")
+           .aggregate(rd.aggregate.Sum("n_rows"),
+                      rd.aggregate.Min("min_id"),
+                      rd.aggregate.Max("max_id"),
+                      rd.aggregate.Min("min_cents"),
+                      rd.aggregate.Max("max_cents")))
+    return _rename(out, ["day", "n_rows", "min_id", "max_id",
+                         "min_cents", "max_cents"])
+
+
+QUERIES["zonemap_events"] = q_zonemap_events
+ORACLE_SQL["zonemap_events"] = """
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               count(*) AS n_rows,
+               min(event_id) AS min_id, max(event_id) AS max_id,
+               min(CAST(floor(value * 100.0) AS BIGINT)) AS min_cents,
+               max(CAST(floor(value * 100.0) AS BIGINT)) AS max_cents
+        FROM events GROUP BY 1
+    """
+
+
+def q_user_feature_matrix(sf_dir: str):
+    """Feature-store assembly: one wide per-user feature row
+    (recency/frequency/monetary/diversity/sessions) merged from THREE
+    differently-shaped passes — plain aggregates, a (user,type) dedup
+    pass, and the sessionizer — via the tagged-union trick: every
+    pass emits the full column set with zeros elsewhere, so one
+    user-cardinality groupby-sum replaces three joins."""
+    from geotile.ops.relational import session_intervals
+
+    COLS = ["n_events", "spend_cents", "first_day", "last_day",
+            "n_types", "n_sessions"]
+
+    def tagged(user, **vals):
+        cols = {"user_id": user}
+        n = len(user)
+        for c in COLS:
+            cols[c] = vals.get(c, pa.array(np.zeros(n, np.int64)))
+        return pa.table(cols)
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value",
+                                  "event_type"])
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.floor(pc.multiply(t["value"],
+                                     pa.scalar(100.0))).cast(pa.int64())
+        g = pa.table({"user_id": t["user_id"], "c": cents,
+                      "d": day}).group_by("user_id").aggregate(
+            [([], "count_all"), ("c", "sum"), ("d", "min"),
+             ("d", "max")])
+        return pa.table({"user_id": g["user_id"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "c": g["c_sum"], "dmin": g["d_min"],
+                         "dmax": g["d_max"]})
+
+    # min/max cannot ride the tagged sum-merge, so the base pass is
+    # FULLY aggregated first — after that each user owns exactly one
+    # base row and its day fields survive the union's sum untouched
+    base_agg = (ev.map_batches(base_partial, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(rd.aggregate.Sum("n"), rd.aggregate.Sum("c"),
+                           rd.aggregate.Min("dmin"),
+                           rd.aggregate.Max("dmax")))
+    base_tagged = _rename(base_agg, ["user_id", "n", "c", "dmin",
+                                     "dmax"]).map_batches(
+        lambda t: tagged(t["user_id"], n_events=t["n"],
+                         spend_cents=t["c"], first_day=t["dmin"],
+                         last_day=t["dmax"]),
+        batch_format="pyarrow")
+
+    tcode = pa.array(["view", "click", "purchase", "signup", "error"])
+
+    def types_pass(t: pa.Table) -> pa.Table:
+        ti = pc.index_in(t["event_type"], value_set=tcode).cast(pa.int64())
+        k = pc.add(pc.multiply(t["user_id"], pa.scalar(8, pa.int64())),
+                   ti)
+        return pa.table({"k": k}).group_by("k").aggregate([])
+
+    types = (_read(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(types_pass, batch_format="pyarrow")
+             .groupby("k").count()
+             .map_batches(lambda t: tagged(
+                 pa.array(t["k"].to_numpy() >> 3),
+                 n_types=pa.array(np.ones(len(t), np.int64))),
+                 batch_format="pyarrow"))
+
+    sess = (session_intervals(_read(sf_dir, "events",
+                                    ["user_id", "ts"]))
+            .map_batches(lambda t: tagged(
+                t["user_id"],
+                n_sessions=pa.array(np.ones(len(t), np.int64))),
+                batch_format="pyarrow"))
+
+    merged = (base_tagged.union(types).union(sess)
+              .groupby("user_id").sum(COLS))
+    return _rename(merged, ["user_id"] + COLS)
+
+
+QUERIES["user_feature_matrix"] = q_user_feature_matrix
+ORACLE_SQL["user_feature_matrix"] = """
+        WITH b AS (SELECT user_id, count(*) AS n_events,
+                          SUM(CAST(floor(value * 100.0) AS BIGINT))
+                              AS spend_cents,
+                          min(epoch_us(ts) // 86400000000) AS first_day,
+                          max(epoch_us(ts) // 86400000000) AS last_day,
+                          count(DISTINCT event_type) AS n_types
+                   FROM events GROUP BY 1),
+        s AS (SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w
+                                  > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        ns AS (SELECT user_id, SUM(is_new) AS n_sessions
+               FROM s GROUP BY 1)
+        SELECT b.user_id, b.n_events, b.spend_cents,
+               CAST(b.first_day AS BIGINT) AS first_day,
+               CAST(b.last_day AS BIGINT) AS last_day,
+               CAST(b.n_types AS BIGINT) AS n_types,
+               CAST(ns.n_sessions AS BIGINT) AS n_sessions
+        FROM b JOIN ns USING (user_id)
+    """
+
+
+def q_dict_encoding_audit(sf_dir: str):
+    """Storage-layout advisor: for each low-cardinality string column
+    (events.event_type, documents.lang, documents.source) the exact
+    dictionary-encoding ledger — rows, distinct values, raw UTF-8
+    bytes vs dictionary bytes. Distinct values + their lengths ride
+    per-column dedup partials; the per-column ledger is a 3-row
+    epilogue."""
+    specs = [("events.event_type", "events", "event_type"),
+             ("documents.lang", "documents", "lang"),
+             ("documents.source", "documents", "source")]
+    rows = []
+    for name, table, col in specs:
+        ds = _read(sf_dir, table, [col])
+
+        def partial(t: pa.Table, _c=col) -> pa.Table:
+            lens = pc.binary_length(t[_c]).cast(pa.int64())
+            g = pa.table({"v": t[_c], "l": lens}).group_by("v") \
+                .aggregate([([], "count_all"), ("l", "sum")])
+            return pa.table({"v": g["v"],
+                             "n": g["count_all"].cast(pa.int64()),
+                             "raw": g["l_sum"]})
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("v").sum(["n", "raw"])).take_all()
+        rows.append({
+            "column": name,
+            "n_rows": int(sum(r["sum(n)"] for r in agg)),
+            "n_distinct": len(agg),
+            "raw_bytes": int(sum(r["sum(raw)"] for r in agg)),
+            "dict_bytes": int(sum(len(r["v"].encode()) for r in agg))})
+    return pd.DataFrame(rows)
+
+
+QUERIES["dict_encoding_audit"] = q_dict_encoding_audit
+ORACLE_SQL["dict_encoding_audit"] = """
+        SELECT 'events.event_type' AS column,
+               count(*) AS n_rows,
+               count(DISTINCT event_type) AS n_distinct,
+               CAST(SUM(strlen(event_type)) AS BIGINT) AS raw_bytes,
+               (SELECT CAST(SUM(strlen(v)) AS BIGINT) FROM
+                (SELECT DISTINCT event_type AS v FROM events))
+                   AS dict_bytes
+        FROM events
+        UNION ALL
+        SELECT 'documents.lang', count(*), count(DISTINCT lang),
+               CAST(SUM(strlen(lang)) AS BIGINT),
+               (SELECT CAST(SUM(strlen(v)) AS BIGINT) FROM
+                (SELECT DISTINCT lang AS v FROM documents))
+        FROM documents
+        UNION ALL
+        SELECT 'documents.source', count(*), count(DISTINCT source),
+               CAST(SUM(strlen(source)) AS BIGINT),
+               (SELECT CAST(SUM(strlen(v)) AS BIGINT) FROM
+                (SELECT DISTINCT source AS v FROM documents))
+        FROM documents
+    """

@@ -141,6 +141,9 @@ CHECKED = [
     "ab_conversion_parts",
     "session_duration_quantiles",
     "dau_overlap_daily",
+    "zonemap_events",
+    "user_feature_matrix",
+    "dict_encoding_audit",
 ]
 
 
