@@ -4604,6 +4604,7 @@ def oracle_sql() -> dict[str, str]:
     out["tile_autocorr_cells"] = _spatial_autocorr_sql(img01)
     out["tile_stop_hulls"] = _stop_hulls_sql(img01)
     out["audio_autocorr_tracks"] = _audio_autocorr_sql(aud01)
+    out["tile_viewport_query"] = _tile_viewport_sql(img01)
     return out
 
 
@@ -12070,4 +12071,226 @@ ORACLE_SQL["dict_encoding_audit"] = """
                (SELECT CAST(SUM(strlen(v)) AS BIGINT) FROM
                 (SELECT DISTINCT source AS v FROM documents))
         FROM documents
+    """
+
+
+def q_tile_viewport_query(sf_dir: str):
+    """Viewport (slippy-map bbox) query: filter the tile corpus to a
+    literal lon/lat window BEFORE anything else moves — the payload
+    column never leaves storage, rows outside the viewport never
+    leave the read task — then aggregate res-12 cell counts inside
+    the window. The engine-side predicate mirrors the SQL replay's
+    BETWEEN literals exactly."""
+    from geotile.geom import cells
+    from geotile.ops.tiles import read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["lon", "lat"])
+    W, E, S, N = -122.3, -122.0, 37.3, 37.6
+
+    def part(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        m = (lon >= W) & (lon <= E) & (lat >= S) & (lat <= N)
+        cell = cells.encode(lon[m], lat[m], 12).view(np.int64)
+        g = pa.table({"cell": pa.array(cell)}).group_by("cell") \
+            .aggregate([([], "count_all")])
+        return pa.table({"cell": g["cell"],
+                         "n_tiles": g["count_all"].cast(pa.int64())})
+
+    out = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("cell").sum("n_tiles"))
+    return _rename(out, ["cell", "n_tiles"])
+
+
+QUERIES["tile_viewport_query"] = q_tile_viewport_query
+
+
+def _tile_viewport_sql(img_dir: str) -> str:
+    return f"""
+        SELECT {_sql_cell('lon', 'lat', 12)} AS cell,
+               count(*) AS n_tiles
+        FROM read_parquet('{img_dir}/part-*.parquet')
+        WHERE lon BETWEEN -122.3 AND -122.0
+          AND lat BETWEEN 37.3 AND 37.6
+        GROUP BY 1
+    """
+
+
+def q_silhouette_parts_labels(sf_dir: str):
+    """Clustering-quality (silhouette-style) parts: per label, the
+    exact per-vector distance mass to the OWN centroid vs the NEAREST
+    OTHER centroid — intra/inter cohesion the evaluation loop reads.
+    Same two-phase shape as centroid_confusion (train prototypes on
+    the 10⁷ lattice, broadcast, one integer matmul per batch); each
+    per-vector distance is floor-divided by 10³ before summation so
+    the label sums stay inside int64 at any corpus size."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def _mat(t: pa.Table):
+        col = t["embedding"].combine_chunks()
+        n = len(col)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        d = len(vals) // n if n else 0
+        q = np.trunc(vals.reshape(n, d).astype(np.float64) * 10000.0)
+        return q, d
+
+    def moments(t: pa.Table) -> pa.Table:
+        q, d = _mat(t)
+        if not len(q):
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s_q": pa.array([], pa.int64())})
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        q, lab = q[order], lab[order]
+        start = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        cnt = np.diff(np.r_[start, len(lab)])
+        sums = np.add.reduceat(q, start, axis=0)
+        ul = lab[start]
+        key = (np.repeat(ul, d) * 4096 +
+               np.tile(np.arange(d, dtype=np.int64), len(ul)))
+        return pa.table({"key": pa.array(key),
+                         "n": pa.array(np.repeat(cnt, d).astype(np.int64)),
+                         "s_q": pa.array(sums.reshape(-1).astype(np.int64))})
+
+    agg = (emb.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=65536)
+           .groupby("key").sum(["n", "s_q"]).take_all())
+    labels = sorted({r["key"] // 4096 for r in agg})
+    lidx = {l: i for i, l in enumerate(labels)}
+    dmax = max(r["key"] % 4096 for r in agg) + 1
+    mu = np.zeros((len(labels), dmax), np.int64)
+    for r in agg:
+        s_q, n = r["sum(s_q)"], r["sum(n)"]
+        assert abs(s_q) * 1000 < (1 << 53), "centroid lattice contract"
+        mu[lidx[r["key"] // 4096], r["key"] % 4096] = int(
+            np.floor(s_q * 1000.0 / n + 0.5))
+    model_ref = ray.put((np.array(labels, np.int64), mu))
+
+    def score(t: pa.Table) -> pa.Table:
+        labs, mu_ = _broadcast(model_ref)
+        q, d = _mat(t)
+        if not len(q):
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "own_k": pa.array([], pa.int64()),
+                             "other_k": pa.array([], pa.int64())})
+        qq = q.astype(np.int64) * 1000
+        cross = qq @ mu_.T
+        dist = (qq * qq).sum(axis=1, keepdims=True) - 2 * cross \
+            + (mu_ * mu_).sum(axis=1)[None, :]
+        true = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        li = np.searchsorted(labs, true)
+        own = dist[np.arange(len(qq)), li] // 1000
+        masked = dist.copy()
+        masked[np.arange(len(qq)), li] = np.iinfo(np.int64).max
+        other = masked.min(axis=1) // 1000
+        g = pa.table({"label": pa.array(true),
+                      "own_k": pa.array(own),
+                      "other_k": pa.array(other)}) \
+            .group_by("label").aggregate(
+                [([], "count_all"), ("own_k", "sum"),
+                 ("other_k", "sum")])
+        return pa.table({"label": g["label"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "own_k": g["own_k_sum"],
+                         "other_k": g["other_k_sum"]})
+
+    out = (emb.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=65536)
+           .groupby("label").sum(["n", "own_k", "other_k"]))
+    return _rename(out, ["label", "n", "own_k", "other_k"])
+
+
+QUERIES["silhouette_parts_labels"] = q_silhouette_parts_labels
+ORACLE_SQL["silhouette_parts_labels"] = """
+        WITH e AS (SELECT vec_id, label,
+                          unnest(range(len(embedding))) AS dim,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q
+                   FROM embeddings),
+        c AS (SELECT label AS c_label, dim,
+                     CAST(floor(SUM(q) * 1000.0 / count(*) + 0.5)
+                          AS BIGINT) AS mu
+              FROM e GROUP BY 1, 2),
+        d AS (SELECT e.vec_id, e.label, c.c_label,
+                     SUM((e.q * 1000 - c.mu) * (e.q * 1000 - c.mu))
+                       AS dist2
+              FROM e JOIN c ON e.dim = c.dim GROUP BY 1, 2, 3),
+        v AS (SELECT vec_id, label,
+                     SUM(CASE WHEN c_label = label
+                              THEN dist2 // 1000 ELSE 0 END) AS own_k,
+                     MIN(CASE WHEN c_label <> label
+                              THEN dist2 END) // 1000 AS other_k
+              FROM d GROUP BY 1, 2)
+        SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+               CAST(SUM(own_k) AS BIGINT) AS own_k,
+               CAST(SUM(other_k) AS BIGINT) AS other_k
+        FROM v GROUP BY 1
+    """
+
+
+def q_ivm_priority_revenue(sf_dir: str):
+    """Incremental view maintenance with RETRACTIONS: the per-priority
+    revenue view is updated by a delta batch (every 10th order's
+    price +1111 cents as a REPLACE, every 500th key a fresh INSERT)
+    without rescanning unchanged rows — the merged view is
+    base ⊎ (−old versions) ⊎ (+new versions), three signed aggregate
+    streams settled by ONE priority-cardinality groupby-sum. The
+    oracle recomputes the post-merge table from scratch; equality IS
+    the IVM correctness proof."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def signed(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        rep = k % 10 == 0
+        ins = k % 500 == 0
+        # base(+) ; retract old replaced(−) ; new replaced(+) ; inserts(+)
+        pris = np.concatenate([pri, pri[rep], pri[rep], pri[ins]])
+        cs = np.concatenate([cents, -cents[rep], cents[rep] + 1111,
+                             cents[ins]])
+        ns = np.concatenate([np.ones(len(k), np.int64),
+                             -np.ones(int(rep.sum()), np.int64),
+                             np.ones(int(rep.sum()), np.int64),
+                             np.ones(int(ins.sum()), np.int64)])
+        g = pa.table({"o_orderpriority": pa.array(pris),
+                      "cents": pa.array(cs), "n": pa.array(ns)}) \
+            .group_by("o_orderpriority").aggregate(
+                [("cents", "sum"), ("n", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "revenue_cents": g["cents_sum"],
+                         "n_orders": g["n_sum"]})
+
+    out = (orders.map_batches(signed, batch_format="pyarrow")
+           .groupby("o_orderpriority").sum(["revenue_cents",
+                                            "n_orders"]))
+    return _rename(out, ["o_orderpriority", "revenue_cents",
+                         "n_orders"])
+
+
+QUERIES["ivm_priority_revenue"] = q_ivm_priority_revenue
+ORACLE_SQL["ivm_priority_revenue"] = """
+        WITH base AS (SELECT o_orderkey, o_orderpriority,
+                             CAST(floor(o_totalprice * 100.0 + 0.5)
+                                  AS BIGINT) AS cents
+                      FROM orders),
+        merged AS (
+            SELECT o_orderpriority,
+                   CASE WHEN o_orderkey % 10 = 0 THEN cents + 1111
+                        ELSE cents END AS cents
+            FROM base
+            UNION ALL
+            SELECT o_orderpriority, cents FROM base
+            WHERE o_orderkey % 500 = 0)
+        SELECT o_orderpriority,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+               count(*) AS n_orders
+        FROM merged GROUP BY 1
     """

@@ -144,6 +144,8 @@ CHECKED = [
     "zonemap_events",
     "user_feature_matrix",
     "dict_encoding_audit",
+    "silhouette_parts_labels",
+    "ivm_priority_revenue",
 ]
 
 
@@ -532,4 +534,20 @@ def test_audio_autocorr_tracks_oracle(ray_session, con):
            .sort_values("track_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("track_id", "energy0", "ac_lag64", "peak_idx"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_tile_viewport_query_oracle(ray_session, con):
+    """Engine bbox-pruned cell counts vs the BETWEEN + Morton SQL
+    replay at sf0.001."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _tile_viewport_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["tile_viewport_query"](SF).to_pandas()
+           .sort_values("cell").reset_index(drop=True))
+    exp = (con.execute(_tile_viewport_sql(img)).df()
+           .sort_values("cell").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("cell", "n_tiles"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
