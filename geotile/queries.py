@@ -12294,3 +12294,160 @@ ORACLE_SQL["ivm_priority_revenue"] = """
                count(*) AS n_orders
         FROM merged GROUP BY 1
     """
+
+
+def q_doc_top_tokens(sf_dir: str):
+    """Per-document top-3 tokens (count desc, token asc tie-break) —
+    the doc-LOCAL grouped top-k that needs NO shuffle at all: every
+    document's answer is complete inside its own batch, so the
+    operator is embarrassingly parallel and the output is the only
+    thing that moves. One lexsort per batch ranks every doc's tokens
+    at once."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(), lens)
+        keep = flat != ""
+        doc, tok = doc[keep], flat[keep]
+        # count per (doc, token)
+        order = np.lexsort((tok, doc))
+        doc, tok = doc[order], tok[order]
+        new = np.r_[True, (doc[1:] != doc[:-1]) | (tok[1:] != tok[:-1])]
+        gdoc, gtok = doc[new], tok[new]
+        cnt = np.diff(np.r_[np.flatnonzero(new), len(doc)])
+        # rank within doc by (-cnt, token): stable rank via lexsort
+        o2 = np.lexsort((gtok, -cnt, gdoc))
+        gd = gdoc[o2]
+        starts = np.r_[True, gd[1:] != gd[:-1]]
+        first = np.flatnonzero(starts)
+        seg = np.cumsum(starts) - 1
+        rk = np.arange(len(gd)) - first[seg]
+        m = rk < 3
+        return pa.table({"doc_id": pa.array(gd[m]),
+                         "token": pa.array(gtok[o2][m]),
+                         "cnt": pa.array(cnt[o2][m].astype(np.int64)),
+                         "rk": pa.array(rk[m].astype(np.int64) + 1)})
+
+    return docs.map_batches(topk, batch_format="pyarrow")
+
+
+QUERIES["doc_top_tokens"] = q_doc_top_tokens
+ORACLE_SQL["doc_top_tokens"] = """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+        c AS (SELECT doc_id, t, count(*) AS cnt FROM w
+              WHERE t <> '' GROUP BY 1, 2),
+        r AS (SELECT doc_id, t AS token, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, t) AS rk
+              FROM c)
+        SELECT doc_id, token, cnt, rk FROM r WHERE rk <= 3
+    """
+
+
+def q_above_nation_avg_customers(sf_dir: str):
+    """Correlated-aggregate semi-filter: per nation, how many
+    customers hold an above-nation-average balance — the EXISTS/
+    scalar-subquery shape. Balances floor to exact cents; the
+    comparison cents·n > Σcents runs in integers, so no float mean is
+    ever formed. Two passes over the customer table: nation sums
+    (25-row broadcast) then the filtered count — the fact side is
+    read twice but never shuffled at row scale."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def sums(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["c_acctbal"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"nk": t["c_nationkey"].cast(pa.int64()),
+                      "c": cents}).group_by("nk").aggregate(
+            [([], "count_all"), ("c", "sum")])
+        return pa.table({"nk": g["nk"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "s": g["c_sum"]})
+
+    rows = (cust.map_batches(sums, batch_format="pyarrow")
+            .groupby("nk").sum(["n", "s"])).take_all()
+    rows.sort(key=lambda r: r["nk"])
+    nk = np.array([r["nk"] for r in rows], dtype=np.int64)
+    nn = np.array([r["sum(n)"] for r in rows], dtype=np.int64)
+    ss = np.array([r["sum(s)"] for r in rows], dtype=np.int64)
+    ref = ray.put((nk, nn, ss))
+
+    def above(t: pa.Table) -> pa.Table:
+        nk_, nn_, ss_ = _broadcast(ref)
+        cents = pc.floor(pc.add(pc.multiply(
+            t["c_acctbal"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        k = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        i = np.searchsorted(nk_, k)
+        hit = cents * nn_[i] > ss_[i]
+        g = pa.table({"nk": pa.array(k),
+                      "a": pa.array(hit.astype(np.int64))}) \
+            .group_by("nk").aggregate([([], "count_all"), ("a", "sum")])
+        return pa.table({"n_nationkey": g["nk"],
+                         "n_total": g["count_all"].cast(pa.int64()),
+                         "n_above": g["a_sum"]})
+
+    out = (cust.map_batches(above, batch_format="pyarrow")
+           .groupby("n_nationkey").sum(["n_total", "n_above"]))
+    return _rename(out, ["n_nationkey", "n_total", "n_above"])
+
+
+QUERIES["above_nation_avg_customers"] = q_above_nation_avg_customers
+ORACLE_SQL["above_nation_avg_customers"] = """
+        WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                          CAST(floor(c_acctbal * 100.0 + 0.5)
+                               AS BIGINT) AS cents
+                   FROM customer),
+        a AS (SELECT nk, count(*) AS n, SUM(cents) AS s
+              FROM c GROUP BY 1)
+        SELECT c.nk AS n_nationkey, count(*) AS n_total,
+               CAST(count(*) FILTER (c.cents * a.n > a.s) AS BIGINT)
+                   AS n_above
+        FROM c JOIN a ON c.nk = a.nk GROUP BY 1
+    """
+
+
+def q_dow_seasonality_orders(sf_dir: str):
+    """Day-of-week seasonality parts over order dates: counts per
+    epoch-aligned weekday bucket plus the exact deviation-from-uniform
+    numerators 7·n_d − N (the χ² inputs without a float division) —
+    7-row partials, one shuffle."""
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def part(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["o_orderdate"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        dow = pc.subtract(day, pc.multiply(
+            pc.divide(day, pa.scalar(7, pa.int64())),
+            pa.scalar(7, pa.int64())))
+        g = pa.table({"dow": dow}).group_by("dow").aggregate(
+            [([], "count_all")])
+        return pa.table({"dow": g["dow"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    hist = (orders.map_batches(part, batch_format="pyarrow")
+            .groupby("dow").sum("n")).take_all()
+    n_total = sum(r["sum(n)"] for r in hist)
+    return pd.DataFrame(
+        sorted(({"dow": r["dow"], "n": r["sum(n)"],
+                 "dev7": 7 * r["sum(n)"] - n_total} for r in hist),
+               key=lambda x: x["dow"]))
+
+
+QUERIES["dow_seasonality_orders"] = q_dow_seasonality_orders
+ORACLE_SQL["dow_seasonality_orders"] = """
+        WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day
+                   FROM orders),
+        h AS (SELECT day % 7 AS dow, count(*) AS n FROM d GROUP BY 1),
+        t AS (SELECT SUM(n) AS nn FROM h)
+        SELECT CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+               CAST(7 * n - nn AS BIGINT) AS dev7
+        FROM h, t
+    """

@@ -3,7 +3,7 @@ SURVEY §5(e): invariants that must hold for ALL inputs, not just the
 fixtures."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from hypothesis.extra.numpy import arrays
 
@@ -40,6 +40,11 @@ def test_rdp_max_deviation_bounded(pts):
 
 @settings(max_examples=50, deadline=None)
 @given(_pts(3, 80))
+@example(
+    pts=np.array([[0.00000000e+000, 2.76228512e-159],
+           [2.76228512e-159, 0.00000000e+000],
+           [2.76228512e-159, 2.76228512e-159]]),
+).via('discovered failure')
 def test_hull_contains_all_points(pts):
     h = convex_hull(pts)
     if h is None:

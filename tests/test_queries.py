@@ -146,6 +146,9 @@ CHECKED = [
     "dict_encoding_audit",
     "silhouette_parts_labels",
     "ivm_priority_revenue",
+    "doc_top_tokens",
+    "above_nation_avg_customers",
+    "dow_seasonality_orders",
 ]
 
 
