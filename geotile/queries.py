@@ -4605,6 +4605,7 @@ def oracle_sql() -> dict[str, str]:
     out["tile_stop_hulls"] = _stop_hulls_sql(img01)
     out["audio_autocorr_tracks"] = _audio_autocorr_sql(aud01)
     out["tile_viewport_query"] = _tile_viewport_sql(img01)
+    out["image_median_gray"] = _image_median_sql(img01)
     return out
 
 
@@ -12451,3 +12452,213 @@ ORACLE_SQL["dow_seasonality_orders"] = """
                CAST(7 * n - nn AS BIGINT) AS dev7
         FROM h, t
     """
+
+
+def q_matryoshka_energy_labels(sf_dir: str):
+    """Matryoshka (MRL) truncation audit: per label, how much of the
+    embedding's squared mass lives in the first 16 dims — the exact
+    integer parts of the prefix-energy ratio that decides whether
+    truncated vectors are servable. Per-vector norms floor-scale by
+    10³ before summation (int64-safe at any corpus size);
+    label-cardinality partials."""
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def part(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        n = len(col)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        d = len(vals) // n if n else 0
+        q = np.trunc(vals.reshape(n, d).astype(np.float64)
+                     * 10000.0).astype(np.int64)
+        pre = (q[:, :16] * q[:, :16]).sum(axis=1) // 1000
+        tot = (q * q).sum(axis=1) // 1000
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({"label": pa.array(lab), "p": pa.array(pre),
+                      "tt": pa.array(tot)}).group_by("label") \
+            .aggregate([([], "count_all"), ("p", "sum"), ("tt", "sum")])
+        return pa.table({"label": g["label"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "prefix_k": g["p_sum"], "total_k": g["tt_sum"]})
+
+    out = (emb.map_batches(part, batch_format="pyarrow")
+           .groupby("label").sum(["n", "prefix_k", "total_k"]))
+    return _rename(out, ["label", "n", "prefix_k", "total_k"])
+
+
+QUERIES["matryoshka_energy_labels"] = q_matryoshka_energy_labels
+ORACLE_SQL["matryoshka_energy_labels"] = """
+        WITH e AS (SELECT label,
+                          unnest(range(len(embedding))) AS dim,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q,
+                          vec_id
+                   FROM embeddings),
+        v AS (SELECT vec_id, label,
+                     SUM(CASE WHEN dim < 16 THEN q * q ELSE 0 END)
+                         // 1000 AS p,
+                     SUM(q * q) // 1000 AS tt
+              FROM e GROUP BY 1, 2)
+        SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+               CAST(SUM(p) AS BIGINT) AS prefix_k,
+               CAST(SUM(tt) AS BIGINT) AS total_k
+        FROM v GROUP BY 1
+    """
+
+
+def q_trend_slope_users(sf_dir: str):
+    """Recent-trend regression: per user (≥5 events), the exact
+    integer least-squares slope parts over their LAST five events
+    (times rebased to the window start in whole seconds, values in
+    cents) — the 'is this account heating up' feature. One user
+    co-partition; the five window rows come from four shifted gathers
+    off each user's segment END, no per-user loop and no full LAG
+    materialization."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "slope_num": pd.Series(dtype=np.int64),
+                                 "slope_den": pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0).astype(np.int64)
+        o = np.lexsort((e, t, u))
+        uu, tu, vu = u[o], t[o] // 1_000_000, v[o]
+        new = np.r_[True, uu[1:] != uu[:-1]]
+        first = np.flatnonzero(new)
+        ends = np.r_[first[1:], len(uu)] - 1
+        nn = ends - first + 1
+        keep = nn >= 5
+        ends = ends[keep]
+        idx = ends[:, None] - np.arange(4, -1, -1)[None, :]  # (k, 5)
+        tw = tu[idx]
+        vw = vu[idx]
+        tw = tw - tw[:, :1]
+        st, sv = tw.sum(axis=1), vw.sum(axis=1)
+        stv = (tw * vw).sum(axis=1)
+        stt = (tw * tw).sum(axis=1)
+        return pd.DataFrame({"user_id": uu[ends],
+                             "slope_num": 5 * stv - st * sv,
+                             "slope_den": 5 * stt - st * st})
+
+    return (_with_bucket(ev, "user_id", 32)
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))
+
+
+QUERIES["trend_slope_users"] = q_trend_slope_users
+ORACLE_SQL["trend_slope_users"] = """
+        WITH x AS (SELECT user_id, epoch_us(ts) // 1000000 AS tsec,
+                          CAST(floor(value * 100.0) AS BIGINT) AS v,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+                          count(*) OVER (PARTITION BY user_id) AS n
+                   FROM events),
+        w AS (SELECT user_id, tsec, v FROM x
+              WHERE rn <= 5 AND n >= 5),
+        r AS (SELECT user_id,
+                     tsec - min(tsec) OVER (PARTITION BY user_id) AS t,
+                     v
+              FROM w)
+        SELECT user_id,
+               CAST(5 * SUM(t * v) - SUM(t) * SUM(v) AS BIGINT)
+                   AS slope_num,
+               CAST(5 * SUM(t * t) - SUM(t) * SUM(t) AS BIGINT)
+                   AS slope_den
+        FROM r GROUP BY 1
+    """
+
+
+def q_image_median_gray(sf_dir: str):
+    """Per-image median gray level (lower median of the integer
+    (r+g+b)//3 histogram) for the first 1024 images — the exact
+    per-item order statistic a brightness-normalization stage keys
+    on. The whole batch's histograms come from ONE bincount over
+    image-offset-packed gray codes; the median is a cumsum
+    searchsorted at rank (n−1)//2. Python-Counter replay sidecar."""
+    from geotile.ops.tiles import ImageDecodeStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(1024)
+
+    class MedianStage:
+        def __init__(self):
+            self.decoders = ImageDecodeStage(verify=False).decoders
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_pylist()
+            hs = batch["h"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            ids = batch["image_id"].to_numpy(zero_copy_only=False)
+            out_id, out_med = [], []
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, (wi, hi) in enumerate(zip(ws, hs)):
+                groups.setdefault((wi, hi), []).append(i)
+            for (wi, hi), slots in groups.items():
+                px = np.stack([self.decoders[fmts[i]](payloads[i],
+                                                      wi, hi)
+                               for i in slots])
+                gray = px.astype(np.int64).sum(axis=3) // 3
+                k = len(slots)
+                code = (np.arange(k)[:, None, None] * 256 + gray)
+                hist = np.bincount(code.ravel(),
+                                   minlength=k * 256).reshape(k, 256)
+                cum = np.cumsum(hist, axis=1)
+                npx = wi * hi
+                rank = (npx - 1) // 2 + 1
+                med = (cum < rank).sum(axis=1)
+                out_id.append(ids[slots])
+                out_med.append(med.astype(np.int64))
+            return pa.table({
+                "image_id": pa.array(np.concatenate(out_id)),
+                "median_gray": pa.array(np.concatenate(out_med))})
+
+    return ds.map_batches(MedianStage, batch_format="pyarrow",
+                          batch_size=256, concurrency=2)
+
+
+QUERIES["image_median_gray"] = q_image_median_gray
+
+
+def _image_median_sidecar(img: str, n: int = 1024) -> str:
+    """Counter-replay for image_median_gray (per-image python sort +
+    index vs the engine's packed bincount/cumsum). Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_imgmedian_{Path(img).name}_{n}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["image_id", "w", "h"])
+        order = pc.sort_indices(t["image_id"])[:n]
+        ids = t["image_id"].take(order)
+        ws = t["w"].take(order).to_numpy(zero_copy_only=False)
+        hs = t["h"].take(order).to_numpy(zero_copy_only=False)
+        idx = _sy.image_index(ids).astype(np.uint64)
+        meds = np.zeros(len(ws), np.int64)
+        for wi, hi in set(zip(ws.tolist(), hs.tolist())):
+            m = np.nonzero((ws == wi) & (hs == hi))[0]
+            px = _sy.pixel_pattern(idx[m], wi, hi)
+            gray = (px[..., 0].astype(np.int64) + px[..., 1]
+                    + px[..., 2]) // 3
+            for j, slot in enumerate(m):
+                vals = sorted(gray[j].ravel().tolist())
+                meds[slot] = vals[(len(vals) - 1) // 2]
+        out = pa.table({"image_id": ids,
+                        "median_gray": pa.array(meds)})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _image_median_sql(img: str) -> str:
+    return (f"SELECT image_id, median_gray "
+            f"FROM read_parquet('{_image_median_sidecar(img)}')")

@@ -149,6 +149,8 @@ CHECKED = [
     "doc_top_tokens",
     "above_nation_avg_customers",
     "dow_seasonality_orders",
+    "matryoshka_energy_labels",
+    "trend_slope_users",
 ]
 
 
@@ -553,4 +555,20 @@ def test_tile_viewport_query_oracle(ray_session, con):
            .sort_values("cell").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("cell", "n_tiles"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_image_median_gray_oracle(ray_session, con):
+    """Engine packed-bincount median vs the python sort replay at
+    sf0.001."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _image_median_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["image_median_gray"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_image_median_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "median_gray"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
