@@ -4606,6 +4606,7 @@ def oracle_sql() -> dict[str, str]:
     out["audio_autocorr_tracks"] = _audio_autocorr_sql(aud01)
     out["tile_viewport_query"] = _tile_viewport_sql(img01)
     out["image_median_gray"] = _image_median_sql(img01)
+    out["tile_corridor_query"] = _tile_corridor_sql(img01)
     return out
 
 
@@ -12662,3 +12663,208 @@ def _image_median_sidecar(img: str, n: int = 1024) -> str:
 def _image_median_sql(img: str) -> str:
     return (f"SELECT image_id, median_gray "
             f"FROM read_parquet('{_image_median_sidecar(img)}')")
+
+
+# Corridor segment (lon/lat) and width — literals shared with the SQL
+# replay; the meter-frame constants are embedded by repr so both sides
+# evaluate the identical IEEE doubles.
+_CORRIDOR_A = (-122.25, 37.45)
+_CORRIDOR_B = (-121.95, 37.65)
+_CORRIDOR_R2 = 25_000_000.0  # 5 km squared, m²
+
+
+def q_tile_corridor_query(sf_dir: str):
+    """Corridor query: tiles within 5 km of a literal route segment
+    (the along-track buffer a transit planner draws), aggregated to
+    res-12 cell counts. The clamped-projection distance runs in the
+    engine's meter frame with the EXACT op order of the SQL replay
+    (rx/ry → t → residual), so the d² ≤ R² boundary is bit-identical;
+    the filter runs inside the read task and only surviving cell
+    partials shuffle."""
+    from geotile.geom import cells
+    from geotile.geom.buffer import meter_frame
+    from geotile.ops.join import _ANCHOR_LAT
+    from geotile.ops.tiles import read_image_table
+
+    mx, my = meter_frame(_ANCHOR_LAT)
+    ax_lon, ax_lat = _CORRIDOR_A
+    dx = (_CORRIDOR_B[0] - ax_lon) * mx
+    dy = (_CORRIDOR_B[1] - ax_lat) * my
+    inv = 1.0 / (dx * dx + dy * dy)
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["lon", "lat"])
+
+    def part(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        px = (lon - ax_lon) * mx
+        py = (lat - ax_lat) * my
+        tt = (px * dx + py * dy) * inv
+        tc = np.minimum(np.maximum(tt, 0.0), 1.0)
+        ddx = px - tc * dx
+        ddy = py - tc * dy
+        d2 = ddx * ddx + ddy * ddy
+        m = d2 <= _CORRIDOR_R2
+        cell = cells.encode(lon[m], lat[m], 12).view(np.int64)
+        g = pa.table({"cell": pa.array(cell)}).group_by("cell") \
+            .aggregate([([], "count_all")])
+        return pa.table({"cell": g["cell"],
+                         "n_tiles": g["count_all"].cast(pa.int64())})
+
+    out = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("cell").sum("n_tiles"))
+    return _rename(out, ["cell", "n_tiles"])
+
+
+QUERIES["tile_corridor_query"] = q_tile_corridor_query
+
+
+def _tile_corridor_sql(img_dir: str) -> str:
+    from geotile.geom.buffer import meter_frame
+    from geotile.ops.join import _ANCHOR_LAT
+
+    mx, my = meter_frame(_ANCHOR_LAT)
+    ax_lon, ax_lat = _CORRIDOR_A
+    dx = (_CORRIDOR_B[0] - ax_lon) * mx
+    dy = (_CORRIDOR_B[1] - ax_lat) * my
+    inv = 1.0 / (dx * dx + dy * dy)
+    return f"""
+        WITH p AS (SELECT lon, lat,
+                          (lon - ({ax_lon!r})) * {mx!r} AS px,
+                          (lat - ({ax_lat!r})) * {my!r} AS py
+                   FROM read_parquet('{img_dir}/part-*.parquet')),
+        t AS (SELECT lon, lat,
+                     least(greatest((px * ({dx!r}) + py * ({dy!r}))
+                                    * ({inv!r}), 0.0), 1.0) AS tc,
+                     px, py
+              FROM p),
+        d AS (SELECT lon, lat,
+                     (px - tc * ({dx!r})) * (px - tc * ({dx!r}))
+                   + (py - tc * ({dy!r})) * (py - tc * ({dy!r})) AS d2
+              FROM t)
+        SELECT {_sql_cell('lon', 'lat', 12)} AS cell,
+               count(*) AS n_tiles
+        FROM d WHERE d2 <= {_CORRIDOR_R2!r}
+        GROUP BY 1
+    """
+
+
+def q_session_entry_exit_matrix(sf_dir: str):
+    """Session flow matrix: (entry event type × exit event type)
+    counts over all sessions — where journeys start vs where they die.
+    One user co-partition; every bucket's session boundaries, entry
+    gathers and exit gathers come from ONE lexsorted pass (starts =
+    user-change|gap mask, ends = next start − 1); the 5×5 histogram
+    is closed-vocabulary partials."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    GAP = 1_800_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"entry_type": pd.Series(dtype=object),
+                                 "exit_type": pd.Series(dtype=object),
+                                 "n_sessions":
+                                     pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ty = df["event_type"].to_numpy()
+        o = np.lexsort((e, t, u))
+        uu, tu, tyu = u[o], t[o], ty[o]
+        new = np.r_[True, (uu[1:] != uu[:-1])
+                    | (np.diff(tu) > GAP)]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(uu)] - 1
+        g = pd.DataFrame({"entry_type": tyu[starts],
+                          "exit_type": tyu[ends]}) \
+            .groupby(["entry_type", "exit_type"], as_index=False).size()
+        return g.rename(columns={"size": "n_sessions"})
+
+    out = (_with_bucket(ev, "user_id", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .groupby(["entry_type", "exit_type"]).sum("n_sessions"))
+    return _rename(out, ["entry_type", "exit_type", "n_sessions"])
+
+
+QUERIES["session_entry_exit_matrix"] = q_session_entry_exit_matrix
+ORACLE_SQL["session_entry_exit_matrix"] = """
+        WITH s AS (SELECT user_id, event_id, event_type,
+                          epoch_us(ts) AS us,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                    OR ts - lag(ts) OVER w
+                                       > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS is_new
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s2 AS (SELECT user_id, event_id, event_type, us,
+                      SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s),
+        en AS (SELECT user_id, sid, event_type,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                          ORDER BY us, event_id) AS ra,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                          ORDER BY us DESC, event_id DESC) AS rz
+               FROM s2)
+        SELECT a.event_type AS entry_type, z.event_type AS exit_type,
+               count(*) AS n_sessions
+        FROM (SELECT * FROM en WHERE ra = 1) a
+        JOIN (SELECT * FROM en WHERE rz = 1) z
+          ON a.user_id = z.user_id AND a.sid = z.sid
+        GROUP BY 1, 2
+    """
+
+
+def q_forecast_revenue_q6(sf_dir: str):
+    """TPC-H Q6 (forecast revenue change): the pure predicate-and-sum
+    scan — date year, discount band (exact on the integer percent
+    lattice, no double BETWEEN hazard) and quantity cap, revenue =
+    Σ floor(price·disc·10⁴+½). One pass, one row, zero shuffles
+    beyond a scalar reduce."""
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+    LO = np.datetime64("1995-01-01", "us")
+    HI = np.datetime64("1996-01-01", "us")
+
+    def part(t: pa.Table) -> pa.Table:
+        disc_pct = pc.floor(pc.add(pc.multiply(
+            t["l_discount"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        keep = pc.and_(pc.and_(pc.and_(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(LO)),
+            pc.less(t["l_shipdate"], pa.scalar(HI))),
+            pc.greater_equal(disc_pct, pa.scalar(5))),
+            pc.less_equal(disc_pct, pa.scalar(7))),
+            pc.less(t["l_quantity"], pa.scalar(24.0)))
+        f = t.filter(keep)
+        rev = pc.floor(pc.add(pc.multiply(
+            pc.multiply(f["l_extendedprice"], f["l_discount"]),
+            pa.scalar(10000.0)), pa.scalar(0.5))).cast(pa.int64())
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"revenue_e4": pa.array([s], pa.int64()),
+                         "n_items": pa.array([len(f)], pa.int64())})
+
+    df = li.map_batches(part, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_e4": [int(df["revenue_e4"].sum())],
+                         "n_items": [int(df["n_items"].sum())]})
+
+
+QUERIES["forecast_revenue_q6"] = q_forecast_revenue_q6
+ORACLE_SQL["forecast_revenue_q6"] = """
+        SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice
+                       * l_discount * 10000.0 + 0.5) AS BIGINT)), 0)
+                    AS BIGINT) AS revenue_e4,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+              BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """

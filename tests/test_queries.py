@@ -151,6 +151,8 @@ CHECKED = [
     "dow_seasonality_orders",
     "matryoshka_energy_labels",
     "trend_slope_users",
+    "session_entry_exit_matrix",
+    "forecast_revenue_q6",
 ]
 
 
@@ -571,4 +573,21 @@ def test_image_median_gray_oracle(ray_session, con):
            .sort_values("image_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("image_id", "median_gray"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_tile_corridor_query_oracle(ray_session, con):
+    """Engine clamped-projection corridor filter vs the literal-op-order
+    SQL replay at sf0.001 — the d2 <= R2 boundary must be
+    bit-identical."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _tile_corridor_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["tile_corridor_query"](SF).to_pandas()
+           .sort_values("cell").reset_index(drop=True))
+    exp = (con.execute(_tile_corridor_sql(img)).df()
+           .sort_values("cell").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("cell", "n_tiles"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
