@@ -12868,3 +12868,186 @@ ORACLE_SQL["forecast_revenue_q6"] = """
               BETWEEN 5 AND 7
           AND l_quantity < 24
     """
+
+
+def q_late_shipments_q12(sf_dir: str):
+    """TPC-H Q12 shape (shipping-mode audit, adapted to this schema):
+    per order priority, lineitems shipped LATE (more than 90 days
+    after the order date) vs on time. One bucketed co-partition join
+    on orderkey (both sides fact-scale), the late/on-time split
+    resolved inside the join pass — only priority-cardinality
+    partials leave it. The 90-day boundary is integer day math."""
+    from geotile.ops.relational import bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey",
+                      n_buckets=16)
+
+    def split(t: pa.Table) -> pa.Table:
+        sd = pc.divide(t["l_shipdate"].cast(pa.int64()),
+                       pa.scalar(86_400_000_000, pa.int64()))
+        od = pc.divide(t["o_orderdate"].cast(pa.int64()),
+                       pa.scalar(86_400_000_000, pa.int64()))
+        late = pc.greater(pc.subtract(sd, od),
+                          pa.scalar(90, pa.int64())).cast(pa.int64())
+        g = pa.table({"o_orderpriority": t["o_orderpriority"],
+                      "late": late}).group_by("o_orderpriority") \
+            .aggregate([([], "count_all"), ("late", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "n_items": g["count_all"].cast(pa.int64()),
+                         "n_late": g["late_sum"]})
+
+    out = (j.map_batches(split, batch_format="pyarrow")
+           .groupby("o_orderpriority").sum(["n_items", "n_late"]))
+    return _rename(out, ["o_orderpriority", "n_items", "n_late"])
+
+
+QUERIES["late_shipments_q12"] = q_late_shipments_q12
+ORACLE_SQL["late_shipments_q12"] = """
+        SELECT o_orderpriority, count(*) AS n_items,
+               CAST(count(*) FILTER (
+                   epoch_us(l_shipdate) // 86400000000
+                   - epoch_us(o_orderdate) // 86400000000 > 90)
+                   AS BIGINT) AS n_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """
+
+
+def q_priority_exists_check_q4(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking): orders placed in 1995
+    with AT LEAST ONE heavy lineitem (quantity ≥ 45) — the correlated
+    EXISTS as a semi-join. The heavy-orderkey set is deduped per
+    batch and fed through relational.semi_join (broadcast keyset with
+    the co-partition fallback); counts per priority are 5-row
+    partials."""
+    from geotile.ops.relational import semi_join
+
+    heavy = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t["l_quantity"], pa.scalar(45.0)))
+            .select(["l_orderkey"])
+            .group_by("l_orderkey").aggregate([]),
+            batch_format="pyarrow")
+    LO = np.datetime64("1995-01-01", "us")
+    HI = np.datetime64("1996-01-01", "us")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(LO)),
+            pc.less(t["o_orderdate"], pa.scalar(HI)))),
+            batch_format="pyarrow")
+    sj = semi_join(orders, heavy, "o_orderkey", "l_orderkey")
+
+    def count(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "n_orders": g["count_all"].cast(pa.int64())})
+
+    out = (sj.map_batches(count, batch_format="pyarrow")
+           .groupby("o_orderpriority").sum("n_orders"))
+    return _rename(out, ["o_orderpriority", "n_orders"])
+
+
+QUERIES["priority_exists_check_q4"] = q_priority_exists_check_q4
+ORACLE_SQL["priority_exists_check_q4"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_quantity >= 45)
+        GROUP BY 1
+    """
+
+
+def q_embedding_drift_labels(sf_dir: str):
+    """Embedding drift monitor: per label, the exact squared distance
+    between the centroid of the EVEN-id half and the ODD-id half of
+    the corpus (both on the 10⁷ lattice with the house floor rule) —
+    the deploy-time check that a re-embedded shard still lands where
+    the old one did. One (label, half, dim) moments pass; the drift
+    epilogue is classes×dims driver math with an asserted 2⁵³
+    contract."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        n = len(col)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        d = len(vals) // n if n else 0
+        q = np.trunc(vals.reshape(n, d).astype(np.float64)
+                     * 10000.0).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        half = (t["vec_id"].to_numpy() % 2).astype(np.int64)
+        key2 = lab * 2 + half
+        order = np.argsort(key2, kind="stable")
+        q, key2 = q[order], key2[order]
+        start = np.flatnonzero(np.r_[True, key2[1:] != key2[:-1]])
+        cnt = np.diff(np.r_[start, len(key2)])
+        sums = np.add.reduceat(q, start, axis=0)
+        uk = key2[start]
+        key = (np.repeat(uk, d) * 4096 +
+               np.tile(np.arange(d, dtype=np.int64), len(uk)))
+        return pa.table({"key": pa.array(key),
+                         "n": pa.array(np.repeat(cnt, d).astype(np.int64)),
+                         "s_q": pa.array(sums.reshape(-1))})
+
+    agg = (emb.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=65536)
+           .groupby("key").sum(["n", "s_q"]).take_all())
+    mu: dict[tuple[int, int, int], int] = {}
+    ns: dict[tuple[int, int], int] = {}
+    for r in agg:
+        k2, dim = r["key"] // 4096, r["key"] % 4096
+        lab, half = k2 // 2, k2 % 2
+        s_q, n = r["sum(s_q)"], r["sum(n)"]
+        assert abs(s_q) * 1000 < (1 << 53), "centroid lattice contract"
+        mu[(lab, half, dim)] = int(np.floor(s_q * 1000.0 / n + 0.5))
+        ns[(lab, half)] = n
+    labels = sorted({l for l, _ in ns})
+    dims = sorted({d for _, _, d in mu})
+    rows = []
+    for lab in labels:
+        d2 = sum((mu.get((lab, 0, d), 0) - mu.get((lab, 1, d), 0)) ** 2
+                 for d in dims)
+        rows.append({"label": lab, "n_even": ns.get((lab, 0), 0),
+                     "n_odd": ns.get((lab, 1), 0), "drift_d2": d2})
+    return pd.DataFrame(rows)
+
+
+QUERIES["embedding_drift_labels"] = q_embedding_drift_labels
+ORACLE_SQL["embedding_drift_labels"] = """
+        WITH e AS (SELECT vec_id % 2 AS half, label,
+                          unnest(range(len(embedding))) AS dim,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q
+                   FROM embeddings),
+        c AS (SELECT label, half, dim,
+                     CAST(floor(SUM(q) * 1000.0 / count(*) + 0.5)
+                          AS BIGINT) AS mu
+              FROM e GROUP BY 1, 2, 3),
+        n AS (SELECT label, half, count(DISTINCT dim) AS nd,
+                     SUM(1) AS x FROM e GROUP BY 1, 2),
+        cnt AS (SELECT label, half, count(*) AS n
+                FROM (SELECT DISTINCT label, half, vec_id FROM
+                      (SELECT vec_id % 2 AS half, label, vec_id
+                       FROM embeddings) z) y
+                GROUP BY 1, 2),
+        d AS (SELECT a.label,
+                     SUM((a.mu - b.mu) * (a.mu - b.mu)) AS drift_d2
+              FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+              WHERE a.half = 0 AND b.half = 1
+              GROUP BY 1)
+        SELECT CAST(d.label AS BIGINT) AS label,
+               CAST(ce.n AS BIGINT) AS n_even,
+               CAST(co.n AS BIGINT) AS n_odd,
+               CAST(d.drift_d2 AS BIGINT) AS drift_d2
+        FROM d
+        JOIN cnt ce ON ce.label = d.label AND ce.half = 0
+        JOIN cnt co ON co.label = d.label AND co.half = 1
+    """

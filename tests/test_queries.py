@@ -153,6 +153,9 @@ CHECKED = [
     "trend_slope_users",
     "session_entry_exit_matrix",
     "forecast_revenue_q6",
+    "late_shipments_q12",
+    "priority_exists_check_q4",
+    "embedding_drift_labels",
 ]
 
 
