@@ -13051,3 +13051,385 @@ ORACLE_SQL["embedding_drift_labels"] = """
         JOIN cnt ce ON ce.label = d.label AND ce.half = 0
         JOIN cnt co ON co.label = d.label AND co.half = 1
     """
+
+
+def q_promo_revenue_share_q14(sf_dir: str):
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    earned by PROMO-type parts, in exact ppm. The part dimension
+    broadcasts as a sorted-key bit array (searchsorted gather — no
+    shuffle join); both revenue sums ride the same one-row partials,
+    and the ppm division is integer, so no float ratio ever forms."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).take_all()
+    pk = np.array(sorted(r["p_partkey"] for r in part), dtype=np.int64)
+    ptype = {r["p_partkey"]: r["p_type"] for r in part}
+    promo = np.array([ptype[k] == "PROMO" for k in pk])
+    ref = ray.put((pk, promo))
+    LO = np.datetime64("1995-06-01", "us")
+    HI = np.datetime64("1995-07-01", "us")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(LO)),
+            pc.less(t["l_shipdate"], pa.scalar(HI))))
+        pk_, promo_ = _broadcast(ref)
+        k = f["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(pk_, k), len(pk_) - 1)
+        hit = pk_[idx] == k
+        rev = pc.floor(pc.add(pc.multiply(
+            pc.multiply(f["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), f["l_discount"])),
+            pa.scalar(10000.0)), pa.scalar(0.5))).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rev = rev[hit]
+        is_promo = promo_[idx[hit]]
+        return pa.table({
+            "promo_e4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total_e4": pa.array([int(rev.sum())], pa.int64())})
+
+    df = li.map_batches(part_fn, batch_format="pyarrow").to_pandas()
+    promo_e4 = int(df["promo_e4"].sum())
+    total_e4 = int(df["total_e4"].sum())
+    return pd.DataFrame({"promo_e4": [promo_e4],
+                         "total_e4": [total_e4],
+                         "share_ppm": [promo_e4 * 1_000_000
+                                       // total_e4]})
+
+
+QUERIES["promo_revenue_share_q14"] = q_promo_revenue_share_q14
+ORACLE_SQL["promo_revenue_share_q14"] = """
+        WITH r AS (SELECT p_type,
+                          CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 10000.0 + 0.5) AS BIGINT) AS rev
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+                     AND l_shipdate < TIMESTAMP '1995-07-01')
+        SELECT CAST(SUM(rev) FILTER (p_type = 'PROMO') AS BIGINT)
+                   AS promo_e4,
+               CAST(SUM(rev) AS BIGINT) AS total_e4,
+               SUM(rev) FILTER (p_type = 'PROMO') * 1000000
+                   // SUM(rev) AS share_ppm
+        FROM r
+    """
+
+
+def q_small_qty_revenue_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lineitems whose quantity is below 20% of their part's average —
+    the aggregate-join-back with the threshold kept INTEGER
+    (5·qty·n < Σqty avoids the float mean entirely). Per-part sums
+    materialize once (schema-probe law), the fact side re-joins by
+    bucketed co-partition, and only a one-row partial leaves the
+    filter pass."""
+    from geotile.ops.relational import bucketed_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def psum(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].cast(pa.int64())
+        g = pa.table({"pk": t["l_partkey"], "q": q}).group_by("pk") \
+            .aggregate([([], "count_all"), ("q", "sum")])
+        return pa.table({"pk": g["pk"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "sq": g["q_sum"]})
+
+    ps = (li.map_batches(psum, batch_format="pyarrow")
+          .groupby("pk").sum(["n", "sq"]))
+    ps = _rename(ps, ["pk", "n", "sq"]).materialize()
+
+    j = bucketed_join(li, ps, "l_partkey", "pk", n_buckets=16)
+
+    def small(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sq = t["sq"].to_numpy(zero_copy_only=False)
+        keep = 5 * q * n < sq
+        cents = pc.floor(pc.add(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    df = j.map_batches(small, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_cents": [int(df["revenue_cents"].sum())],
+        "n_items": [int(df["n_items"].sum())]})
+
+
+QUERIES["small_qty_revenue_q17"] = q_small_qty_revenue_q17
+ORACLE_SQL["small_qty_revenue_q17"] = """
+        WITH ps AS (SELECT l_partkey AS pk, count(*) AS n,
+                           SUM(CAST(l_quantity AS BIGINT)) AS sq
+                    FROM lineitem GROUP BY 1)
+        SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice * 100.0
+                                            + 0.5) AS BIGINT)), 0)
+                    AS BIGINT) AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem JOIN ps ON l_partkey = pk
+        WHERE 5 * CAST(l_quantity AS BIGINT) * n < sq
+    """
+
+
+def q_order_gap_median_hist(sf_dir: str):
+    """Repeat-purchase cadence: the histogram of per-customer MEDIAN
+    order gaps (lower median, days) — the grouped order statistic
+    computed where the group lives. One customer co-partition; every
+    customer's sorted gaps, median gather and the histogram partial
+    come from one lexsorted pass per bucket. Deterministic LAG
+    (day, orderkey) tie-break mirrored in the SQL replay."""
+    from geotile.ops.relational import _with_bucket
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                      "o_orderdate"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"median_gap": pd.Series(dtype=np.int64),
+                                 "n_customers":
+                                     pd.Series(dtype=np.int64)})
+        c = df["o_custkey"].to_numpy(np.int64)
+        k = df["o_orderkey"].to_numpy(np.int64)
+        d = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        o = np.lexsort((k, d, c))
+        cc, dd = c[o], d[o]
+        same = cc[1:] == cc[:-1]
+        gaps = (dd[1:] - dd[:-1])[same]
+        gc = cc[1:][same]
+        og = np.lexsort((gaps, gc))
+        gc, gaps = gc[og], gaps[og]
+        new = np.r_[True, gc[1:] != gc[:-1]]
+        first = np.flatnonzero(new)
+        cnt = np.diff(np.r_[first, len(gc)])
+        med = gaps[first + (cnt - 1) // 2]
+        g = pd.DataFrame({"median_gap": med}) \
+            .groupby("median_gap", as_index=False).size()
+        return g.rename(columns={"size": "n_customers"})
+
+    out = (_with_bucket(orders, "o_custkey", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .groupby("median_gap").sum("n_customers"))
+    return _rename(out, ["median_gap", "n_customers"])
+
+
+QUERIES["order_gap_median_hist"] = q_order_gap_median_hist
+ORACLE_SQL["order_gap_median_hist"] = """
+        WITH o AS (SELECT o_custkey,
+                          epoch_us(o_orderdate) // 86400000000 AS day,
+                          o_orderkey
+                   FROM orders),
+        g AS (SELECT o_custkey,
+                     day - LAG(day) OVER (PARTITION BY o_custkey
+                         ORDER BY day, o_orderkey) AS gap
+              FROM o),
+        gg AS (SELECT o_custkey, gap,
+                      ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY gap) AS rn,
+                      count(*) OVER (PARTITION BY o_custkey) AS n
+               FROM g WHERE gap IS NOT NULL),
+        m AS (SELECT o_custkey, gap AS median_gap FROM gg
+              WHERE rn = (n - 1) // 2 + 1)
+        SELECT CAST(median_gap AS BIGINT) AS median_gap,
+               count(*) AS n_customers
+        FROM m GROUP BY 1
+    """
+
+
+def q_disjunctive_pred_q19(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs): revenue from
+    lineitems matching any of three (brand, size-cap, quantity-band)
+    arms — the disjunctive predicate that defeats naive single-column
+    pushdown. The part dimension broadcasts as TWO parallel arrays
+    (brand code, size); the whole disjunction evaluates as one
+    vectorized boolean expression per batch, and only a one-row
+    partial leaves."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).take_all()
+    pk = np.array(sorted(r["p_partkey"] for r in part), dtype=np.int64)
+    by = {r["p_partkey"]: r for r in part}
+    brand = np.array([by[k]["p_brand"] for k in pk])
+    size = np.array([by[k]["p_size"] for k in pk], dtype=np.int64)
+    ref = ray.put((pk, brand, size))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def arm(brand_, size_, qty, b, smax, qlo, qhi):
+        return ((brand_ == b) & (size_ <= smax)
+                & (qty >= qlo) & (qty <= qhi))
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        pk_, brand_, size_ = _broadcast(ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(pk_, k), len(pk_) - 1)
+        hit = pk_[idx] == k
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        b, s = brand_[idx], size_[idx]
+        keep = hit & (arm(b, s, qty, "Brand#1", 10, 1.0, 11.0)
+                      | arm(b, s, qty, "Brand#12", 20, 10.0, 20.0)
+                      | arm(b, s, qty, "Brand#23", 35, 20.0, 30.0))
+        rev = pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0)), pa.scalar(0.5))).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "revenue_e4": pa.array([int(rev.sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    df = li.map_batches(part_fn, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_e4": [int(df["revenue_e4"].sum())],
+        "n_items": [int(df["n_items"].sum())]})
+
+
+QUERIES["disjunctive_pred_q19"] = q_disjunctive_pred_q19
+ORACLE_SQL["disjunctive_pred_q19"] = """
+        SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice
+                       * (1 - l_discount) * 10000.0 + 0.5)
+                       AS BIGINT)), 0) AS BIGINT) AS revenue_e4,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#12' AND p_size <= 20
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size <= 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+
+
+def q_top_supplier_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier): supplier(s) achieving THE maximum
+    quarterly revenue — max-of-aggregate then equality-filter, the
+    two-phase pattern where the second phase costs one broadcast
+    scalar, not a rank. Supplier revenue partials pack on suppkey;
+    the max reduces from the same materialized aggregate the filter
+    reads, so the fact table is scanned exactly once."""
+    LO = np.datetime64("1996-01-01", "us")
+    HI = np.datetime64("1996-04-01", "us")
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(LO)),
+            pc.less(t["l_shipdate"], pa.scalar(HI))))
+        rev = pc.floor(pc.add(pc.multiply(
+            pc.multiply(f["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), f["l_discount"])),
+            pa.scalar(10000.0)), pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"l_suppkey": f["l_suppkey"], "r": rev}) \
+            .group_by("l_suppkey").aggregate([("r", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"],
+                         "revenue_e4": g["r_sum"]})
+
+    per_supp = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("l_suppkey").sum("revenue_e4"))
+    per_supp = _rename(per_supp,
+                       ["l_suppkey", "revenue_e4"]).materialize()
+    mx = int(per_supp.max("revenue_e4"))
+    return per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t["revenue_e4"],
+                                    pa.scalar(mx, pa.int64()))),
+        batch_format="pyarrow")
+
+
+QUERIES["top_supplier_q15"] = q_top_supplier_q15
+ORACLE_SQL["top_supplier_q15"] = """
+        WITH r AS (SELECT l_suppkey,
+                          SUM(CAST(floor(l_extendedprice
+                              * (1 - l_discount) * 10000.0 + 0.5)
+                              AS BIGINT)) AS revenue_e4
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1996-04-01'
+                   GROUP BY 1)
+        SELECT l_suppkey, revenue_e4 FROM r
+        WHERE revenue_e4 = (SELECT max(revenue_e4) FROM r)
+    """
+
+
+def q_waiting_customers_q22(sf_dir: str):
+    """TPC-H Q22 shape (global-market opportunity): customers with an
+    above-average balance (among positive balances — the global
+    scalar computed as an integer cross-multiplication) who have
+    NEVER ordered (relational.anti_join), rolled up per nation. Three
+    primitives compose: broadcast scalar, anti-join, small groupby —
+    each keeping its own scale story."""
+    from geotile.ops.relational import anti_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_sum(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["c_acctbal"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        f = cents.filter(pc.greater(cents, pa.scalar(0)))
+        return pa.table({
+            "n": pa.array([len(f)], pa.int64()),
+            "s": pa.array([pc.sum(f).as_py() or 0], pa.int64())})
+
+    agg = cust.map_batches(pos_sum, batch_format="pyarrow").to_pandas()
+    n_pos, s_pos = int(agg["n"].sum()), int(agg["s"].sum())
+
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(pc.floor(pc.add(pc.multiply(
+                t["c_acctbal"], pa.scalar(100.0)),
+                pa.scalar(0.5))).cast(pa.int64()),
+                pa.scalar(n_pos, pa.int64())),
+            pa.scalar(s_pos, pa.int64()))),
+        batch_format="pyarrow")
+    CUT = np.datetime64("2000-01-01", "us")
+    orders_k = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(pc.greater_equal(
+            t["o_orderdate"], pa.scalar(CUT)))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    waiting = anti_join(rich, orders_k, "c_custkey", "o_custkey")
+
+    def rollup(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["c_acctbal"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"nk": t["c_nationkey"].cast(pa.int64()),
+                      "c": cents}).group_by("nk").aggregate(
+            [([], "count_all"), ("c", "sum")])
+        return pa.table({"n_nationkey": g["nk"],
+                         "n_cust": g["count_all"].cast(pa.int64()),
+                         "bal_cents": g["c_sum"]})
+
+    out = (waiting.map_batches(rollup, batch_format="pyarrow")
+           .groupby("n_nationkey").sum(["n_cust", "bal_cents"]))
+    return _rename(out, ["n_nationkey", "n_cust", "bal_cents"])
+
+
+QUERIES["waiting_customers_q22"] = q_waiting_customers_q22
+ORACLE_SQL["waiting_customers_q22"] = """
+        WITH c AS (SELECT c_custkey,
+                          CAST(c_nationkey AS BIGINT) AS nk,
+                          CAST(floor(c_acctbal * 100.0 + 0.5)
+                               AS BIGINT) AS cents
+                   FROM customer),
+        t AS (SELECT count(*) AS n, SUM(cents) AS s FROM c
+              WHERE cents > 0)
+        SELECT nk AS n_nationkey, count(*) AS n_cust,
+               CAST(SUM(cents) AS BIGINT) AS bal_cents
+        FROM c, t
+        WHERE cents * n > s
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderdate
+                                      >= TIMESTAMP '2000-01-01')
+        GROUP BY 1
+    """

@@ -156,6 +156,12 @@ CHECKED = [
     "late_shipments_q12",
     "priority_exists_check_q4",
     "embedding_drift_labels",
+    "promo_revenue_share_q14",
+    "small_qty_revenue_q17",
+    "order_gap_median_hist",
+    "disjunctive_pred_q19",
+    "top_supplier_q15",
+    "waiting_customers_q22",
 ]
 
 
