@@ -4607,6 +4607,7 @@ def oracle_sql() -> dict[str, str]:
     out["tile_viewport_query"] = _tile_viewport_sql(img01)
     out["image_median_gray"] = _image_median_sql(img01)
     out["tile_corridor_query"] = _tile_corridor_sql(img01)
+    out["cell_dominant_stop"] = _cell_dominant_sql(img01)
     return out
 
 
@@ -12314,6 +12315,11 @@ def q_doc_top_tokens(sf_dir: str):
         doc = np.repeat(t["doc_id"].to_numpy(), lens)
         keep = flat != ""
         doc, tok = doc[keep], flat[keep]
+        if len(doc) == 0:  # a batch of empty documents (edge fixture)
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "rk": pa.array([], pa.int64())})
         # count per (doc, token)
         order = np.lexsort((tok, doc))
         doc, tok = doc[order], tok[order]
@@ -13095,8 +13101,8 @@ def q_promo_revenue_share_q14(sf_dir: str):
     total_e4 = int(df["total_e4"].sum())
     return pd.DataFrame({"promo_e4": [promo_e4],
                          "total_e4": [total_e4],
-                         "share_ppm": [promo_e4 * 1_000_000
-                                       // total_e4]})
+                         "share_ppm": [promo_e4 * 1_000_000 // total_e4
+                                       if total_e4 else 0]})
 
 
 QUERIES["promo_revenue_share_q14"] = q_promo_revenue_share_q14
@@ -13203,6 +13209,10 @@ def q_order_gap_median_hist(sf_dir: str):
         same = cc[1:] == cc[:-1]
         gaps = (dd[1:] - dd[:-1])[same]
         gc = cc[1:][same]
+        if len(gaps) == 0:  # no repeat customers in this bucket
+            return pd.DataFrame({"median_gap": pd.Series(dtype=np.int64),
+                                 "n_customers":
+                                     pd.Series(dtype=np.int64)})
         og = np.lexsort((gaps, gc))
         gc, gaps = gc[og], gaps[og]
         new = np.r_[True, gc[1:] != gc[:-1]]
@@ -13432,4 +13442,613 @@ ORACLE_SQL["waiting_customers_q22"] = """
                                 WHERE o_orderdate
                                       >= TIMESTAMP '2000-01-01')
         GROUP BY 1
+    """
+
+
+def q_returned_revenue_q10(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returned lineitems in a quarter. Chain: flag+date
+    filtered lineitem ⋈ date-filtered orders (bucketed, orderkey) →
+    custkey revenue partials → customer name attach via broadcast →
+    top-20 by per-block threshold partials + one tiny reduce — the
+    global sort never happens."""
+    from geotile.ops.relational import bucketed_join
+
+    LO = np.datetime64("1995-10-01", "us")
+    HI = np.datetime64("1996-01-01", "us")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(LO)),
+            pc.less(t["o_orderdate"], pa.scalar(HI))))
+            .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"]) \
+        .map_batches(lambda t: t.filter(pc.equal(
+            t["l_returnflag"], pa.scalar("R")))
+            .drop_columns(["l_returnflag"]), batch_format="pyarrow")
+    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey",
+                      n_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0)), pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"c_custkey": t["o_custkey"], "r": rev}) \
+            .group_by("c_custkey").aggregate([("r", "sum")])
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "revenue_e4": g["r_sum"]})
+
+    per_cust = (j.map_batches(partial, batch_format="pyarrow")
+                .groupby("c_custkey").sum("revenue_e4"))
+    per_cust = _rename(per_cust, ["c_custkey", "revenue_e4"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("revenue_e4", "descending"), ("c_custkey", "ascending")])
+        return t.take(idx[:20])
+
+    return (per_cust.map_batches(topk, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(topk, batch_format="pyarrow"))
+
+
+QUERIES["returned_revenue_q10"] = q_returned_revenue_q10
+ORACLE_SQL["returned_revenue_q10"] = """
+        SELECT o_custkey AS c_custkey,
+               SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 10000.0 + 0.5) AS BIGINT))
+                   AS revenue_e4
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1
+        ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+    """
+
+
+def q_volatility_users(sf_dir: str):
+    """Per-user L1 volatility: Σ|Δcents| and max|Δ| over consecutive
+    events (deterministic tie order) — the successive-difference
+    roughness measure. One co-partition; the whole bucket's
+    differences come from one shifted subtract with run-boundary
+    masking."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "n_steps": pd.Series(dtype=np.int64),
+                                 "sum_abs": pd.Series(dtype=np.int64),
+                                 "max_abs": pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0).astype(np.int64)
+        o = np.lexsort((e, t, u))
+        uu, cu = u[o], c[o]
+        same = uu[1:] == uu[:-1]
+        d = np.abs(cu[1:] - cu[:-1])[same]
+        du = uu[1:][same]
+        g = pd.DataFrame({"user_id": du, "d": d}) \
+            .groupby("user_id", as_index=False) \
+            .agg(n_steps=("d", "size"), sum_abs=("d", "sum"),
+                 max_abs=("d", "max"))
+        return g
+
+    return (_with_bucket(ev, "user_id", 32)
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))
+
+
+QUERIES["volatility_users"] = q_volatility_users
+ORACLE_SQL["volatility_users"] = """
+        WITH x AS (SELECT user_id,
+                          CAST(floor(value * 100.0) AS BIGINT)
+                          - LAG(CAST(floor(value * 100.0) AS BIGINT))
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS d
+                   FROM events)
+        SELECT user_id, count(*) AS n_steps,
+               CAST(SUM(abs(d)) AS BIGINT) AS sum_abs,
+               CAST(MAX(abs(d)) AS BIGINT) AS max_abs
+        FROM x WHERE d IS NOT NULL GROUP BY 1
+    """
+
+
+def q_hapax_rate_sources(sf_dir: str):
+    """Hapax-legomena audit per source: token occurrences whose token
+    appears EXACTLY ONCE in the whole corpus — the vocabulary-tail
+    health check for training data. Global token counts reduce to a
+    Heaps'-bounded broadcast; each source's hapax hits then ride
+    per-batch partials, so the corpus text is read twice but never
+    shuffled."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        w = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        w = w.filter(pc.not_equal(w, pa.scalar("")))
+        g = pa.table({"token": w}).group_by("token").aggregate(
+            [([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    counts = (docs.map_batches(toks, batch_format="pyarrow")
+              .groupby("token").sum("n")).take_all()
+    hapax = np.array(sorted(r["token"] for r in counts
+                            if r["sum(n)"] == 1))
+    ref = ray.put(hapax)
+
+    def per_source(t: pa.Table) -> pa.Table:
+        h = _broadcast(ref)
+        lists = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False),
+                        lens)
+        keep = flat != ""
+        src, flat = src[keep], flat[keep]
+        if len(h):
+            i = np.minimum(np.searchsorted(h, flat), len(h) - 1)
+            is_h = (h[i] == flat).astype(np.int64)
+        else:
+            is_h = np.zeros(len(flat), np.int64)
+        g = pa.table({"source": pa.array(src),
+                      "h": pa.array(is_h)}).group_by("source") \
+            .aggregate([([], "count_all"), ("h", "sum")])
+        return pa.table({"source": g["source"],
+                         "n_tokens": g["count_all"].cast(pa.int64()),
+                         "n_hapax": g["h_sum"]})
+
+    out = (docs.map_batches(per_source, batch_format="pyarrow")
+           .groupby("source").sum(["n_tokens", "n_hapax"]))
+    return _rename(out, ["source", "n_tokens", "n_hapax"])
+
+
+QUERIES["hapax_rate_sources"] = q_hapax_rate_sources
+ORACLE_SQL["hapax_rate_sources"] = """
+        WITH w AS (SELECT source,
+                          unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+        ww AS (SELECT source, t FROM w WHERE t <> ''),
+        c AS (SELECT t, count(*) AS n FROM ww GROUP BY 1)
+        SELECT source, count(*) AS n_tokens,
+               CAST(count(*) FILTER (c.n = 1) AS BIGINT) AS n_hapax
+        FROM ww JOIN c USING (t)
+        GROUP BY 1
+    """
+
+
+def q_stream_dedup_ttl(sf_dir: str):
+    """Streaming dedup with a TTL window: an event is a duplicate when
+    the PREVIOUS event with the same (user, type, cents) key sits
+    within one hour — the at-least-once → effectively-once filter of
+    an ingestion edge. One user co-partition; the whole bucket's LAG
+    over composite keys is one lexsort + shifted compare (no per-key
+    state machine); per-day drop counts are calendar-bounded."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    TTL = 3_600_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                                 "n_events": pd.Series(dtype=np.int64),
+                                 "n_dropped": pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ty = df["event_type"].to_numpy()
+        c = np.floor(df["value"].to_numpy(np.float64)
+                     * 100.0).astype(np.int64)
+        o = np.lexsort((e, t, c, ty, u))
+        uu, tyu, cu, tu = u[o], ty[o], c[o], t[o]
+        same = (uu[1:] == uu[:-1]) & (tyu[1:] == tyu[:-1]) \
+            & (cu[1:] == cu[:-1])
+        dup = np.r_[False, same & (tu[1:] - tu[:-1] <= TTL)]
+        g = pd.DataFrame({"day": tu // 86_400_000_000,
+                          "drop": dup.astype(np.int64)}) \
+            .groupby("day", as_index=False) \
+            .agg(n_events=("drop", "size"), n_dropped=("drop", "sum"))
+        return g
+
+    out = (_with_bucket(ev, "user_id", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .groupby("day").sum(["n_events", "n_dropped"]))
+    return _rename(out, ["day", "n_events", "n_dropped"])
+
+
+QUERIES["stream_dedup_ttl"] = q_stream_dedup_ttl
+ORACLE_SQL["stream_dedup_ttl"] = """
+        WITH x AS (SELECT epoch_us(ts) AS us,
+                          epoch_us(ts)
+                          - LAG(epoch_us(ts)) OVER (
+                              PARTITION BY user_id, event_type,
+                                  CAST(floor(value * 100.0) AS BIGINT)
+                              ORDER BY ts, event_id) AS gap
+                   FROM events)
+        SELECT CAST(us // 86400000000 AS BIGINT) AS day,
+               count(*) AS n_events,
+               CAST(count(*) FILTER (gap IS NOT NULL
+                    AND gap <= 3600000000) AS BIGINT) AS n_dropped
+        FROM x GROUP BY 1
+    """
+
+
+def q_nation_quarter_qoq(sf_dir: str):
+    """Nation × quarter revenue with quarter-over-quarter delta: the
+    time-bucketed dimension rollup plus a LAG gathered by one roll of
+    the (nation, quarter) aggregate — quarters are calendar-bounded,
+    so the window never touches fact rows. Customer nation resolves
+    through the bucketed custkey co-partition (fact-scale safe)."""
+    from geotile.ops.relational import bucketed_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = bucketed_join(orders, cust, "o_custkey", "c_custkey",
+                      n_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["o_orderdate"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        q = pc.add(pc.multiply(pc.year(t["o_orderdate"]),
+                               pa.scalar(4, pa.int64())),
+                   pc.divide(pc.subtract(pc.month(t["o_orderdate"]),
+                                         pa.scalar(1, pa.int64())),
+                             pa.scalar(3, pa.int64())))
+        _ = day
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"nk": t["c_nationkey"].cast(pa.int64()),
+                      "q": q, "c": cents}).group_by(["nk", "q"]) \
+            .aggregate([("c", "sum")])
+        return pa.table({"nk": g["nk"], "q": g["q"],
+                         "cents": g["c_sum"]})
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(["nk", "q"]).sum("cents")).take_all()
+    rows = sorted(agg, key=lambda r: (r["nk"], r["q"]))
+    out = []
+    for i, r in enumerate(rows):
+        prev = rows[i - 1] if i else None
+        delta = (r["sum(cents)"] - prev["sum(cents)"]
+                 if prev and prev["nk"] == r["nk"]
+                 and prev["q"] == r["q"] - 1 else None)
+        out.append({"n_nationkey": r["nk"], "quarter": r["q"],
+                    "revenue_cents": r["sum(cents)"],
+                    "qoq_delta": -1 if delta is None else delta})
+    return pd.DataFrame(out)
+
+
+QUERIES["nation_quarter_qoq"] = q_nation_quarter_qoq
+ORACLE_SQL["nation_quarter_qoq"] = """
+        WITH a AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                          CAST(EXTRACT(year FROM o_orderdate) * 4
+                               + (EXTRACT(month FROM o_orderdate) - 1)
+                                 // 3 AS BIGINT) AS q,
+                          SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS cents
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                   GROUP BY 1, 2),
+        d AS (SELECT nk, q, cents,
+                     CASE WHEN LAG(q) OVER w = q - 1
+                          THEN cents - LAG(cents) OVER w
+                          ELSE -1 END AS qoq_delta
+              FROM a WINDOW w AS (PARTITION BY nk ORDER BY q))
+        SELECT nk AS n_nationkey, q AS quarter,
+               CAST(cents AS BIGINT) AS revenue_cents,
+               CAST(qoq_delta AS BIGINT) AS qoq_delta
+        FROM d
+    """
+
+
+def q_growth_accounting_quarters(sf_dir: str):
+    """Growth accounting (new / retained / resurrected): each active
+    (customer, quarter) classified by that customer's PREVIOUS active
+    quarter — first-ever = new, exactly-previous = retained, gap ≥ 2
+    = resurrected — the product-analytics ledger. Distinct
+    (cust, quarter) pairs dedup once; each customer's classification
+    is one shifted compare inside a customer co-partition; quarter
+    ledger rows are calendar-bounded."""
+    from geotile.ops.relational import _with_bucket
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        q = pc.add(pc.multiply(pc.year(t["o_orderdate"]),
+                               pa.scalar(4, pa.int64())),
+                   pc.divide(pc.subtract(pc.month(t["o_orderdate"]),
+                                         pa.scalar(1, pa.int64())),
+                             pa.scalar(3, pa.int64())))
+        k = pc.add(pc.multiply(t["o_custkey"],
+                               pa.scalar(1 << 16, pa.int64())), q)
+        return pa.table({"k": k}).group_by("k").aggregate([])
+
+    ded = (orders.map_batches(pairs, batch_format="pyarrow")
+           .groupby("k").count())
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        return pa.table({"cust": pa.array(k >> 16),
+                         "q": pa.array(k & 0xFFFF)})
+
+    cq = ded.map_batches(unpack, batch_format="pyarrow")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"quarter": pd.Series(dtype=np.int64),
+                                 "n_new": pd.Series(dtype=np.int64),
+                                 "n_retained": pd.Series(dtype=np.int64),
+                                 "n_resurrected":
+                                     pd.Series(dtype=np.int64)})
+        c = df["cust"].to_numpy(np.int64)
+        q = df["q"].to_numpy(np.int64)
+        o = np.lexsort((q, c))
+        cc, qq = c[o], q[o]
+        first = np.r_[True, cc[1:] != cc[:-1]]
+        prev_q = np.r_[np.int64(0), qq[:-1]]
+        retained = ~first & (qq == prev_q + 1)
+        resurrected = ~first & (qq >= prev_q + 2)
+        g = pd.DataFrame({"quarter": qq,
+                          "n_new": first.astype(np.int64),
+                          "n_retained": retained.astype(np.int64),
+                          "n_resurrected":
+                              resurrected.astype(np.int64)}) \
+            .groupby("quarter", as_index=False).sum()
+        return g
+
+    out = (_with_bucket(cq, "cust", 32)
+           .groupby("bucket").map_groups(classify,
+                                         batch_format="pandas")
+           .groupby("quarter").sum(["n_new", "n_retained",
+                                    "n_resurrected"]))
+    return _rename(out, ["quarter", "n_new", "n_retained",
+                         "n_resurrected"])
+
+
+QUERIES["growth_accounting_quarters"] = q_growth_accounting_quarters
+ORACLE_SQL["growth_accounting_quarters"] = """
+        WITH cq AS (SELECT DISTINCT o_custkey AS cust,
+                           CAST(EXTRACT(year FROM o_orderdate) * 4
+                                + (EXTRACT(month FROM o_orderdate) - 1)
+                                  // 3 AS BIGINT) AS q
+                    FROM orders),
+        x AS (SELECT cust, q,
+                     LAG(q) OVER (PARTITION BY cust ORDER BY q) AS pq
+              FROM cq)
+        SELECT q AS quarter,
+               CAST(count(*) FILTER (pq IS NULL) AS BIGINT) AS n_new,
+               CAST(count(*) FILTER (pq = q - 1) AS BIGINT)
+                   AS n_retained,
+               CAST(count(*) FILTER (pq IS NOT NULL AND pq <= q - 2)
+                    AS BIGINT) AS n_resurrected
+        FROM x GROUP BY 1
+    """
+
+
+def q_cell_dominant_stop(sf_dir: str):
+    """GIS majority filter: each occupied res-10 cell's DOMINANT
+    caption stop (most images; ties to the smaller stop id) — the
+    categorical raster a choropleth renders. (cell, stop) count
+    partials bound the shuffle; the per-cell argmax resolves inside
+    a cell co-partition lexsort, never a global rank."""
+    from geotile.geom import cells
+    from geotile.ops.tiles import read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["caption", "lon", "lat"])
+
+    def part(t: pa.Table) -> pa.Table:
+        stop = pc.cast(pc.list_element(
+            pc.split_pattern(t["caption"], " "), 4), pa.int64())
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        cell = cells.encode(lon, lat, 10).view(np.int64)
+        g = pa.table({"cell": pa.array(cell), "stop": stop}) \
+            .group_by(["cell", "stop"]).aggregate([([], "count_all")])
+        return pa.table({"cell": g["cell"], "stop": g["stop"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    counts = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby(["cell", "stop"]).sum("n"))
+    counts = _rename(counts, ["cell", "stop", "n"])
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"cell": pd.Series(dtype=np.int64),
+                                 "stop": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        c = df["cell"].to_numpy(np.int64)
+        s = df["stop"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        o = np.lexsort((s, -n, c))
+        c, s, n = c[o], s[o], n[o]
+        first = np.r_[True, c[1:] != c[:-1]]
+        return pd.DataFrame({"cell": c[first], "stop": s[first],
+                             "n": n[first]})
+
+    from geotile.ops.relational import _with_bucket
+
+    return (_with_bucket(counts, "cell", 16)
+            .groupby("bucket").map_groups(argmax,
+                                          batch_format="pandas"))
+
+
+QUERIES["cell_dominant_stop"] = q_cell_dominant_stop
+
+
+def _cell_dominant_sql(img_dir: str) -> str:
+    return f"""
+        WITH c AS (SELECT {_sql_cell('lon', 'lat', 10)} AS cell,
+                          CAST(string_split(caption, ' ')[5] AS BIGINT)
+                              AS stop,
+                          count(*) AS n
+                   FROM read_parquet('{img_dir}/part-*.parquet')
+                   GROUP BY 1, 2),
+        r AS (SELECT cell, stop, n,
+                     ROW_NUMBER() OVER (PARTITION BY cell
+                         ORDER BY n DESC, stop) AS rk
+              FROM c)
+        SELECT cell, stop, CAST(n AS BIGINT) AS n FROM r WHERE rk = 1
+    """
+
+
+def q_calibration_bins_embeddings(sf_dir: str):
+    """Model calibration bins: score every embedding with the
+    deterministic linear model, split the corpus into ten
+    equal-count bins by score rank (exact NTILE semantics over the
+    order-aligned distributed row number — no sort), and report each
+    bin's exact positive-label mass — the reliability-diagram input.
+    Scores are int64-exact on the trunc lattice; label 'positive' is
+    label ≥ 5."""
+    from geotile.ops.relational import global_row_number
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        vals = col.values.to_numpy(zero_copy_only=False)
+        d = len(vals) // n
+        q = np.trunc(vals.reshape(n, d).astype(np.float64) * 10000.0)
+        j = np.arange(d, dtype=np.int64)
+        w = ((j + 1) * 2654435761 % 2001 - 1000).astype(np.float64)
+        s = (q @ w).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "score": pa.array(s),
+                         "pos": pa.array((lab >= 5).astype(np.int64))})
+
+    scored = emb.map_batches(score, batch_format="pyarrow")
+
+    def shift_nonneg(t: pa.Table) -> pa.Table:
+        # global_row_number wants non-negative vals: |score| < 64·10⁷,
+        # so a constant literal shift keeps order and stays exact
+        return pa.table({"vec_id": t["vec_id"],
+                         "score": pc.add(t["score"],
+                                         pa.scalar(1 << 40, pa.int64())),
+                         "pos": t["pos"]})
+
+    scored = scored.map_batches(shift_nonneg,
+                                batch_format="pyarrow").materialize()
+    n_total = scored.count()
+    ranked = global_row_number(scored, "score", "vec_id", shift=32)
+
+    def bins(t: pa.Table) -> pa.Table:
+        b = _ntile_of(t["idx"].to_numpy(), n_total, 10)
+        g = pa.table({"bin": pa.array(b), "pos": t["pos"]}) \
+            .group_by("bin").aggregate(
+                [([], "count_all"), ("pos", "sum")])
+        return pa.table({"bin": g["bin"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "n_pos": g["pos_sum"]})
+
+    out = (ranked.map_batches(bins, batch_format="pyarrow")
+           .groupby("bin").sum(["n", "n_pos"]))
+    return _rename(out, ["bin", "n", "n_pos"])
+
+
+QUERIES["calibration_bins_embeddings"] = q_calibration_bins_embeddings
+ORACLE_SQL["calibration_bins_embeddings"] = """
+        WITH e AS (SELECT vec_id, label,
+                          unnest(range(len(embedding))) AS j,
+                          CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                     * 10000) AS BIGINT) AS q
+                   FROM embeddings),
+        s AS (SELECT vec_id, max(label) AS label,
+                     CAST(SUM(q * ((j + 1) * 2654435761 % 2001
+                                   - 1000)) AS BIGINT) AS score
+              FROM e GROUP BY 1),
+        r AS (SELECT vec_id, label,
+                     NTILE(10) OVER (ORDER BY score, vec_id) AS bin
+              FROM s)
+        SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+               CAST(count(*) FILTER (label >= 5) AS BIGINT) AS n_pos
+        FROM r GROUP BY 1
+    """
+
+
+def q_hhi_nations(sf_dir: str):
+    """Market-concentration HHI per nation: Σ(customer revenue
+    share)² in ppm — the antitrust curve over the customer base.
+    Exact integer parts (per-customer cents ride ONE custkey
+    shuffle, nation sums a second 25-row one); the final ppm goes
+    through the IEEE-double floor path that matches DuckDB
+    bit-for-bit. Customer nation attaches via broadcast."""
+    from geotile.ops.relational import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"ck": t["o_custkey"], "c": cents}) \
+            .group_by("ck").aggregate([("c", "sum")])
+        return pa.table({"ck": g["ck"], "c": g["c_sum"]})
+
+    pc_rev = (orders.map_batches(per_cust, batch_format="pyarrow")
+              .groupby("ck").sum("c"))
+    pc_rev = _rename(pc_rev, ["ck", "c"]).materialize()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = bucketed_join(pc_rev, cust, "ck", "c_custkey", n_buckets=16)
+
+    def nation_parts(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        g = pa.table({"nk": t["c_nationkey"].cast(pa.int64()),
+                      "s": pa.array(c), "ssq": pa.array(c * c)}) \
+            .group_by("nk").aggregate(
+                [([], "count_all"), ("s", "sum"), ("ssq", "sum")])
+        return pa.table({"n_nationkey": g["nk"],
+                         "n_cust": g["count_all"].cast(pa.int64()),
+                         "sum_cents": g["s_sum"],
+                         "ssq": g["ssq_sum"]})
+
+    agg = (j.map_batches(nation_parts, batch_format="pyarrow")
+           .groupby("n_nationkey").sum(["n_cust", "sum_cents",
+                                        "ssq"])).take_all()
+    rows = []
+    for r in sorted(agg, key=lambda r: r["n_nationkey"]):
+        s, ssq = r["sum(sum_cents)"], r["sum(ssq)"]
+        hhi = int(np.floor(np.float64(ssq) * 1000000.0
+                           / (np.float64(s) * np.float64(s)) + 0.5))
+        rows.append({"n_nationkey": r["n_nationkey"],
+                     "n_cust": r["sum(n_cust)"], "sum_cents": s,
+                     "hhi_ppm": hhi})
+    return pd.DataFrame(rows)
+
+
+QUERIES["hhi_nations"] = q_hhi_nations
+ORACLE_SQL["hhi_nations"] = """
+        WITH pc AS (SELECT o_custkey,
+                           SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                    AS BIGINT)) AS c
+                    FROM orders GROUP BY 1),
+        n AS (SELECT CAST(c_nationkey AS BIGINT) AS nk, pc.c
+              FROM pc JOIN customer ON o_custkey = c_custkey)
+        SELECT nk AS n_nationkey, count(*) AS n_cust,
+               CAST(SUM(c) AS BIGINT) AS sum_cents,
+               CAST(floor(CAST(SUM(c * c) AS DOUBLE) * 1000000.0
+                          / (CAST(SUM(c) AS DOUBLE)
+                             * CAST(SUM(c) AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS hhi_ppm
+        FROM n GROUP BY 1
     """

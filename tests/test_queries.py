@@ -162,6 +162,14 @@ CHECKED = [
     "disjunctive_pred_q19",
     "top_supplier_q15",
     "waiting_customers_q22",
+    "returned_revenue_q10",
+    "volatility_users",
+    "hapax_rate_sources",
+    "stream_dedup_ttl",
+    "nation_quarter_qoq",
+    "growth_accounting_quarters",
+    "calibration_bins_embeddings",
+    "hhi_nations",
 ]
 
 
@@ -599,4 +607,20 @@ def test_tile_corridor_query_oracle(ray_session, con):
            .sort_values("cell").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("cell", "n_tiles"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_cell_dominant_stop_oracle(ray_session, con):
+    """Engine per-cell argmax vs the ROW_NUMBER SQL replay at
+    sf0.001."""
+    from geotile.queries import (QUERIES, _cell_dominant_sql,
+                                 _image_dir_for)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["cell_dominant_stop"](SF).to_pandas()
+           .sort_values("cell").reset_index(drop=True))
+    exp = (con.execute(_cell_dominant_sql(img)).df()
+           .sort_values("cell").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("cell", "stop", "n"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
