@@ -210,10 +210,13 @@ def main() -> None:
         q_llm_corpus_prep,
         q_minhash_pairs_docs,
         q_pagerank_dups,
+        q_nation_pair_revenue,
         q_pricing_summary,
         q_region_revenue,
         q_tfidf_docs,
+        q_token_pair_support_docs,
         q_upsert_orders,
+        q_watermark_late_events,
         q_window_events,
     )
 
@@ -231,6 +234,9 @@ def main() -> None:
         ("region_revenue", q_region_revenue),  # r3c: 5-table Q5 shape
         ("llm_corpus_prep", q_llm_corpus_prep),  # r3d: dedup->filter->shard chain
         ("upsert_orders", q_upsert_orders),      # r3d: MERGE co-partition
+        ("nation_pair_revenue", q_nation_pair_revenue),  # r3e: Q7 dual-dim join
+        ("token_pair_support_docs", q_token_pair_support_docs),  # r3e: Gram matrix
+        ("watermark_late_events", q_watermark_late_events),  # r3e: prefix-max
     ]:
         t0 = time.time()
         res = fn(SF_DIR)
