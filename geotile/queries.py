@@ -4608,6 +4608,7 @@ def oracle_sql() -> dict[str, str]:
     out["image_median_gray"] = _image_median_sql(img01)
     out["tile_corridor_query"] = _tile_corridor_sql(img01)
     out["cell_dominant_stop"] = _cell_dominant_sql(img01)
+    out["segment_octants_routes"] = _segment_octants_sql()
     return out
 
 
@@ -14063,4 +14064,210 @@ ORACLE_SQL["hhi_nations"] = """
                              * CAST(SUM(c) AS DOUBLE)) + 0.5)
                     AS BIGINT) AS hhi_ppm
         FROM n GROUP BY 1
+    """
+
+
+def q_bigram_coverage_langs(sf_dir: str):
+    """Held-out n-gram coverage: split the corpus by doc parity
+    (even = train, odd = test), build the train bigram vocabulary
+    once (Heaps-bounded broadcast), and measure per language how many
+    test bigram occurrences the train side already knows — the OOV
+    audit before an n-gram LM ships. Bigrams keep top_bigrams'
+    convention (raw adjacent split tokens). Corpus text is read
+    twice, shuffled never."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def bigrams_of(t: pa.Table):
+        lists = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t)), lens)
+        # adjacent within the same doc
+        same = doc_idx[1:] == doc_idx[:-1]
+        left = flat[:-1][same]
+        right = flat[1:][same]
+        bg = np.char.add(np.char.add(left.astype(str), " "),
+                         right.astype(str))
+        return bg, doc_idx[:-1][same]
+
+    def train_part(t: pa.Table) -> pa.Table:
+        even = pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1)),
+                        pa.scalar(0))
+        f = t.filter(even)
+        if len(f) == 0:
+            return pa.table({"bg": pa.array([], pa.string())})
+        bg, _ = bigrams_of(f)
+        return pa.table({"bg": pa.array(np.unique(bg))}) \
+            .group_by("bg").aggregate([])
+
+    vocab_rows = (docs.map_batches(train_part, batch_format="pyarrow")
+                  .groupby("bg").count()).take_all()
+    vocab = np.array(sorted(r["bg"] for r in vocab_rows))
+    ref = ray.put(vocab)
+
+    def test_part(t: pa.Table) -> pa.Table:
+        odd = pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1)),
+                       pa.scalar(1))
+        f = t.filter(odd)
+        if len(f) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "n_covered": pa.array([], pa.int64())})
+        v = _broadcast(ref)
+        bg, dmap = bigrams_of(f)
+        lang = f["lang"].to_numpy(zero_copy_only=False)[dmap]
+        if len(v):
+            i = np.minimum(np.searchsorted(v, bg), len(v) - 1)
+            cov = (v[i] == bg).astype(np.int64)
+        else:
+            cov = np.zeros(len(bg), np.int64)
+        g = pa.table({"lang": pa.array(lang),
+                      "c": pa.array(cov)}).group_by("lang") \
+            .aggregate([([], "count_all"), ("c", "sum")])
+        return pa.table({"lang": g["lang"],
+                         "n_bigrams": g["count_all"].cast(pa.int64()),
+                         "n_covered": g["c_sum"]})
+
+    out = (docs.map_batches(test_part, batch_format="pyarrow")
+           .groupby("lang").sum(["n_bigrams", "n_covered"]))
+    return _rename(out, ["lang", "n_bigrams", "n_covered"])
+
+
+QUERIES["bigram_coverage_langs"] = q_bigram_coverage_langs
+ORACLE_SQL["bigram_coverage_langs"] = """
+        WITH t AS (SELECT doc_id, lang,
+                          string_split(text, ' ') AS tk
+                   FROM documents),
+        b AS (SELECT doc_id, lang,
+                     tk[CAST(u + 1 AS BIGINT)] || ' '
+                     || tk[CAST(u + 2 AS BIGINT)] AS bg
+              FROM t, UNNEST(range(len(tk) - 1)) s(u)
+              WHERE len(tk) > 1),
+        train AS (SELECT DISTINCT bg FROM b WHERE doc_id % 2 = 0)
+        SELECT lang, count(*) AS n_bigrams,
+               CAST(count(*) FILTER (bg IN (SELECT bg FROM train))
+                    AS BIGINT) AS n_covered
+        FROM b WHERE doc_id % 2 = 1
+        GROUP BY 1
+    """
+
+
+def q_segment_octants_routes(sf_dir: str):
+    """Route-bearing octant histogram: every centerline segment of
+    every fixture route classified into one of eight compass octants
+    using ONLY sign/magnitude compares in the meter frame (no atan2 —
+    libm-free, so the SQL replay over the segments sidecar is exact
+    by construction). The polyline set distributes as a segments
+    dataset; partials are route×8."""
+    from geotile.geom.buffer import meter_frame
+    from geotile.ops.join import (_ANCHOR_LAT, _ANCHOR_LON,
+                                  route_polylines)
+
+    mx, my = meter_frame(_ANCHOR_LAT)
+    lines = route_polylines(_fixture_ctx())
+    cols = {"route_id": [], "dx": [], "dy": []}
+    for rid in sorted(lines):
+        for part in lines[rid]:
+            m = np.column_stack([(part[:, 0] - _ANCHOR_LON) * mx,
+                                 (part[:, 1] - _ANCHOR_LAT) * my])
+            cols["route_id"].extend([rid] * (len(m) - 1))
+            cols["dx"].append(m[1:, 0] - m[:-1, 0])
+            cols["dy"].append(m[1:, 1] - m[:-1, 1])
+    segs = rd.from_arrow(pa.table({
+        "route_id": pa.array(cols["route_id"], pa.string()),
+        "dx": pa.array(np.concatenate(cols["dx"])),
+        "dy": pa.array(np.concatenate(cols["dy"]))}))
+
+    def octant(t: pa.Table) -> pa.Table:
+        dx = t["dx"].to_numpy(zero_copy_only=False)
+        dy = t["dy"].to_numpy(zero_copy_only=False)
+        o = ((dy < 0).astype(np.int64) * 4
+             + (dx < 0).astype(np.int64) * 2
+             + (np.abs(dx) < np.abs(dy)).astype(np.int64))
+        g = pa.table({"route_id": t["route_id"],
+                      "octant": pa.array(o)}) \
+            .group_by(["route_id", "octant"]).aggregate(
+                [([], "count_all")])
+        return pa.table({"route_id": g["route_id"],
+                         "octant": g["octant"],
+                         "n_segments": g["count_all"].cast(pa.int64())})
+
+    out = (segs.map_batches(octant, batch_format="pyarrow")
+           .groupby(["route_id", "octant"]).sum("n_segments"))
+    return _rename(out, ["route_id", "octant", "n_segments"])
+
+
+QUERIES["segment_octants_routes"] = q_segment_octants_routes
+
+
+def _segment_octants_sql() -> str:
+    return f"""
+        SELECT route_id,
+               CAST(CAST(dy < 0 AS INT) * 4 + CAST(dx < 0 AS INT) * 2
+                    + CAST(abs(dx) < abs(dy) AS INT) AS BIGINT)
+                   AS octant,
+               count(*) AS n_segments
+        FROM read_parquet('{_oracle_segments_path()}')
+        GROUP BY 1, 2
+    """
+
+
+def q_unigram_l1_langs(sf_dir: str):
+    """Exact distribution divergence without a single float: the L1
+    distance between the en and de unigram distributions computed on
+    the CROSS-SCALED integer lattice Σ|n_en·N_de − n_de·N_en| — the
+    corpus-drift check between two language shards. Token counts ride
+    one vocab-cardinality shuffle; the epilogue is vocab-sized.
+    Domain bound: n·N < 2⁶³ holds to ~3·10⁹ tokens per shard —
+    beyond that, pre-scale by gcd or move to Python ints in the
+    epilogue."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["lang"],
+                              value_set=pa.array(["en", "de"])))
+        if len(f) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n1": pa.array([], pa.int64()),
+                             "n2": pa.array([], pa.int64())})
+        lists = pc.split_pattern(f["text"], " ")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False)
+        lang = np.repeat(f["lang"].to_numpy(zero_copy_only=False),
+                         lens)
+        keep = flat != ""
+        flat, lang = flat[keep], lang[keep]
+        is_en = (lang == "en").astype(np.int64)
+        g = pa.table({"token": pa.array(flat),
+                      "n1": pa.array(is_en),
+                      "n2": pa.array(1 - is_en)}).group_by("token") \
+            .aggregate([("n1", "sum"), ("n2", "sum")])
+        return pa.table({"token": g["token"], "n1": g["n1_sum"],
+                         "n2": g["n2_sum"]})
+
+    agg = (docs.map_batches(counts, batch_format="pyarrow")
+           .groupby("token").sum(["n1", "n2"])).take_all()
+    n1 = np.array([r["sum(n1)"] for r in agg], dtype=np.int64)
+    n2 = np.array([r["sum(n2)"] for r in agg], dtype=np.int64)
+    N1, N2 = int(n1.sum()), int(n2.sum())
+    l1 = int(np.abs(n1 * N2 - n2 * N1).sum())
+    return pd.DataFrame({"n_en": [N1], "n_de": [N2],
+                         "l1_cross": [l1]})
+
+
+QUERIES["unigram_l1_langs"] = q_unigram_l1_langs
+ORACLE_SQL["unigram_l1_langs"] = """
+        WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+                   FROM documents WHERE lang IN ('en', 'de')),
+        c AS (SELECT t,
+                     count(*) FILTER (lang = 'en') AS n1,
+                     count(*) FILTER (lang = 'de') AS n2
+              FROM w WHERE t <> '' GROUP BY 1),
+        tt AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM c)
+        SELECT CAST(any_value(t1) AS BIGINT) AS n_en,
+               CAST(any_value(t2) AS BIGINT) AS n_de,
+               CAST(SUM(abs(n1 * t2 - n2 * t1)) AS BIGINT) AS l1_cross
+        FROM c, tt
     """

@@ -170,6 +170,8 @@ CHECKED = [
     "growth_accounting_quarters",
     "calibration_bins_embeddings",
     "hhi_nations",
+    "bigram_coverage_langs",
+    "unigram_l1_langs",
 ]
 
 
@@ -623,4 +625,18 @@ def test_cell_dominant_stop_oracle(ray_session, con):
            .sort_values("cell").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("cell", "stop", "n"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_segment_octants_routes_oracle(ray_session, con):
+    """Engine sign/magnitude octant classification vs the segments-
+    sidecar SQL replay (libm-free by construction)."""
+    from geotile.queries import QUERIES, _segment_octants_sql
+
+    got = (QUERIES["segment_octants_routes"](SF).to_pandas()
+           .sort_values(["route_id", "octant"]).reset_index(drop=True))
+    exp = (con.execute(_segment_octants_sql()).df()
+           .sort_values(["route_id", "octant"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("route_id", "octant", "n_segments"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
