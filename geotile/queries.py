@@ -14271,3 +14271,202 @@ ORACLE_SQL["unigram_l1_langs"] = """
                CAST(SUM(abs(n1 * t2 - n2 * t1)) AS BIGINT) AS l1_cross
         FROM c, tt
     """
+
+
+def q_business_lead_hist(sf_dir: str):
+    """Business-day lead-time histogram (order date → ship date,
+    weekends excluded): the calendar arithmetic runs entirely in the
+    closed form bizdays = span − (G(d₂) − G(d₁)) with
+    G(d) = 2·((d+4)//7) + max(0, (d+4)%7 − 5) — integer //,%,max
+    only, identical in numpy and SQL, verified against a brute scan.
+    One bucketed orderkey co-partition carries the pair; the
+    histogram is lead-time-cardinality."""
+    from geotile.ops.relational import bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey",
+                      n_buckets=16)
+
+    def hist(t: pa.Table) -> pa.Table:
+        d2 = (t["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        d1 = (t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+
+        def G(d):
+            m = d + 4
+            return 2 * (m // 7) + np.maximum(0, m % 7 - 5)
+
+        biz = (d2 - d1) - (G(d2) - G(d1))
+        g = pa.table({"biz_days": pa.array(biz)}).group_by(
+            "biz_days").aggregate([([], "count_all")])
+        return pa.table({"biz_days": g["biz_days"],
+                         "n_items": g["count_all"].cast(pa.int64())})
+
+    out = (j.map_batches(hist, batch_format="pyarrow")
+           .groupby("biz_days").sum("n_items"))
+    return _rename(out, ["biz_days", "n_items"])
+
+
+QUERIES["business_lead_hist"] = q_business_lead_hist
+ORACLE_SQL["business_lead_hist"] = """
+        WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d1,
+                          epoch_us(l_shipdate) // 86400000000 AS d2
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT CAST((d2 - d1)
+                    - ((2 * ((d2 + 4) // 7)
+                        + greatest(0, (d2 + 4) % 7 - 5))
+                       - (2 * ((d1 + 4) // 7)
+                          + greatest(0, (d1 + 4) % 7 - 5)))
+                    AS BIGINT) AS biz_days,
+               count(*) AS n_items
+        FROM d GROUP BY 1
+    """
+
+
+def q_transition_dwell_matrix(sf_dir: str):
+    """Dwell-weighted transition matrix: for each (from-type,
+    to-type) adjacent pair inside a user's stream, the count AND the
+    exact total dwell microseconds spent in the from-state — the
+    Markov chain with holding times. One user co-partition; pairs and
+    dwells come from one shifted compare over the lexsorted bucket;
+    the matrix is 5×5 partials."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"from_type": pd.Series(dtype=object),
+                                 "to_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "dwell_us": pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ty = df["event_type"].to_numpy()
+        o = np.lexsort((e, t, u))
+        uu, tu, tyu = u[o], t[o], ty[o]
+        same = uu[1:] == uu[:-1]
+        g = pd.DataFrame({"from_type": tyu[:-1][same],
+                          "to_type": tyu[1:][same],
+                          "dwell_us": (tu[1:] - tu[:-1])[same]}) \
+            .groupby(["from_type", "to_type"], as_index=False) \
+            .agg(n=("dwell_us", "size"), dwell_us=("dwell_us", "sum"))
+        return g
+
+    out = (_with_bucket(ev, "user_id", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .groupby(["from_type", "to_type"]).sum(["n", "dwell_us"]))
+    return _rename(out, ["from_type", "to_type", "n", "dwell_us"])
+
+
+QUERIES["transition_dwell_matrix"] = q_transition_dwell_matrix
+ORACLE_SQL["transition_dwell_matrix"] = """
+        WITH s AS (SELECT user_id, event_type,
+                          LEAD(event_type) OVER w AS nxt,
+                          LEAD(epoch_us(ts)) OVER w - epoch_us(ts)
+                              AS dwell
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id))
+        SELECT event_type AS from_type, nxt AS to_type,
+               count(*) AS n, CAST(SUM(dwell) AS BIGINT) AS dwell_us
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    """
+
+
+def q_abc_classification_customers(sf_dir: str):
+    """ABC (Pareto) classification: customers ranked by revenue
+    descending, class A while the running total stays ≤ 80% of the
+    grand total, B to 95%, C after — counts and revenue per class
+    WITHOUT ranking a row. Equal-revenue runs split arithmetically
+    (within a tied run the r-th rank's cum is base + r·c, so the
+    crossing rank is one ceil-division) — the histogram scan gives
+    the same counts as the per-rank window, tie order provably
+    irrelevant. Thresholds compare as 5·cum vs 4·T and 20·cum vs
+    19·T, all integer."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"ck": t["o_custkey"], "c": cents}) \
+            .group_by("ck").aggregate([("c", "sum")])
+        return pa.table({"ck": g["ck"], "c": g["c_sum"]})
+
+    rev = (orders.map_batches(per_cust, batch_format="pyarrow")
+           .groupby("ck").sum("c"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = pa.table({"c": t["sum(c)"]}).group_by("c").aggregate(
+            [([], "count_all")])
+        return pa.table({"c": g["c"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    rows = (rev.map_batches(hist, batch_format="pyarrow")
+            .groupby("c").sum("n")).take_all()
+    c = np.array([r["c"] for r in rows], dtype=np.int64)
+    n = np.array([r["sum(n)"] for r in rows], dtype=np.int64)
+    o = np.argsort(-c)
+    c, n = c[o], n[o]
+    T = int((c * n).sum())
+    cum_before = np.r_[0, np.cumsum(c * n)[:-1]]
+    cnt_before = np.r_[0, np.cumsum(n)[:-1]]
+
+    def crossing(num: int, den: int) -> int:
+        """# of ranks (desc order) whose running total · den ≤ num · T."""
+        thresh = num * T
+        full = den * (cum_before + c * n) <= thresh
+        k = int(n[full].sum())
+        j = int(full.sum())  # first bucket not fully inside
+        if j < len(c) and den * cum_before[j] <= thresh and c[j] > 0:
+            k += min(int(n[j]),
+                     int((thresh - den * cum_before[j])
+                         // (den * c[j])))
+        return k
+
+    a = crossing(4, 5)
+    b = crossing(19, 20)
+    total_n = int(n.sum())
+
+    def rev_of(k: int) -> int:
+        full = cnt_before + n <= k
+        s = int((c[full] * n[full]).sum())
+        j = int(full.sum())
+        if j < len(c):
+            s += int(c[j]) * (k - int(n[full].sum()))
+        return s
+
+    ra, rb = rev_of(a), rev_of(b)
+    return pd.DataFrame([
+        {"cls": "A", "n_customers": a, "revenue_cents": ra},
+        {"cls": "B", "n_customers": b - a, "revenue_cents": rb - ra},
+        {"cls": "C", "n_customers": total_n - b,
+         "revenue_cents": T - rb}])
+
+
+QUERIES["abc_classification_customers"] = q_abc_classification_customers
+ORACLE_SQL["abc_classification_customers"] = """
+        WITH pc AS (SELECT o_custkey,
+                           SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                    AS BIGINT)) AS c
+                    FROM orders GROUP BY 1),
+        r AS (SELECT c,
+                     SUM(c) OVER (ORDER BY c DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(c) OVER () AS t
+              FROM pc),
+        k AS (SELECT c,
+                     CASE WHEN 5 * cum <= 4 * t THEN 'A'
+                          WHEN 20 * cum <= 19 * t THEN 'B'
+                          ELSE 'C' END AS cls
+              FROM r)
+        SELECT cls, count(*) AS n_customers,
+               CAST(SUM(c) AS BIGINT) AS revenue_cents
+        FROM k GROUP BY 1
+    """

@@ -172,6 +172,9 @@ CHECKED = [
     "hhi_nations",
     "bigram_coverage_langs",
     "unigram_l1_langs",
+    "business_lead_hist",
+    "transition_dwell_matrix",
+    "abc_classification_customers",
 ]
 
 
