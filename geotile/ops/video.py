@@ -1,0 +1,66 @@
+"""Video-modality plumbing: multi-frame binary payloads + typed
+metadata in, sampled-frame features out — the video twin of
+ops/audio.py. The one honest codec is 'rawseq' (concatenated raw
+RGB frames, the synth stand-in); anything else raises
+NotImplementedError so a real decoder slots in without changing the
+pipeline shape (same contract as tiles.FrameSampleStage, which
+handles the still-image degenerate case)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def read_video_table(
+    path: str | list[str],
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> rd.Dataset:
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=override_num_blocks)
+
+
+class VideoFrameStage:
+    """Actor-pool stage: decode each clip's frame sequence, keep every
+    ``every_n``-th frame, and emit one row per SAMPLED frame with its
+    exact integer pixel sum (the cheap per-frame checksum a real
+    feature extractor would replace). The whole batch's sampled
+    frames reduce in one vectorized sum over a stacked
+    (clips × samples, h, w, 3) tensor — no per-pixel Python."""
+
+    def __init__(self, every_n: int = 4):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codecs = set(batch["codec"].to_pylist())
+        if codecs - {"rawseq"}:
+            raise NotImplementedError(
+                f"no video codec for {sorted(codecs - {'rawseq'})} in "
+                "this container — drop a decoder into VideoFrameStage")
+        ids = batch["clip_id"].to_numpy(zero_copy_only=False)
+        nf = batch["n_frames"].to_numpy(zero_copy_only=False)
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        payloads = batch["bytes"].to_pylist()
+        out_id, out_fr, out_sum = [], [], []
+        groups: dict[tuple[int, int, int], list[int]] = {}
+        for i, key in enumerate(zip(nf, ws, hs)):
+            groups.setdefault(tuple(int(x) for x in key), []).append(i)
+        for (f, w, h), slots in groups.items():
+            clips = np.stack([
+                np.frombuffer(payloads[i], dtype=np.uint8)
+                .reshape(f, h, w, 3) for i in slots])
+            sel = np.arange(0, f, self.every_n)
+            sampled = clips[:, sel]  # (k, s, h, w, 3)
+            sums = sampled.astype(np.int64).sum(axis=(2, 3, 4))
+            k, s = sums.shape
+            out_id.append(np.repeat(ids[slots], s))
+            out_fr.append(np.tile(sel.astype(np.int64), k))
+            out_sum.append(sums.reshape(-1))
+        return pa.table({
+            "clip_id": pa.array(np.concatenate(out_id)),
+            "frame_idx": pa.array(np.concatenate(out_fr)),
+            "pixel_sum": pa.array(np.concatenate(out_sum)),
+        })

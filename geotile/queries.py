@@ -4609,6 +4609,8 @@ def oracle_sql() -> dict[str, str]:
     out["tile_corridor_query"] = _tile_corridor_sql(img01)
     out["cell_dominant_stop"] = _cell_dominant_sql(img01)
     out["segment_octants_routes"] = _segment_octants_sql()
+    out["video_frame_sums"] = _video_sums_sql(
+        _video_dir_for("/root/testdata/sf0.01"))
     return out
 
 
@@ -14469,4 +14471,204 @@ ORACLE_SQL["abc_classification_customers"] = """
         SELECT cls, count(*) AS n_customers,
                CAST(SUM(c) AS BIGINT) AS revenue_cents
         FROM k GROUP BY 1
+    """
+
+
+_SF_VIDEO_ROWS = {"sf0.001": 32, "sf0.01": 128, "sf0.1": 512}
+
+
+def _video_dir_for(sf_dir: str) -> str:
+    import os
+    from pathlib import Path
+
+    from geotile.synth import make_video_table
+
+    sf_name = Path(sf_dir).name
+    n = _SF_VIDEO_ROWS.get(sf_name, 32)
+    out = Path(os.environ.get("GEOTILE_CACHE",
+                              "/tmp/geotile_cache")) / f"video_{sf_name}"
+    make_video_table(n, out)
+    return str(out)
+
+
+def q_video_frame_sums(sf_dir: str):
+    """Video-modality frame sampling: decode each clip's raw frame
+    sequence, keep every 4th frame, emit exact integer pixel sums per
+    sampled frame (ops/video.py VideoFrameStage — real actor-pool
+    plumbing, honest 'rawseq' codec, NotImplementedError gate for the
+    rest). Oracle: generator-replay sidecar rederives every sampled
+    frame independently from synth.pixel_pattern with a python-int
+    sum."""
+    from geotile.ops.video import VideoFrameStage, read_video_table
+
+    ds = read_video_table(_video_dir_for(sf_dir))
+    return ds.map_batches(
+        VideoFrameStage, batch_format="pyarrow", batch_size=32,
+        concurrency=2,
+    )
+
+
+QUERIES["video_frame_sums"] = q_video_frame_sums
+
+
+def _video_sums_sidecar(vid: str) -> str:
+    """Generator replay for video_frame_sums: every sampled frame is
+    rederived directly (clip·64 + frame index into pixel_pattern) and
+    summed with python ints. Content-keyed on synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_videosums_{Path(vid).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(vid, columns=["clip_id", "n_frames"])
+        ids = np.sort(t["clip_id"].to_numpy(zero_copy_only=False))
+        nf = int(t["n_frames"][0].as_py())
+        rows = []
+        for cid in ids.tolist():
+            for f in range(0, nf, 4):
+                px = _sy.pixel_pattern(
+                    np.array([cid * 64 + f], np.uint64),
+                    _sy.VIDEO_W, _sy.VIDEO_H)[0]
+                rows.append({"clip_id": cid, "frame_idx": f,
+                             "pixel_sum": int(sum(
+                                 int(v) for v in px.ravel().tolist()))})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _video_sums_sql(vid: str) -> str:
+    return (f"SELECT clip_id, frame_idx, pixel_sum "
+            f"FROM read_parquet('{_video_sums_sidecar(vid)}')")
+
+
+def q_supplier_mad_nations(sf_dir: str):
+    """Grouped robust statistics: per nation the LOWER-median supplier
+    balance and the median absolute deviation around it — two nested
+    order statistics computed where the group lives (one nation
+    co-partition, sorted-gather per group; no global rank). Balances
+    on the exact cents lattice; the SQL replay selects both medians
+    with deterministic ROW_NUMBER offsets."""
+    from geotile.ops.relational import _with_bucket
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey",
+                                     "s_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["s_acctbal"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"nk": t["s_nationkey"].cast(pa.int64()),
+                         "sk": t["s_suppkey"], "c": cents})
+
+    ds = sup.map_batches(prep, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n_nationkey": pd.Series(dtype=np.int64),
+                                 "n_supp": pd.Series(dtype=np.int64),
+                                 "median_cents":
+                                     pd.Series(dtype=np.int64),
+                                 "mad_cents": pd.Series(dtype=np.int64)})
+        rows = []
+        for nk, g in df.groupby("nk"):
+            c = np.sort(g["c"].to_numpy(np.int64))
+            med = int(c[(len(c) - 1) // 2])
+            dev = np.sort(np.abs(c - med))
+            rows.append({"n_nationkey": np.int64(nk), "n_supp": len(c),
+                         "median_cents": med,
+                         "mad_cents": int(dev[(len(dev) - 1) // 2])})
+        return pd.DataFrame(rows)
+
+    return (_with_bucket(ds, "nk", 8)
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))
+
+
+QUERIES["supplier_mad_nations"] = q_supplier_mad_nations
+ORACLE_SQL["supplier_mad_nations"] = """
+        WITH c AS (SELECT CAST(s_nationkey AS BIGINT) AS nk,
+                          CAST(floor(s_acctbal * 100.0 + 0.5)
+                               AS BIGINT) AS c
+                   FROM supplier),
+        r AS (SELECT nk, c,
+                     ROW_NUMBER() OVER (PARTITION BY nk ORDER BY c)
+                         AS rn,
+                     count(*) OVER (PARTITION BY nk) AS n
+              FROM c),
+        med AS (SELECT nk, c AS med, n FROM r
+                WHERE rn = (n - 1) // 2 + 1),
+        dev AS (SELECT c.nk, abs(c.c - med.med) AS d, med.med, med.n
+                FROM c JOIN med ON c.nk = med.nk),
+        r2 AS (SELECT nk, d, med, n,
+                      ROW_NUMBER() OVER (PARTITION BY nk ORDER BY d)
+                          AS rn
+               FROM dev)
+        SELECT nk AS n_nationkey, CAST(n AS BIGINT) AS n_supp,
+               med AS median_cents, d AS mad_cents
+        FROM r2 WHERE rn = (n - 1) // 2 + 1
+    """
+
+
+def q_acquisition_conversion(sf_dir: str):
+    """Acquisition-channel readout: users grouped by their FIRST-ever
+    event type (the acquisition touch), with exposure and conversion
+    counts — first-touch × outcome in one pass. Each user's first
+    event and purchase flag ride a single user-cardinality shuffle
+    (argmin gather inside a user co-partition); the readout is
+    5-row."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"first_type": pd.Series(dtype=object),
+                                 "n_users": pd.Series(dtype=np.int64),
+                                 "n_converted":
+                                     pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ty = df["event_type"].to_numpy()
+        o = np.lexsort((e, t, u))
+        uu, tyu = u[o], ty[o]
+        first = np.r_[True, uu[1:] != uu[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(uu)]
+        conv = np.zeros(len(starts), np.int64)
+        is_p = tyu == "purchase"
+        cum = np.r_[0, np.cumsum(is_p)]
+        conv = (cum[ends] - cum[starts] > 0).astype(np.int64)
+        g = pd.DataFrame({"first_type": tyu[starts], "conv": conv}) \
+            .groupby("first_type", as_index=False) \
+            .agg(n_users=("conv", "size"), n_converted=("conv", "sum"))
+        return g
+
+    out = (_with_bucket(ev, "user_id", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .groupby("first_type").sum(["n_users", "n_converted"]))
+    return _rename(out, ["first_type", "n_users", "n_converted"])
+
+
+QUERIES["acquisition_conversion"] = q_acquisition_conversion
+ORACLE_SQL["acquisition_conversion"] = """
+        WITH f AS (SELECT user_id, event_type,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+                   FROM events),
+        u AS (SELECT user_id, count(*) FILTER (event_type = 'purchase')
+                         AS np
+              FROM events GROUP BY 1)
+        SELECT f.event_type AS first_type, count(*) AS n_users,
+               CAST(count(*) FILTER (u.np > 0) AS BIGINT)
+                   AS n_converted
+        FROM f JOIN u USING (user_id)
+        WHERE f.rn = 1 GROUP BY 1
     """

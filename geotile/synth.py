@@ -619,3 +619,56 @@ def make_audio_table(n: int, out_dir: str | Path,
         pq.write_table(t, tmp)
         tmp.rename(part)
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# video modality: deterministic multi-frame tracks (offline stand-in —
+# same schema/plumbing a real codec path would see)
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES = 16
+VIDEO_W = 16
+VIDEO_H = 16
+
+
+def video_frames(clip_ids: np.ndarray) -> np.ndarray:
+    """(n, F, H, W, 3) uint8 deterministic frames: frame f of clip c
+    reuses pixel_pattern's generator on index c·64 + f, so every frame
+    is independently rederivable."""
+    ids = np.asarray(clip_ids, dtype=np.int64)
+    n = len(ids)
+    idx = (ids[:, None] * 64 + np.arange(VIDEO_FRAMES)[None, :]) \
+        .astype(np.uint64).reshape(-1)
+    px = pixel_pattern(idx, VIDEO_W, VIDEO_H)
+    return px.reshape(n, VIDEO_FRAMES, VIDEO_H, VIDEO_W, 3)
+
+
+def make_video_table(n: int, out_dir: str | Path,
+                     rows_per_file: int = 1024) -> Path:
+    """Write n clips as part files (clip_id, n_frames, w, h, codec,
+    bytes = all frames concatenated raw). Skips existing parts."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for pstart in range(0, n, rows_per_file):
+        pend = min(n, pstart + rows_per_file)
+        part = out_dir / f"part-{pstart // rows_per_file:05d}.parquet"
+        if part.exists():
+            continue
+        ids = np.arange(pstart, pend, dtype=np.int64)
+        fr = video_frames(ids)
+        t = pa.table({
+            "clip_id": pa.array(ids),
+            "n_frames": pa.array(
+                np.full(len(ids), VIDEO_FRAMES, np.int32)),
+            "w": pa.array(np.full(len(ids), VIDEO_W, np.int32)),
+            "h": pa.array(np.full(len(ids), VIDEO_H, np.int32)),
+            "codec": pa.array(["rawseq"] * len(ids), pa.string()),
+            "bytes": pa.array([fr[i].tobytes() for i in range(len(ids))],
+                              pa.binary()),
+        })
+        import os
+
+        tmp = part.with_suffix(f".tmp-{os.getpid()}")
+        pq.write_table(t, tmp)
+        tmp.rename(part)
+    return out_dir

@@ -175,6 +175,8 @@ CHECKED = [
     "business_lead_hist",
     "transition_dwell_matrix",
     "abc_classification_customers",
+    "supplier_mad_nations",
+    "acquisition_conversion",
 ]
 
 
@@ -643,3 +645,32 @@ def test_segment_octants_routes_oracle(ray_session, con):
     assert len(got) == len(exp) > 0
     for c in ("route_id", "octant", "n_segments"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_video_frame_sums_oracle(ray_session, con):
+    """Engine VideoFrameStage (stacked tensor sums over the decoded
+    rawseq payload) vs the per-frame generator replay at sf0.001;
+    unsupported codecs must raise."""
+    import pyarrow as pa
+    import pytest as _pt
+
+    from geotile.ops.video import VideoFrameStage
+    from geotile.queries import (QUERIES, _video_dir_for,
+                                 _video_sums_sql)
+
+    vid = _video_dir_for(SF)
+    got = (QUERIES["video_frame_sums"](SF).to_pandas()
+           .sort_values(["clip_id", "frame_idx"]).reset_index(drop=True))
+    exp = (con.execute(_video_sums_sql(vid)).df()
+           .sort_values(["clip_id", "frame_idx"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("clip_id", "frame_idx", "pixel_sum"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    with _pt.raises(NotImplementedError):
+        VideoFrameStage()(pa.table({
+            "clip_id": pa.array([1], pa.int64()),
+            "n_frames": pa.array([1], pa.int32()),
+            "w": pa.array([2], pa.int32()),
+            "h": pa.array([2], pa.int32()),
+            "codec": pa.array(["h264"]),
+            "bytes": pa.array([b"x"], pa.binary())}))
