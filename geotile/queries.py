@@ -4611,6 +4611,7 @@ def oracle_sql() -> dict[str, str]:
     out["segment_octants_routes"] = _segment_octants_sql()
     out["video_frame_sums"] = _video_sums_sql(
         _video_dir_for("/root/testdata/sf0.01"))
+    out["lang_confusion_matrix"] = _lang_confusion_sql()
     return out
 
 
@@ -14671,4 +14672,171 @@ ORACLE_SQL["acquisition_conversion"] = """
                    AS n_converted
         FROM f JOIN u USING (user_id)
         WHERE f.rn = 1 GROUP BY 1
+    """
+
+
+def q_burst_minutes_events(sf_dir: str):
+    """Burst detection inputs: per day, how many one-minute windows
+    carry ≥3 events and the hottest minute's count — the rate-spike
+    audit before an alerting rule ships. Per-batch (minute) count
+    partials (minute-cardinality, calendar-bounded), then a per-day
+    epilogue over the minute histogram."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def per_minute(t: pa.Table) -> pa.Table:
+        m = pc.divide(t["ts"].cast(pa.int64()),
+                      pa.scalar(60_000_000, pa.int64()))
+        g = pa.table({"m": m}).group_by("m").aggregate(
+            [([], "count_all")])
+        return pa.table({"m": g["m"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    minutes = (ev.map_batches(per_minute, batch_format="pyarrow")
+               .groupby("m").sum("n"))
+
+    def per_day(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["m"], pa.scalar(1440, pa.int64()))
+        n = t["sum(n)"]
+        hot = pc.greater_equal(n, pa.scalar(3)).cast(pa.int64())
+        g = pa.table({"day": day, "hot": hot, "n": n}) \
+            .group_by("day").aggregate(
+                [([], "count_all"), ("hot", "sum"), ("n", "max")])
+        return pa.table({"day": g["day"],
+                         "n_active_minutes":
+                             g["count_all"].cast(pa.int64()),
+                         "n_burst_minutes": g["hot_sum"],
+                         "max_minute": g["n_max"]})
+
+    out = (minutes.map_batches(per_day, batch_format="pyarrow")
+           .groupby("day")
+           .aggregate(rd.aggregate.Sum("n_active_minutes"),
+                      rd.aggregate.Sum("n_burst_minutes"),
+                      rd.aggregate.Max("max_minute")))
+    return _rename(out, ["day", "n_active_minutes", "n_burst_minutes",
+                         "max_minute"])
+
+
+QUERIES["burst_minutes_events"] = q_burst_minutes_events
+ORACLE_SQL["burst_minutes_events"] = """
+        WITH m AS (SELECT epoch_us(ts) // 60000000 AS m, count(*) AS n
+                   FROM events GROUP BY 1)
+        SELECT CAST(m // 1440 AS BIGINT) AS day,
+               count(*) AS n_active_minutes,
+               CAST(count(*) FILTER (n >= 3) AS BIGINT)
+                   AS n_burst_minutes,
+               CAST(max(n) AS BIGINT) AS max_minute
+        FROM m GROUP BY 1
+    """
+
+
+def q_supplier_cov_nations(sf_dir: str):
+    """Cross-table grouped covariance parts: per nation, the exact
+    integer moments (n, Σx, Σy, Σxy) between each supplier's account
+    balance and their shipped revenue — does capital predict volume?
+    Per-supplier revenue rides one suppkey shuffle; the supplier dim
+    (balance, nation) attaches by sorted-key broadcast; nation moments
+    are 25-row partials. x in cents, y in whole dollars so Σxy stays
+    far inside int64."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def per_supp(t: pa.Table) -> pa.Table:
+        rev = pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(1.0)), pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"sk": t["l_suppkey"], "y": rev}) \
+            .group_by("sk").aggregate([("y", "sum")])
+        return pa.table({"sk": g["sk"], "y": g["y_sum"]})
+
+    rev = (li.map_batches(per_supp, batch_format="pyarrow")
+           .groupby("sk").sum("y"))
+    rev = _rename(rev, ["sk", "y"])
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey", "s_acctbal"]).take_all()
+    sk = np.array(sorted(r["s_suppkey"] for r in sup), dtype=np.int64)
+    by = {r["s_suppkey"]: r for r in sup}
+    nk = np.array([by[k]["s_nationkey"] for k in sk], dtype=np.int64)
+    bal = np.array([int(np.floor(by[k]["s_acctbal"] * 100.0 + 0.5))
+                    for k in sk], dtype=np.int64)
+    ref = ray.put((sk, nk, bal))
+
+    def moments(t: pa.Table) -> pa.Table:
+        sk_, nk_, bal_ = _broadcast(ref)
+        s = t["sk"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        i = np.minimum(np.searchsorted(sk_, s), len(sk_) - 1)
+        hit = sk_[i] == s
+        i, y = i[hit], y[hit]
+        x = bal_[i]
+        g = pa.table({"nk": pa.array(nk_[i]), "x": pa.array(x),
+                      "y": pa.array(y), "xy": pa.array(x * y)}) \
+            .group_by("nk").aggregate(
+                [([], "count_all"), ("x", "sum"), ("y", "sum"),
+                 ("xy", "sum")])
+        return pa.table({"n_nationkey": g["nk"],
+                         "n_supp": g["count_all"].cast(pa.int64()),
+                         "sum_x": g["x_sum"], "sum_y": g["y_sum"],
+                         "sum_xy": g["xy_sum"]})
+
+    out = (rev.map_batches(moments, batch_format="pyarrow")
+           .groupby("n_nationkey").sum(["n_supp", "sum_x", "sum_y",
+                                        "sum_xy"]))
+    return _rename(out, ["n_nationkey", "n_supp", "sum_x", "sum_y",
+                         "sum_xy"])
+
+
+QUERIES["supplier_cov_nations"] = q_supplier_cov_nations
+ORACLE_SQL["supplier_cov_nations"] = """
+        WITH r AS (SELECT l_suppkey,
+                          SUM(CAST(floor(l_extendedprice
+                              * (1 - l_discount) * 1.0 + 0.5)
+                              AS BIGINT)) AS y
+                   FROM lineitem GROUP BY 1),
+        m AS (SELECT CAST(s_nationkey AS BIGINT) AS nk,
+                     CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)
+                         AS x,
+                     r.y
+              FROM r JOIN supplier ON l_suppkey = s_suppkey)
+        SELECT nk AS n_nationkey, count(*) AS n_supp,
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(SUM(y) AS BIGINT) AS sum_y,
+               CAST(SUM(x * y) AS BIGINT) AS sum_xy
+        FROM m GROUP BY 1
+    """
+
+
+def q_lang_confusion_matrix(sf_dir: str):
+    """Language-ID quality readout: the (stored lang × predicted
+    lang) confusion matrix over the whole corpus — the eval loop
+    around ops/text.lang_id run as a 25-cell aggregate instead of a
+    row-level export. The scorer runs exactly once per doc inside the
+    batch; only closed-vocabulary matrix partials shuffle."""
+    from geotile.ops.text import lang_id
+
+    scored = lang_id(_read(sf_dir, "documents",
+                           ["doc_id", "text", "lang"]))
+
+    def matrix(t: pa.Table) -> pa.Table:
+        g = t.select(["lang", "lang_pred"]) \
+            .group_by(["lang", "lang_pred"]).aggregate(
+                [([], "count_all")])
+        return pa.table({"lang": g["lang"],
+                         "lang_pred": g["lang_pred"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    out = (scored.map_batches(matrix, batch_format="pyarrow")
+           .groupby(["lang", "lang_pred"]).sum("n"))
+    return _rename(out, ["lang", "lang_pred", "n"])
+
+
+QUERIES["lang_confusion_matrix"] = q_lang_confusion_matrix
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+        WITH p AS ({_lang_id_sql()})
+        SELECT lang, lang_pred, count(*) AS n
+        FROM p GROUP BY 1, 2
     """

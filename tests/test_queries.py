@@ -177,6 +177,8 @@ CHECKED = [
     "abc_classification_customers",
     "supplier_mad_nations",
     "acquisition_conversion",
+    "burst_minutes_events",
+    "supplier_cov_nations",
 ]
 
 
@@ -674,3 +676,17 @@ def test_video_frame_sums_oracle(ray_session, con):
             "h": pa.array([2], pa.int32()),
             "codec": pa.array(["h264"]),
             "bytes": pa.array([b"x"], pa.binary())}))
+
+
+def test_lang_confusion_matrix_oracle(ray_session, con):
+    """Engine confusion aggregate vs the generated lang-id SQL replay
+    wrapped in a GROUP BY at sf0.001."""
+    from geotile.queries import QUERIES, _lang_confusion_sql
+
+    got = (QUERIES["lang_confusion_matrix"](SF).to_pandas()
+           .sort_values(["lang", "lang_pred"]).reset_index(drop=True))
+    exp = (con.execute(_lang_confusion_sql()).df()
+           .sort_values(["lang", "lang_pred"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("lang", "lang_pred", "n"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
