@@ -4612,6 +4612,8 @@ def oracle_sql() -> dict[str, str]:
     out["video_frame_sums"] = _video_sums_sql(
         _video_dir_for("/root/testdata/sf0.01"))
     out["lang_confusion_matrix"] = _lang_confusion_sql()
+    out["crossmodal_pairing_audit"] = _crossmodal_sql(
+        img01, _audio_dir_for("/root/testdata/sf0.01"))
     return out
 
 
@@ -14839,4 +14841,189 @@ def _lang_confusion_sql() -> str:
         WITH p AS ({_lang_id_sql()})
         SELECT lang, lang_pred, count(*) AS n
         FROM p GROUP BY 1, 2
+    """
+
+
+def q_crossmodal_pairing_audit(sf_dir: str):
+    """Multimodal sample assembly audit: pair every image with an
+    audio track by shared id space (image index mod track count — the
+    deterministic pairing a paired-training dataset builder uses) and
+    verify per track: images paired, their pixel mass, and the
+    track's own sample count. The audio side is a tiny broadcast
+    (track metadata only — payloads never move); the image scan
+    prunes to (image_id, w, h). Track-cardinality partials."""
+    import pyarrow.parquet as _pq
+
+    from geotile.ops.tiles import read_image_table
+    from geotile.synth import image_index
+
+    aud = _audio_dir_for(sf_dir)
+    at = _pq.read_table(f"{aud}/part-00000.parquet",
+                        columns=["track_id", "n_samples"])
+    tids = at["track_id"].to_numpy(zero_copy_only=False)
+    nsamp = at["n_samples"].to_numpy(zero_copy_only=False)
+    n_tracks = int(len(tids))
+    ref = ray.put((np.sort(tids),
+                   nsamp[np.argsort(tids)].astype(np.int64)))
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["image_id", "w", "h"])
+
+    def pair(t: pa.Table) -> pa.Table:
+        idx = image_index(t["image_id"])
+        track = idx % n_tracks
+        px = (t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+              * t["h"].to_numpy(zero_copy_only=False))
+        g = pa.table({"track_id": pa.array(track),
+                      "px": pa.array(px)}).group_by("track_id") \
+            .aggregate([([], "count_all"), ("px", "sum")])
+        return pa.table({"track_id": g["track_id"],
+                         "n_images": g["count_all"].cast(pa.int64()),
+                         "sum_px": g["px_sum"]})
+
+    agg = (ds.map_batches(pair, batch_format="pyarrow")
+           .groupby("track_id").sum(["n_images", "sum_px"]))
+    agg = _rename(agg, ["track_id", "n_images", "sum_px"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        tids_, nsamp_ = _broadcast(ref)
+        i = np.searchsorted(tids_, t["track_id"].to_numpy())
+        return t.append_column("n_samples", pa.array(nsamp_[i]))
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
+QUERIES["crossmodal_pairing_audit"] = q_crossmodal_pairing_audit
+
+
+def _crossmodal_sql(img_dir: str, aud_dir: str) -> str:
+    return f"""
+        WITH i AS (SELECT CAST(substr(image_id, 5) AS BIGINT) AS idx,
+                          w, h
+                   FROM read_parquet('{img_dir}/part-*.parquet')),
+        a AS (SELECT track_id, n_samples,
+                     (SELECT count(*) FROM
+                      read_parquet('{aud_dir}/part-*.parquet')) AS nt
+              FROM read_parquet('{aud_dir}/part-*.parquet'))
+        SELECT a.track_id, count(*) AS n_images,
+               CAST(SUM(i.w * i.h) AS BIGINT) AS sum_px,
+               CAST(any_value(a.n_samples) AS BIGINT) AS n_samples
+        FROM i JOIN a ON i.idx % a.nt = a.track_id
+        GROUP BY 1
+    """
+
+
+def q_diversified_topk_orders(sf_dir: str):
+    """Diversified top-k (search-result dedup rule): the ten priciest
+    orders subject to AT MOST TWO per customer nation. Greedy-by-rank
+    is provably 'nation-rank ≤ 2, then global top-10', so the plan is
+    one bucketed custkey join, per-block (nation, top-2-by-price)
+    partials — 50-row bound per block — and a tiny final reduce that
+    reapplies both rules. No global sort."""
+    from geotile.ops.relational import bucketed_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = bucketed_join(orders, cust, "o_custkey", "c_custkey",
+                      n_buckets=16)
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "nk": t["c_nationkey"].cast(pa.int64()),
+                         "cents": cents})
+
+    def diversify(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        nk = t["nk"].to_numpy()
+        c = t["cents"].to_numpy()
+        o = np.lexsort((k, -c, nk))
+        nks = nk[o]
+        first = np.r_[True, nks[1:] != nks[:-1]]
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        rk = np.arange(len(nks)) - starts[seg]
+        keep = o[rk < 2]
+        # then global top-10 among survivors
+        oo = np.lexsort((k[keep], -c[keep]))[:10]
+        keep = keep[oo]
+        return pa.table({"o_orderkey": pa.array(k[keep]),
+                         "nk": pa.array(nk[keep]),
+                         "cents": pa.array(c[keep])})
+
+    return (j.map_batches(prep, batch_format="pyarrow")
+            .map_batches(diversify, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(diversify, batch_format="pyarrow"))
+
+
+QUERIES["diversified_topk_orders"] = q_diversified_topk_orders
+ORACLE_SQL["diversified_topk_orders"] = """
+        WITH o AS (SELECT o_orderkey,
+                          CAST(c_nationkey AS BIGINT) AS nk,
+                          CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT) AS cents
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+        r AS (SELECT o_orderkey, nk, cents,
+                     ROW_NUMBER() OVER (PARTITION BY nk
+                         ORDER BY cents DESC, o_orderkey) AS rn
+              FROM o)
+        SELECT o_orderkey, nk, cents FROM r WHERE rn <= 2
+        ORDER BY cents DESC, o_orderkey LIMIT 10
+    """
+
+
+def q_session_gap_sweep(sf_dir: str):
+    """Sessionization parameter sweep: session counts under gap
+    thresholds {5, 15, 30, 60} minutes from ONE pass — every gap's
+    count is n_users + #(inter-event diffs > gap), so the sweep costs
+    four vectorized compares over the same diff array, not four
+    sessionizations. The knee of this curve picks the production
+    timeout."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    GAPS = (300, 900, 1800, 3600)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"gap_s": pd.Series(dtype=np.int64),
+                                 "n_sessions":
+                                     pd.Series(dtype=np.int64)})
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        o = np.lexsort((e, t, u))
+        uu, tu = u[o], t[o]
+        same = uu[1:] == uu[:-1]
+        d = (tu[1:] - tu[:-1])[same]
+        n_users = int(np.unique(uu).size)
+        rows = [{"gap_s": g,
+                 "n_sessions": n_users + int((d > g * 1_000_000).sum())}
+                for g in GAPS]
+        return pd.DataFrame(rows)
+
+    out = (_with_bucket(ev, "user_id", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .groupby("gap_s").sum("n_sessions"))
+    return _rename(out, ["gap_s", "n_sessions"])
+
+
+QUERIES["session_gap_sweep"] = q_session_gap_sweep
+ORACLE_SQL["session_gap_sweep"] = """
+        WITH d AS (SELECT epoch_us(ts)
+                          - LAG(epoch_us(ts)) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id) AS gap
+                   FROM events),
+        u AS (SELECT count(DISTINCT user_id) AS nu FROM events)
+        SELECT g.gap_s, CAST(u.nu + (SELECT count(*) FROM d
+                    WHERE gap > g.gap_s * 1000000) AS BIGINT)
+                   AS n_sessions
+        FROM (VALUES (CAST(300 AS BIGINT)), (900), (1800), (3600))
+             g(gap_s), u
     """

@@ -179,6 +179,8 @@ CHECKED = [
     "acquisition_conversion",
     "burst_minutes_events",
     "supplier_cov_nations",
+    "diversified_topk_orders",
+    "session_gap_sweep",
 ]
 
 
@@ -689,4 +691,20 @@ def test_lang_confusion_matrix_oracle(ray_session, con):
            .sort_values(["lang", "lang_pred"]).reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("lang", "lang_pred", "n"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_crossmodal_pairing_audit_oracle(ray_session, con):
+    """Engine image-audio pairing rollup vs the modulo-join SQL
+    replay over both synth tables at sf0.001."""
+    from geotile.queries import (QUERIES, _audio_dir_for,
+                                 _crossmodal_sql, _image_dir_for)
+
+    img, aud = _image_dir_for(SF), _audio_dir_for(SF)
+    got = (QUERIES["crossmodal_pairing_audit"](SF).to_pandas()
+           .sort_values("track_id").reset_index(drop=True))
+    exp = (con.execute(_crossmodal_sql(img, aud)).df()
+           .sort_values("track_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("track_id", "n_images", "sum_px", "n_samples"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
