@@ -4614,6 +4614,7 @@ def oracle_sql() -> dict[str, str]:
     out["lang_confusion_matrix"] = _lang_confusion_sql()
     out["crossmodal_pairing_audit"] = _crossmodal_sql(
         img01, _audio_dir_for("/root/testdata/sf0.01"))
+    out["image_center_bias"] = _image_center_bias_sql(img01)
     return out
 
 
@@ -15026,4 +15027,126 @@ ORACLE_SQL["session_gap_sweep"] = """
                    AS n_sessions
         FROM (VALUES (CAST(300 AS BIGINT)), (900), (1800), (3600))
              g(gap_s), u
+    """
+
+
+def q_pq_residual_energy(sf_dir: str):
+    """PQ reconstruction-quality audit: per subspace, the corpus's
+    total quantization residual (each vector's min centroid distance,
+    truncated to the e6 lattice BEFORE summation so the int64 sum is
+    order-free) — the codebook-health metric an ANN service tracks.
+    Reuses the module PQ codebook; one broadcast-free vectorized pass,
+    4-row partials. The generated SQL replay evaluates the identical
+    distance expressions and LEAST-min."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def resid(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vals = emb.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), 64)
+        subs, sums, ns = [], [], []
+        for s in range(_PQ_M):
+            sub = vals[:, s * _PQ_SUB:(s + 1) * _PQ_SUB]
+            dists = []
+            for j in range(_PQ_K):
+                acc = None
+                for i in range(_PQ_SUB):
+                    c = _PQ_CVALS[(i + j) % 4]
+                    term = (sub[:, i] - c) * (sub[:, i] - c)
+                    acc = term if acc is None else acc + term
+                dists.append(acc)
+            d = np.stack(dists, axis=1).min(axis=1)
+            r = np.trunc(d * 1_000_000.0).astype(np.int64)
+            subs.append(s)
+            sums.append(int(r.sum()))
+            ns.append(len(t))
+        return pa.table({"subspace": pa.array(subs, pa.int64()),
+                         "n": pa.array(ns, pa.int64()),
+                         "sum_res_e6": pa.array(sums, pa.int64())})
+
+    out = (ds.map_batches(resid, batch_format="pyarrow")
+           .groupby("subspace").sum(["n", "sum_res_e6"]))
+    return _rename(out, ["subspace", "n", "sum_res_e6"])
+
+
+def _pq_residual_sql() -> str:
+    def dist(s: int, j: int) -> str:
+        terms = []
+        for i in range(_PQ_SUB):
+            c = repr(_PQ_CVALS[(i + j) % 4])
+            e = f"CAST(embedding[{s * _PQ_SUB + i + 1}] AS DOUBLE)"
+            terms.append(f"(({e}) - ({c})) * (({e}) - ({c}))")
+        return " + ".join(terms)
+
+    arms = []
+    for s in range(_PQ_M):
+        d = ", ".join(f"({dist(s, j)})" for j in range(_PQ_K))
+        arms.append(f"""
+        SELECT CAST({s} AS BIGINT) AS subspace, count(*) AS n,
+               CAST(SUM(CAST(trunc(least({d}) * 1000000.0)
+                             AS BIGINT)) AS BIGINT) AS sum_res_e6
+        FROM embeddings""")
+    return " UNION ALL ".join(arms)
+
+
+QUERIES["pq_residual_energy"] = q_pq_residual_energy
+ORACLE_SQL["pq_residual_energy"] = _pq_residual_sql()
+
+
+def q_image_center_bias(sf_dir: str):
+    """Composition audit: is the image corpus center-heavy? Per image
+    the exact channel-sum mass of the four CENTER patches of the 4×4
+    ViT grid vs the whole frame — stage REUSE: the same
+    ImagePatchStage powers image_patch_sums; this query just folds
+    its exact integer patch ledger differently (patches 5/6/9/10 vs
+    all), so the oracle is a CASE re-aggregation of the same
+    sidecar."""
+    from geotile.ops.tiles import ImagePatchStage, read_image_table
+
+    # same 512-image prefix as image_patch_sums (shared sidecar)
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(512)
+    patches = ds.map_batches(ImagePatchStage, batch_format="pyarrow",
+                             batch_size=256, concurrency=2)
+
+    def fold(t: pa.Table) -> pa.Table:
+        p = t["patch"].to_numpy()
+        center = ((p == 5) | (p == 6) | (p == 9)
+                  | (p == 10)).astype(np.int64)
+        s = t["sum_px"].to_numpy()
+        n = t["n_px"].to_numpy()
+        g = pa.table({"image_id": t["image_id"],
+                      "c_sum": pa.array(center * s),
+                      "c_px": pa.array(center * n),
+                      "t_sum": pa.array(s), "t_px": pa.array(n)}) \
+            .group_by("image_id").aggregate(
+                [("c_sum", "sum"), ("c_px", "sum"), ("t_sum", "sum"),
+                 ("t_px", "sum")])
+        return g.rename_columns(["image_id", "center_sum", "center_px",
+                                 "total_sum", "total_px"])
+
+    out = (patches.map_batches(fold, batch_format="pyarrow")
+           .groupby("image_id").sum(["center_sum", "center_px",
+                                     "total_sum", "total_px"]))
+    return _rename(out, ["image_id", "center_sum", "center_px",
+                         "total_sum", "total_px"])
+
+
+QUERIES["image_center_bias"] = q_image_center_bias
+
+
+def _image_center_bias_sql(img: str) -> str:
+    return f"""
+        SELECT image_id,
+               CAST(SUM(CASE WHEN patch IN (5, 6, 9, 10)
+                             THEN sum_px ELSE 0 END) AS BIGINT)
+                   AS center_sum,
+               CAST(SUM(CASE WHEN patch IN (5, 6, 9, 10)
+                             THEN n_px ELSE 0 END) AS BIGINT)
+                   AS center_px,
+               CAST(SUM(sum_px) AS BIGINT) AS total_sum,
+               CAST(SUM(n_px) AS BIGINT) AS total_px
+        FROM read_parquet('{_image_patch_sidecar(img)}')
+        GROUP BY 1
     """

@@ -181,6 +181,7 @@ CHECKED = [
     "supplier_cov_nations",
     "diversified_topk_orders",
     "session_gap_sweep",
+    "pq_residual_energy",
 ]
 
 
@@ -707,4 +708,21 @@ def test_crossmodal_pairing_audit_oracle(ray_session, con):
            .sort_values("track_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("track_id", "n_images", "sum_px", "n_samples"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_image_center_bias_oracle(ray_session, con):
+    """Stage-reuse fold of the exact patch ledger vs a CASE
+    re-aggregation of the same sidecar at sf0.001."""
+    from geotile.queries import (QUERIES, _image_center_bias_sql,
+                                 _image_dir_for)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["image_center_bias"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_image_center_bias_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "center_sum", "center_px", "total_sum",
+              "total_px"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
