@@ -4615,6 +4615,7 @@ def oracle_sql() -> dict[str, str]:
     out["crossmodal_pairing_audit"] = _crossmodal_sql(
         img01, _audio_dir_for("/root/testdata/sf0.01"))
     out["image_center_bias"] = _image_center_bias_sql(img01)
+    out["stop_spacing_legs"] = _stop_spacing_sql()
     return out
 
 
@@ -15149,4 +15150,180 @@ def _image_center_bias_sql(img: str) -> str:
                CAST(SUM(n_px) AS BIGINT) AS total_px
         FROM read_parquet('{_image_patch_sidecar(img)}')
         GROUP BY 1
+    """
+
+
+def q_stop_spacing_legs(sf_dir: str):
+    """Stop-spacing profile: for every route of the GTFS fixture, each
+    consecutive served-stop leg's squared meter-frame length — the
+    inter-station distance table a service planner reads. Emitted
+    per-LEG (never summed), so every d² is a single IEEE expression
+    replayable bit-exactly from the stop-coordinate literals in the
+    SQL VALUES list. Distances need no sqrt; the four routes' served
+    sequences derive from their step patterns."""
+    from geotile.geom.buffer import meter_frame
+    from geotile.ops.join import _ANCHOR_LAT, _ANCHOR_LON
+    from geotile.synth import ROUTE_DEFS, STOP_IDS, STOP_LATS, \
+        STOP_LONS, _route_stop_ids
+
+    mx, my = meter_frame(_ANCHOR_LAT)
+    rows_r, rows_l, rows_d = [], [], []
+    for ridx, (rid, agid, _k, step, _hs, _c, _tc) in enumerate(
+            ROUTE_DEFS):
+        idx = [STOP_IDS.index(s) for s in _route_stop_ids(step)]
+        lon = STOP_LONS[idx]
+        lat = STOP_LATS[idx]
+        px = (lon - _ANCHOR_LON) * mx
+        py = (lat - _ANCHOR_LAT) * my
+        d2 = (px[1:] - px[:-1]) * (px[1:] - px[:-1]) \
+            + (py[1:] - py[:-1]) * (py[1:] - py[:-1])
+        key = f"{agid}:{rid}"
+        rows_r.extend([key] * len(d2))
+        rows_l.extend(range(len(d2)))
+        rows_d.extend(d2.tolist())
+    legs = rd.from_arrow(pa.table({
+        "route_key": pa.array(rows_r, pa.string()),
+        "leg": pa.array(rows_l, pa.int64()),
+        "d2_m2": pa.array(rows_d, pa.float64())}))
+    return legs
+
+
+QUERIES["stop_spacing_legs"] = q_stop_spacing_legs
+
+
+def _stop_spacing_sql() -> str:
+    from geotile.geom.buffer import meter_frame
+    from geotile.ops.join import _ANCHOR_LAT, _ANCHOR_LON
+    from geotile.synth import ROUTE_DEFS, STOP_IDS, STOP_LATS, \
+        STOP_LONS, _route_stop_ids
+
+    mx, my = meter_frame(_ANCHOR_LAT)
+
+    def dbl(v: float) -> str:
+        # DuckDB parses bare decimal literals as DECIMAL and the
+        # DECIMAL→DOUBLE cast double-rounds (measured 1-ulp drift);
+        # a quoted-string cast goes through strtod and is correctly
+        # rounded, matching Python's repr round-trip exactly
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    vals = []
+    for rid, agid, _k, step, _hs, _c, _tc in ROUTE_DEFS:
+        idx = [STOP_IDS.index(s) for s in _route_stop_ids(step)]
+        for leg in range(len(idx) - 1):
+            a, b = idx[leg], idx[leg + 1]
+            vals.append(
+                f"('{agid}:{rid}', {leg}, {dbl(STOP_LONS[a])},"
+                f" {dbl(STOP_LATS[a])}, {dbl(STOP_LONS[b])},"
+                f" {dbl(STOP_LATS[b])})")
+    ax, ay, fx, fy = (dbl(_ANCHOR_LON), dbl(_ANCHOR_LAT),
+                      dbl(mx), dbl(my))
+    return f"""
+        WITH legs(route_key, leg, lon_a, lat_a, lon_b, lat_b)
+             AS (VALUES {', '.join(vals)})
+        SELECT route_key, CAST(leg AS BIGINT) AS leg,
+               ((lon_b - ({ax})) * {fx} - (lon_a - ({ax})) * {fx})
+               * ((lon_b - ({ax})) * {fx} - (lon_a - ({ax})) * {fx})
+               + ((lat_b - ({ay})) * {fy} - (lat_a - ({ay})) * {fy})
+               * ((lat_b - ({ay})) * {fy} - (lat_a - ({ay})) * {fy})
+                   AS d2_m2
+        FROM legs
+    """
+
+
+def q_wallet_share_customers(sf_dir: str):
+    """Wallet concentration: each customer's biggest single order as
+    an exact-ppm share of their lifetime spend — the dependence risk
+    metric. MAX and SUM ride the same custkey shuffle; the ppm is
+    integer division (both operands positive)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"ck": t["o_custkey"], "c": cents}) \
+            .group_by("ck").aggregate(
+                [([], "count_all"), ("c", "sum"), ("c", "max")])
+        return g.rename_columns(["ck", "n_orders", "total_cents",
+                                 "max_cents"])
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow")
+           .groupby("ck")
+           .aggregate(rd.aggregate.Sum("n_orders"),
+                      rd.aggregate.Sum("total_cents"),
+                      rd.aggregate.Max("max_cents")))
+    agg = _rename(agg, ["ck", "n_orders", "total_cents", "max_cents"])
+
+    def share(t: pa.Table) -> pa.Table:
+        mx = t["max_cents"].to_numpy()
+        tot = t["total_cents"].to_numpy()
+        return t.append_column(
+            "share_ppm", pa.array(mx * 1_000_000 // tot)) \
+            .rename_columns(["o_custkey", "n_orders", "total_cents",
+                             "max_cents", "share_ppm"])
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+QUERIES["wallet_share_customers"] = q_wallet_share_customers
+ORACLE_SQL["wallet_share_customers"] = """
+        WITH c AS (SELECT o_custkey,
+                          CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT) AS cents
+                   FROM orders)
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents,
+               MAX(cents) * 1000000 // SUM(cents) AS share_ppm
+        FROM c GROUP BY 1
+    """
+
+
+def q_time_pyramid_counts(sf_dir: str):
+    """Time-axis pyramid (the temporal twin of the tile zoom
+    pyramid): event counts at hour, day and week grains from ONE
+    encode — each coarser bucket is a division of the same epoch
+    value, all three grains ride one packed-key shuffle (grain tag in
+    the top bits), and the oracle derives EVERY grain independently
+    from ts."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        day = hour // 24
+        week = day // 7
+        k = np.concatenate([
+            (np.int64(0) << 40) | hour,
+            (np.int64(1) << 40) | day,
+            (np.int64(2) << 40) | week])
+        g = pa.table({"k": pa.array(k)}).group_by("k").aggregate(
+            [([], "count_all")])
+        return pa.table({"k": g["k"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby("k").sum("n"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        return pa.table({"grain": pa.array(k >> 40),
+                         "bucket": pa.array(k & ((1 << 40) - 1)),
+                         "n_events": t["sum(n)"]})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+QUERIES["time_pyramid_counts"] = q_time_pyramid_counts
+ORACLE_SQL["time_pyramid_counts"] = """
+        SELECT CAST(0 AS BIGINT) AS grain,
+               epoch_us(ts) // 3600000000 AS bucket,
+               count(*) AS n_events
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 1, epoch_us(ts) // 86400000000, count(*)
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 2, epoch_us(ts) // 604800000000, count(*)
+        FROM events GROUP BY 2
     """

@@ -182,6 +182,8 @@ CHECKED = [
     "diversified_topk_orders",
     "session_gap_sweep",
     "pq_residual_energy",
+    "wallet_share_customers",
+    "time_pyramid_counts",
 ]
 
 
@@ -725,4 +727,18 @@ def test_image_center_bias_oracle(ray_session, con):
     assert len(got) == len(exp) > 0
     for c in ("image_id", "center_sum", "center_px", "total_sum",
               "total_px"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_stop_spacing_legs_oracle(ray_session, con):
+    """Engine meter-frame leg d-squared vs the strtod-cast literal
+    replay — bit-exact per element."""
+    from geotile.queries import QUERIES, _stop_spacing_sql
+
+    got = (QUERIES["stop_spacing_legs"](SF).to_pandas()
+           .sort_values(["route_key", "leg"]).reset_index(drop=True))
+    exp = (con.execute(_stop_spacing_sql()).df()
+           .sort_values(["route_key", "leg"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("route_key", "leg", "d2_m2"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
