@@ -4616,6 +4616,7 @@ def oracle_sql() -> dict[str, str]:
         img01, _audio_dir_for("/root/testdata/sf0.01"))
     out["image_center_bias"] = _image_center_bias_sql(img01)
     out["stop_spacing_legs"] = _stop_spacing_sql()
+    out["route_overlap_matrix"] = _route_overlap_sql("/root/testdata/sf0.01")
     return out
 
 
@@ -15326,4 +15327,161 @@ ORACLE_SQL["time_pyramid_counts"] = """
         UNION ALL
         SELECT 2, epoch_us(ts) // 604800000000, count(*)
         FROM events GROUP BY 2
+    """
+
+
+def q_route_overlap_matrix(sf_dir: str):
+    """Network-redundancy matrix: for every unordered route pair, how
+    many image tiles sit inside BOTH buffers — the corridor-overlap
+    readout on top of the flagship spatial join. Assignments
+    co-partition on the image key; each image's ≤R routes expand to
+    pairs with a bounded-width shifted loop; the matrix is
+    route²-cardinality partials. Oracle: the full generated PIP
+    replay wrapped in a self-join."""
+    from geotile.ops.join import spatial_join
+    from geotile.ops.relational import _with_bucket
+    from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+    from geotile.synth import image_index
+
+    idx = _fixture_route_index()
+    ds = read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS)
+    asg = spatial_join(ds, idx).select_columns(["image_id", "route_id"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        return pa.table({"img": pa.array(image_index(t["image_id"])),
+                         "route_id": t["route_id"]})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"route_a": pd.Series(dtype=object),
+                                 "route_b": pd.Series(dtype=object),
+                                 "n_images": pd.Series(dtype=np.int64)})
+        img = df["img"].to_numpy(np.int64)
+        rt = df["route_id"].to_numpy()
+        o = np.lexsort((rt, img))
+        img, rt = img[o], rt[o]
+        new = np.r_[True, img[1:] != img[:-1]]
+        first = np.flatnonzero(new)
+        cnt = np.diff(np.r_[first, len(img)])
+        out_a, out_b = [], []
+        for w in range(1, int(cnt.max()) if len(cnt) else 0):
+            has = cnt > w
+            base = first[has]
+            for j in range(w):
+                out_a.append(rt[base + j])
+                out_b.append(rt[base + w])
+        if not out_a:
+            return pd.DataFrame({"route_a": pd.Series(dtype=object),
+                                 "route_b": pd.Series(dtype=object),
+                                 "n_images": pd.Series(dtype=np.int64)})
+        g = pd.DataFrame({"route_a": np.concatenate(out_a),
+                          "route_b": np.concatenate(out_b)}) \
+            .groupby(["route_a", "route_b"], as_index=False).size()
+        return g.rename(columns={"size": "n_images"})
+
+    keyed = asg.map_batches(with_key, batch_format="pyarrow")
+    return (_with_bucket(keyed, "img", 16)
+            .groupby("bucket").map_groups(pairs, batch_format="pandas")
+            .groupby(["route_a", "route_b"]).sum("n_images")
+            .map_batches(lambda t: t.rename_columns(
+                ["route_a", "route_b", "n_images"]),
+                batch_format="pyarrow"))
+
+
+QUERIES["route_overlap_matrix"] = q_route_overlap_matrix
+
+
+def _route_overlap_sql(sf_dir: str) -> str:
+    asg = tile_oracle_sql(sf_dir)["tile_assignments"]
+    return f"""
+        WITH asg AS ({asg})
+        SELECT a.route_id AS route_a, b.route_id AS route_b,
+               count(*) AS n_images
+        FROM asg a JOIN asg b
+          ON a.image_id = b.image_id AND a.route_id < b.route_id
+        GROUP BY 1, 2
+    """
+
+
+def q_dow_hour_heatmap_events(sf_dir: str):
+    """Weekly activity heatmap: event counts per (epoch-aligned
+    weekday, hour-of-day) — the 7×24 rhythm plot behind every ops
+    dashboard. One packed-key shuffle at 168-cell cardinality."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        day = hour // 24
+        k = (day % 7) * 24 + hour % 24
+        g = pa.table({"k": pa.array(k)}).group_by("k").aggregate(
+            [([], "count_all")])
+        return pa.table({"k": g["k"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    agg = (ev.map_batches(part, batch_format="pyarrow")
+           .groupby("k").sum("n"))
+    return agg.map_batches(
+        lambda t: pa.table({"dow": pa.array(t["k"].to_numpy() // 24),
+                            "hour": pa.array(t["k"].to_numpy() % 24),
+                            "n_events": t["sum(n)"]}),
+        batch_format="pyarrow")
+
+
+QUERIES["dow_hour_heatmap_events"] = q_dow_hour_heatmap_events
+ORACLE_SQL["dow_hour_heatmap_events"] = """
+        SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+               (epoch_us(ts) // 3600000000) % 24 AS hour,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """
+
+
+def q_status_priority_crosstab(sf_dir: str):
+    """Order status × priority contingency with exact independence
+    deviations n·N − r·c (the χ² numerators, integer) — the orders
+    twin of fmt_size_association. 15-cell partials; margins reduce
+    from the same aggregate."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"o_orderstatus": g["o_orderstatus"],
+                         "o_orderpriority": g["o_orderpriority"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    cells = (orders.map_batches(part, batch_format="pyarrow")
+             .groupby(["o_orderstatus", "o_orderpriority"])
+             .sum("n")).take_all()
+    tot = sum(r["sum(n)"] for r in cells)
+    row = {}
+    col = {}
+    for r in cells:
+        row[r["o_orderstatus"]] = row.get(r["o_orderstatus"], 0) \
+            + r["sum(n)"]
+        col[r["o_orderpriority"]] = col.get(r["o_orderpriority"], 0) \
+            + r["sum(n)"]
+    rows = [{"o_orderstatus": r["o_orderstatus"],
+             "o_orderpriority": r["o_orderpriority"],
+             "n": r["sum(n)"],
+             "dev": r["sum(n)"] * tot
+             - row[r["o_orderstatus"]] * col[r["o_orderpriority"]]}
+            for r in cells]
+    return pd.DataFrame(rows)
+
+
+QUERIES["status_priority_crosstab"] = q_status_priority_crosstab
+ORACLE_SQL["status_priority_crosstab"] = """
+        WITH cell AS (SELECT o_orderstatus, o_orderpriority,
+                             count(*) AS n
+                      FROM orders GROUP BY 1, 2),
+        m AS (SELECT *, SUM(n) OVER (PARTITION BY o_orderstatus) AS r,
+                     SUM(n) OVER (PARTITION BY o_orderpriority) AS c,
+                     SUM(n) OVER () AS nn
+              FROM cell)
+        SELECT o_orderstatus, o_orderpriority, CAST(n AS BIGINT) AS n,
+               CAST(n * nn - r * c AS BIGINT) AS dev
+        FROM m
     """

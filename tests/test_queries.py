@@ -184,6 +184,8 @@ CHECKED = [
     "pq_residual_energy",
     "wallet_share_customers",
     "time_pyramid_counts",
+    "dow_hour_heatmap_events",
+    "status_priority_crosstab",
 ]
 
 
@@ -741,4 +743,18 @@ def test_stop_spacing_legs_oracle(ray_session, con):
            .sort_values(["route_key", "leg"]).reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("route_key", "leg", "d2_m2"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_route_overlap_matrix_oracle(ray_session, con):
+    """Pair expansion over the flagship assignments vs the generated
+    PIP replay wrapped in a self-join at sf0.001."""
+    from geotile.queries import QUERIES, _route_overlap_sql
+
+    got = (QUERIES["route_overlap_matrix"](SF).to_pandas()
+           .sort_values(["route_a", "route_b"]).reset_index(drop=True))
+    exp = (con.execute(_route_overlap_sql(SF)).df()
+           .sort_values(["route_a", "route_b"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("route_a", "route_b", "n_images"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
