@@ -4617,6 +4617,7 @@ def oracle_sql() -> dict[str, str]:
     out["image_center_bias"] = _image_center_bias_sql(img01)
     out["stop_spacing_legs"] = _stop_spacing_sql()
     out["route_overlap_matrix"] = _route_overlap_sql("/root/testdata/sf0.01")
+    out["audio_half_drift"] = _audio_half_drift_sql(aud01)
     return out
 
 
@@ -15484,4 +15485,161 @@ ORACLE_SQL["status_priority_crosstab"] = """
         SELECT o_orderstatus, o_orderpriority, CAST(n AS BIGINT) AS n,
                CAST(n * nn - r * c AS BIGINT) AS dev
         FROM m
+    """
+
+
+def q_nation_percentile_customers(sf_dir: str):
+    """Within-group percentile rank: every customer's spend rank
+    inside their OWN nation as exact ppm (rank·10⁶ // (n−1),
+    deterministic custkey tie-break) — the grouped PERCENT_RANK.
+    Spend rides one custkey shuffle; ranks resolve inside a nation
+    co-partition lexsort (each group ranks all its members in one
+    pass); single-member nations emit 0 like SQL's PERCENT_RANK."""
+    from geotile.ops.relational import _with_bucket, bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"ck": t["o_custkey"], "c": cents}) \
+            .group_by("ck").aggregate([("c", "sum")])
+        return pa.table({"ck": g["ck"], "c": g["c_sum"]})
+
+    spend = (orders.map_batches(per_cust, batch_format="pyarrow")
+             .groupby("ck").sum("c"))
+    spend = _rename(spend, ["ck", "c"]).materialize()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = bucketed_join(spend, cust, "ck", "c_custkey", n_buckets=16)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"ck": t["ck"],
+                         "nk": t["c_nationkey"].cast(pa.int64()),
+                         "c": t["c"]})
+
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"o_custkey": pd.Series(dtype=np.int64),
+                                 "n_nationkey":
+                                     pd.Series(dtype=np.int64),
+                                 "spend_cents":
+                                     pd.Series(dtype=np.int64),
+                                 "pr_ppm": pd.Series(dtype=np.int64)})
+        ck = df["ck"].to_numpy(np.int64)
+        nk = df["nk"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        o = np.lexsort((ck, c, nk))
+        ck, nk, c = ck[o], nk[o], c[o]
+        new = np.r_[True, nk[1:] != nk[:-1]]
+        first = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        n = np.diff(np.r_[first, len(nk)])[seg]
+        rk = np.arange(len(nk)) - first[seg]
+        pr = np.where(n > 1, rk * 1_000_000 // np.maximum(n - 1, 1), 0)
+        return pd.DataFrame({"o_custkey": ck, "n_nationkey": nk,
+                             "spend_cents": c,
+                             "pr_ppm": pr.astype(np.int64)})
+
+    keyed = j.map_batches(prep, batch_format="pyarrow")
+    return (_with_bucket(keyed, "nk", 8)
+            .groupby("bucket").map_groups(ranks, batch_format="pandas"))
+
+
+QUERIES["nation_percentile_customers"] = q_nation_percentile_customers
+ORACLE_SQL["nation_percentile_customers"] = """
+        WITH sp AS (SELECT o_custkey,
+                           SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                    AS BIGINT)) AS c
+                    FROM orders GROUP BY 1),
+        jj AS (SELECT o_custkey, CAST(c_nationkey AS BIGINT) AS nk, c
+               FROM sp JOIN customer ON o_custkey = c_custkey),
+        r AS (SELECT o_custkey, nk, c,
+                     ROW_NUMBER() OVER (PARTITION BY nk
+                         ORDER BY c, o_custkey) - 1 AS rk,
+                     count(*) OVER (PARTITION BY nk) AS n
+              FROM jj)
+        SELECT o_custkey, nk AS n_nationkey, c AS spend_cents,
+               CAST(CASE WHEN n > 1 THEN rk * 1000000 // (n - 1)
+                         ELSE 0 END AS BIGINT) AS pr_ppm
+        FROM r
+    """
+
+
+def q_audio_half_drift(sf_dir: str):
+    """Audio stationarity audit: per track, exact frame-energy mass in
+    the first half vs the second (frames 0–1 vs 2–3) — stage REUSE of
+    the AudioFrameStage ledger folded along the frame axis, so the
+    oracle is a CASE re-aggregation of the same replay sidecar."""
+    from geotile.ops.audio import AudioFrameStage, read_audio_table
+
+    ds = read_audio_table(_audio_dir_for(sf_dir))
+    frames = ds.map_batches(AudioFrameStage, batch_format="pyarrow",
+                            batch_size=64, concurrency=2)
+
+    def fold(t: pa.Table) -> pa.Table:
+        f = t["frame"].to_numpy()
+        e = t["energy"].to_numpy()
+        first = (f < 2).astype(np.int64)
+        g = pa.table({"track_id": t["track_id"],
+                      "e1": pa.array(first * e),
+                      "e2": pa.array((1 - first) * e)}) \
+            .group_by("track_id").aggregate(
+                [("e1", "sum"), ("e2", "sum")])
+        return g.rename_columns(["track_id", "first_half",
+                                 "second_half"])
+
+    out = (frames.map_batches(fold, batch_format="pyarrow")
+           .groupby("track_id").sum(["first_half", "second_half"]))
+    return _rename(out, ["track_id", "first_half", "second_half"])
+
+
+QUERIES["audio_half_drift"] = q_audio_half_drift
+
+
+def _audio_half_drift_sql(aud: str) -> str:
+    return f"""
+        SELECT track_id,
+               CAST(SUM(CASE WHEN frame < 2 THEN energy ELSE 0 END)
+                    AS BIGINT) AS first_half,
+               CAST(SUM(CASE WHEN frame >= 2 THEN energy ELSE 0 END)
+                    AS BIGINT) AS second_half
+        FROM read_parquet('{_audio_energy_sidecar(aud)}')
+        GROUP BY 1
+    """
+
+
+def q_lines_per_order_hist(sf_dir: str):
+    """Order-size distribution: how many orders have exactly k line
+    items — the Q13 twin on the lineitem edge (no zero class: every
+    lineitem implies its order). Orderkey count partials → count-value
+    histogram; the second aggregation is a few dozen rows at any
+    scale."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def per_order(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([([], "count_all")])
+        return pa.table({"k": g["l_orderkey"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    counts = (li.map_batches(per_order, batch_format="pyarrow")
+              .groupby("k").sum("n"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = pa.table({"n_lines": t["sum(n)"]}).group_by("n_lines") \
+            .aggregate([([], "count_all")])
+        return pa.table({"n_lines": g["n_lines"],
+                         "n_orders": g["count_all"].cast(pa.int64())})
+
+    out = (counts.map_batches(hist, batch_format="pyarrow")
+           .groupby("n_lines").sum("n_orders"))
+    return _rename(out, ["n_lines", "n_orders"])
+
+
+QUERIES["lines_per_order_hist"] = q_lines_per_order_hist
+ORACLE_SQL["lines_per_order_hist"] = """
+        WITH c AS (SELECT l_orderkey, count(*) AS n
+                   FROM lineitem GROUP BY 1)
+        SELECT CAST(n AS BIGINT) AS n_lines, count(*) AS n_orders
+        FROM c GROUP BY 1
     """

@@ -186,6 +186,8 @@ CHECKED = [
     "time_pyramid_counts",
     "dow_hour_heatmap_events",
     "status_priority_crosstab",
+    "nation_percentile_customers",
+    "lines_per_order_hist",
 ]
 
 
@@ -757,4 +759,20 @@ def test_route_overlap_matrix_oracle(ray_session, con):
            .sort_values(["route_a", "route_b"]).reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("route_a", "route_b", "n_images"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_audio_half_drift_oracle(ray_session, con):
+    """Stage-reuse fold of the frame-energy ledger vs a CASE
+    re-aggregation of the shared audio sidecar at sf0.001."""
+    from geotile.queries import (QUERIES, _audio_dir_for,
+                                 _audio_half_drift_sql)
+
+    aud = _audio_dir_for(SF)
+    got = (QUERIES["audio_half_drift"](SF).to_pandas()
+           .sort_values("track_id").reset_index(drop=True))
+    exp = (con.execute(_audio_half_drift_sql(aud)).df()
+           .sort_values("track_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("track_id", "first_half", "second_half"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
