@@ -4618,6 +4618,8 @@ def oracle_sql() -> dict[str, str]:
     out["stop_spacing_legs"] = _stop_spacing_sql()
     out["route_overlap_matrix"] = _route_overlap_sql("/root/testdata/sf0.01")
     out["audio_half_drift"] = _audio_half_drift_sql(aud01)
+    out["stop_hull_area_parts"] = _stop_hull_area_sql(img01)
+    out["dup_degree_hist"] = _dup_degree_sql(sf01)
     return out
 
 
@@ -15642,4 +15644,230 @@ ORACLE_SQL["lines_per_order_hist"] = """
                    FROM lineitem GROUP BY 1)
         SELECT CAST(n AS BIGINT) AS n_lines, count(*) AS n_orders
         FROM c GROUP BY 1
+    """
+
+
+def q_stop_hull_area_parts(sf_dir: str):
+    """Hull geometry parts: per caption stop, the hull vertex count
+    plus twice-the-area as an ORDER-FREE integer — each directed hull
+    edge contributes trunc(cross(vᵢ, vᵢ₊₁)·10⁶) and the edge SET of a
+    convex hull is start-invariant, so the engine's monotone chain and
+    the sidecar's Jarvis march (different starting vertex, exact
+    Fraction crosses) sum to the identical int64. Same distributed
+    partial-hull plan as tile_stop_hulls."""
+    from geotile.geom.hull import convex_hull
+    from geotile.ops.tiles import read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["caption", "lon", "lat"])
+
+    def partial_hulls(t: pa.Table) -> pa.Table:
+        stop = pc.cast(pc.list_element(
+            pc.split_pattern(t["caption"], " "), 4),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        ss, xs, ys = [], [], []
+        for s in np.unique(stop):
+            m = stop == s
+            ring = convex_hull(np.c_[lon[m], lat[m]])
+            pts = np.c_[lon[m], lat[m]] if ring is None else ring[:-1]
+            ss.append(np.full(len(pts), s, np.int64))
+            xs.append(pts[:, 0])
+            ys.append(pts[:, 1])
+        return pa.table({"stop": pa.array(np.concatenate(ss)),
+                         "lon": pa.array(np.concatenate(xs)),
+                         "lat": pa.array(np.concatenate(ys))})
+
+    def area_parts(df: pd.DataFrame) -> pd.DataFrame:
+        ring = convex_hull(np.c_[df["lon"].to_numpy(),
+                                 df["lat"].to_numpy()])
+        if ring is None:
+            return pd.DataFrame(
+                {"stop": [np.int64(df["stop"].iloc[0])],
+                 "n_hull": [np.int64(0)], "area2_e6": [np.int64(0)]})
+        v = ring[:-1]
+        nxt = np.roll(v, -1, axis=0)
+        cross = v[:, 0] * nxt[:, 1] - v[:, 1] * nxt[:, 0]
+        a2 = int(np.trunc(cross * 1_000_000.0).astype(np.int64).sum())
+        return pd.DataFrame({"stop": [np.int64(df["stop"].iloc[0])],
+                             "n_hull": [np.int64(len(v))],
+                             "area2_e6": [np.int64(a2)]})
+
+    return (ds.map_batches(partial_hulls, batch_format="pyarrow")
+            .groupby("stop").map_groups(area_parts,
+                                        batch_format="pandas"))
+
+
+QUERIES["stop_hull_area_parts"] = q_stop_hull_area_parts
+
+
+def _stop_hull_area_sidecar(img: str) -> str:
+    """Jarvis-march replay for stop_hull_area_parts (exact Fraction
+    crosses; the cyclic edge set matches the monotone chain's, so the
+    truncated shoelace terms sum identically). Content-keyed."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from fractions import Fraction as F
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_stophullarea_{Path(img).name}_{_mods_digest(_sy)}"
+        ".parquet")
+    if not p.exists():
+        t = pq.read_table(img, columns=["caption", "lon", "lat"])
+        stop = np.array([int(c.split(" ")[4])
+                         for c in t["caption"].to_pylist()], np.int64)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+
+        def jarvis_ring(pts):
+            pts = sorted(set(pts))
+            if len(pts) < 3:
+                return None
+            start = min(pts, key=lambda q: (q[1], q[0]))
+            hull, cur = [], start
+            while True:
+                hull.append(cur)
+                cand = pts[0] if pts[0] != cur else pts[1]
+                for q in pts:
+                    if q == cur:
+                        continue
+                    cr = ((F(cand[0]) - F(cur[0]))
+                          * (F(q[1]) - F(cur[1]))
+                          - (F(cand[1]) - F(cur[1]))
+                          * (F(q[0]) - F(cur[0])))
+                    if cr < 0:
+                        cand = q
+                    elif cr == 0:
+                        dc = ((F(cand[0]) - F(cur[0])) ** 2
+                              + (F(cand[1]) - F(cur[1])) ** 2)
+                        dq = ((F(q[0]) - F(cur[0])) ** 2
+                              + (F(q[1]) - F(cur[1])) ** 2)
+                        if dq > dc:
+                            cand = q
+                cur = cand
+                if cur == start:
+                    return hull
+
+        rows = []
+        for s in sorted(set(stop.tolist())):
+            m = stop == s
+            ring = jarvis_ring(list(zip(lon[m].tolist(),
+                                        lat[m].tolist())))
+            if ring is None:
+                rows.append({"stop": s, "n_hull": 0, "area2_e6": 0})
+                continue
+            # this jarvis (cr < 0 keeps the most-counterclockwise
+            # candidate) already walks CCW — same orientation as the
+            # engine's monotone chain, no reversal
+            a2 = 0
+            for (x1, y1), (x2, y2) in zip(ring,
+                                          ring[1:] + ring[:1]):
+                a2 += int(np.trunc((np.float64(x1) * np.float64(y2)
+                                    - np.float64(y1) * np.float64(x2))
+                                   * 1_000_000.0))
+            rows.append({"stop": s, "n_hull": len(ring),
+                         "area2_e6": a2})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _stop_hull_area_sql(img: str) -> str:
+    return (f"SELECT stop, n_hull, area2_e6 "
+            f"FROM read_parquet('{_stop_hull_area_sidecar(img)}')")
+
+
+def q_dup_rate_sources(sf_dir: str):
+    """Per-source duplication rate: docs vs distinct texts — the
+    dedup-savings estimate per ingestion feed. Distinct keys are
+    composite (Rabin-Karp h64, first-16-chars) exactly as
+    llm_corpus_prep shards, so long texts never ride the shuffle;
+    partials dedup per batch first."""
+    from geotile.ops.hashing import hash_strings
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        h = hash_strings(t["text"]).view(np.int64)
+        pref = pc.utf8_slice_codeunits(t["text"], 0, 16)
+        g = pa.table({"source": t["source"], "h": pa.array(h),
+                      "p": pref}).group_by(["source", "h", "p"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "h": g["h"],
+                         "p": g["p"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    ded = (docs.map_batches(keys, batch_format="pyarrow")
+           .groupby(["source", "h", "p"]).sum("n"))
+
+    def per_source(t: pa.Table) -> pa.Table:
+        g = pa.table({"source": t["source"],
+                      "n": t["sum(n)"]}).group_by("source") \
+            .aggregate([([], "count_all"), ("n", "sum")])
+        return pa.table({"source": g["source"],
+                         "n_unique": g["count_all"].cast(pa.int64()),
+                         "n_docs": g["n_sum"]})
+
+    out = (ded.map_batches(per_source, batch_format="pyarrow")
+           .groupby("source").sum(["n_unique", "n_docs"]))
+    return _rename(out, ["source", "n_unique", "n_docs"])
+
+
+QUERIES["dup_rate_sources"] = q_dup_rate_sources
+ORACLE_SQL["dup_rate_sources"] = """
+        SELECT source,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """
+
+
+def q_dup_degree_hist(sf_dir: str):
+    """Near-dup graph degree distribution: how many docs have k
+    MinHash-LSH neighbors — the fan-out audit before clustering.
+    Stage REUSE of dedup.minhash_lsh_pairs; degrees come from one
+    both-endpoint scatter + node groupby, the histogram from a
+    degree-cardinality second pass. Oracle folds the scalar-replay
+    pairs sidecar the same way."""
+    from geotile.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.35)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        g = pa.table({"node": pa.array(np.r_[a, b])}) \
+            .group_by("node").aggregate([([], "count_all")])
+        return pa.table({"node": g["node"],
+                         "d": g["count_all"].cast(pa.int64())})
+
+    deg = (pairs.map_batches(scatter, batch_format="pyarrow")
+           .groupby("node").sum("d"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = pa.table({"degree": t["sum(d)"]}).group_by("degree") \
+            .aggregate([([], "count_all")])
+        return pa.table({"degree": g["degree"],
+                         "n_docs": g["count_all"].cast(pa.int64())})
+
+    out = (deg.map_batches(hist, batch_format="pyarrow")
+           .groupby("degree").sum("n_docs"))
+    return _rename(out, ["degree", "n_docs"])
+
+
+QUERIES["dup_degree_hist"] = q_dup_degree_hist
+
+
+def _dup_degree_sql(sf_dir: str) -> str:
+    return f"""
+        WITH p AS (SELECT a, b
+                   FROM read_parquet('{_minhash_pairs_sidecar(sf_dir)}')),
+        e AS (SELECT a AS node FROM p UNION ALL SELECT b FROM p),
+        d AS (SELECT node, count(*) AS degree FROM e GROUP BY 1)
+        SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
+        FROM d GROUP BY 1
     """

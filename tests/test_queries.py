@@ -188,6 +188,7 @@ CHECKED = [
     "status_priority_crosstab",
     "nation_percentile_customers",
     "lines_per_order_hist",
+    "dup_rate_sources",
 ]
 
 
@@ -775,4 +776,35 @@ def test_audio_half_drift_oracle(ray_session, con):
            .sort_values("track_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("track_id", "first_half", "second_half"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_stop_hull_area_parts_oracle(ray_session, con):
+    """Order-free truncated shoelace: monotone-chain engine vs the
+    Jarvis sidecar (different starting vertex, same cyclic edge set)
+    at sf0.001."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _stop_hull_area_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["stop_hull_area_parts"](SF).to_pandas()
+           .sort_values("stop").reset_index(drop=True))
+    exp = (con.execute(_stop_hull_area_sql(img)).df()
+           .sort_values("stop").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("stop", "n_hull", "area2_e6"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_dup_degree_hist_oracle(ray_session, con):
+    """Degree fold of the LSH pairs vs the scalar-replay pairs sidecar
+    folded identically at sf0.001."""
+    from geotile.queries import QUERIES, _dup_degree_sql
+
+    got = (QUERIES["dup_degree_hist"](SF).to_pandas()
+           .sort_values("degree").reset_index(drop=True))
+    exp = (con.execute(_dup_degree_sql(SF)).df()
+           .sort_values("degree").reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ("degree", "n_docs"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
