@@ -4620,6 +4620,7 @@ def oracle_sql() -> dict[str, str]:
     out["audio_half_drift"] = _audio_half_drift_sql(aud01)
     out["stop_hull_area_parts"] = _stop_hull_area_sql(img01)
     out["dup_degree_hist"] = _dup_degree_sql(sf01)
+    out["stop_bbox_iou_pairs"] = _stop_bbox_iou_sql(img01)
     return out
 
 
@@ -15870,4 +15871,202 @@ def _dup_degree_sql(sf_dir: str) -> str:
         d AS (SELECT node, count(*) AS degree FROM e GROUP BY 1)
         SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
         FROM d GROUP BY 1
+    """
+
+
+def q_all_ontime_orders(sf_dir: str):
+    """FOR-ALL over a join edge: orders whose EVERY lineitem shipped
+    within 30 days — the NOT-EXISTS-late phrasing that reduces to a
+    per-order MAX lead + threshold, never a correlated probe. One
+    bucketed co-partition carries the pair; per-order max-lead
+    partials collapse to priority counts."""
+    from geotile.ops.relational import bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey",
+                      n_buckets=16)
+
+    def per_order(t: pa.Table) -> pa.Table:
+        lead = pc.subtract(
+            pc.divide(t["l_shipdate"].cast(pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64())),
+            pc.divide(t["o_orderdate"].cast(pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64())))
+        g = pa.table({"k": t["o_orderkey"],
+                      "pri": t["o_orderpriority"], "lead": lead}) \
+            .group_by(["k", "pri"]).aggregate([("lead", "max")])
+        return pa.table({"k": g["k"], "pri": g["pri"],
+                         "mx": g["lead_max"]})
+
+    per = (j.map_batches(per_order, batch_format="pyarrow")
+           .groupby(["k", "pri"]).max("mx"))
+
+    def count(t: pa.Table) -> pa.Table:
+        ok = pc.less_equal(t["max(mx)"], pa.scalar(30)).cast(pa.int64())
+        g = pa.table({"pri": t["pri"], "ok": ok}).group_by("pri") \
+            .aggregate([([], "count_all"), ("ok", "sum")])
+        return pa.table({"o_orderpriority": g["pri"],
+                         "n_orders": g["count_all"].cast(pa.int64()),
+                         "n_all_ontime": g["ok_sum"]})
+
+    out = (per.map_batches(count, batch_format="pyarrow")
+           .groupby("o_orderpriority").sum(["n_orders",
+                                            "n_all_ontime"]))
+    return _rename(out, ["o_orderpriority", "n_orders",
+                         "n_all_ontime"])
+
+
+QUERIES["all_ontime_orders"] = q_all_ontime_orders
+ORACLE_SQL["all_ontime_orders"] = """
+        WITH per AS (SELECT o_orderkey, o_orderpriority,
+                            MAX(epoch_us(l_shipdate) // 86400000000
+                                - epoch_us(o_orderdate) // 86400000000)
+                                AS mx
+                     FROM lineitem
+                     JOIN orders ON l_orderkey = o_orderkey
+                     GROUP BY 1, 2)
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(count(*) FILTER (mx <= 30) AS BIGINT)
+                   AS n_all_ontime
+        FROM per GROUP BY 1
+    """
+
+
+def q_stop_bbox_iou_pairs(sf_dir: str):
+    """BBox-overlap refinement table: for every stop pair whose
+    bounding boxes intersect, the exact truncated-lattice areas of
+    the intersection and both boxes — the filter-stage IoU inputs of
+    a spatial join. The per-stop bbox aggregate is 30 rows; the pair
+    expansion is driver-side epilogue math with each area a SINGLE
+    IEEE product before truncation, mirrored verbatim in SQL."""
+    from geotile.ops.tiles import read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["caption", "lon", "lat"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        stop = pc.cast(pc.list_element(
+            pc.split_pattern(t["caption"], " "), 4), pa.int64())
+        g = pa.table({"stop": stop, "lon": t["lon"],
+                      "lat": t["lat"]}).group_by("stop").aggregate(
+            [("lon", "min"), ("lon", "max"), ("lat", "min"),
+             ("lat", "max")])
+        return g.rename_columns(["stop", "w", "e", "s", "n"])
+
+    box = (ds.map_batches(stats, batch_format="pyarrow")
+           .groupby("stop")
+           .aggregate(rd.aggregate.Min("w"), rd.aggregate.Max("e"),
+                      rd.aggregate.Min("s"), rd.aggregate.Max("n"))
+           ).take_all()
+    box.sort(key=lambda r: r["stop"])
+    rows = []
+    for i, a in enumerate(box):
+        for b in box[i + 1:]:
+            iw = min(a["max(e)"], b["max(e)"]) - max(a["min(w)"],
+                                                     b["min(w)"])
+            ih = min(a["max(n)"], b["max(n)"]) - max(a["min(s)"],
+                                                     b["min(s)"])
+            if iw <= 0.0 or ih <= 0.0:
+                continue
+            rows.append({
+                "stop_a": a["stop"], "stop_b": b["stop"],
+                "inter_e6": int(np.trunc(np.float64(iw)
+                                         * np.float64(ih)
+                                         * 1_000_000.0)),
+                "area_a_e6": int(np.trunc(
+                    np.float64(a["max(e)"] - a["min(w)"])
+                    * np.float64(a["max(n)"] - a["min(s)"])
+                    * 1_000_000.0)),
+                "area_b_e6": int(np.trunc(
+                    np.float64(b["max(e)"] - b["min(w)"])
+                    * np.float64(b["max(n)"] - b["min(s)"])
+                    * 1_000_000.0))})
+    return pd.DataFrame(rows)
+
+
+QUERIES["stop_bbox_iou_pairs"] = q_stop_bbox_iou_pairs
+
+
+def _stop_bbox_iou_sql(img_dir: str) -> str:
+    return f"""
+        WITH b AS (SELECT CAST(string_split(caption, ' ')[5] AS BIGINT)
+                              AS stop,
+                          min(lon) AS w, max(lon) AS e,
+                          min(lat) AS s, max(lat) AS n
+                   FROM read_parquet('{img_dir}/part-*.parquet')
+                   GROUP BY 1)
+        SELECT a.stop AS stop_a, c.stop AS stop_b,
+               CAST(trunc((least(a.e, c.e) - greatest(a.w, c.w))
+                          * (least(a.n, c.n) - greatest(a.s, c.s))
+                          * 1000000.0) AS BIGINT) AS inter_e6,
+               CAST(trunc((a.e - a.w) * (a.n - a.s) * 1000000.0)
+                    AS BIGINT) AS area_a_e6,
+               CAST(trunc((c.e - c.w) * (c.n - c.s) * 1000000.0)
+                    AS BIGINT) AS area_b_e6
+        FROM b a JOIN b c ON a.stop < c.stop
+        WHERE least(a.e, c.e) - greatest(a.w, c.w) > 0.0
+          AND least(a.n, c.n) - greatest(a.s, c.s) > 0.0
+    """
+
+
+def q_source_trigram_affinity(sf_dir: str):
+    """Character-trigram profile affinity between two fixed
+    sources (src0 vs src1): exact integer cosine PARTS — dot product and
+    both squared norms of the trigram count vectors. (source,
+    trigram) counts ride one vocabulary-bounded shuffle; the dot is a
+    sorted-merge over the two count maps. No float ever forms; the
+    epilogue emits three ints."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["source"],
+                              value_set=pa.array(["src0", "src1"])))
+        if len(f) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "tg": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        src = f["source"].to_numpy(zero_copy_only=False)
+        txt = f["text"].to_numpy(zero_copy_only=False)
+        ss, gs = [], []
+        for s, x in zip(src, txt):
+            k = len(x) - 2
+            if k <= 0:
+                continue
+            ss.extend([s] * k)
+            gs.extend(x[i:i + 3] for i in range(k))
+        g = pa.table({"source": pa.array(ss, pa.string()),
+                      "tg": pa.array(gs, pa.string())}) \
+            .group_by(["source", "tg"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "tg": g["tg"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    agg = (docs.map_batches(counts, batch_format="pyarrow")
+           .groupby(["source", "tg"]).sum("n")).take_all()
+    c0, c1 = {}, {}
+    for r in agg:
+        (c0 if r["source"] == "src0" else c1)[r["tg"]] = r["sum(n)"]
+    dot = sum(v * c1.get(k, 0) for k, v in c0.items())
+    n0 = sum(v * v for v in c0.values())
+    n1 = sum(v * v for v in c1.values())
+    return pd.DataFrame({"dot": [dot], "norm0_sq": [n0],
+                         "norm1_sq": [n1]})
+
+
+QUERIES["source_trigram_affinity"] = q_source_trigram_affinity
+ORACLE_SQL["source_trigram_affinity"] = """
+        WITH g AS (SELECT source,
+                          substr(text, CAST(u + 1 AS BIGINT), 3) AS tg
+                   FROM documents,
+                        UNNEST(range(greatest(len(text) - 2, 0))) s(u)
+                   WHERE source IN ('src0', 'src1')),
+        c AS (SELECT tg,
+                     count(*) FILTER (source = 'src0') AS n0,
+                     count(*) FILTER (source = 'src1') AS n1
+              FROM g GROUP BY 1)
+        SELECT CAST(SUM(n0 * n1) AS BIGINT) AS dot,
+               CAST(SUM(n0 * n0) AS BIGINT) AS norm0_sq,
+               CAST(SUM(n1 * n1) AS BIGINT) AS norm1_sq
+        FROM c
     """

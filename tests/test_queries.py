@@ -189,6 +189,8 @@ CHECKED = [
     "nation_percentile_customers",
     "lines_per_order_hist",
     "dup_rate_sources",
+    "all_ontime_orders",
+    "source_trigram_affinity",
 ]
 
 
@@ -807,4 +809,21 @@ def test_dup_degree_hist_oracle(ray_session, con):
            .sort_values("degree").reset_index(drop=True))
     assert len(got) == len(exp)
     for c in ("degree", "n_docs"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_stop_bbox_iou_pairs_oracle(ray_session, con):
+    """BBox pair table vs the LEAST/GREATEST SQL replay — every area
+    a single IEEE product before truncation."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _stop_bbox_iou_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["stop_bbox_iou_pairs"](SF)
+           .sort_values(["stop_a", "stop_b"]).reset_index(drop=True))
+    exp = (con.execute(_stop_bbox_iou_sql(img)).df()
+           .sort_values(["stop_a", "stop_b"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("stop_a", "stop_b", "inter_e6", "area_a_e6",
+              "area_b_e6"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
