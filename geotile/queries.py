@@ -16070,3 +16070,253 @@ ORACLE_SQL["source_trigram_affinity"] = """
                CAST(SUM(n1 * n1) AS BIGINT) AS norm1_sq
         FROM c
     """
+
+
+def q_seasonal_index_months(sf_dir: str):
+    """Seasonal index parts: revenue per calendar month-of-year
+    across all years, plus the grand total — the exact-integer
+    seasonality profile (index = 12·month_share, left as parts).
+    12-row partials, one shuffle."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        m = pc.month(t["o_orderdate"]).cast(pa.int64())
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"month": m, "c": cents}).group_by("month") \
+            .aggregate([([], "count_all"), ("c", "sum")])
+        return pa.table({"month": g["month"],
+                         "n_orders": g["count_all"].cast(pa.int64()),
+                         "revenue_cents": g["c_sum"]})
+
+    rows = (orders.map_batches(part, batch_format="pyarrow")
+            .groupby("month").sum(["n_orders",
+                                   "revenue_cents"])).take_all()
+    tot = sum(r["sum(revenue_cents)"] for r in rows)
+    return pd.DataFrame(sorted(
+        ({"month": r["month"], "n_orders": r["sum(n_orders)"],
+          "revenue_cents": r["sum(revenue_cents)"],
+          "share_ppm": r["sum(revenue_cents)"] * 1_000_000 // tot}
+         for r in rows), key=lambda x: x["month"]))
+
+
+QUERIES["seasonal_index_months"] = q_seasonal_index_months
+ORACLE_SQL["seasonal_index_months"] = """
+        WITH m AS (SELECT CAST(EXTRACT(month FROM o_orderdate)
+                               AS BIGINT) AS month,
+                          count(*) AS n_orders,
+                          SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS revenue_cents
+                   FROM orders GROUP BY 1),
+        t AS (SELECT SUM(revenue_cents) AS tot FROM m)
+        SELECT month, n_orders, revenue_cents,
+               revenue_cents * 1000000 // tot AS share_ppm
+        FROM m, t
+    """
+
+
+def q_weekend_aov_parts(sf_dir: str):
+    """Weekend vs weekday average-order-value parts: exact counts and
+    cent sums per side (epoch-aligned weekday split, same closed form
+    as the business-day op) — the AOV lift readout without a float
+    mean. 2-row partials."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["o_orderdate"].cast(pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        is_we = (((day + 4) % 7) >= 5).astype(np.int64)
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"weekend": pa.array(is_we), "c": cents}) \
+            .group_by("weekend").aggregate(
+                [([], "count_all"), ("c", "sum")])
+        return pa.table({"weekend": g["weekend"],
+                         "n_orders": g["count_all"].cast(pa.int64()),
+                         "revenue_cents": g["c_sum"]})
+
+    out = (orders.map_batches(part, batch_format="pyarrow")
+           .groupby("weekend").sum(["n_orders", "revenue_cents"]))
+    return _rename(out, ["weekend", "n_orders", "revenue_cents"])
+
+
+QUERIES["weekend_aov_parts"] = q_weekend_aov_parts
+ORACLE_SQL["weekend_aov_parts"] = """
+        SELECT CAST((epoch_us(o_orderdate) // 86400000000 + 4) % 7 >= 5
+                    AS BIGINT) AS weekend,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY 1
+    """
+
+
+def q_purchase_gap_median(sf_dir: str):
+    """Global inter-purchase cadence: the lower-median gap (whole
+    seconds) between a user's consecutive purchases, over ALL users'
+    gaps — per-user diffs inside one co-partition, then the selection
+    is count algebra over the seconds histogram (no sort). Also
+    reports the gap count."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"]
+        if len(p) < 2:
+            return pd.DataFrame({"gap_s": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        u = p["user_id"].to_numpy(np.int64)
+        e = p["event_id"].to_numpy(np.int64)
+        t = p["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        o = np.lexsort((e, t, u))
+        uu, tu = u[o], t[o]
+        same = uu[1:] == uu[:-1]
+        g = ((tu[1:] - tu[:-1]) // 1_000_000)[same]
+        if len(g) == 0:
+            return pd.DataFrame({"gap_s": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        vc = pd.Series(g).value_counts().sort_index()
+        return pd.DataFrame({"gap_s": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    hist = (_with_bucket(ev, "user_id", 32)
+            .groupby("bucket").map_groups(gaps, batch_format="pandas")
+            .groupby("gap_s").sum("n")).take_all()
+    hist.sort(key=lambda r: r["gap_s"])
+    ns = np.array([r["sum(n)"] for r in hist], dtype=np.int64)
+    gs = np.array([r["gap_s"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(ns)
+    n = int(cum[-1]) if len(cum) else 0
+    med = int(gs[np.searchsorted(cum, (n - 1) // 2 + 1)]) if n else 0
+    return pd.DataFrame({"n_gaps": [n], "median_gap_s": [med]})
+
+
+QUERIES["purchase_gap_median"] = q_purchase_gap_median
+ORACLE_SQL["purchase_gap_median"] = """
+        WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id
+                   FROM events WHERE event_type = 'purchase'),
+        g AS (SELECT (us - LAG(us) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id)) // 1000000 AS gap_s
+              FROM p),
+        gg AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL),
+        nn AS (SELECT count(*) AS n FROM gg)
+        SELECT (SELECT n FROM nn) AS n_gaps,
+               (SELECT gap_s FROM gg ORDER BY gap_s LIMIT 1 OFFSET
+                (SELECT (n - 1) // 2 FROM nn)) AS median_gap_s
+    """
+
+
+def q_balance_asymmetry_nations(sf_dir: str):
+    """Two-dimension reconciliation: per nation, total supplier
+    account balance vs total customer balance and their exact
+    difference — the counterparty-exposure sheet. Both dimension
+    scans reduce to 25-row partials and meet in a driver merge; no
+    join operator runs."""
+    def side(table: str, key: str, bal: str):
+        ds = _read(sf_dir, table, [key, bal])
+
+        def part(t: pa.Table) -> pa.Table:
+            cents = pc.floor(pc.add(pc.multiply(
+                t[bal], pa.scalar(100.0)),
+                pa.scalar(0.5))).cast(pa.int64())
+            g = pa.table({"nk": t[key].cast(pa.int64()),
+                          "c": cents}).group_by("nk").aggregate(
+                [([], "count_all"), ("c", "sum")])
+            return pa.table({"nk": g["nk"],
+                             "n": g["count_all"].cast(pa.int64()),
+                             "c": g["c_sum"]})
+
+        return {r["nk"]: (r["sum(n)"], r["sum(c)"])
+                for r in (ds.map_batches(part, batch_format="pyarrow")
+                          .groupby("nk").sum(["n", "c"])).take_all()}
+
+    sup = side("supplier", "s_nationkey", "s_acctbal")
+    cus = side("customer", "c_nationkey", "c_acctbal")
+    rows = []
+    for nk in sorted(set(sup) | set(cus)):
+        sn, sc = sup.get(nk, (0, 0))
+        cn, cc = cus.get(nk, (0, 0))
+        rows.append({"n_nationkey": nk, "n_supp": sn,
+                     "supp_cents": sc, "n_cust": cn, "cust_cents": cc,
+                     "gap_cents": sc - cc})
+    return pd.DataFrame(rows)
+
+
+QUERIES["balance_asymmetry_nations"] = q_balance_asymmetry_nations
+ORACLE_SQL["balance_asymmetry_nations"] = """
+        WITH s AS (SELECT CAST(s_nationkey AS BIGINT) AS nk,
+                          count(*) AS n,
+                          SUM(CAST(floor(s_acctbal * 100.0 + 0.5)
+                                   AS BIGINT)) AS c
+                   FROM supplier GROUP BY 1),
+        c AS (SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n,
+                     SUM(CAST(floor(c_acctbal * 100.0 + 0.5)
+                              AS BIGINT)) AS c
+              FROM customer GROUP BY 1)
+        SELECT COALESCE(s.nk, c.nk) AS n_nationkey,
+               CAST(COALESCE(s.n, 0) AS BIGINT) AS n_supp,
+               CAST(COALESCE(s.c, 0) AS BIGINT) AS supp_cents,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cust,
+               CAST(COALESCE(c.c, 0) AS BIGINT) AS cust_cents,
+               CAST(COALESCE(s.c, 0) - COALESCE(c.c, 0) AS BIGINT)
+                   AS gap_cents
+        FROM s FULL OUTER JOIN c ON s.nk = c.nk
+    """
+
+
+def q_vocab_growth_curve(sf_dir: str):
+    """Heaps'-law audit: distinct token count after the first 10%,
+    50% and 100% of documents (by doc_id) — is the vocabulary still
+    growing? Three prefix-distinct counts from ONE tagged dedup pass:
+    each (token, tier) marks the smallest prefix that contains the
+    token, so tiers accumulate without re-scanning."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    cut10, cut50 = n_docs // 10, n_docs // 2
+
+    def toks(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False)
+        did = np.repeat(t["doc_id"].to_numpy(), lens)
+        keep = flat != ""
+        flat, did = flat[keep], did[keep]
+        tier = np.where(did < cut10, 0,
+                        np.where(did < cut50, 1, 2)).astype(np.int64)
+        g = pa.table({"token": pa.array(flat),
+                      "tier": pa.array(tier)}).group_by("token") \
+            .aggregate([("tier", "min")])
+        return pa.table({"token": g["token"], "tier": g["tier_min"]})
+
+    first_tier = (docs.map_batches(toks, batch_format="pyarrow")
+                  .groupby("token").min("tier")).take_all()
+    counts = [0, 0, 0]
+    for r in first_tier:
+        counts[r["min(tier)"]] += 1
+    return pd.DataFrame({
+        "prefix_pct": [10, 50, 100],
+        "n_distinct": [counts[0], counts[0] + counts[1],
+                       counts[0] + counts[1] + counts[2]]})
+
+
+QUERIES["vocab_growth_curve"] = q_vocab_growth_curve
+ORACLE_SQL["vocab_growth_curve"] = """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+        ww AS (SELECT doc_id, t FROM w WHERE t <> ''),
+        n AS (SELECT count(*) AS nd FROM documents)
+        SELECT 10 AS prefix_pct,
+               (SELECT count(DISTINCT t) FROM ww, n
+                WHERE doc_id < nd // 10) AS n_distinct
+        UNION ALL
+        SELECT 50, (SELECT count(DISTINCT t) FROM ww, n
+                    WHERE doc_id < nd // 2)
+        UNION ALL
+        SELECT 100, (SELECT count(DISTINCT t) FROM ww)
+    """

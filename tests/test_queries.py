@@ -191,6 +191,11 @@ CHECKED = [
     "dup_rate_sources",
     "all_ontime_orders",
     "source_trigram_affinity",
+    "seasonal_index_months",
+    "weekend_aov_parts",
+    "purchase_gap_median",
+    "balance_asymmetry_nations",
+    "vocab_growth_curve",
 ]
 
 
