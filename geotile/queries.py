@@ -4621,6 +4621,7 @@ def oracle_sql() -> dict[str, str]:
     out["stop_hull_area_parts"] = _stop_hull_area_sql(img01)
     out["dup_degree_hist"] = _dup_degree_sql(sf01)
     out["stop_bbox_iou_pairs"] = _stop_bbox_iou_sql(img01)
+    out["phash_popcount_stats"] = _phash_popcount_sql(img01)
     return out
 
 
@@ -16319,4 +16320,201 @@ ORACLE_SQL["vocab_growth_curve"] = """
                     WHERE doc_id < nd // 2)
         UNION ALL
         SELECT 100, (SELECT count(DISTINCT t) FROM ww)
+    """
+
+
+def q_nn1_accuracy_labels(sf_dir: str):
+    """1-NN label-agreement audit: every vector queries the corpus for
+    its nearest OTHER vector (exact cosine, the knn tie discipline —
+    round-6 then vec_id) and we score per true label how often the
+    neighbor agrees — the intrinsic embedding-quality readout.
+    ann.topk_bruteforce keeps shuffle at k-per-query-per-batch; the
+    label lookup is a broadcast gather; at 100 TB the LSH-bucketed
+    path replaces the broadcast query matrix."""
+    from geotile.ops.ann import topk_bruteforce
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    rows = emb.select_columns(["vec_id", "label"]).take_all()
+    ids = np.array(sorted(r["vec_id"] for r in rows), dtype=np.int64)
+    lab_of = {r["vec_id"]: r["label"] for r in rows}
+    labels = np.array([lab_of[i] for i in ids], dtype=np.int64)
+    all_rows = emb.select_columns(["vec_id", "embedding"]).take_all()
+    all_rows.sort(key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
+    nn = topk_bruteforce(emb, ids, Q, k=1)
+    lref = ray.put((ids, labels))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_, labels_ = _broadcast(lref)
+        qi = np.searchsorted(ids_, t["query_id"].to_numpy(
+            zero_copy_only=False))
+        ni = np.searchsorted(ids_, t["vec_id"].to_numpy(
+            zero_copy_only=False))
+        true = labels_[qi]
+        ok = (labels_[ni] == true).astype(np.int64)
+        g = pa.table({"label": pa.array(true),
+                      "ok": pa.array(ok)}).group_by("label") \
+            .aggregate([([], "count_all"), ("ok", "sum")])
+        return pa.table({"label": g["label"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "n_correct": g["ok_sum"]})
+
+    out = (nn.map_batches(score, batch_format="pyarrow")
+           .groupby("label").sum(["n", "n_correct"]))
+    return _rename(out, ["label", "n", "n_correct"])
+
+
+QUERIES["nn1_accuracy_labels"] = q_nn1_accuracy_labels
+ORACLE_SQL["nn1_accuracy_labels"] = """
+        WITH s AS (SELECT q.vec_id AS qid, q.label AS ql,
+                          e.label AS nl,
+                          row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_cosine_similarity(
+                                  CAST(q.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])), 6)
+                                  DESC, e.vec_id ASC) AS rn
+                   FROM embeddings q CROSS JOIN embeddings e
+                   WHERE e.vec_id <> q.vec_id)
+        SELECT CAST(ql AS BIGINT) AS label, count(*) AS n,
+               CAST(count(*) FILTER (nl = ql) AS BIGINT) AS n_correct
+        FROM s WHERE rn = 1 GROUP BY 1
+    """
+
+
+def q_status_share_monthly(sf_dir: str):
+    """Order-status mix time series: per month, counts per status and
+    the exact ppm share — the fulfillment-health trend. Month×status
+    partials (≤ months·3), shares from the same aggregate."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
+
+    def part(t: pa.Table) -> pa.Table:
+        m = pc.add(pc.multiply(pc.year(t["o_orderdate"]),
+                               pa.scalar(12, pa.int64())),
+                   pc.subtract(pc.month(t["o_orderdate"]),
+                               pa.scalar(1, pa.int64())))
+        g = pa.table({"month": m, "st": t["o_orderstatus"]}) \
+            .group_by(["month", "st"]).aggregate([([], "count_all")])
+        return pa.table({"month": g["month"], "st": g["st"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    rows = (orders.map_batches(part, batch_format="pyarrow")
+            .groupby(["month", "st"]).sum("n")).take_all()
+    tot = {}
+    for r in rows:
+        tot[r["month"]] = tot.get(r["month"], 0) + r["sum(n)"]
+    return pd.DataFrame(sorted(
+        ({"month": r["month"], "o_orderstatus": r["st"],
+          "n": r["sum(n)"],
+          "share_ppm": r["sum(n)"] * 1_000_000 // tot[r["month"]]}
+         for r in rows),
+        key=lambda x: (x["month"], x["o_orderstatus"])))
+
+
+QUERIES["status_share_monthly"] = q_status_share_monthly
+ORACLE_SQL["status_share_monthly"] = """
+        WITH m AS (SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                               + EXTRACT(month FROM o_orderdate) - 1
+                               AS BIGINT) AS month,
+                          o_orderstatus, count(*) AS n
+                   FROM orders GROUP BY 1, 2),
+        t AS (SELECT month, SUM(n) AS tot FROM m GROUP BY 1)
+        SELECT m.month, m.o_orderstatus, CAST(m.n AS BIGINT) AS n,
+               m.n * 1000000 // t.tot AS share_ppm
+        FROM m JOIN t USING (month)
+    """
+
+
+def q_size_price_moments_brands(sf_dir: str):
+    """Grouped correlation parts on the part dimension: per brand the
+    exact integer moments (n, Σsize, Σcents, Σsize², Σsize·cents) —
+    does bigger stock cost more? Brand-cardinality partials, one
+    shuffle."""
+    part = _read(sf_dir, "part", ["p_brand", "p_size",
+                                  "p_retailprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        sz = t["p_size"].cast(pa.int64())
+        cents = pc.floor(pc.add(pc.multiply(
+            t["p_retailprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"p_brand": t["p_brand"], "s": sz, "c": cents,
+                      "ss": pc.multiply(sz, sz),
+                      "sc": pc.multiply(sz, cents)}) \
+            .group_by("p_brand").aggregate(
+                [([], "count_all"), ("s", "sum"), ("c", "sum"),
+                 ("ss", "sum"), ("sc", "sum")])
+        return pa.table({"p_brand": g["p_brand"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "sum_size": g["s_sum"], "sum_cents": g["c_sum"],
+                         "sum_size_sq": g["ss_sum"],
+                         "sum_size_cents": g["sc_sum"]})
+
+    out = (part.map_batches(moments, batch_format="pyarrow")
+           .groupby("p_brand").sum(["n", "sum_size", "sum_cents",
+                                    "sum_size_sq", "sum_size_cents"]))
+    return _rename(out, ["p_brand", "n", "sum_size", "sum_cents",
+                         "sum_size_sq", "sum_size_cents"])
+
+
+QUERIES["size_price_moments_brands"] = q_size_price_moments_brands
+ORACLE_SQL["size_price_moments_brands"] = """
+        WITH p AS (SELECT p_brand, CAST(p_size AS BIGINT) AS s,
+                          CAST(floor(p_retailprice * 100.0 + 0.5)
+                               AS BIGINT) AS c
+                   FROM part)
+        SELECT p_brand, count(*) AS n,
+               CAST(SUM(s) AS BIGINT) AS sum_size,
+               CAST(SUM(c) AS BIGINT) AS sum_cents,
+               CAST(SUM(s * s) AS BIGINT) AS sum_size_sq,
+               CAST(SUM(s * c) AS BIGINT) AS sum_size_cents
+        FROM p GROUP BY 1
+    """
+
+
+def q_phash_popcount_stats(sf_dir: str):
+    """Perceptual-hash bit-density audit: per image format, the
+    population-count distribution of stored phashes (sum/min/max of
+    set bits) — a skewed bit density flags a degenerate hash. Pure
+    METADATA scan (payload never read); popcount via unpackbits on
+    the int64 view, replayed by DuckDB's bit_count."""
+    from geotile.ops.tiles import read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["fmt", "phash"])
+
+    def pop(t: pa.Table) -> pa.Table:
+        h = t["phash"].to_numpy(zero_copy_only=False)
+        bits = np.unpackbits(h.view(np.uint8)).reshape(len(h), 64) \
+            .sum(axis=1).astype(np.int64)
+        g = pa.table({"fmt": t["fmt"], "b": pa.array(bits)}) \
+            .group_by("fmt").aggregate(
+                [([], "count_all"), ("b", "sum"), ("b", "min"),
+                 ("b", "max")])
+        return g.rename_columns(["fmt", "n", "sum_bits", "min_bits",
+                                 "max_bits"])
+
+    out = (ds.map_batches(pop, batch_format="pyarrow")
+           .groupby("fmt")
+           .aggregate(rd.aggregate.Sum("n"),
+                      rd.aggregate.Sum("sum_bits"),
+                      rd.aggregate.Min("min_bits"),
+                      rd.aggregate.Max("max_bits")))
+    return _rename(out, ["fmt", "n", "sum_bits", "min_bits",
+                         "max_bits"])
+
+
+QUERIES["phash_popcount_stats"] = q_phash_popcount_stats
+
+
+def _phash_popcount_sql(img_dir: str) -> str:
+    return f"""
+        SELECT fmt, count(*) AS n,
+               CAST(SUM(bit_count(CAST(phash AS BIGINT))) AS BIGINT)
+                   AS sum_bits,
+               CAST(MIN(bit_count(CAST(phash AS BIGINT))) AS BIGINT)
+                   AS min_bits,
+               CAST(MAX(bit_count(CAST(phash AS BIGINT))) AS BIGINT)
+                   AS max_bits
+        FROM read_parquet('{img_dir}/part-*.parquet')
+        GROUP BY 1
     """

@@ -196,6 +196,9 @@ CHECKED = [
     "purchase_gap_median",
     "balance_asymmetry_nations",
     "vocab_growth_curve",
+    "nn1_accuracy_labels",
+    "status_share_monthly",
+    "size_price_moments_brands",
 ]
 
 
@@ -831,4 +834,20 @@ def test_stop_bbox_iou_pairs_oracle(ray_session, con):
     assert len(got) == len(exp) > 0
     for c in ("stop_a", "stop_b", "inter_e6", "area_a_e6",
               "area_b_e6"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_phash_popcount_stats_oracle(ray_session, con):
+    """Engine unpackbits popcount vs DuckDB bit_count on the metadata
+    scan at sf0.001."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _phash_popcount_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["phash_popcount_stats"](SF).to_pandas()
+           .sort_values("fmt").reset_index(drop=True))
+    exp = (con.execute(_phash_popcount_sql(img)).df()
+           .sort_values("fmt").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("fmt", "n", "sum_bits", "min_bits", "max_bits"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
