@@ -4622,6 +4622,7 @@ def oracle_sql() -> dict[str, str]:
     out["dup_degree_hist"] = _dup_degree_sql(sf01)
     out["stop_bbox_iou_pairs"] = _stop_bbox_iou_sql(img01)
     out["phash_popcount_stats"] = _phash_popcount_sql(img01)
+    out["audio_zcr_tracks"] = _audio_zcr_sql(aud01)
     return out
 
 
@@ -16518,3 +16519,248 @@ def _phash_popcount_sql(img_dir: str) -> str:
         FROM read_parquet('{img_dir}/part-*.parquet')
         GROUP BY 1
     """
+
+
+def q_large_volume_orders_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds 250 units, with the buyer's name attached.
+    The per-order sums form via batch partials + ONE orderkey
+    groupby; the HAVING filter is so selective (~1.4% of orders)
+    that the survivors broadcast — orders and customer are each
+    scanned once with the small side as a lookup, no fact-fact
+    shuffle. l_quantity is integral by TPC-H construction; the cast
+    asserts it stays exact."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def part(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].cast(pa.int64())
+        g = pa.table({"k": t["l_orderkey"], "q": q}) \
+            .group_by("k").aggregate([("q", "sum")])
+        return pa.table({"l_orderkey": g["k"], "q": g["q_sum"]})
+
+    big = (li.map_batches(part, batch_format="pyarrow")
+           .groupby("l_orderkey").sum("q")
+           .map_batches(lambda t: t.filter(pc.greater(
+               t["sum(q)"], pa.scalar(250, pa.int64()))),
+               batch_format="pyarrow")).take_all()
+    qty_of = {r["l_orderkey"]: r["sum(q)"] for r in big}
+    kref = ray.put(qty_of)
+
+    def pick_orders(t: pa.Table) -> pa.Table:
+        m = _broadcast(kref)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter((k in m for k in keys.tolist()),
+                           bool, len(keys))
+        t = t.filter(pa.array(keep))
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        sq = pa.array([m[k] for k in
+                       t["o_orderkey"].to_pylist()], pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_custkey": t["o_custkey"],
+                         "total_cents": cents, "sum_qty": sq})
+
+    hits = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(pick_orders, batch_format="pyarrow").take_all()
+    by_cust: dict[int, list] = {}
+    for r in hits:
+        by_cust.setdefault(r["c_custkey"], []).append(r)
+    cref = ray.put(by_cust)
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        m = _broadcast(cref)
+        rows = []
+        for ck, nm in zip(t["c_custkey"].to_pylist(),
+                          t["c_name"].to_pylist()):
+            for r in m.get(ck, ()):
+                rows.append((r["o_orderkey"], ck, nm,
+                             r["total_cents"], r["sum_qty"]))
+        if not rows:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "c_custkey": pa.array([], pa.int64()),
+                             "c_name": pa.array([], pa.string()),
+                             "total_cents": pa.array([], pa.int64()),
+                             "sum_qty": pa.array([], pa.int64())})
+        ok, ckk, nm, tc, sq = zip(*rows)
+        return pa.table({"o_orderkey": pa.array(ok, pa.int64()),
+                         "c_custkey": pa.array(ckk, pa.int64()),
+                         "c_name": pa.array(nm, pa.string()),
+                         "total_cents": pa.array(tc, pa.int64()),
+                         "sum_qty": pa.array(sq, pa.int64())})
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(attach_name, batch_format="pyarrow")
+
+
+QUERIES["large_volume_orders_q18"] = q_large_volume_orders_q18
+ORACLE_SQL["large_volume_orders_q18"] = """
+        WITH s AS (SELECT l_orderkey,
+                          CAST(SUM(CAST(l_quantity AS BIGINT))
+                               AS BIGINT) AS q
+                   FROM lineitem GROUP BY 1
+                   HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+        SELECT o.o_orderkey, c.c_custkey, c.c_name,
+               CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS total_cents,
+               s.q AS sum_qty
+        FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """
+
+
+def q_supplier_count_q16(sf_dir: str):
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    DISTINCT suppliers ship each (brand, size) combination, excluding
+    one boycotted brand. lineitem collapses to its distinct
+    (partkey, suppkey) edge set first (batch dedup partials + one
+    pair-cardinality groupby on a packed int64 — partkey·2²⁰+suppkey,
+    exact while partkey < 2⁴³); the part dim broadcasts sorted; the
+    (brand,size,supp) distinct pass then rides brand-code-packed keys
+    so no string ever shuffles."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        packed = pc.add(pc.multiply(t["l_partkey"],
+                                    pa.scalar(1 << 20, pa.int64())),
+                        t["l_suppkey"])
+        return pa.table({"pk": packed}).group_by("pk").aggregate([])
+
+    pairs = (li.map_batches(pair_part, batch_format="pyarrow")
+             .groupby("pk").count())
+
+    part_rows = _read(sf_dir, "part",
+                      ["p_partkey", "p_brand", "p_size"]).take_all()
+    part_rows.sort(key=lambda r: r["p_partkey"])
+    pkeys = np.array([r["p_partkey"] for r in part_rows], np.int64)
+    brands = sorted({r["p_brand"] for r in part_rows})
+    bcode = {b: i for i, b in enumerate(brands)}
+    bidx = np.array([bcode[r["p_brand"]] for r in part_rows], np.int64)
+    sizes = np.array([r["p_size"] for r in part_rows], np.int64)
+    ban = bcode.get("Brand#45", -1)
+    dref = ray.put((pkeys, bidx, sizes, ban))
+
+    def attach(t: pa.Table) -> pa.Table:
+        pk, bi, sz, banned = _broadcast(dref)
+        packed = t["pk"].to_numpy(zero_copy_only=False)
+        partkey = packed >> 20
+        supp = packed & ((1 << 20) - 1)
+        i = np.minimum(np.searchsorted(pk, partkey),
+                       max(len(pk) - 1, 0))
+        hit = (pk[i] == partkey) if len(pk) else \
+            np.zeros(len(partkey), bool)
+        i, supp = i[hit], supp[hit]
+        b, s = bi[i], sz[i]
+        keep = b != banned
+        # brand-code · 2^40 + size · 2^20 + suppkey (all < 2^20)
+        trip = (b[keep] << 40) | (s[keep] << 20) | supp[keep]
+        return pa.table({"trip": pa.array(trip)}) \
+            .group_by("trip").aggregate([])
+
+    trips = (pairs.map_batches(attach, batch_format="pyarrow")
+             .groupby("trip").count())
+
+    def count_bs(t: pa.Table) -> pa.Table:
+        trip = t["trip"].to_numpy(zero_copy_only=False)
+        bs = trip >> 20  # (brand_code << 20) | size
+        g = pa.table({"bs": pa.array(bs)}).group_by("bs") \
+            .aggregate([([], "count_all")])
+        return pa.table({"bs": g["bs"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    rows = (trips.map_batches(count_bs, batch_format="pyarrow")
+            .groupby("bs").sum("n")).take_all()
+    return pd.DataFrame(sorted(
+        ({"p_brand": brands[r["bs"] >> 20],
+          "p_size": int(r["bs"] & ((1 << 20) - 1)),
+          "supplier_cnt": r["sum(n)"]} for r in rows),
+        key=lambda x: (x["p_brand"], x["p_size"])))
+
+
+QUERIES["supplier_count_q16"] = q_supplier_count_q16
+ORACLE_SQL["supplier_count_q16"] = """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey
+                       FROM lineitem)
+        SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT)
+                   AS supplier_cnt
+        FROM pairs pr JOIN part p ON p.p_partkey = pr.l_partkey
+        WHERE p.p_brand <> 'Brand#45'
+        GROUP BY 1, 2
+    """
+
+
+def q_audio_zcr_tracks(sf_dir: str):
+    """Zero-crossing-rate audit over the audio corpus: per track the
+    number of strict sign flips (s[i-1]·s[i] < 0), positive samples
+    and negative samples — the classic cheap voiced/unvoiced feature,
+    computed as one shifted product over the stacked batch tensor
+    (int16·int16 < 2³⁰, promoted to int64). Payload batches stay
+    small per the image-stage law. Oracle: python-int replay
+    sidecar."""
+    from geotile.ops.audio import read_audio_table
+
+    ds = read_audio_table(_audio_dir_for(sf_dir))
+
+    def zcr(t: pa.Table) -> pa.Table:
+        ids = t["track_id"].to_numpy(zero_copy_only=False)
+        pcm = np.stack([np.frombuffer(p, dtype=np.int16)
+                        for p in t["bytes"].to_pylist()]) \
+            .astype(np.int64)
+        flips = (pcm[:, :-1] * pcm[:, 1:] < 0).sum(axis=1)
+        return pa.table({"track_id": pa.array(ids),
+                         "n_flips": pa.array(flips.astype(np.int64)),
+                         "n_pos": pa.array(
+                             (pcm > 0).sum(axis=1).astype(np.int64)),
+                         "n_neg": pa.array(
+                             (pcm < 0).sum(axis=1).astype(np.int64))})
+
+    return ds.map_batches(zcr, batch_format="pyarrow", batch_size=64)
+
+
+QUERIES["audio_zcr_tracks"] = q_audio_zcr_tracks
+
+
+def _audio_zcr_sidecar(aud: str) -> str:
+    """Python-int replay for audio_zcr_tracks (per-sample loop with
+    plain ints vs the engine's shifted-product kernel). Content-keyed
+    on synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_audiozcr_{Path(aud).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(aud, columns=["track_id"])
+        ids = np.sort(t["track_id"].to_numpy(zero_copy_only=False))
+        pcm = _sy.audio_samples(ids)
+        nf, npos, nneg = [], [], []
+        for j in range(len(ids)):
+            samples = [int(v) for v in pcm[j].tolist()]
+            flips = pos = neg = 0
+            for a, b in zip(samples, samples[1:]):
+                if a * b < 0:
+                    flips += 1
+            for v in samples:
+                if v > 0:
+                    pos += 1
+                elif v < 0:
+                    neg += 1
+            nf.append(flips)
+            npos.append(pos)
+            nneg.append(neg)
+        out = pa.table({"track_id": pa.array(ids),
+                        "n_flips": pa.array(nf, pa.int64()),
+                        "n_pos": pa.array(npos, pa.int64()),
+                        "n_neg": pa.array(nneg, pa.int64())})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _audio_zcr_sql(aud: str) -> str:
+    return (f"SELECT track_id, n_flips, n_pos, n_neg "
+            f"FROM read_parquet('{_audio_zcr_sidecar(aud)}')")

@@ -199,6 +199,8 @@ CHECKED = [
     "nn1_accuracy_labels",
     "status_share_monthly",
     "size_price_moments_brands",
+    "large_volume_orders_q18",
+    "supplier_count_q16",
 ]
 
 
@@ -850,4 +852,19 @@ def test_phash_popcount_stats_oracle(ray_session, con):
            .sort_values("fmt").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("fmt", "n", "sum_bits", "min_bits", "max_bits"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_audio_zcr_tracks_oracle(ray_session, con):
+    """Shifted-product ZCR kernel vs the python-int per-sample replay
+    sidecar at sf0.001."""
+    from geotile.queries import QUERIES, _audio_dir_for, _audio_zcr_sql
+
+    aud = _audio_dir_for(SF)
+    got = (QUERIES["audio_zcr_tracks"](SF).to_pandas()
+           .sort_values("track_id").reset_index(drop=True))
+    exp = (con.execute(_audio_zcr_sql(aud)).df()
+           .sort_values("track_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("track_id", "n_flips", "n_pos", "n_neg"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
