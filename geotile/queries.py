@@ -4623,6 +4623,9 @@ def oracle_sql() -> dict[str, str]:
     out["stop_bbox_iou_pairs"] = _stop_bbox_iou_sql(img01)
     out["phash_popcount_stats"] = _phash_popcount_sql(img01)
     out["audio_zcr_tracks"] = _audio_zcr_sql(aud01)
+    out["video_motion_energy"] = _video_motion_sql(
+        _video_dir_for("/root/testdata/sf0.01"))
+    out["image_gradient_energy"] = _image_gradient_sql(img01)
     return out
 
 
@@ -16764,3 +16767,267 @@ def _audio_zcr_sidecar(aud: str) -> str:
 def _audio_zcr_sql(aud: str) -> str:
     return (f"SELECT track_id, n_flips, n_pos, n_neg "
             f"FROM read_parquet('{_audio_zcr_sidecar(aud)}')")
+
+
+def q_video_motion_energy(sf_dir: str):
+    """Video motion profiling: per clip the exact integer inter-frame
+    motion energy (total, peak transition, first peak index) — the
+    scene-change / static-clip triage a sampling curator keys on,
+    computed as ONE |diff| over each payload group's stacked 5-D
+    tensor (ops/video.py VideoMotionStage). Oracle: generator-replay
+    sidecar rederives every frame pair with python ints."""
+    from geotile.ops.video import VideoMotionStage, read_video_table
+
+    ds = read_video_table(_video_dir_for(sf_dir))
+    return ds.map_batches(
+        VideoMotionStage, batch_format="pyarrow", batch_size=32,
+        concurrency=2,
+    )
+
+
+QUERIES["video_motion_energy"] = q_video_motion_energy
+
+
+def _video_motion_sidecar(vid: str) -> str:
+    """Python-int replay for video_motion_energy: every consecutive
+    frame pair rederived from synth.pixel_pattern and |a−b|-summed in
+    a plain loop; max + FIRST argmax tracked scalar-side. Content-
+    keyed on synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_videomotion_{Path(vid).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(vid, columns=["clip_id", "n_frames"])
+        ids = np.sort(t["clip_id"].to_numpy(zero_copy_only=False))
+        nf = int(t["n_frames"][0].as_py())
+        rows = []
+        for cid in ids.tolist():
+            frames = [
+                [int(v) for v in _sy.pixel_pattern(
+                    np.array([cid * 64 + f], np.uint64),
+                    _sy.VIDEO_W, _sy.VIDEO_H)[0].ravel().tolist()]
+                for f in range(nf)]
+            total, peak, pidx = 0, -1, -1
+            for f in range(nf - 1):
+                e = sum(abs(a - b) for a, b in
+                        zip(frames[f + 1], frames[f]))
+                total += e
+                if e > peak:
+                    peak, pidx = e, f
+            rows.append({"clip_id": cid, "motion_total": total,
+                         "motion_peak": peak, "peak_idx": pidx})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _video_motion_sql(vid: str) -> str:
+    return (f"SELECT clip_id, motion_total, motion_peak, peak_idx "
+            f"FROM read_parquet('{_video_motion_sidecar(vid)}')")
+
+
+def q_image_gradient_energy(sf_dir: str):
+    """Per-image gradient energy for the first 1024 images: exact
+    integer Σ|∂gray/∂x| and Σ|∂gray/∂y| over the (r+g+b)//3 plane —
+    the blur/sharpness score an image-quality filter thresholds on.
+    Decode groups by (w, h) within the batch (mixed-size law); both
+    sums come from one vectorized |diff| per axis. Python-int replay
+    sidecar."""
+    from geotile.ops.tiles import ImageDecodeStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(1024)
+
+    class GradStage:
+        def __init__(self):
+            self.decoders = ImageDecodeStage(verify=False).decoders
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_pylist()
+            hs = batch["h"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            ids = batch["image_id"].to_numpy(zero_copy_only=False)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, (wi, hi) in enumerate(zip(ws, hs)):
+                groups.setdefault((wi, hi), []).append(i)
+            out_id, out_h, out_v = [], [], []
+            for (wi, hi), slots in groups.items():
+                px = np.stack([self.decoders[fmts[i]](payloads[i],
+                                                      wi, hi)
+                               for i in slots])
+                gray = px.astype(np.int64).sum(axis=3) // 3
+                gh = np.abs(np.diff(gray, axis=2)).sum(axis=(1, 2))
+                gv = np.abs(np.diff(gray, axis=1)).sum(axis=(1, 2))
+                out_id.append(ids[slots])
+                out_h.append(gh)
+                out_v.append(gv)
+            return pa.table({
+                "image_id": pa.array(np.concatenate(out_id)),
+                "grad_h": pa.array(np.concatenate(out_h)),
+                "grad_v": pa.array(np.concatenate(out_v))})
+
+    return ds.map_batches(GradStage, batch_format="pyarrow",
+                          batch_size=256, concurrency=2)
+
+
+QUERIES["image_gradient_energy"] = q_image_gradient_energy
+
+
+def _image_gradient_sidecar(img: str, n: int = 1024) -> str:
+    """Python-int replay for image_gradient_energy (nested per-pixel
+    loops vs the engine's vectorized |diff|). Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_imggrad_{Path(img).name}_{n}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["image_id", "w", "h"])
+        order = pc.sort_indices(t["image_id"])[:n]
+        ids = t["image_id"].take(order)
+        ws = t["w"].take(order).to_numpy(zero_copy_only=False)
+        hs = t["h"].take(order).to_numpy(zero_copy_only=False)
+        idx = _sy.image_index(ids).astype(np.uint64)
+        ghs = np.zeros(len(ws), np.int64)
+        gvs = np.zeros(len(ws), np.int64)
+        for wi, hi in set(zip(ws.tolist(), hs.tolist())):
+            m = np.nonzero((ws == wi) & (hs == hi))[0]
+            px = _sy.pixel_pattern(idx[m], wi, hi)
+            for j, slot in enumerate(m):
+                g = [[(int(px[j, y, x, 0]) + int(px[j, y, x, 1])
+                       + int(px[j, y, x, 2])) // 3
+                      for x in range(wi)] for y in range(hi)]
+                gh = sum(abs(g[y][x + 1] - g[y][x])
+                         for y in range(hi) for x in range(wi - 1))
+                gv = sum(abs(g[y + 1][x] - g[y][x])
+                         for y in range(hi - 1) for x in range(wi))
+                ghs[slot], gvs[slot] = gh, gv
+        out = pa.table({"image_id": ids, "grad_h": pa.array(ghs),
+                        "grad_v": pa.array(gvs)})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _image_gradient_sql(img: str) -> str:
+    return (f"SELECT image_id, grad_h, grad_v "
+            f"FROM read_parquet('{_image_gradient_sidecar(img)}')")
+
+
+def q_market_share_q8(sf_dir: str):
+    """TPC-H Q8 shape (national market share): of all revenue sold
+    into one region's market (customer nation ∈ ASIA), what ppm came
+    from suppliers of one nation, per order year. Same dual-dimension
+    plan as Q7: orders⋈customer rides two bucketed co-partitions
+    (custkey then orderkey — the fact-scale sides at 100 TB), the
+    customer-nation→region filter and suppkey→nation gather are
+    broadcast sorted arrays. Year-cardinality partials; the ppm
+    division happens once per year row in exact python ints."""
+    from geotile.ops.relational import bucketed_join
+
+    REGION = 2       # ASIA
+    SUPP_NATION = 7  # NATION_7 (regionkey 2)
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_regionkey"]).take_all()
+    nkeys = np.array(sorted(r["n_nationkey"] for r in nat), np.int64)
+    nreg = {r["n_nationkey"]: r["n_regionkey"] for r in nat}
+    regs = np.array([nreg[k] for k in nkeys], np.int64)
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).take_all()
+    skeys = np.array(sorted(r["s_suppkey"] for r in sup), np.int64)
+    snat_of = {r["s_suppkey"]: r["s_nationkey"] for r in sup}
+    snats = np.array([snat_of[k] for k in skeys], np.int64)
+    dref = ray.put((nkeys, regs, skeys, snats))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def in_region(t: pa.Table) -> pa.Table:
+        nk, rg, _, _ = _broadcast(dref)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        i = np.minimum(np.searchsorted(nk, cn),
+                       max(len(nk) - 1, 0))
+        keep = (rg[i] == REGION) & (nk[i] == cn) if len(nk) else \
+            np.zeros(len(cn), bool)
+        return t.filter(pa.array(keep)).select(["c_custkey"])
+
+    cust_asia = cust.map_batches(in_region, batch_format="pyarrow")
+    oc = bucketed_join(orders, cust_asia, "o_custkey", "c_custkey",
+                       n_buckets=16)
+    oc = oc.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "o_year": pc.year(t["o_orderdate"])}),
+        batch_format="pyarrow").materialize()  # schema-probe law
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    j = bucketed_join(li, oc, "l_orderkey", "o_orderkey", n_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, sk, sn = _broadcast(dref)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        i = np.minimum(np.searchsorted(sk, s), max(len(sk) - 1, 0))
+        hit = (sk[i] == s) if len(sk) else np.zeros(len(s), bool)
+        rev = pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0)), pa.scalar(0.5))).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        yr = t["o_year"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[hit]
+        rv = rev[hit]
+        is_n = (sn[i][hit] == SUPP_NATION).astype(np.int64)
+        g = pa.table({"o_year": pa.array(yr),
+                      "total_e4": pa.array(rv),
+                      "nation_e4": pa.array(rv * is_n)}) \
+            .group_by("o_year").aggregate(
+                [("total_e4", "sum"), ("nation_e4", "sum")])
+        return pa.table({"o_year": g["o_year"],
+                         "total_e4": g["total_e4_sum"],
+                         "nation_e4": g["nation_e4_sum"]})
+
+    rows = (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_year").sum(["total_e4", "nation_e4"])) \
+        .take_all()
+    return pd.DataFrame(sorted(
+        ({"o_year": r["o_year"], "total_e4": r["sum(total_e4)"],
+          "nation_e4": r["sum(nation_e4)"],
+          "share_ppm": r["sum(nation_e4)"] * 1_000_000
+          // r["sum(total_e4)"]} for r in rows),
+        key=lambda x: x["o_year"]))
+
+
+QUERIES["market_share_q8"] = q_market_share_q8
+ORACLE_SQL["market_share_q8"] = """
+        WITH j AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS y,
+                   CAST(floor(l.l_extendedprice
+                              * (1 - l.l_discount) * 10000.0 + 0.5)
+                        AS BIGINT) AS rev,
+                   s.s_nationkey AS snat
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            WHERE cn.n_regionkey = 2)
+        SELECT y AS o_year, CAST(SUM(rev) AS BIGINT) AS total_e4,
+               CAST(COALESCE(SUM(rev) FILTER (snat = 7), 0) AS BIGINT)
+                   AS nation_e4,
+               COALESCE(SUM(rev) FILTER (snat = 7), 0) * 1000000
+                   // SUM(rev) AS share_ppm
+        FROM j GROUP BY 1
+    """

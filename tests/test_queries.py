@@ -201,6 +201,7 @@ CHECKED = [
     "size_price_moments_brands",
     "large_volume_orders_q18",
     "supplier_count_q16",
+    "market_share_q8",
 ]
 
 
@@ -867,4 +868,36 @@ def test_audio_zcr_tracks_oracle(ray_session, con):
            .sort_values("track_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("track_id", "n_flips", "n_pos", "n_neg"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_video_motion_energy_oracle(ray_session, con):
+    """Stacked-tensor |diff| motion kernel vs the python-int frame-pair
+    replay at sf0.001; first-argmax tie rule must match."""
+    from geotile.queries import (QUERIES, _video_dir_for,
+                                 _video_motion_sql)
+
+    vid = _video_dir_for(SF)
+    got = (QUERIES["video_motion_energy"](SF).to_pandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    exp = (con.execute(_video_motion_sql(vid)).df()
+           .sort_values("clip_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("clip_id", "motion_total", "motion_peak", "peak_idx"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_image_gradient_energy_oracle(ray_session, con):
+    """Vectorized |diff| gradient sums vs the nested python-int loop
+    replay at sf0.001 (mixed image sizes exercised by the fixture)."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _image_gradient_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["image_gradient_energy"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_image_gradient_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "grad_h", "grad_v"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
