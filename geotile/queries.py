@@ -17031,3 +17031,174 @@ ORACLE_SQL["market_share_q8"] = """
                    // SUM(rev) AS share_ppm
         FROM j GROUP BY 1
     """
+
+
+def q_char_class_docs(sf_dir: str):
+    """Character-class composition per source: digits, ASCII letters,
+    spaces and total chars — the cheap boilerplate/table detector a
+    corpus-quality gate runs first. Three re2 count kernels + one
+    utf8_length per batch, source-cardinality partials, one tiny
+    shuffle."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        g = pa.table({
+            "source": t["source"],
+            "n_digits": pc.count_substring_regex(txt, r"[0-9]")
+            .cast(pa.int64()),
+            "n_alpha": pc.count_substring_regex(txt, r"[A-Za-z]")
+            .cast(pa.int64()),
+            "n_spaces": pc.count_substring(txt, " ").cast(pa.int64()),
+            "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+        }).group_by("source").aggregate(
+            [("n_digits", "sum"), ("n_alpha", "sum"),
+             ("n_spaces", "sum"), ("n_chars", "sum"),
+             ([], "count_all")])
+        return pa.table({"source": g["source"],
+                         "n_digits": g["n_digits_sum"],
+                         "n_alpha": g["n_alpha_sum"],
+                         "n_spaces": g["n_spaces_sum"],
+                         "n_chars": g["n_chars_sum"],
+                         "n_docs": g["count_all"].cast(pa.int64())})
+
+    out = (docs.map_batches(counts, batch_format="pyarrow")
+           .groupby("source").sum(["n_digits", "n_alpha", "n_spaces",
+                                   "n_chars", "n_docs"]))
+    return _rename(out, ["source", "n_digits", "n_alpha", "n_spaces",
+                         "n_chars", "n_docs"])
+
+
+QUERIES["char_class_docs"] = q_char_class_docs
+ORACLE_SQL["char_class_docs"] = """
+        SELECT source,
+               CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g')))
+                    AS BIGINT) AS n_digits,
+               CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '',
+                                              'g'))) AS BIGINT)
+                   AS n_alpha,
+               CAST(SUM(length(text)
+                        - length(replace(text, ' ', ''))) AS BIGINT)
+                   AS n_spaces,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """
+
+
+def q_global_max_gap_events(sf_dir: str):
+    """Longest silence in the whole event stream: the maximum gap
+    between consecutive DISTINCT event timestamps, with the epoch-µs
+    start of the earliest such gap — the ingestion-outage detector.
+    No global sort: timestamps co-partition by calendar DAY (batch
+    dedup partials ride the day shuffle), each day resolves its own
+    sorted gaps, and only per-day (max, argmax, min_ts, max_ts)
+    summaries reach the driver, where day-boundary gaps stitch in an
+    O(days) epilogue."""
+    ev = _read(sf_dir, "events", ["ts"])
+    DAY = 86_400_000_000
+
+    def part(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        g = pa.table({"day": pc.divide(us, pa.scalar(DAY, pa.int64())),
+                      "us": us}).group_by(["day", "us"]).aggregate([])
+        return g
+
+    def day_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        us = np.unique(df["us"].to_numpy())
+        d = np.diff(us)
+        if len(d):
+            mx = int(d.max())
+            start = int(us[:-1][d == mx].min())
+        else:
+            mx, start = -1, -1
+        return pd.DataFrame({"day": [int(df["day"].iloc[0])],
+                             "max_gap": [mx], "start_us": [start],
+                             "lo": [int(us[0])], "hi": [int(us[-1])]})
+
+    days = (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("day").map_groups(day_kernel)).take_all()
+    days.sort(key=lambda r: r["day"])
+    best, best_start = -1, -1
+    for i, r in enumerate(days):
+        cands = []
+        if r["max_gap"] >= 0:
+            cands.append((r["max_gap"], r["start_us"]))
+        if i:
+            cands.append((r["lo"] - days[i - 1]["hi"],
+                          days[i - 1]["hi"]))
+        for g, s in cands:
+            if g > best or (g == best and s < best_start):
+                best, best_start = g, s
+    return pd.DataFrame({"max_gap_us": [best],
+                         "start_us": [best_start]})
+
+
+QUERIES["global_max_gap_events"] = q_global_max_gap_events
+ORACLE_SQL["global_max_gap_events"] = """
+        WITH t AS (SELECT DISTINCT ts FROM events),
+        d AS (SELECT epoch_us(ts) AS u,
+                     epoch_us(ts) - LAG(epoch_us(ts))
+                         OVER (ORDER BY ts) AS g
+              FROM t)
+        SELECT CAST(MAX(g) AS BIGINT) AS max_gap_us,
+               CAST(MIN(u - g) FILTER (g = (SELECT MAX(g) FROM d))
+                    AS BIGINT) AS start_us
+        FROM d
+    """
+
+
+def q_label_gram_matrix(sf_dir: str):
+    """Label-centroid affinity as EXACT integer algebra: the Gram
+    matrix of per-label embedding SUM vectors on the e3 lattice
+    (floor(x·1000) per element — sums stay ≪ 2⁶³ while vectors/label
+    < 10⁸). Per-batch partials reduce each block to ≤ labels×dim
+    rows; the 640-row final meets in a driver epilogue that forms all
+    label-pair dots in one int64 matmul."""
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def part(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.floor(np.stack(
+            [np.asarray(v, np.float64) for v in
+             t["embedding"].to_pylist()]) * 1000.0).astype(np.int64)
+        labs = np.unique(lab)
+        sums = np.zeros((len(labs), m.shape[1]), np.int64)
+        np.add.at(sums, np.searchsorted(labs, lab), m)
+        dim = np.tile(np.arange(m.shape[1], dtype=np.int64),
+                      len(labs))
+        return pa.table({"label": pa.array(np.repeat(labs,
+                                                     m.shape[1])),
+                         "dim": pa.array(dim),
+                         "s": pa.array(sums.ravel())})
+
+    rows = (emb.map_batches(part, batch_format="pyarrow")
+            .groupby(["label", "dim"]).sum("s")).take_all()
+    labs = sorted({r["label"] for r in rows})
+    dims = 1 + max(r["dim"] for r in rows)
+    S = np.zeros((len(labs), dims), np.int64)
+    li = {l: i for i, l in enumerate(labs)}
+    for r in rows:
+        S[li[r["label"]], r["dim"]] = r["sum(s)"]
+    G = S @ S.T
+    out = [{"label_a": a, "label_b": b, "dot_e6": int(G[i, j])}
+           for i, a in enumerate(labs)
+           for j, b in enumerate(labs) if a <= b]
+    return pd.DataFrame(out)
+
+
+QUERIES["label_gram_matrix"] = q_label_gram_matrix
+ORACLE_SQL["label_gram_matrix"] = """
+        WITH u AS (SELECT label,
+                          unnest(range(len(embedding))) AS dim,
+                          CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                     * 1000.0) AS BIGINT) AS v
+                   FROM embeddings),
+        s AS (SELECT label, dim, SUM(v) AS sv FROM u GROUP BY 1, 2)
+        SELECT CAST(a.label AS BIGINT) AS label_a,
+               CAST(b.label AS BIGINT) AS label_b,
+               CAST(SUM(a.sv * b.sv) AS BIGINT) AS dot_e6
+        FROM s a JOIN s b ON a.dim = b.dim AND a.label <= b.label
+        GROUP BY 1, 2
+    """

@@ -202,6 +202,9 @@ CHECKED = [
     "large_volume_orders_q18",
     "supplier_count_q16",
     "market_share_q8",
+    "char_class_docs",
+    "global_max_gap_events",
+    "label_gram_matrix",
 ]
 
 
