@@ -4626,6 +4626,10 @@ def oracle_sql() -> dict[str, str]:
     out["video_motion_energy"] = _video_motion_sql(
         _video_dir_for("/root/testdata/sf0.01"))
     out["image_gradient_energy"] = _image_gradient_sql(img01)
+    out["poly_edge_crossings"] = _poly_crossings_sql()
+    out["bloom_fpr_audit"] = _bloom_fpr_sql("/root/testdata/sf0.01")
+    out["scene_change_runs"] = _scene_change_sql(
+        _video_dir_for("/root/testdata/sf0.01"))
     return out
 
 
@@ -17202,3 +17206,417 @@ ORACLE_SQL["label_gram_matrix"] = """
         FROM s a JOIN s b ON a.dim = b.dim AND a.label <= b.label
         GROUP BY 1, 2
     """
+
+
+def _poly_edges_path() -> str:
+    """Sidecar: every boundary edge of the 256 synthetic station-buffer
+    discs (synth.synthetic_route_polygons — the spatial_join_256_polys
+    dimension set), with explicit edge ids in pip._edges order.
+    Content-keyed on synth.py + the geometry modules."""
+    import geotile.synth as _sy
+    from geotile.geom.pip import _edges
+
+    p = _oracle_cache_dir() / (
+        f"oracle_poly_edges_{_mods_digest(_sy)}_{_geom_digest()}.parquet")
+    if not p.exists():
+        polys = _sy.synthetic_route_polygons(256)
+        cols = {"poly_id": [], "eid": [], "x1": [], "y1": [],
+                "x2": [], "y2": []}
+        eid = 0
+        for rid in sorted(polys):
+            for outer, holes in polys[rid]:
+                x1, y1, x2, y2 = _edges([outer] + list(holes))
+                cols["poly_id"].extend([rid] * len(x1))
+                cols["eid"].append(
+                    np.arange(eid, eid + len(x1), dtype=np.int64))
+                eid += len(x1)
+                cols["x1"].append(x1)
+                cols["y1"].append(y1)
+                cols["x2"].append(x2)
+                cols["y2"].append(y2)
+        t = pa.table({
+            "poly_id": pa.array(cols["poly_id"], pa.string()),
+            "eid": pa.array(np.concatenate(cols["eid"])),
+            **{k: pa.array(np.concatenate(cols[k]))
+               for k in ("x1", "y1", "x2", "y2")}})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(t, p)
+    return str(p)
+
+
+def q_poly_edge_crossings(sf_dir: str):
+    """Segment-intersection join: for every unordered pair of the 256
+    station-buffer discs, how many boundary-edge pairs STRICTLY cross
+    (both orientation sign pairs opposite, zeros excluded) — the
+    conflict-detection primitive under overlay/dissolve. The scale
+    path, not all-pairs: edges scatter to coarse grid cells covered by
+    their bbox, candidate pairs form only within a cell, dedup by
+    packed (eid_i < eid_j) key rides one bounded shuffle, and the
+    exact IEEE orientation test runs ONCE per surviving pair against
+    the broadcast edge arrays (dimension-scale by construction). A
+    crossing pair shares the cell containing its intersection point,
+    so cell candidacy has no false negatives."""
+    import pyarrow.parquet as pq
+
+    edges = pq.read_table(_poly_edges_path())
+    x1 = edges["x1"].to_numpy()
+    y1 = edges["y1"].to_numpy()
+    x2 = edges["x2"].to_numpy()
+    y2 = edges["y2"].to_numpy()
+    pids = np.array(edges["poly_id"].to_pylist())
+    upolys, pcode = np.unique(pids, return_inverse=True)
+    eref = ray.put((x1, y1, x2, y2, pcode.astype(np.int64), upolys))
+    G = 0.005  # cell size (deg) ≫ edge span (~0.0006°)
+
+    ds = rd.from_arrow(edges.select(["eid", "x1", "y1", "x2", "y2"])) \
+        .repartition(8)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        eid = t["eid"].to_numpy()
+        ax1 = t["x1"].to_numpy()
+        ay1 = t["y1"].to_numpy()
+        ax2 = t["x2"].to_numpy()
+        ay2 = t["y2"].to_numpy()
+        cx_lo = np.floor(np.minimum(ax1, ax2) / G).astype(np.int64)
+        cx_hi = np.floor(np.maximum(ax1, ax2) / G).astype(np.int64)
+        cy_lo = np.floor(np.minimum(ay1, ay2) / G).astype(np.int64)
+        cy_hi = np.floor(np.maximum(ay1, ay2) / G).astype(np.int64)
+        out_c, out_e = [], []
+        for i in range(len(eid)):
+            for cx in range(cx_lo[i], cx_hi[i] + 1):
+                for cy in range(cy_lo[i], cy_hi[i] + 1):
+                    out_c.append((cx << 32) | (cy & 0xFFFFFFFF))
+                    out_e.append(eid[i])
+        return pa.table({"cell": pa.array(out_c, pa.int64()),
+                         "eid": pa.array(out_e, pa.int64())})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # per-group-cost law: cells coarsen into ≤256 shuffle groups;
+        # same-cell runs resolve after one lexsort inside the bucket
+        _, _, _, _, pcode_, _ = _broadcast(eref)
+        cell = df["cell"].to_numpy(np.int64)
+        eid = df["eid"].to_numpy(np.int64)
+        o = np.lexsort((eid, cell))
+        cell, eid = cell[o], eid[o]
+        new = np.r_[True, cell[1:] != cell[:-1]]
+        first = np.flatnonzero(new)
+        cnt = np.diff(np.r_[first, len(cell)])
+        pairs = []
+        for f, c in zip(first[cnt > 1], cnt[cnt > 1]):
+            e = np.unique(eid[f:f + c])
+            if len(e) < 2:
+                continue
+            ii, jj = np.triu_indices(len(e), k=1)
+            a, b = e[ii], e[jj]
+            keep = pcode_[a] != pcode_[b]
+            if keep.any():
+                pairs.append((a[keep] << 20) | b[keep])
+        if not pairs:
+            return pd.DataFrame({"pair": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"pair": np.concatenate(pairs)})
+
+    scattered = ds.map_batches(scatter, batch_format="pyarrow") \
+        .map_batches(lambda t: t.append_column(
+            "bkt", pc.bit_wise_and(t["cell"],
+                                   pa.scalar(0xFF, pa.int64()))),
+            batch_format="pyarrow")
+    # block-type + block-count laws: map_groups emits one tiny PANDAS
+    # block per bucket — convert to arrow and coalesce before the
+    # dedup shuffle (10× on the groupby, measured)
+    cand = (scattered.groupby("bkt").map_groups(bucket_pairs)
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .repartition(4).groupby("pair").count())
+
+    def test(t: pa.Table) -> pa.Table:
+        X1, Y1, X2, Y2, pcode_, upolys_ = _broadcast(eref)
+        pair = t["pair"].to_numpy(zero_copy_only=False)
+        i, j = pair >> 20, pair & ((1 << 20) - 1)
+        dxi, dyi = X2[i] - X1[i], Y2[i] - Y1[i]
+        dxj, dyj = X2[j] - X1[j], Y2[j] - Y1[j]
+        o1 = dxi * (Y1[j] - Y1[i]) - dyi * (X1[j] - X1[i])
+        o2 = dxi * (Y2[j] - Y1[i]) - dyi * (X2[j] - X1[i])
+        o3 = dxj * (Y1[i] - Y1[j]) - dyj * (X1[i] - X1[j])
+        o4 = dxj * (Y2[i] - Y1[j]) - dyj * (X2[i] - X1[j])
+        hit = (((o1 < 0) != (o2 < 0)) & (o1 != 0) & (o2 != 0)
+               & ((o3 < 0) != (o4 < 0)) & (o3 != 0) & (o4 != 0))
+        pi, pj = pcode_[i[hit]], pcode_[j[hit]]
+        lo, hi = np.minimum(pi, pj), np.maximum(pi, pj)
+        g = pa.table({"pp": pa.array(lo * 4096 + hi)}) \
+            .group_by("pp").aggregate([([], "count_all")])
+        return pa.table({"pp": g["pp"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    rows = (cand.map_batches(test, batch_format="pyarrow")
+            .groupby("pp").sum("n")).take_all()
+    return pd.DataFrame(sorted(
+        ({"poly_a": upolys[r["pp"] // 4096],
+          "poly_b": upolys[r["pp"] % 4096],
+          "n_crossings": r["sum(n)"]} for r in rows),
+        key=lambda x: (x["poly_a"], x["poly_b"])))
+
+
+QUERIES["poly_edge_crossings"] = q_poly_edge_crossings
+
+
+def _poly_crossings_sql() -> str:
+    """SQL replay: poly-pair bbox prefilter (necessary condition, so
+    lossless), then the SAME strict-crossing IEEE expressions edge
+    against edge. Endpoint coords are stored, so every orientation
+    term is sub/mul/sub in the engine's exact op order."""
+    p = _poly_edges_path()
+    return f"""
+        WITH e AS (SELECT * FROM read_parquet('{p}')),
+        bb AS (SELECT poly_id, min(least(x1, x2)) AS xlo,
+                      max(greatest(x1, x2)) AS xhi,
+                      min(least(y1, y2)) AS ylo,
+                      max(greatest(y1, y2)) AS yhi
+               FROM e GROUP BY 1),
+        cand AS (SELECT a.poly_id AS pa_, b.poly_id AS pb_
+                 FROM bb a JOIN bb b ON a.poly_id < b.poly_id
+                 WHERE a.xlo <= b.xhi AND b.xlo <= a.xhi
+                   AND a.ylo <= b.yhi AND b.ylo <= a.yhi),
+        x AS (SELECT c.pa_, c.pb_,
+                     (ea.x2 - ea.x1) AS dxi, (ea.y2 - ea.y1) AS dyi,
+                     (eb.x2 - eb.x1) AS dxj, (eb.y2 - eb.y1) AS dyj,
+                     ea.x1 AS xi, ea.y1 AS yi, ea.x2 AS xi2,
+                     ea.y2 AS yi2,
+                     eb.x1 AS xj, eb.y1 AS yj, eb.x2 AS xj2,
+                     eb.y2 AS yj2
+              FROM cand c
+              JOIN e ea ON ea.poly_id = c.pa_
+              JOIN e eb ON eb.poly_id = c.pb_),
+        o AS (SELECT pa_, pb_,
+                     dxi * (yj - yi) - dyi * (xj - xi) AS o1,
+                     dxi * (yj2 - yi) - dyi * (xj2 - xi) AS o2,
+                     dxj * (yi - yj) - dyj * (xi - xj) AS o3,
+                     dxj * (yi2 - yj) - dyj * (xi2 - xj) AS o4
+              FROM x)
+        SELECT pa_ AS poly_a, pb_ AS poly_b,
+               count(*) AS n_crossings
+        FROM o
+        WHERE ((o1 < 0) <> (o2 < 0)) AND o1 <> 0 AND o2 <> 0
+          AND ((o3 < 0) <> (o4 < 0)) AND o3 <> 0 AND o4 <> 0
+        GROUP BY 1, 2
+    """
+
+
+def q_bloom_fpr_audit(sf_dir: str):
+    """Bloom-filter quality audit: build the distributed filter over
+    January-1995 buyer keys (ops/bloom — constant-size bitmap partials
+    OR-merged at the driver), probe EVERY customer key, and report the
+    exact pass/true/false-positive counts — the measured FPR behind
+    bloom_semi_join's ~1% design point. Probe partials carry three
+    counters per batch; exact truth comes from the month-bounded
+    keyset broadcast sorted."""
+    from geotile.ops.bloom import bloom_build, bloom_prefilter
+
+    LO = np.datetime64("1995-01-01", "us")
+    HI = np.datetime64("1995-02-01", "us")
+    jan = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(LO)),
+            pc.less(t["o_orderdate"], pa.scalar(HI))))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    jan = jan.materialize()  # schema-probe law: count + build + truth
+    n_rows = jan.count()
+    fref, m, k = bloom_build(jan, "o_custkey", max(n_rows, 1))
+    truth = np.unique(np.array(
+        [r["o_custkey"] for r in jan.take_all()], np.int64))
+    tref = ray.put(truth)
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    passed = bloom_prefilter(cust, "c_custkey", fref, m, k)
+
+    def stats(t: pa.Table) -> pa.Table:
+        tr = _broadcast(tref)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        i = np.minimum(np.searchsorted(tr, keys),
+                       max(len(tr) - 1, 0))
+        n_true = int((tr[i] == keys).sum()) if len(tr) else 0
+        return pa.table({"n_pass": pa.array([len(keys)], pa.int64()),
+                         "n_true": pa.array([n_true], pa.int64())})
+
+    parts = passed.map_batches(stats, batch_format="pyarrow") \
+        .take_all()
+    n_pass = sum(r["n_pass"] for r in parts)
+    n_true = sum(r["n_true"] for r in parts)
+    n_probed = cust.count()
+    return pd.DataFrame({"n_probed": [n_probed], "n_pass": [n_pass],
+                         "n_true": [n_true],
+                         "n_fp": [n_pass - n_true]})
+
+
+QUERIES["bloom_fpr_audit"] = q_bloom_fpr_audit
+
+
+def _bloom_fpr_sidecar(sf_dir: str) -> str:
+    """Python-int replay for bloom_fpr_audit: rebuild the SAME filter
+    (k=4 splitmix64 streams seeded (i+1)·GOLDEN, m = 10·n_rows rounded
+    to words) with scalar arithmetic over a python set of bit
+    positions, probe every customer, and emit the one-row truth.
+    Content-keyed on ops/bloom.py + oracle_ref.py."""
+    import geotile.oracle_ref as _oref
+    import geotile.ops.bloom as _obloom
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_bloomfpr_{Path(sf_dir).name}_"
+        f"{_mods_digest(_obloom, _oref)}.parquet")
+    if not p.exists():
+        M64 = (1 << 64) - 1
+        GOLD = 0x9E3779B97F4A7C15
+
+        def sm64_nogold(x: int) -> int:
+            # synth.splitmix64 adds the gamma itself; oracle_ref.sm64
+            # matches it exactly (gamma = GOLD)
+            return _oref.sm64(x)
+
+        o = pq.read_table(f"{sf_dir}/orders.parquet",
+                          columns=["o_custkey", "o_orderdate"])
+        us = o["o_orderdate"].cast(pa.int64()).to_pylist()
+        lo = int(np.datetime64("1995-01-01", "us").astype(np.int64))
+        hi = int(np.datetime64("1995-02-01", "us").astype(np.int64))
+        keys = [c for c, u in zip(o["o_custkey"].to_pylist(), us)
+                if lo <= u < hi]
+        n_rows = len(keys)
+        m = max(64, max(n_rows, 1) * 10)
+        m = (m + 63) // 64 * 64
+        kk = 4
+        bits = set()
+        for key in keys:
+            ku = key & M64  # int64 view as uint64
+            for i in range(kk):
+                seed = ((i + 1) * GOLD) & M64
+                bits.add(sm64_nogold((ku + seed) & M64) % m)
+        truth = set(keys)
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"])["c_custkey"] \
+            .to_pylist()
+        n_pass = n_true = 0
+        for ck in cust:
+            ku = ck & M64
+            ok = all(
+                sm64_nogold((ku + (((i + 1) * GOLD) & M64)) & M64) % m
+                in bits for i in range(kk))
+            if ok:
+                n_pass += 1
+                if ck in truth:
+                    n_true += 1
+        out = pa.table({
+            "n_probed": pa.array([len(cust)], pa.int64()),
+            "n_pass": pa.array([n_pass], pa.int64()),
+            "n_true": pa.array([n_true], pa.int64()),
+            "n_fp": pa.array([n_pass - n_true], pa.int64())})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _bloom_fpr_sql(sf_dir: str) -> str:
+    return (f"SELECT n_probed, n_pass, n_true, n_fp "
+            f"FROM read_parquet('{_bloom_fpr_sidecar(sf_dir)}')")
+
+
+def q_scene_change_runs(sf_dir: str):
+    """Scene-change segmentation per clip: with the fixed energy
+    threshold 50 000, the number of CHANGE transitions (inter-frame
+    |diff| energy above threshold) and the longest STATIC run of
+    consecutive below-threshold transitions — the gaps-and-islands
+    scan on the frame axis that picks which clips need denser
+    sampling. Per-pair energies come from the same stacked-tensor
+    |diff| as VideoMotionStage; runs resolve in one padded flat diff
+    pass (False column between clips). Python-int replay sidecar."""
+    from geotile.ops.video import read_video_table
+
+    T = 50_000
+    ds = read_video_table(_video_dir_for(sf_dir))
+
+    def runs(t: pa.Table) -> pa.Table:
+        codecs = set(t["codec"].to_pylist())
+        if codecs - {"rawseq"}:
+            raise NotImplementedError(
+                "only rawseq ships in this container")
+        ids = t["clip_id"].to_numpy(zero_copy_only=False)
+        nf = t["n_frames"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        payloads = t["bytes"].to_pylist()
+        groups: dict[tuple[int, int, int], list[int]] = {}
+        for i, key in enumerate(zip(nf, ws, hs)):
+            groups.setdefault(tuple(int(x) for x in key), []).append(i)
+        out_id, out_ch, out_st = [], [], []
+        for (f, w, h), slots in groups.items():
+            clips = np.stack([
+                np.frombuffer(payloads[i], dtype=np.uint8)
+                .reshape(f, h, w, 3) for i in slots]).astype(np.int64)
+            pp = np.abs(clips[:, 1:] - clips[:, :-1]).sum(axis=(2, 3, 4))
+            static = pp <= T
+            n_ch = (~static).sum(axis=1).astype(np.int64)
+            padded = np.concatenate(
+                [static, np.zeros((len(slots), 1), bool)],
+                axis=1).ravel()
+            d = np.diff(np.r_[np.int8(0), padded.view(np.int8)])
+            starts = np.flatnonzero(d == 1)
+            ends = np.flatnonzero(d == -1)
+            lengths = (ends - starts).astype(np.int64)
+            row = starts // (static.shape[1] + 1)
+            longest = np.zeros(len(slots), np.int64)
+            np.maximum.at(longest, row, lengths)
+            out_id.append(ids[slots])
+            out_ch.append(n_ch)
+            out_st.append(longest)
+        return pa.table({
+            "clip_id": pa.array(np.concatenate(out_id)),
+            "n_changes": pa.array(np.concatenate(out_ch)),
+            "longest_static": pa.array(np.concatenate(out_st))})
+
+    return ds.map_batches(runs, batch_format="pyarrow", batch_size=32)
+
+
+QUERIES["scene_change_runs"] = q_scene_change_runs
+
+
+def _scene_change_sidecar(vid: str) -> str:
+    """Python-int replay for scene_change_runs (per-pair scalar energy
+    + a plain run loop). Content-keyed on synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_scenechange_{Path(vid).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        T = 50_000
+        t = pq.read_table(vid, columns=["clip_id", "n_frames"])
+        ids = np.sort(t["clip_id"].to_numpy(zero_copy_only=False))
+        nf = int(t["n_frames"][0].as_py())
+        rows = []
+        for cid in ids.tolist():
+            frames = [
+                [int(v) for v in _sy.pixel_pattern(
+                    np.array([cid * 64 + f], np.uint64),
+                    _sy.VIDEO_W, _sy.VIDEO_H)[0].ravel().tolist()]
+                for f in range(nf)]
+            n_ch = best = cur = 0
+            for f in range(nf - 1):
+                e = sum(abs(a - b) for a, b in
+                        zip(frames[f + 1], frames[f]))
+                if e > T:
+                    n_ch += 1
+                    cur = 0
+                else:
+                    cur += 1
+                    best = max(best, cur)
+            rows.append({"clip_id": cid, "n_changes": n_ch,
+                         "longest_static": best})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _scene_change_sql(vid: str) -> str:
+    return (f"SELECT clip_id, n_changes, longest_static "
+            f"FROM read_parquet('{_scene_change_sidecar(vid)}')")

@@ -904,3 +904,49 @@ def test_image_gradient_energy_oracle(ray_session, con):
     assert len(got) == len(exp) > 0
     for c in ("image_id", "grad_h", "grad_v"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_poly_edge_crossings_oracle(ray_session, con):
+    """Cell-bucketed segment-intersection join vs the SQL self-join
+    replay (identical IEEE orientation expressions); the bbox
+    prefilter in the SQL is a necessary condition so the two sides
+    see the same pair universe."""
+    from geotile.queries import QUERIES, _poly_crossings_sql
+
+    got = (QUERIES["poly_edge_crossings"]("/root/testdata/sf0.001")
+           .sort_values(["poly_a", "poly_b"]).reset_index(drop=True))
+    exp = (con.execute(_poly_crossings_sql()).df()
+           .sort_values(["poly_a", "poly_b"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("poly_a", "poly_b", "n_crossings"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_bloom_fpr_audit_oracle(ray_session, con):
+    """Distributed bloom build/probe vs the scalar python-int bitmap
+    replay at sf0.001 — same m/k/seeds, exact counter equality."""
+    from geotile.queries import QUERIES, _bloom_fpr_sql
+
+    got = QUERIES["bloom_fpr_audit"](SF)
+    exp = con.execute(_bloom_fpr_sql(SF)).df()
+    assert len(got) == len(exp) == 1
+    for c in ("n_probed", "n_pass", "n_true", "n_fp"):
+        assert int(got[c].iloc[0]) == int(exp[c].iloc[0]), c
+    # the filter must be lossless on true keys
+    assert int(got["n_true"].iloc[0]) <= int(got["n_pass"].iloc[0])
+
+
+def test_scene_change_runs_oracle(ray_session, con):
+    """Vectorized padded-diff run kernel vs the per-pair scalar loop
+    replay at sf0.001."""
+    from geotile.queries import (QUERIES, _scene_change_sql,
+                                 _video_dir_for)
+
+    vid = _video_dir_for(SF)
+    got = (QUERIES["scene_change_runs"](SF).to_pandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    exp = (con.execute(_scene_change_sql(vid)).df()
+           .sort_values("clip_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("clip_id", "n_changes", "longest_static"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
