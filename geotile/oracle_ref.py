@@ -257,3 +257,37 @@ def cm_estimates_ref(values, query_ids, w: int = 2048, d: int = 4):
         u = q & M64
         out[q] = min(grid[r][sm64(u ^ seeds[r]) % w] for r in range(d))
     return out
+
+
+def triplet_violations_ref(vectors, labels):
+    """Scalar replay for triplet_violation_labels: per anchor, the
+    exact squared-L2 (e6-lattice ints) to its nearest SAME-label and
+    nearest OTHER-label neighbours (self excluded); anchors with no
+    same-label peer are skipped. Returns {label: (n_anchors,
+    n_violations)} where a violation is d_other strictly < d_same.
+    Plain python ints throughout — a vectorization bug cannot live in
+    both this and the engine's matmul kernel."""
+    n = len(vectors)
+    out: dict[int, list[int]] = {}
+    for i in range(n):
+        d_same = d_other = None
+        for j in range(n):
+            if j == i:
+                continue
+            d = 0
+            vi, vj = vectors[i], vectors[j]
+            for k in range(len(vi)):
+                t = vi[k] - vj[k]
+                d += t * t
+            if labels[j] == labels[i]:
+                if d_same is None or d < d_same:
+                    d_same = d
+            elif d_other is None or d < d_other:
+                d_other = d
+        if d_same is None:
+            continue
+        st = out.setdefault(labels[i], [0, 0])
+        st[0] += 1
+        if d_other is not None and d_other < d_same:
+            st[1] += 1
+    return {k: tuple(v) for k, v in out.items()}

@@ -4630,6 +4630,7 @@ def oracle_sql() -> dict[str, str]:
     out["bloom_fpr_audit"] = _bloom_fpr_sql("/root/testdata/sf0.01")
     out["scene_change_runs"] = _scene_change_sql(
         _video_dir_for("/root/testdata/sf0.01"))
+    out["triplet_violation_labels"] = _triplet_sql(sf01)
     return out
 
 
@@ -17620,3 +17621,215 @@ def _scene_change_sidecar(vid: str) -> str:
 def _scene_change_sql(vid: str) -> str:
     return (f"SELECT clip_id, n_changes, longest_static "
             f"FROM read_parquet('{_scene_change_sidecar(vid)}')")
+
+
+def q_last_supplier_orders_q21(sf_dir: str):
+    """TPC-H Q21 flavour (suppliers who kept orders waiting, recast on
+    this schema's columns): per supplier, the number of MULTI-supplier
+    orders where that supplier strictly shipped last (its latest
+    shipdate beats every other supplier's in the order). One orderkey
+    co-partition: each bucket lexsorts once, reduces to per-(order,
+    supplier) max-shipdate runs, resolves the per-order strict-argmax
+    with segmented maxima, and emits supplier-cardinality partials."""
+    from geotile.ops.relational import _with_bucket
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                              "n_orders": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        sd = df["l_shipdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        o = np.lexsort((sd, sk, ok))
+        ok, sk, sd = ok[o], sk[o], sd[o]
+        # per-(order, supplier) max shipdate = last row of each run
+        last = np.r_[(ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1]), True]
+        ok, sk, md = ok[last], sk[last], sd[last]
+        # per order (runs are still ok-sorted): nsupp, max md, strictness
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        first = np.flatnonzero(new)
+        cnt = np.diff(np.r_[first, len(ok)])
+        oid = np.cumsum(new) - 1
+        omax = np.zeros(len(first), np.int64)
+        np.maximum.at(omax, oid, md)
+        at_max = md == omax[oid]
+        n_at_max = np.zeros(len(first), np.int64)
+        np.add.at(n_at_max, oid, at_max.astype(np.int64))
+        win = at_max & (n_at_max[oid] == 1) & (cnt[oid] >= 2)
+        if not win.any():
+            return empty
+        g = pd.DataFrame({"s_suppkey": sk[win]}) \
+            .groupby("s_suppkey", as_index=False).size()
+        return g.rename(columns={"size": "n_orders"})
+
+    out = (_with_bucket(li, "l_orderkey", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby("s_suppkey").sum("n_orders"))
+    return _rename(out, ["s_suppkey", "n_orders"])
+
+
+QUERIES["last_supplier_orders_q21"] = q_last_supplier_orders_q21
+ORACLE_SQL["last_supplier_orders_q21"] = """
+        WITH s AS (SELECT l_orderkey, l_suppkey,
+                          MAX(l_shipdate) AS md
+                   FROM lineitem GROUP BY 1, 2),
+        o AS (SELECT l_orderkey, COUNT(*) AS nsupp, MAX(md) AS omax
+              FROM s GROUP BY 1),
+        j AS (SELECT s.l_orderkey, s.l_suppkey, s.md, o.nsupp, o.omax
+              FROM s JOIN o USING (l_orderkey)),
+        cm AS (SELECT l_orderkey,
+                      COUNT(*) FILTER (md = omax) AS n_at_max
+               FROM j GROUP BY 1)
+        SELECT j.l_suppkey AS s_suppkey,
+               count(*) AS n_orders
+        FROM j JOIN cm USING (l_orderkey)
+        WHERE j.nsupp >= 2 AND j.md = j.omax AND cm.n_at_max = 1
+        GROUP BY 1
+    """
+
+
+def q_triplet_violation_labels(sf_dir: str):
+    """Embedding-space label coherence: per label, how many anchors
+    have a DIFFERENT-label vector strictly closer (exact squared L2 on
+    the e6 integer lattice) than their nearest same-label peer — the
+    triplet-loss violation rate that flags mislabeled clusters.
+    Anchors without a same-label peer are skipped. Per batch: one
+    int64 Gram matmul against the broadcast lattice corpus gives every
+    anchor both masked minima at once. Oracle: scalar python-int
+    replay (oracle_ref.triplet_violations_ref) via sidecar."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    rows = emb.take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    V = np.floor(np.array([r["embedding"] for r in rows], np.float64)
+                 * 1_000_000.0).astype(np.int64)
+    labs = np.array([r["label"] for r in rows], np.int64)
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    cref = ray.put((ids, V, labs))
+    BIG = np.int64(2**62)
+
+    def part(t: pa.Table) -> pa.Table:
+        ids_, V_, labs_ = _broadcast(cref)
+        a_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        ai = np.searchsorted(ids_, a_ids)
+        A = V_[ai]
+        # d² = |a|² + |b|² − 2 a·b, exact in int64 on the e6 lattice
+        n2 = (V_ * V_).sum(axis=1)
+        D = n2[ai][:, None] + n2[None, :] - 2 * (A @ V_.T)
+        D[np.arange(len(ai)), ai] = BIG  # self out
+        same = labs_[None, :] == labs_[ai][:, None]
+        d_same = np.where(same, D, BIG).min(axis=1)
+        d_other = np.where(~same, D, BIG).min(axis=1)
+        keep = d_same < BIG
+        viol = keep & (d_other < d_same)
+        g = pa.table({"label": pa.array(labs_[ai][keep]),
+                      "v": pa.array(viol[keep].astype(np.int64))}) \
+            .group_by("label").aggregate(
+                [([], "count_all"), ("v", "sum")])
+        return pa.table({"label": g["label"],
+                         "n_anchors": g["count_all"].cast(pa.int64()),
+                         "n_violations": g["v_sum"]})
+
+    out = (emb.select_columns(["vec_id"])
+           .map_batches(part, batch_format="pyarrow", batch_size=256)
+           .groupby("label").sum(["n_anchors", "n_violations"]))
+    return _rename(out, ["label", "n_anchors", "n_violations"])
+
+
+QUERIES["triplet_violation_labels"] = q_triplet_violation_labels
+
+
+def _triplet_sidecar(sf_dir: str) -> str:
+    """Sidecar for triplet_violation_labels: the scalar replay over the
+    same e6-lattice ints. Content-keyed on oracle_ref.py."""
+    import geotile.oracle_ref as _oref
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_triplet_{Path(sf_dir).name}_"
+        f"{_mods_digest(_oref)}.parquet")
+    if not p.exists():
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+        order = pc.sort_indices(t["vec_id"])
+        emb = t["embedding"].take(order).to_pylist()
+        labs = t["label"].take(order).to_pylist()
+        import math
+        vecs = [[int(math.floor(float(x) * 1_000_000.0)) for x in v]
+                for v in emb]
+        res = _oref.triplet_violations_ref(vecs,
+                                           [int(x) for x in labs])
+        out = pa.table({
+            "label": pa.array(sorted(res), pa.int64()),
+            "n_anchors": pa.array([res[k][0] for k in sorted(res)],
+                                  pa.int64()),
+            "n_violations": pa.array([res[k][1] for k in sorted(res)],
+                                     pa.int64())})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _triplet_sql(sf_dir: str) -> str:
+    return (f"SELECT label, n_anchors, n_violations "
+            f"FROM read_parquet('{_triplet_sidecar(sf_dir)}')")
+
+
+def q_daily_autocorr_events(sf_dir: str):
+    """Periodicity probe on the event stream: exact integer
+    autocovariance PARTS of the daily-count series at lags 1..7 —
+    Σ c_t·c_{t+L} over the observed calendar span (absent days are
+    zero), plus the term count. Day-cardinality partials feed one
+    tiny groupby; the lag products form in an O(days) driver
+    epilogue. Weekly seasonality shows as a lag-7 peak."""
+    ev = _read(sf_dir, "events", ["ts"])
+    DAY = 86_400_000_000
+
+    def part(t: pa.Table) -> pa.Table:
+        d = pc.divide(t["ts"].cast(pa.int64()),
+                      pa.scalar(DAY, pa.int64()))
+        g = pa.table({"day": d}).group_by("day").aggregate(
+            [([], "count_all")])
+        return pa.table({"day": g["day"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    rows = (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("day").sum("c")).take_all()
+    if not rows:
+        return pd.DataFrame({"lag": pd.Series(dtype=np.int64),
+                             "n_terms": pd.Series(dtype=np.int64),
+                             "sum_prod": pd.Series(dtype=np.int64)})
+    days = {r["day"]: r["sum(c)"] for r in rows}
+    lo, hi = min(days), max(days)
+    out = []
+    for lag in range(1, 8):
+        sp = sum(c * days.get(d + lag, 0) for d, c in days.items()
+                 if d + lag <= hi)
+        out.append({"lag": lag, "n_terms": max(hi - lo + 1 - lag, 0),
+                    "sum_prod": sp})
+    return pd.DataFrame(out)
+
+
+QUERIES["daily_autocorr_events"] = q_daily_autocorr_events
+ORACLE_SQL["daily_autocorr_events"] = """
+        WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                       AS day, COUNT(*) AS c
+                   FROM events GROUP BY 1),
+        b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+        l AS (SELECT unnest(range(1, 8)) AS lag)
+        SELECT CAST(l.lag AS BIGINT) AS lag,
+               CAST(GREATEST(b.hi - b.lo + 1 - l.lag, 0) AS BIGINT)
+                   AS n_terms,
+               CAST(COALESCE((SELECT SUM(a.c * e.c)
+                              FROM d a JOIN d e
+                                ON e.day = a.day + l.lag), 0)
+                    AS BIGINT) AS sum_prod
+        FROM l, b
+    """

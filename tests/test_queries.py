@@ -202,6 +202,8 @@ CHECKED = [
     "large_volume_orders_q18",
     "supplier_count_q16",
     "market_share_q8",
+    "last_supplier_orders_q21",
+    "daily_autocorr_events",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -949,4 +951,18 @@ def test_scene_change_runs_oracle(ray_session, con):
            .sort_values("clip_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("clip_id", "n_changes", "longest_static"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_triplet_violation_labels_oracle(ray_session, con):
+    """int64 Gram-matmul masked minima vs the scalar python-int
+    per-pair replay at sf0.001."""
+    from geotile.queries import QUERIES, _triplet_sql
+
+    got = (QUERIES["triplet_violation_labels"](SF).to_pandas()
+           .sort_values("label").reset_index(drop=True))
+    exp = (con.execute(_triplet_sql(SF)).df()
+           .sort_values("label").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("label", "n_anchors", "n_violations"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
