@@ -4631,6 +4631,22 @@ def oracle_sql() -> dict[str, str]:
     out["scene_change_runs"] = _scene_change_sql(
         _video_dir_for("/root/testdata/sf0.01"))
     out["triplet_violation_labels"] = _triplet_sql(sf01)
+    out["dup_component_sizes"] = f"""
+        WITH RECURSIVE pairs AS ({EMBEDDING_DUPS_SQL}),
+        e AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs),
+        walk(u, lbl) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM e)
+            UNION
+            SELECT e.u, w.lbl FROM e JOIN walk w ON w.u = e.v
+        ),
+        cc AS (SELECT u AS node, min(lbl) AS cluster_id
+               FROM walk GROUP BY u),
+        s AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY 1)
+        SELECT CAST(sz AS BIGINT) AS size, count(*) AS n_clusters
+        FROM s GROUP BY 1
+    """
+    out["hist_equalize_sums"] = _hist_eq_sql(img01)
     return out
 
 
@@ -17833,3 +17849,226 @@ ORACLE_SQL["daily_autocorr_events"] = """
                     AS BIGINT) AS sum_prod
         FROM l, b
     """
+
+
+def q_cheapest_supplier_parts(sf_dir: str):
+    """TPC-H Q2-flavoured minimum-cost supplier election, EXACT over
+    rationals: per part, the supplier with the lowest unit price
+    (total cents / total qty) wins; ties break to the smaller
+    suppkey. No float division ever orders the candidates — the sort
+    key is floor(cents · 2⁵³ / qty) in python ints, which orders
+    exactly like the rational while Σqty < 2²⁶ (asserted; distinct
+    rationals with denominators ≤ Q separate once L ≥ Q²). Plan:
+    per-(part,supp) packed-key sum partials → pair-cardinality
+    groupby → ONE part-bucket co-partition elects every winner →
+    supplier-cardinality partials."""
+    from geotile.ops.relational import _with_bucket
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        packed = pc.add(pc.multiply(t["l_partkey"],
+                                    pa.scalar(1 << 20, pa.int64())),
+                        t["l_suppkey"])
+        g = pa.table({"pk": packed, "c": cents,
+                      "q": t["l_quantity"].cast(pa.int64())}) \
+            .group_by("pk").aggregate([("c", "sum"), ("q", "sum")])
+        return pa.table({"pk": g["pk"], "cents": g["c_sum"],
+                         "qty": g["q_sum"]})
+
+    pairs = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("pk").sum(["cents", "qty"]))
+    pairs = _rename(pairs, ["pk", "cents", "qty"]).map_batches(
+        lambda t: pa.table({
+            "part": pc.shift_right(t["pk"], pa.scalar(20, pa.int64())),
+            "supp": pc.bit_wise_and(t["pk"],
+                                    pa.scalar((1 << 20) - 1,
+                                              pa.int64())),
+            "cents": t["cents"], "qty": t["qty"]}),
+        batch_format="pyarrow")
+
+    L = 1 << 53
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                              "n_parts": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        best: dict[int, tuple[int, int]] = {}
+        for part, supp, cents, qty in zip(
+                df["part"].to_numpy(np.int64).tolist(),
+                df["supp"].to_numpy(np.int64).tolist(),
+                df["cents"].to_numpy(np.int64).tolist(),
+                df["qty"].to_numpy(np.int64).tolist()):
+            assert 0 < qty < (1 << 26), "rational-key contract"
+            key = cents * L // qty
+            cur = best.get(part)
+            if cur is None or (key, supp) < cur:
+                best[part] = (key, supp)
+        g = pd.DataFrame({"s_suppkey": [v[1] for v in best.values()]}) \
+            .groupby("s_suppkey", as_index=False).size()
+        return g.rename(columns={"size": "n_parts"})
+
+    out = (_with_bucket(pairs, "part", 32)
+           .groupby("bucket").map_groups(elect, batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby("s_suppkey").sum("n_parts"))
+    return _rename(out, ["s_suppkey", "n_parts"])
+
+
+QUERIES["cheapest_supplier_parts"] = q_cheapest_supplier_parts
+ORACLE_SQL["cheapest_supplier_parts"] = """
+        WITH ps AS (SELECT l_partkey AS p, l_suppkey AS s,
+                           CAST(SUM(CAST(floor(l_extendedprice * 100.0
+                                               + 0.5) AS BIGINT))
+                                AS BIGINT) AS cents,
+                           CAST(SUM(CAST(l_quantity AS BIGINT))
+                                AS BIGINT) AS qty
+                    FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT p, s,
+                     row_number() OVER (PARTITION BY p
+                         ORDER BY CAST(cents AS HUGEINT)
+                                  * 9007199254740992 // qty, s) AS rn
+              FROM ps)
+        SELECT s AS s_suppkey, count(*) AS n_parts
+        FROM r WHERE rn = 1 GROUP BY 1
+    """
+
+
+def q_dup_component_sizes(sf_dir: str):
+    """Duplicate-cluster SIZE distribution: the embedding near-dup
+    pairs flow through distributed connected components, then two
+    bounded aggregations turn (node → cluster) into the size
+    histogram a dedup-savings estimate reads off. Oracle: the
+    recursive-CTE components replay wrapped in the same two
+    aggregations."""
+    from geotile.ops.dedup import embedding_dup_pairs
+    from geotile.ops.graph import connected_components
+
+    pairs = embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.35)
+    cc = connected_components(
+        pairs.select_columns(["a", "b"]), "a", "b", n_buckets=8)
+    sizes = cc.groupby("cluster_id").count()
+    sizes = _rename(sizes, ["cluster_id", "size"]) \
+        .map_batches(lambda t: t.select(["size"]),
+                     batch_format="pyarrow")
+    out = sizes.groupby("size").count()
+    return _rename(out, ["size", "n_clusters"])
+
+
+QUERIES["dup_component_sizes"] = q_dup_component_sizes
+
+
+def q_hist_equalize_sums(sf_dir: str):
+    """Histogram equalization as an exact integer transform audit: for
+    the first 1024 images, the pixel sum of the equalized gray plane
+    — eq(p) = ⌊(cdf(p) − cdf_min)·255 / (npx − cdf_min)⌋, the
+    classic contrast-stretch every vision pipeline owns. The whole
+    batch's histograms come from ONE image-offset-packed bincount;
+    the remap is a cumsum + gather. Python-int replay sidecar."""
+    from geotile.ops.tiles import ImageDecodeStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(1024)
+
+    class EqStage:
+        def __init__(self):
+            self.decoders = ImageDecodeStage(verify=False).decoders
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_pylist()
+            hs = batch["h"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            ids = batch["image_id"].to_numpy(zero_copy_only=False)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, (wi, hi) in enumerate(zip(ws, hs)):
+                groups.setdefault((wi, hi), []).append(i)
+            out_id, out_sum = [], []
+            for (wi, hi), slots in groups.items():
+                px = np.stack([self.decoders[fmts[i]](payloads[i],
+                                                      wi, hi)
+                               for i in slots])
+                gray = px.astype(np.int64).sum(axis=3) // 3
+                k, npx = len(slots), wi * hi
+                code = np.arange(k)[:, None, None] * 256 + gray
+                hist = np.bincount(code.ravel(),
+                                   minlength=k * 256).reshape(k, 256)
+                cdf = np.cumsum(hist, axis=1)
+                # cdf_min = cdf at the first occupied bin
+                first = (hist > 0).argmax(axis=1)
+                cdf_min = cdf[np.arange(k), first]
+                den = np.maximum(npx - cdf_min, 1)
+                lut = (cdf - cdf_min[:, None]) * 255 // den[:, None]
+                lut = np.where((npx - cdf_min)[:, None] == 0, 0, lut)
+                eq = np.take_along_axis(
+                    lut, gray.reshape(k, -1), axis=1)
+                out_id.append(ids[slots])
+                out_sum.append(eq.sum(axis=1).astype(np.int64))
+            return pa.table({
+                "image_id": pa.array(np.concatenate(out_id)),
+                "eq_sum": pa.array(np.concatenate(out_sum))})
+
+    return ds.map_batches(EqStage, batch_format="pyarrow",
+                          batch_size=256, concurrency=2)
+
+
+QUERIES["hist_equalize_sums"] = q_hist_equalize_sums
+
+
+def _hist_eq_sidecar(img: str, n: int = 1024) -> str:
+    """Python-int replay for hist_equalize_sums (Counter histogram +
+    per-pixel scalar remap). Content-keyed on synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_histeq_{Path(img).name}_{n}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["image_id", "w", "h"])
+        order = pc.sort_indices(t["image_id"])[:n]
+        ids = t["image_id"].take(order)
+        ws = t["w"].take(order).to_numpy(zero_copy_only=False)
+        hs = t["h"].take(order).to_numpy(zero_copy_only=False)
+        idx = _sy.image_index(ids).astype(np.uint64)
+        sums = np.zeros(len(ws), np.int64)
+        for wi, hi in set(zip(ws.tolist(), hs.tolist())):
+            m = np.nonzero((ws == wi) & (hs == hi))[0]
+            px = _sy.pixel_pattern(idx[m], wi, hi)
+            for j, slot in enumerate(m):
+                vals = [(int(px[j, y, x, 0]) + int(px[j, y, x, 1])
+                         + int(px[j, y, x, 2])) // 3
+                        for y in range(hi) for x in range(wi)]
+                hist = [0] * 256
+                for v in vals:
+                    hist[v] += 1
+                cdf, run = [0] * 256, 0
+                for b in range(256):
+                    run += hist[b]
+                    cdf[b] = run
+                cdf_min = next(cdf[b] for b in range(256)
+                               if hist[b] > 0)
+                npx = wi * hi
+                if npx == cdf_min:
+                    sums[slot] = 0
+                    continue
+                total = 0
+                for v in vals:
+                    total += (cdf[v] - cdf_min) * 255 // (npx - cdf_min)
+                sums[slot] = total
+        out = pa.table({"image_id": ids, "eq_sum": pa.array(sums)})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _hist_eq_sql(img: str) -> str:
+    return (f"SELECT image_id, eq_sum "
+            f"FROM read_parquet('{_hist_eq_sidecar(img)}')")

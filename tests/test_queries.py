@@ -204,6 +204,7 @@ CHECKED = [
     "market_share_q8",
     "last_supplier_orders_q21",
     "daily_autocorr_events",
+    "cheapest_supplier_parts",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -965,4 +966,36 @@ def test_triplet_violation_labels_oracle(ray_session, con):
            .sort_values("label").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("label", "n_anchors", "n_violations"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_dup_component_sizes_oracle(ray_session, con):
+    """CC size histogram vs the recursive-CTE replay at sf0.001."""
+    from geotile.queries import QUERIES
+    import __ray_entry__ as e
+
+    sql = e.oracle_sql()["dup_component_sizes"].replace(
+        "/root/testdata/sf0.01", SF)
+    got = (QUERIES["dup_component_sizes"](SF).to_pandas()
+           .sort_values("size").reset_index(drop=True))
+    exp = (con.execute(sql).df()
+           .sort_values("size").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("size", "n_clusters"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_hist_equalize_sums_oracle(ray_session, con):
+    """Packed-bincount CDF remap vs the scalar Counter replay at
+    sf0.001."""
+    from geotile.queries import (QUERIES, _hist_eq_sql,
+                                 _image_dir_for)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["hist_equalize_sums"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_hist_eq_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "eq_sum"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
