@@ -4647,6 +4647,7 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY 1
     """
     out["hist_equalize_sums"] = _hist_eq_sql(img01)
+    out["phash_nn_images"] = _phash_nn_sql(img01)
     return out
 
 
@@ -18072,3 +18073,222 @@ def _hist_eq_sidecar(img: str, n: int = 1024) -> str:
 def _hist_eq_sql(img: str) -> str:
     return (f"SELECT image_id, eq_sum "
             f"FROM read_parquet('{_hist_eq_sidecar(img)}')")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 — constant memory (no
+    unpackbits blow-up on outer-product XOR matrices)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) \
+        + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
+
+
+def q_phash_nn_images(sf_dir: str):
+    """Perceptual-hash nearest neighbour: for the first 256 images,
+    the closest OTHER image by phash Hamming distance (ties to the
+    lexicographically smallest id) — the retrieval probe behind
+    near-dup image triage, on a pure metadata scan. Per batch one
+    outer XOR + SWAR popcount against the broadcast id-sorted phash
+    corpus; argmin's first-hit rule IS the id tie-break. Oracle: SQL
+    bit_count(xor()) window replay."""
+    from geotile.ops.tiles import read_image_table
+
+    img = _image_dir_for(sf_dir)
+    corpus = read_image_table(img, columns=["image_id", "phash"]) \
+        .take_all()
+    corpus.sort(key=lambda r: r["image_id"])
+    cids = np.array([r["image_id"] for r in corpus])
+    cph = np.array([r["phash"] for r in corpus],
+                   np.int64).view(np.uint64)
+    cref = ray.put((cids, cph))
+
+    ds = read_image_table(img, columns=["image_id", "phash"]) \
+        .limit(256)
+
+    def nn(t: pa.Table) -> pa.Table:
+        cids_, cph_ = _broadcast(cref)
+        qid = np.array(t["image_id"].to_pylist())
+        qph = t["phash"].to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        out_id, out_nn, out_d = [], [], []
+        for lo in range(0, len(qid), 32):  # bound the XOR matrix
+            q = qph[lo:lo + 32]
+            D = _popcount64(q[:, None] ^ cph_[None, :])
+            self_i = np.searchsorted(cids_, qid[lo:lo + 32])
+            D[np.arange(len(q)), self_i] = 65
+            best = D.argmin(axis=1)  # first hit = smallest id
+            out_id.append(qid[lo:lo + 32])
+            out_nn.append(cids_[best])
+            out_d.append(D[np.arange(len(q)), best])
+        return pa.table({
+            "image_id": pa.array(np.concatenate(out_id)),
+            "nn_id": pa.array(np.concatenate(out_nn)),
+            "dist": pa.array(np.concatenate(out_d).astype(np.int64))})
+
+    return ds.map_batches(nn, batch_format="pyarrow", batch_size=64)
+
+
+QUERIES["phash_nn_images"] = q_phash_nn_images
+
+
+def _phash_nn_sql(img: str) -> str:
+    return f"""
+        WITH a AS (SELECT image_id, phash
+                   FROM read_parquet('{img}/part-*.parquet')
+                   ORDER BY image_id LIMIT 256),
+        e AS (SELECT image_id, phash
+              FROM read_parquet('{img}/part-*.parquet')),
+        p AS (SELECT a.image_id AS qid, e.image_id AS nid,
+                     bit_count(CAST(xor(a.phash, e.phash) AS BIGINT))
+                         AS d
+              FROM a CROSS JOIN e WHERE e.image_id <> a.image_id),
+        r AS (SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY d, nid) AS rn
+              FROM p)
+        SELECT qid AS image_id, nid AS nn_id, CAST(d AS BIGINT) AS dist
+        FROM r WHERE rn = 1
+    """
+
+
+def q_simpson_diversity_sources(sf_dir: str):
+    """Lexical concentration per source: exact Simpson-index parts —
+    total tokens, distinct tokens, and Σ n_t² over the per-source
+    token counts (the collision probability numerator). Token-count
+    partials ride one Heaps-bounded (source, token) shuffle; the
+    Σn² reduction is a second source-cardinality pass."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t["text"], " ")
+        src = pa.array(np.repeat(
+            np.array(t["source"].to_pylist()),
+            pc.list_value_length(lists).to_numpy(zero_copy_only=False)))
+        w = pc.list_flatten(lists)
+        keep = pc.not_equal(w, pa.scalar(""))
+        g = pa.table({"source": pc.array_filter(src, keep),
+                      "tok": pc.array_filter(w, keep)}) \
+            .group_by(["source", "tok"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "tok": g["tok"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    counts = (docs.map_batches(toks, batch_format="pyarrow")
+              .groupby(["source", "tok"]).sum("n"))
+
+    def parts(t: pa.Table) -> pa.Table:
+        n = t["sum(n)"]
+        g = pa.table({"source": t["source"], "n": n,
+                      "nsq": pc.multiply(n, n)}) \
+            .group_by("source").aggregate(
+                [("n", "sum"), ("nsq", "sum"), ([], "count_all")])
+        return pa.table({"source": g["source"],
+                         "n_tokens": g["n_sum"],
+                         "sum_sq": g["nsq_sum"],
+                         "n_distinct": g["count_all"]
+                         .cast(pa.int64())})
+
+    out = (counts.map_batches(parts, batch_format="pyarrow")
+           .groupby("source").sum(["n_tokens", "sum_sq",
+                                   "n_distinct"]))
+    return _rename(out, ["source", "n_tokens", "sum_sq", "n_distinct"])
+
+
+QUERIES["simpson_diversity_sources"] = q_simpson_diversity_sources
+ORACLE_SQL["simpson_diversity_sources"] = """
+        WITH w AS (SELECT source,
+                          unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        t AS (SELECT source, tok, count(*) AS n
+              FROM w WHERE tok <> '' GROUP BY 1, 2)
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+               count(*) AS n_distinct
+        FROM t GROUP BY 1
+    """
+
+
+def q_bursty_customers_nations(sf_dir: str):
+    """Purchase-burstiness per nation: among repeat customers, how
+    many have a SHORTEST order gap under a quarter of their mean gap
+    (min_gap·4·n < Σgaps — exact integer cross-multiplication, no
+    float mean). One custkey co-partition resolves every customer's
+    gap stats after a single lexsort (day, orderkey LAG discipline);
+    the nation rollup is a broadcast searchsorted gather."""
+    from geotile.ops.relational import _with_bucket
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).take_all()
+    ck = np.array(sorted(r["c_custkey"] for r in cust), np.int64)
+    byc = {r["c_custkey"]: r["c_nationkey"] for r in cust}
+    cn = np.array([byc[k] for k in ck], np.int64)
+    dref = ray.put((ck, cn))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"nation": pd.Series(dtype=np.int64),
+                              "n_repeat": pd.Series(dtype=np.int64),
+                              "n_bursty": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        ck_, cn_ = _broadcast(dref)
+        c = df["o_custkey"].to_numpy(np.int64)
+        k = df["o_orderkey"].to_numpy(np.int64)
+        d = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        o = np.lexsort((k, d, c))
+        cc, dd = c[o], d[o]
+        same = cc[1:] == cc[:-1]
+        gaps = (dd[1:] - dd[:-1])[same]
+        gc = cc[1:][same]
+        if len(gaps) == 0:
+            return empty
+        ucust, inv = np.unique(gc, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sg = np.bincount(inv, weights=gaps).astype(np.int64)
+        mg = np.full(len(ucust), np.iinfo(np.int64).max)
+        np.minimum.at(mg, inv, gaps)
+        bursty = (mg * 4 * n < sg).astype(np.int64)
+        i = np.minimum(np.searchsorted(ck_, ucust),
+                       max(len(ck_) - 1, 0))
+        hit = (ck_[i] == ucust) if len(ck_) else \
+            np.zeros(len(ucust), bool)
+        g = pd.DataFrame({"nation": cn_[i[hit]],
+                          "n_repeat": np.ones(hit.sum(), np.int64),
+                          "n_bursty": bursty[hit]}) \
+            .groupby("nation", as_index=False).sum()
+        return g
+
+    out = (_with_bucket(orders, "o_custkey", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby("nation").sum(["n_repeat", "n_bursty"]))
+    return _rename(out, ["nation", "n_repeat", "n_bursty"])
+
+
+QUERIES["bursty_customers_nations"] = q_bursty_customers_nations
+ORACLE_SQL["bursty_customers_nations"] = """
+        WITH o AS (SELECT o_custkey AS c,
+                          CAST(epoch_us(o_orderdate) // 86400000000
+                               AS BIGINT) AS d,
+                          o_orderkey AS k
+                   FROM orders),
+        g AS (SELECT c, d - LAG(d) OVER (PARTITION BY c
+                                         ORDER BY d, k) AS gap
+              FROM o),
+        s AS (SELECT c, count(gap) AS n, SUM(gap) AS sg,
+                     MIN(gap) AS mg
+              FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT CAST(cu.c_nationkey AS BIGINT) AS nation,
+               count(*) AS n_repeat,
+               CAST(count(*) FILTER (s.mg * 4 * s.n < s.sg)
+                    AS BIGINT) AS n_bursty
+        FROM s JOIN customer cu ON cu.c_custkey = s.c
+        GROUP BY 1
+    """

@@ -205,6 +205,8 @@ CHECKED = [
     "last_supplier_orders_q21",
     "daily_autocorr_events",
     "cheapest_supplier_parts",
+    "simpson_diversity_sources",
+    "bursty_customers_nations",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -998,4 +1000,19 @@ def test_hist_equalize_sums_oracle(ray_session, con):
            .sort_values("image_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("image_id", "eq_sum"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_phash_nn_images_oracle(ray_session, con):
+    """SWAR-popcount XOR argmin vs the bit_count(xor) window replay at
+    sf0.001 (first-hit argmin == smallest-id tie rule)."""
+    from geotile.queries import QUERIES, _image_dir_for, _phash_nn_sql
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["phash_nn_images"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_phash_nn_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "nn_id", "dist"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
