@@ -18292,3 +18292,203 @@ ORACLE_SQL["bursty_customers_nations"] = """
         FROM s JOIN customer cu ON cu.c_custkey = s.c
         GROUP BY 1
     """
+
+
+def q_local_clustering_dups(sf_dir: str):
+    """Per-node clustering parts on the near-dup graph: degree and
+    local triangle count for every node — deg·(deg−1)/2 vs n_tri is
+    the exact local clustering ratio that separates dup CLIQUES from
+    dup CHAINS. The edge set is dedup-output-scale, so the sorted
+    adjacency (CSR arrays) broadcasts once; each node batch counts
+    its neighbours' pairwise adjacency by sorted-array intersection.
+    Oracle: 3-way self-join per node."""
+    from geotile.ops.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        tau=0.35).take_all()
+    a = np.array([r["a"] for r in pairs], np.int64)
+    b = np.array([r["b"] for r in pairs], np.int64)
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    o = np.lexsort((v, u))
+    u, v = u[o], v[o]
+    nodes, starts = np.unique(u, return_index=True)
+    ends = np.r_[starts[1:], len(u)]
+    aref = ray.put((nodes, starts, ends, v))
+
+    ds = rd.from_arrow(pa.table({"node": pa.array(nodes)})) \
+        .repartition(4)
+
+    def tri(t: pa.Table) -> pa.Table:
+        nodes_, starts_, ends_, adj = _broadcast(aref)
+        out_n, out_d, out_t = [], [], []
+        for nd in t["node"].to_numpy(zero_copy_only=False).tolist():
+            i = np.searchsorted(nodes_, nd)
+            nb = adj[starts_[i]:ends_[i]]
+            deg = len(nb)
+            ntri = 0
+            for w in nb.tolist():
+                j = np.searchsorted(nodes_, w)
+                wn = adj[starts_[j]:ends_[j]]
+                # sorted-array intersection size
+                ntri += int(np.searchsorted(wn, nb, side="right")
+                            .sum() - np.searchsorted(wn, nb,
+                                                     side="left")
+                            .sum())
+            out_n.append(nd)
+            out_d.append(deg)
+            out_t.append(ntri // 2)  # each triangle seen twice
+        return pa.table({"node": pa.array(out_n, pa.int64()),
+                         "degree": pa.array(out_d, pa.int64()),
+                         "n_tri": pa.array(out_t, pa.int64())})
+
+    return ds.map_batches(tri, batch_format="pyarrow", batch_size=512)
+
+
+QUERIES["local_clustering_dups"] = q_local_clustering_dups
+
+
+def q_haar_energy_daily(sf_dir: str):
+    """Multi-resolution burst detector: exact integer Haar detail
+    energies of the daily event-count series at levels 1..3 —
+    Σ(pair difference)² over aligned 2ᵏ-day pairs (absent days are
+    zero; an odd tail pairs with zero). Day-cardinality partials +
+    an O(days) driver epilogue; a level-1 spike means day-to-day
+    churn, level-3 means week-scale regime shifts."""
+    ev = _read(sf_dir, "events", ["ts"])
+    DAY = 86_400_000_000
+
+    def part(t: pa.Table) -> pa.Table:
+        d = pc.divide(t["ts"].cast(pa.int64()),
+                      pa.scalar(DAY, pa.int64()))
+        g = pa.table({"day": d}).group_by("day").aggregate(
+            [([], "count_all")])
+        return pa.table({"day": g["day"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    rows = (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("day").sum("c")).take_all()
+    if not rows:
+        return pd.DataFrame({"level": pd.Series(dtype=np.int64),
+                             "n_pairs": pd.Series(dtype=np.int64),
+                             "energy": pd.Series(dtype=np.int64)})
+    days = {r["day"]: r["sum(c)"] for r in rows}
+    lo, hi = min(days), max(days)
+    series = [days.get(d, 0) for d in range(lo, hi + 1)]
+    out = []
+    for level in (1, 2, 3):
+        if len(series) % 2:
+            series = series + [0]
+        a, bvals = series[0::2], series[1::2]
+        energy = sum((x - y) * (x - y) for x, y in zip(a, bvals))
+        out.append({"level": level, "n_pairs": len(a),
+                    "energy": energy})
+        series = [x + y for x, y in zip(a, bvals)]  # approx coeffs ×√2
+    return pd.DataFrame(out)
+
+
+QUERIES["haar_energy_daily"] = q_haar_energy_daily
+ORACLE_SQL["haar_energy_daily"] = """
+        WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                       AS day, COUNT(*) AS c
+                   FROM events GROUP BY 1),
+        b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+        idx AS (SELECT unnest(range(0,
+                    CAST((SELECT hi - lo + 1 FROM b) AS BIGINT))) AS i),
+        s0 AS (SELECT i.i, COALESCE(d.c, 0) AS c
+               FROM idx i LEFT JOIN d
+                 ON d.day = i.i + (SELECT lo FROM b)),
+        -- level 1: pair (2j, 2j+1); an odd tail pairs with zero
+        l1 AS (SELECT i // 2 AS j,
+                      SUM(CASE WHEN i % 2 = 0 THEN c ELSE 0 END) AS a,
+                      SUM(CASE WHEN i % 2 = 1 THEN c ELSE 0 END) AS bb
+               FROM s0 GROUP BY 1),
+        l2 AS (SELECT j // 2 AS j,
+                      SUM(CASE WHEN j % 2 = 0 THEN a + bb ELSE 0 END)
+                          AS a,
+                      SUM(CASE WHEN j % 2 = 1 THEN a + bb ELSE 0 END)
+                          AS bb
+               FROM l1 GROUP BY 1),
+        l3 AS (SELECT j // 2 AS j,
+                      SUM(CASE WHEN j % 2 = 0 THEN a + bb ELSE 0 END)
+                          AS a,
+                      SUM(CASE WHEN j % 2 = 1 THEN a + bb ELSE 0 END)
+                          AS bb
+               FROM l2 GROUP BY 1)
+        SELECT 1 AS level, (SELECT count(*) FROM l1) AS n_pairs,
+               CAST((SELECT SUM((a - bb) * (a - bb)) FROM l1)
+                    AS BIGINT) AS energy
+        UNION ALL
+        SELECT 2, (SELECT count(*) FROM l2),
+               CAST((SELECT SUM((a - bb) * (a - bb)) FROM l2)
+                    AS BIGINT)
+        UNION ALL
+        SELECT 3, (SELECT count(*) FROM l3),
+               CAST((SELECT SUM((a - bb) * (a - bb)) FROM l3)
+                    AS BIGINT)
+    """
+
+
+def q_lifetime_span_customers(sf_dir: str):
+    """Customer-lifetime distribution: the (last − first) order-day
+    span per customer, bucketed into quarters (90-day bins) — the
+    retention-horizon histogram. Per-batch min/max partials collapse
+    each block to customer-cardinality rows before ONE custkey
+    groupby; the histogram is a second bounded aggregation."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def part(t: pa.Table) -> pa.Table:
+        d = pc.divide(t["o_orderdate"].cast(pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"c": t["o_custkey"], "d": d}) \
+            .group_by("c").aggregate([("d", "min"), ("d", "max")])
+        return pa.table({"c": g["c"], "lo": g["d_min"],
+                         "hi": g["d_max"]})
+
+    spans = (orders.map_batches(part, batch_format="pyarrow")
+             .groupby("c").aggregate(rd.aggregate.Min("lo"),
+                                     rd.aggregate.Max("hi")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        lo = t["min(lo)"].to_numpy(zero_copy_only=False)
+        hi = t["max(hi)"].to_numpy(zero_copy_only=False)
+        q = (hi - lo) // 90
+        g = pa.table({"span_q": pa.array(q)}).group_by("span_q") \
+            .aggregate([([], "count_all")])
+        return pa.table({"span_q": g["span_q"],
+                         "n_customers": g["count_all"]
+                         .cast(pa.int64())})
+
+    out = (spans.map_batches(hist, batch_format="pyarrow")
+           .groupby("span_q").sum("n_customers"))
+    return _rename(out, ["span_q", "n_customers"])
+
+
+QUERIES["lifetime_span_customers"] = q_lifetime_span_customers
+ORACLE_SQL["lifetime_span_customers"] = """
+        WITH s AS (SELECT o_custkey,
+                          (MAX(CAST(epoch_us(o_orderdate)
+                                    // 86400000000 AS BIGINT))
+                           - MIN(CAST(epoch_us(o_orderdate)
+                                      // 86400000000 AS BIGINT)))
+                          // 90 AS span_q
+                   FROM orders GROUP BY 1)
+        SELECT span_q, count(*) AS n_customers
+        FROM s GROUP BY 1
+    """
+
+
+ORACLE_SQL["local_clustering_dups"] = f"""
+        WITH pairs AS ({EMBEDDING_DUPS_SQL}),
+        e AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs),
+        deg AS (SELECT u AS node, count(*) AS degree FROM e GROUP BY 1),
+        tri AS (SELECT x.u AS node, count(*) AS n_tri
+                FROM e x JOIN e y ON y.u = x.u AND y.v > x.v
+                         JOIN e z ON z.u = x.v AND z.v = y.v
+                GROUP BY 1)
+        SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri
+        FROM deg d LEFT JOIN tri t USING (node)
+    """

@@ -207,6 +207,9 @@ CHECKED = [
     "cheapest_supplier_parts",
     "simpson_diversity_sources",
     "bursty_customers_nations",
+    "local_clustering_dups",
+    "haar_energy_daily",
+    "lifetime_span_customers",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
