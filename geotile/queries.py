@@ -4648,6 +4648,8 @@ def oracle_sql() -> dict[str, str]:
     """
     out["hist_equalize_sums"] = _hist_eq_sql(img01)
     out["phash_nn_images"] = _phash_nn_sql(img01)
+    out["blob_count_images"] = _blob_count_sql(img01)
+    out["audio_onsets_tracks"] = _audio_onsets_sql(aud01)
     return out
 
 
@@ -18492,3 +18494,282 @@ ORACLE_SQL["local_clustering_dups"] = f"""
                CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri
         FROM deg d LEFT JOIN tri t USING (node)
     """
+
+
+def q_blob_count_images(sf_dir: str):
+    """Binary-morphology audit: per image (first 1024), the number of
+    4-connected foreground blobs (gray ≥ 128) and the foreground
+    pixel count — the object-count feature a labeling stage feeds
+    downstream. Engine labels by vectorized min-neighbour relaxation
+    over the whole batch tensor (each pixel starts at its own index;
+    iterate until fixpoint — iterations ≤ image diameter, all images
+    in the batch converge together); blob count = number of surviving
+    root labels. Oracle: scalar flood-fill replay — two genuinely
+    different algorithms, one answer."""
+    from geotile.ops.tiles import ImageDecodeStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(1024)
+
+    class BlobStage:
+        def __init__(self):
+            self.decoders = ImageDecodeStage(verify=False).decoders
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_pylist()
+            hs = batch["h"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            ids = batch["image_id"].to_numpy(zero_copy_only=False)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, (wi, hi) in enumerate(zip(ws, hs)):
+                groups.setdefault((wi, hi), []).append(i)
+            out_id, out_b, out_fg = [], [], []
+            BIG = np.int64(1 << 62)
+            for (wi, hi), slots in groups.items():
+                px = np.stack([self.decoders[fmts[i]](payloads[i],
+                                                      wi, hi)
+                               for i in slots])
+                gray = px.astype(np.int64).sum(axis=3) // 3
+                fg = gray >= 128
+                k = len(slots)
+                lab = np.arange(k * hi * wi, dtype=np.int64) \
+                    .reshape(k, hi, wi)
+                lab = np.where(fg, lab, BIG)
+                while True:
+                    new = lab.copy()
+                    new[:, 1:, :] = np.minimum(new[:, 1:, :],
+                                               lab[:, :-1, :])
+                    new[:, :-1, :] = np.minimum(new[:, :-1, :],
+                                                lab[:, 1:, :])
+                    new[:, :, 1:] = np.minimum(new[:, :, 1:],
+                                               lab[:, :, :-1])
+                    new[:, :, :-1] = np.minimum(new[:, :, :-1],
+                                                lab[:, :, 1:])
+                    new = np.where(fg, new, BIG)
+                    if (new == lab).all():
+                        break
+                    lab = new
+                n_fg = fg.sum(axis=(1, 2)).astype(np.int64)
+                flat = lab.reshape(k, -1)
+                base = (np.arange(k, dtype=np.int64)
+                        * (hi * wi))[:, None]
+                roots = flat == (np.arange(hi * wi,
+                                           dtype=np.int64)[None, :]
+                                 + base)
+                n_blobs = (roots & fg.reshape(k, -1)).sum(axis=1) \
+                    .astype(np.int64)
+                out_id.append(ids[slots])
+                out_b.append(n_blobs)
+                out_fg.append(n_fg)
+            return pa.table({
+                "image_id": pa.array(np.concatenate(out_id)),
+                "n_blobs": pa.array(np.concatenate(out_b)),
+                "n_fg": pa.array(np.concatenate(out_fg))})
+
+    return ds.map_batches(BlobStage, batch_format="pyarrow",
+                          batch_size=128, concurrency=2)
+
+
+QUERIES["blob_count_images"] = q_blob_count_images
+
+
+def _blob_count_sidecar(img: str, n: int = 1024) -> str:
+    """Scalar flood-fill replay for blob_count_images. Content-keyed
+    on synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_blobs_{Path(img).name}_{n}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["image_id", "w", "h"])
+        order = pc.sort_indices(t["image_id"])[:n]
+        ids = t["image_id"].take(order)
+        ws = t["w"].take(order).to_numpy(zero_copy_only=False)
+        hs = t["h"].take(order).to_numpy(zero_copy_only=False)
+        idx = _sy.image_index(ids).astype(np.uint64)
+        blobs = np.zeros(len(ws), np.int64)
+        nfg = np.zeros(len(ws), np.int64)
+        for wi, hi in set(zip(ws.tolist(), hs.tolist())):
+            m = np.nonzero((ws == wi) & (hs == hi))[0]
+            px = _sy.pixel_pattern(idx[m], wi, hi)
+            for j, slot in enumerate(m):
+                fg = [[(int(px[j, y, x, 0]) + int(px[j, y, x, 1])
+                        + int(px[j, y, x, 2])) // 3 >= 128
+                       for x in range(wi)] for y in range(hi)]
+                seen = [[False] * wi for _ in range(hi)]
+                n_blobs = n_fg = 0
+                for y in range(hi):
+                    for x in range(wi):
+                        if not fg[y][x]:
+                            continue
+                        n_fg += 1
+                        if seen[y][x]:
+                            continue
+                        n_blobs += 1
+                        stack = [(y, x)]
+                        seen[y][x] = True
+                        while stack:
+                            cy, cx = stack.pop()
+                            for dy, dx in ((1, 0), (-1, 0),
+                                           (0, 1), (0, -1)):
+                                ny, nx = cy + dy, cx + dx
+                                if (0 <= ny < hi and 0 <= nx < wi
+                                        and fg[ny][nx]
+                                        and not seen[ny][nx]):
+                                    seen[ny][nx] = True
+                                    stack.append((ny, nx))
+                blobs[slot] = n_blobs
+                nfg[slot] = n_fg
+        out = pa.table({"image_id": ids, "n_blobs": pa.array(blobs),
+                        "n_fg": pa.array(nfg)})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _blob_count_sql(img: str) -> str:
+    return (f"SELECT image_id, n_blobs, n_fg "
+            f"FROM read_parquet('{_blob_count_sidecar(img)}')")
+
+
+def q_daily_xcorr_types(sf_dir: str):
+    """Lead/lag coupling between two event streams: exact integer
+    cross-correlation parts Σ click(t)·purchase(t+L) for lags −3..3
+    over the daily count series (absent days zero) — does engagement
+    LEAD conversion? Two day-cardinality partial sets ride one
+    groupby; the lag products form in an O(days) epilogue."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    DAY = 86_400_000_000
+
+    def part(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        d = pc.divide(t["ts"].cast(pa.int64()),
+                      pa.scalar(DAY, pa.int64()))
+        g = pa.table({"day": d, "et": t["event_type"]}) \
+            .group_by(["day", "et"]).aggregate([([], "count_all")])
+        return pa.table({"day": g["day"], "et": g["et"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    rows = (ev.map_batches(part, batch_format="pyarrow")
+            .groupby(["day", "et"]).sum("c")).take_all()
+    click = {r["day"]: r["sum(c)"] for r in rows
+             if r["et"] == "click"}
+    buy = {r["day"]: r["sum(c)"] for r in rows
+           if r["et"] == "purchase"}
+    out = []
+    for lag in range(-3, 4):
+        sp = sum(c * buy.get(d + lag, 0) for d, c in click.items())
+        out.append({"lag": lag, "sum_prod": sp})
+    return pd.DataFrame(out)
+
+
+QUERIES["daily_xcorr_types"] = q_daily_xcorr_types
+ORACLE_SQL["daily_xcorr_types"] = """
+        WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                       AS day, event_type, COUNT(*) AS c
+                   FROM events
+                   WHERE event_type IN ('click', 'purchase')
+                   GROUP BY 1, 2),
+        l AS (SELECT unnest(range(-3, 4)) AS lag)
+        SELECT CAST(l.lag AS BIGINT) AS lag,
+               CAST(COALESCE((SELECT SUM(a.c * b.c)
+                              FROM d a JOIN d b
+                                ON b.day = a.day + l.lag
+                               AND a.event_type = 'click'
+                               AND b.event_type = 'purchase'), 0)
+                    AS BIGINT) AS sum_prod
+        FROM l
+    """
+
+
+def q_audio_onsets_tracks(sf_dir: str):
+    """Attack/onset detection over the audio corpus: per track, the
+    number of frame transitions where energy more than DOUBLES
+    (e_t > 2·e_{t−1}, exact integers) and the first such frame index
+    (−1 if none) — the percussive-content triage on top of the
+    AudioFrameStage ledger. Stage REUSE: frame energies come from the
+    shared actor-pool stage; the temporal fold is one shifted compare
+    per track row-group. Python-int replay sidecar."""
+    from geotile.ops.audio import AudioFrameStage, read_audio_table
+
+    ds = read_audio_table(_audio_dir_for(sf_dir))
+    frames = ds.map_batches(AudioFrameStage, batch_format="pyarrow",
+                            batch_size=64, concurrency=2)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"track_id": pd.Series(dtype=np.int64),
+                                 "n_onsets": pd.Series(dtype=np.int64),
+                                 "first_onset":
+                                     pd.Series(dtype=np.int64)})
+        tid = df["track_id"].to_numpy(np.int64)
+        fr = df["frame"].to_numpy(np.int64)
+        en = df["energy"].to_numpy(np.int64)
+        o = np.lexsort((fr, tid))
+        tid, fr, en = tid[o], fr[o], en[o]
+        same = tid[1:] == tid[:-1]
+        onset = same & (en[1:] > 2 * en[:-1])
+        ut, inv = np.unique(tid, return_inverse=True)
+        n_on = np.bincount(inv[1:][onset],
+                           minlength=len(ut)).astype(np.int64)
+        first = np.full(len(ut), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv[1:][onset], fr[1:][onset])
+        first = np.where(n_on > 0, first, -1)
+        return pd.DataFrame({"track_id": ut, "n_onsets": n_on,
+                             "first_onset": first})
+
+    from geotile.ops.relational import _with_bucket
+
+    out = (_with_bucket(frames, "track_id", 8)
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow"))
+    return out
+
+
+QUERIES["audio_onsets_tracks"] = q_audio_onsets_tracks
+
+
+def _audio_onsets_sidecar(aud: str) -> str:
+    """Python-int replay for audio_onsets_tracks. Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_audioonsets_{Path(aud).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(aud, columns=["track_id"])
+        ids = np.sort(t["track_id"].to_numpy(zero_copy_only=False))
+        pcm = _sy.audio_samples(ids)
+        frame = 1024
+        nfr = pcm.shape[1] // frame
+        rows = []
+        for j, tid in enumerate(ids.tolist()):
+            en = []
+            for f in range(nfr):
+                chunk = pcm[j, f * frame:(f + 1) * frame].tolist()
+                en.append(sum(int(v) * int(v) for v in chunk))
+            n_on, first = 0, -1
+            for f in range(1, nfr):
+                if en[f] > 2 * en[f - 1]:
+                    n_on += 1
+                    if first < 0:
+                        first = f
+            rows.append({"track_id": tid, "n_onsets": n_on,
+                         "first_onset": first})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _audio_onsets_sql(aud: str) -> str:
+    return (f"SELECT track_id, n_onsets, first_onset "
+            f"FROM read_parquet('{_audio_onsets_sidecar(aud)}')")

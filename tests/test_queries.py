@@ -210,6 +210,7 @@ CHECKED = [
     "local_clustering_dups",
     "haar_energy_daily",
     "lifetime_span_customers",
+    "daily_xcorr_types",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -1018,4 +1019,37 @@ def test_phash_nn_images_oracle(ray_session, con):
            .sort_values("image_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("image_id", "nn_id", "dist"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_blob_count_images_oracle(ray_session, con):
+    """Vectorized min-neighbour label relaxation vs the scalar
+    flood-fill replay at sf0.001 — two different algorithms, one
+    blob count."""
+    from geotile.queries import (QUERIES, _blob_count_sql,
+                                 _image_dir_for)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["blob_count_images"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_blob_count_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "n_blobs", "n_fg"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_audio_onsets_tracks_oracle(ray_session, con):
+    """Shifted-compare onset fold over the shared AudioFrameStage
+    ledger vs the python-int replay at sf0.001."""
+    from geotile.queries import (QUERIES, _audio_dir_for,
+                                 _audio_onsets_sql)
+
+    aud = _audio_dir_for(SF)
+    got = (QUERIES["audio_onsets_tracks"](SF).to_pandas()
+           .sort_values("track_id").reset_index(drop=True))
+    exp = (con.execute(_audio_onsets_sql(aud)).df()
+           .sort_values("track_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("track_id", "n_onsets", "first_onset"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
