@@ -291,3 +291,30 @@ def triplet_violations_ref(vectors, labels):
         if d_other is not None and d_other < d_same:
             st[1] += 1
     return {k: tuple(v) for k, v in out.items()}
+
+
+def range_counts_ref(vectors, labels, r2: int):
+    """Scalar replay for range_density_labels: per label, the number
+    of (anchor, neighbour) pairs with exact e6-lattice squared L2 ≤ r2
+    (self excluded, ordered pairs — each anchor counts its own
+    neighbours). Plain python ints."""
+    n = len(vectors)
+    out: dict[int, list[int]] = {}
+    for i in range(n):
+        cnt = 0
+        for j in range(n):
+            if j == i:
+                continue
+            d = 0
+            vi, vj = vectors[i], vectors[j]
+            for k in range(len(vi)):
+                t = vi[k] - vj[k]
+                d += t * t
+                if d > r2:
+                    break
+            if d <= r2:
+                cnt += 1
+        st = out.setdefault(labels[i], [0, 0])
+        st[0] += 1
+        st[1] += cnt
+    return {k: tuple(v) for k, v in out.items()}

@@ -4650,6 +4650,7 @@ def oracle_sql() -> dict[str, str]:
     out["phash_nn_images"] = _phash_nn_sql(img01)
     out["blob_count_images"] = _blob_count_sql(img01)
     out["audio_onsets_tracks"] = _audio_onsets_sql(aud01)
+    out["range_density_labels"] = _range_density_sql(sf01)
     return out
 
 
@@ -18773,3 +18774,227 @@ def _audio_onsets_sidecar(aud: str) -> str:
 def _audio_onsets_sql(aud: str) -> str:
     return (f"SELECT track_id, n_onsets, first_onset "
             f"FROM read_parquet('{_audio_onsets_sidecar(aud)}')")
+
+
+def q_csv_roundtrip_events(sf_dir: str):
+    """Source/sink lossless round trip through CSV: events project to
+    (event_id, user_id, cents — the e2 lattice formed BEFORE the
+    sink so no float ever rides the text format), write as a
+    partitioned CSV directory, read back with an explicit schema,
+    and aggregate per user. The oracle aggregates the original
+    parquet directly — any encode/parse loss breaks equality.
+    Idempotent cache keyed by sf."""
+    import os
+    from pathlib import Path
+
+    out = Path(os.environ.get("GEOTILE_CACHE", "/tmp/geotile_cache")) \
+        / f"csv_events_{Path(sf_dir).name}"
+    # marker OUTSIDE the csv dir (explicit concat — with_suffix would
+    # truncate the dotted sf name and collide across scale factors)
+    done = out.parent / (out.name + ".done")
+    if not done.exists():
+        import shutil
+
+        if out.exists():  # a half-written dir would double rows
+            shutil.rmtree(out)
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+        def to_cents(t: pa.Table) -> pa.Table:
+            cents = pc.floor(pc.add(pc.multiply(
+                t["value"], pa.scalar(100.0)),
+                pa.scalar(0.5))).cast(pa.int64())
+            return pa.table({"event_id": t["event_id"],
+                             "user_id": t["user_id"],
+                             "cents": cents})
+
+        ev.map_batches(to_cents, batch_format="pyarrow") \
+            .repartition(4).write_csv(str(out))
+        done.touch()
+
+    back = rd.read_csv(str(out))
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                      "cents": t["cents"].cast(pa.int64())}) \
+            .group_by("user_id").aggregate(
+                [([], "count_all"), ("cents", "sum")])
+        return pa.table({"user_id": g["user_id"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "sum_cents": g["cents_sum"]})
+
+    out_ds = (back.map_batches(agg, batch_format="pyarrow")
+              .groupby("user_id").sum(["n", "sum_cents"]))
+    return _rename(out_ds, ["user_id", "n", "sum_cents"])
+
+
+QUERIES["csv_roundtrip_events"] = q_csv_roundtrip_events
+ORACLE_SQL["csv_roundtrip_events"] = """
+        SELECT user_id, count(*) AS n,
+               CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1
+    """
+
+
+def q_range_density_labels(sf_dir: str):
+    """Fixed-radius range search: per label, how many (anchor,
+    neighbour) pairs sit within squared-L2 1.5e12 on the e6 integer
+    lattice (self excluded) — the density audit behind choosing a
+    dedup tau or DBSCAN eps. One int64 Gram matmul per batch against
+    the broadcast lattice corpus; counts are exact. Oracle: scalar
+    python-int replay (oracle_ref.range_counts_ref) with early-exit
+    accumulation — a different algorithm, same integers."""
+    R2 = 1_500_000_000_000
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    rows = emb.take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    V = np.floor(np.array([r["embedding"] for r in rows], np.float64)
+                 * 1_000_000.0).astype(np.int64)
+    labs = np.array([r["label"] for r in rows], np.int64)
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    cref = ray.put((ids, V, labs))
+
+    def part(t: pa.Table) -> pa.Table:
+        ids_, V_, labs_ = _broadcast(cref)
+        ai = np.searchsorted(ids_, t["vec_id"].to_numpy(
+            zero_copy_only=False))
+        A = V_[ai]
+        n2 = (V_ * V_).sum(axis=1)
+        D = n2[ai][:, None] + n2[None, :] - 2 * (A @ V_.T)
+        D[np.arange(len(ai)), ai] = np.int64(2**62)
+        cnt = (D <= R2).sum(axis=1).astype(np.int64)
+        g = pa.table({"label": pa.array(labs_[ai]),
+                      "c": pa.array(cnt)}) \
+            .group_by("label").aggregate(
+                [([], "count_all"), ("c", "sum")])
+        return pa.table({"label": g["label"],
+                         "n_anchors": g["count_all"].cast(pa.int64()),
+                         "n_in_range": g["c_sum"]})
+
+    out = (emb.select_columns(["vec_id"])
+           .map_batches(part, batch_format="pyarrow", batch_size=256)
+           .groupby("label").sum(["n_anchors", "n_in_range"]))
+    return _rename(out, ["label", "n_anchors", "n_in_range"])
+
+
+QUERIES["range_density_labels"] = q_range_density_labels
+
+
+def _range_density_sidecar(sf_dir: str) -> str:
+    """Sidecar for range_density_labels (scalar early-exit replay).
+    Content-keyed on oracle_ref.py."""
+    import geotile.oracle_ref as _oref
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_rangedensity_{Path(sf_dir).name}_"
+        f"{_mods_digest(_oref)}.parquet")
+    if not p.exists():
+        import math
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+        order = pc.sort_indices(t["vec_id"])
+        emb = t["embedding"].take(order).to_pylist()
+        labs = [int(x) for x in t["label"].take(order).to_pylist()]
+        vecs = [[int(math.floor(float(x) * 1_000_000.0)) for x in v]
+                for v in emb]
+        res = _oref.range_counts_ref(vecs, labs, 1_500_000_000_000)
+        out = pa.table({
+            "label": pa.array(sorted(res), pa.int64()),
+            "n_anchors": pa.array([res[k][0] for k in sorted(res)],
+                                  pa.int64()),
+            "n_in_range": pa.array([res[k][1] for k in sorted(res)],
+                                   pa.int64())})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _range_density_sql(sf_dir: str) -> str:
+    return (f"SELECT label, n_anchors, n_in_range "
+            f"FROM read_parquet('{_range_density_sidecar(sf_dir)}')")
+
+
+def q_order_delta_signs(sf_dir: str):
+    """Self-asof on the order stream: each order joins its customer's
+    PREVIOUS order and the totalprice delta's sign tallies per nation
+    — are wallets trending up? Cents lattice before comparison, LAG
+    discipline (day, orderkey), one custkey co-partition, broadcast
+    nation gather, 25×3-bounded partials."""
+    from geotile.ops.relational import _with_bucket
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).take_all()
+    ck = np.array(sorted(r["c_custkey"] for r in cust), np.int64)
+    byc = {r["c_custkey"]: r["c_nationkey"] for r in cust}
+    cn = np.array([byc[k] for k in ck], np.int64)
+    dref = ray.put((ck, cn))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"nation": pd.Series(dtype=np.int64),
+                              "n_up": pd.Series(dtype=np.int64),
+                              "n_down": pd.Series(dtype=np.int64),
+                              "n_flat": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        ck_, cn_ = _broadcast(dref)
+        c = df["o_custkey"].to_numpy(np.int64)
+        k = df["o_orderkey"].to_numpy(np.int64)
+        d = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        cents = np.floor(df["o_totalprice"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        o = np.lexsort((k, d, c))
+        cc, pp = c[o], cents[o]
+        same = cc[1:] == cc[:-1]
+        delta = (pp[1:] - pp[:-1])[same]
+        dc = cc[1:][same]
+        if len(delta) == 0:
+            return empty
+        i = np.minimum(np.searchsorted(ck_, dc),
+                       max(len(ck_) - 1, 0))
+        hit = (ck_[i] == dc) if len(ck_) else np.zeros(len(dc), bool)
+        g = pd.DataFrame({
+            "nation": cn_[i[hit]],
+            "n_up": (delta[hit] > 0).astype(np.int64),
+            "n_down": (delta[hit] < 0).astype(np.int64),
+            "n_flat": (delta[hit] == 0).astype(np.int64)}) \
+            .groupby("nation", as_index=False).sum()
+        return g
+
+    out = (_with_bucket(orders, "o_custkey", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby("nation").sum(["n_up", "n_down", "n_flat"]))
+    return _rename(out, ["nation", "n_up", "n_down", "n_flat"])
+
+
+QUERIES["order_delta_signs"] = q_order_delta_signs
+ORACLE_SQL["order_delta_signs"] = """
+        WITH o AS (SELECT o_custkey AS c,
+                          CAST(epoch_us(o_orderdate) // 86400000000
+                               AS BIGINT) AS d,
+                          o_orderkey AS k,
+                          CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT) AS cents
+                   FROM orders),
+        g AS (SELECT c, cents - LAG(cents)
+                         OVER (PARTITION BY c ORDER BY d, k) AS delta
+              FROM o)
+        SELECT CAST(cu.c_nationkey AS BIGINT) AS nation,
+               CAST(count(*) FILTER (g.delta > 0) AS BIGINT) AS n_up,
+               CAST(count(*) FILTER (g.delta < 0) AS BIGINT)
+                   AS n_down,
+               CAST(count(*) FILTER (g.delta = 0) AS BIGINT)
+                   AS n_flat
+        FROM g JOIN customer cu ON cu.c_custkey = g.c
+        WHERE g.delta IS NOT NULL
+        GROUP BY 1
+    """

@@ -211,6 +211,8 @@ CHECKED = [
     "haar_energy_daily",
     "lifetime_span_customers",
     "daily_xcorr_types",
+    "csv_roundtrip_events",
+    "order_delta_signs",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -1052,4 +1054,18 @@ def test_audio_onsets_tracks_oracle(ray_session, con):
            .sort_values("track_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("track_id", "n_onsets", "first_onset"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_range_density_labels_oracle(ray_session, con):
+    """Gram-matmul range counts vs the early-exit scalar replay at
+    sf0.001."""
+    from geotile.queries import QUERIES, _range_density_sql
+
+    got = (QUERIES["range_density_labels"](SF).to_pandas()
+           .sort_values("label").reset_index(drop=True))
+    exp = (con.execute(_range_density_sql(SF)).df()
+           .sort_values("label").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("label", "n_anchors", "n_in_range"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
