@@ -4651,6 +4651,8 @@ def oracle_sql() -> dict[str, str]:
     out["blob_count_images"] = _blob_count_sql(img01)
     out["audio_onsets_tracks"] = _audio_onsets_sql(aud01)
     out["range_density_labels"] = _range_density_sql(sf01)
+    out["disc_tile_counts"] = _disc_tile_counts_sql(sf01)
+    out["mirror_symmetry_images"] = _mirror_sql(img01)
     return out
 
 
@@ -18997,4 +18999,236 @@ ORACLE_SQL["order_delta_signs"] = """
         FROM g JOIN customer cu ON cu.c_custkey = g.c
         WHERE g.delta IS NOT NULL
         GROUP BY 1
+    """
+
+
+def q_disc_tile_counts(sf_dir: str):
+    """The flagship spatial join against the MANY-polygon dimension
+    set: image tiles vs the 256 synthetic station-buffer discs, one
+    count per disc — the stop-catchment readout. Same cell-indexed
+    join operator as tile_assignments (interior-cell fast path,
+    boundary PIP), different dimension shape (256 small rings instead
+    of 2 long corridors). Oracle: the even-odd crossing replay over
+    the poly_edges sidecar, identical IEEE expression to the engine's
+    pip kernel."""
+    from geotile.ops.join import build_route_index, spatial_join
+    from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+    from geotile.synth import synthetic_route_polygons
+
+    idx = build_route_index(synthetic_route_polygons(256))
+    ds = read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS)
+    out = (spatial_join(ds, idx)
+           .select_columns(["route_id"])
+           .groupby("route_id").count())
+    return _rename(out, ["route_id", "n_tiles"])
+
+
+QUERIES["disc_tile_counts"] = q_disc_tile_counts
+
+
+def _disc_tile_counts_sql(sf_dir: str) -> str:
+    img = _image_dir_for(sf_dir)
+    edges = _poly_edges_path()
+    return f"""
+        WITH pts AS (SELECT image_id, lon, lat
+                     FROM read_parquet('{img}/part-*.parquet')),
+        par AS (
+            SELECT p.image_id, e.poly_id, e.poly_id AS route_poly,
+                   e.poly_id AS pid
+            FROM pts p JOIN read_parquet('{edges}') e
+              ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+             AND (p.lon < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1)
+                          / (e.y2 - e.y1))
+            GROUP BY p.image_id, e.poly_id
+            HAVING count(*) % 2 = 1
+        )
+        SELECT poly_id AS route_id,
+               CAST(count(DISTINCT image_id) AS BIGINT) AS n_tiles
+        FROM par GROUP BY 1
+    """
+
+
+def q_mirror_symmetry_images(sf_dir: str):
+    """Horizontal mirror-symmetry score for the first 1024 images:
+    the exact integer Σ|gray(x) − gray(w−1−x)| over the left half —
+    zero means a perfectly symmetric frame, the cheap aesthetic /
+    synthetic-artifact flag. One vectorized flip-diff per (w, h)
+    group. Python-int replay sidecar."""
+    from geotile.ops.tiles import ImageDecodeStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(1024)
+
+    class MirrorStage:
+        def __init__(self):
+            self.decoders = ImageDecodeStage(verify=False).decoders
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_pylist()
+            hs = batch["h"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            ids = batch["image_id"].to_numpy(zero_copy_only=False)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, (wi, hi) in enumerate(zip(ws, hs)):
+                groups.setdefault((wi, hi), []).append(i)
+            out_id, out_s = [], []
+            for (wi, hi), slots in groups.items():
+                px = np.stack([self.decoders[fmts[i]](payloads[i],
+                                                      wi, hi)
+                               for i in slots])
+                gray = px.astype(np.int64).sum(axis=3) // 3
+                half = wi // 2
+                asym = np.abs(gray[:, :, :half]
+                              - gray[:, :, ::-1][:, :, :half]) \
+                    .sum(axis=(1, 2)).astype(np.int64)
+                out_id.append(ids[slots])
+                out_s.append(asym)
+            return pa.table({
+                "image_id": pa.array(np.concatenate(out_id)),
+                "asym": pa.array(np.concatenate(out_s))})
+
+    return ds.map_batches(MirrorStage, batch_format="pyarrow",
+                          batch_size=256, concurrency=2)
+
+
+QUERIES["mirror_symmetry_images"] = q_mirror_symmetry_images
+
+
+def _mirror_sidecar(img: str, n: int = 1024) -> str:
+    """Python-int replay for mirror_symmetry_images. Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_mirror_{Path(img).name}_{n}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["image_id", "w", "h"])
+        order = pc.sort_indices(t["image_id"])[:n]
+        ids = t["image_id"].take(order)
+        ws = t["w"].take(order).to_numpy(zero_copy_only=False)
+        hs = t["h"].take(order).to_numpy(zero_copy_only=False)
+        idx = _sy.image_index(ids).astype(np.uint64)
+        asym = np.zeros(len(ws), np.int64)
+        for wi, hi in set(zip(ws.tolist(), hs.tolist())):
+            m = np.nonzero((ws == wi) & (hs == hi))[0]
+            px = _sy.pixel_pattern(idx[m], wi, hi)
+            for j, slot in enumerate(m):
+                total = 0
+                for y in range(hi):
+                    for x in range(wi // 2):
+                        a = (int(px[j, y, x, 0]) + int(px[j, y, x, 1])
+                             + int(px[j, y, x, 2])) // 3
+                        xx = wi - 1 - x
+                        b2 = (int(px[j, y, xx, 0])
+                              + int(px[j, y, xx, 1])
+                              + int(px[j, y, xx, 2])) // 3
+                        total += abs(a - b2)
+                asym[slot] = total
+        out = pa.table({"image_id": ids, "asym": pa.array(asym)})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _mirror_sql(img: str) -> str:
+    return (f"SELECT image_id, asym "
+            f"FROM read_parquet('{_mirror_sidecar(img)}')")
+
+
+def q_pareto_frontier_nations(sf_dir: str):
+    """Grouped SKYLINE: per nation, the Pareto-frontier size over
+    (account balance cents, order count) — the 'best customers no
+    one dominates' census. Order counts come from custkey partials +
+    one groupby; balances broadcast sorted; each nation's frontier
+    resolves in a 25-group co-partition with the group-max scan
+    (dominated iff a strictly-richer customer orders at least as
+    much, or an equal-balance customer orders strictly more).
+    NOT-EXISTS self-join replay."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]).take_all()
+    ck = np.array(sorted(r["c_custkey"] for r in cust), np.int64)
+    byc = {r["c_custkey"]: r for r in cust}
+    bal = np.array([np.floor(byc[k]["c_acctbal"] * 100.0 + 0.5)
+                    for k in ck]).astype(np.int64)
+    nat = np.array([byc[k]["c_nationkey"] for k in ck], np.int64)
+    dref = ray.put((ck, bal, nat))
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = pa.table({"c": t["o_custkey"]}).group_by("c") \
+            .aggregate([([], "count_all")])
+        return pa.table({"c": g["c"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    per_cust = (orders.map_batches(cnt, batch_format="pyarrow")
+                .groupby("c").sum("n"))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ck_, bal_, nat_ = _broadcast(dref)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        i = np.minimum(np.searchsorted(ck_, c),
+                       max(len(ck_) - 1, 0))
+        hit = (ck_[i] == c) if len(ck_) else np.zeros(len(c), bool)
+        return pa.table({
+            "nation": pa.array(nat_[i[hit]]),
+            "bal": pa.array(bal_[i[hit]]),
+            "n": pc.array_filter(t["sum(n)"], pa.array(hit))})
+
+    def frontier(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"nation": pd.Series(dtype=np.int64),
+                 "n_customers": pd.Series(dtype=np.int64),
+                 "n_frontier": pd.Series(dtype=np.int64)})
+        nation = int(df["nation"].iloc[0])
+        b = df["bal"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        o = np.lexsort((-n, -b))
+        b, n = b[o], n[o]
+        prev_max = -1
+        n_front = 0
+        i = 0
+        while i < len(b):
+            j = i
+            while j < len(b) and b[j] == b[i]:
+                j += 1
+            gmax = int(n[i:j].max())
+            if gmax > prev_max:
+                n_front += int((n[i:j] == gmax).sum())
+                prev_max = gmax
+            i = j
+        return pd.DataFrame({"nation": [nation],
+                             "n_customers": [len(b)],
+                             "n_frontier": [n_front]})
+
+    out = (per_cust.map_batches(attach, batch_format="pyarrow")
+           .groupby("nation").map_groups(frontier,
+                                         batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow"))
+    return out
+
+
+QUERIES["pareto_frontier_nations"] = q_pareto_frontier_nations
+ORACLE_SQL["pareto_frontier_nations"] = """
+        WITH pts AS (SELECT cu.c_nationkey AS nation,
+                            CAST(floor(cu.c_acctbal * 100.0 + 0.5)
+                                 AS BIGINT) AS bal,
+                            count(*) AS n
+                     FROM orders o
+                     JOIN customer cu ON cu.c_custkey = o.o_custkey
+                     GROUP BY 1, cu.c_custkey,
+                              floor(cu.c_acctbal * 100.0 + 0.5))
+        SELECT CAST(p.nation AS BIGINT) AS nation,
+               count(*) AS n_customers,
+               CAST(count(*) FILTER (NOT EXISTS (
+                   SELECT 1 FROM pts q
+                   WHERE q.nation = p.nation
+                     AND q.bal >= p.bal AND q.n >= p.n
+                     AND (q.bal > p.bal OR q.n > p.n)))
+                    AS BIGINT) AS n_frontier
+        FROM pts p GROUP BY 1
     """

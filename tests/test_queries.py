@@ -213,6 +213,7 @@ CHECKED = [
     "daily_xcorr_types",
     "csv_roundtrip_events",
     "order_delta_signs",
+    "pareto_frontier_nations",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -1068,4 +1069,33 @@ def test_range_density_labels_oracle(ray_session, con):
            .sort_values("label").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("label", "n_anchors", "n_in_range"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_disc_tile_counts_oracle(ray_session, con):
+    """Flagship spatial join against the 256-disc dimension set vs the
+    even-odd crossing replay over the poly_edges sidecar at sf0.001."""
+    from geotile.queries import QUERIES, _disc_tile_counts_sql
+
+    got = (QUERIES["disc_tile_counts"]("/root/testdata/sf0.001")
+           .to_pandas().sort_values("route_id").reset_index(drop=True))
+    exp = (con.execute(_disc_tile_counts_sql("/root/testdata/sf0.001"))
+           .df().sort_values("route_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("route_id", "n_tiles"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_mirror_symmetry_images_oracle(ray_session, con):
+    """Vectorized flip-diff vs the per-pixel python replay at
+    sf0.001."""
+    from geotile.queries import (QUERIES, _image_dir_for, _mirror_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["mirror_symmetry_images"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_mirror_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "asym"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
