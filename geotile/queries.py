@@ -4653,6 +4653,8 @@ def oracle_sql() -> dict[str, str]:
     out["range_density_labels"] = _range_density_sql(sf01)
     out["disc_tile_counts"] = _disc_tile_counts_sql(sf01)
     out["mirror_symmetry_images"] = _mirror_sql(img01)
+    out["video_flicker_parts"] = _video_flicker_sql(
+        _video_dir_for("/root/testdata/sf0.01"))
     return out
 
 
@@ -13796,7 +13798,7 @@ ORACLE_SQL["nation_quarter_qoq"] = """
                           CAST(EXTRACT(year FROM o_orderdate) * 4
                                + (EXTRACT(month FROM o_orderdate) - 1)
                                  // 3 AS BIGINT) AS q,
-                          SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                          SUM(CAST(floor(o_totalprice + 0.5)
                                    AS BIGINT)) AS cents
                    FROM orders JOIN customer ON o_custkey = c_custkey
                    GROUP BY 1, 2),
@@ -19231,4 +19233,247 @@ ORACLE_SQL["pareto_frontier_nations"] = """
                      AND (q.bal > p.bal OR q.n > p.n)))
                     AS BIGINT) AS n_frontier
         FROM pts p GROUP BY 1
+    """
+
+
+def q_dow_detrended_parts(sf_dir: str):
+    """Seasonal decomposition, integer-exact: detrend the daily
+    revenue-dollars series with a centered 7-day window (residual
+    r_t = 7·c_t − Σ_{|k|≤3} c_{t+k}, absent days zero) and emit the
+    day-of-week residual parts Σr and Σr² over interior days (dollar lattice keeps Σr² inside int64) — the
+    weekday effect AFTER removing the weekly trend, no float ever
+    forms. Day-cardinality partials + an O(days) epilogue.
+    Day-of-week uses the 1970-01-01=Thursday epoch convention,
+    mirrored in SQL via (day + 4) % 7."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        d = pc.divide(t["o_orderdate"].cast(pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        dollars = pc.floor(pc.add(t["o_totalprice"],
+                                   pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"day": d, "c": dollars}).group_by("day") \
+            .aggregate([("c", "sum")])
+        return pa.table({"day": g["day"], "c": g["c_sum"]})
+
+    rows = (orders.map_batches(part, batch_format="pyarrow")
+            .groupby("day").sum("c")).take_all()
+    if not rows:
+        return pd.DataFrame({"dow": pd.Series(dtype=np.int64),
+                             "n_days": pd.Series(dtype=np.int64),
+                             "sum_r": pd.Series(dtype=np.int64),
+                             "sum_r2": pd.Series(dtype=np.int64)})
+    days = {r["day"]: r["sum(c)"] for r in rows}
+    lo, hi = min(days), max(days)
+    series = [days.get(d, 0) for d in range(lo, hi + 1)]
+    acc: dict[int, list[int]] = {}
+    for t in range(3, len(series) - 3):
+        trend = sum(series[t - 3:t + 4])
+        r = 7 * series[t] - trend
+        dow = (lo + t + 4) % 7  # 1970-01-01 was a Thursday
+        st = acc.setdefault(dow, [0, 0, 0])
+        st[0] += 1
+        st[1] += r
+        st[2] += r * r
+    return pd.DataFrame(sorted(
+        ({"dow": k, "n_days": v[0], "sum_r": v[1], "sum_r2": v[2]}
+         for k, v in acc.items()), key=lambda x: x["dow"]))
+
+
+QUERIES["dow_detrended_parts"] = q_dow_detrended_parts
+ORACLE_SQL["dow_detrended_parts"] = """
+        WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                       AS BIGINT) AS day,
+                          SUM(CAST(floor(o_totalprice + 0.5)
+                                   AS BIGINT)) AS c
+                   FROM orders GROUP BY 1),
+        b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+        idx AS (SELECT unnest(range(0, CAST((SELECT hi - lo + 1 FROM b)
+                    AS BIGINT))) AS i),
+        s0 AS (SELECT i.i, COALESCE(d.c, 0) AS c
+               FROM idx i LEFT JOIN d
+                 ON d.day = i.i + (SELECT lo FROM b)),
+        w AS (SELECT i, c,
+                     SUM(c) OVER (ORDER BY i
+                                  ROWS BETWEEN 3 PRECEDING
+                                  AND 3 FOLLOWING) AS trend,
+                     COUNT(*) OVER (ORDER BY i
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND 3 FOLLOWING) AS nw
+              FROM s0),
+        r AS (SELECT ((SELECT lo FROM b) + i + 4) % 7 AS dow,
+                     7 * c - trend AS res
+              FROM w WHERE nw = 7)
+        SELECT CAST(dow AS BIGINT) AS dow, count(*) AS n_days,
+               CAST(SUM(res) AS BIGINT) AS sum_r,
+               CAST(SUM(res * res) AS BIGINT) AS sum_r2
+        FROM r GROUP BY 1
+    """
+
+
+def q_video_flicker_parts(sf_dir: str):
+    """Temporal-noise (flicker) parts per clip: the exact integers
+    behind per-pixel variance across frames — a = Σ_{t,px} x²,
+    b = Σ_px (Σ_t x)², so flicker energy = F·a − b. One stacked
+    reduction per payload group (ops/video decode contract). Python-
+    int replay sidecar."""
+    from geotile.ops.video import read_video_table
+
+    ds = read_video_table(_video_dir_for(sf_dir))
+
+    def parts(t: pa.Table) -> pa.Table:
+        codecs = set(t["codec"].to_pylist())
+        if codecs - {"rawseq"}:
+            raise NotImplementedError(
+                "only rawseq ships in this container")
+        ids = t["clip_id"].to_numpy(zero_copy_only=False)
+        nf = t["n_frames"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        payloads = t["bytes"].to_pylist()
+        groups: dict[tuple[int, int, int], list[int]] = {}
+        for i, key in enumerate(zip(nf, ws, hs)):
+            groups.setdefault(tuple(int(x) for x in key), []).append(i)
+        out_id, out_a, out_b, out_f = [], [], [], []
+        for (f, w, h), slots in groups.items():
+            clips = np.stack([
+                np.frombuffer(payloads[i], dtype=np.uint8)
+                .reshape(f, h * w * 3) for i in slots]) \
+                .astype(np.int64)
+            a = (clips * clips).sum(axis=(1, 2))
+            psum = clips.sum(axis=1)  # per-pixel across frames
+            b2 = (psum * psum).sum(axis=1)
+            out_id.append(ids[slots])
+            out_a.append(a)
+            out_b.append(b2)
+            out_f.append(np.full(len(slots), f, np.int64))
+        return pa.table({
+            "clip_id": pa.array(np.concatenate(out_id)),
+            "sum_sq": pa.array(np.concatenate(out_a)),
+            "sq_sum": pa.array(np.concatenate(out_b)),
+            "n_frames": pa.array(np.concatenate(out_f))})
+
+    return ds.map_batches(parts, batch_format="pyarrow",
+                          batch_size=32)
+
+
+QUERIES["video_flicker_parts"] = q_video_flicker_parts
+
+
+def _video_flicker_sidecar(vid: str) -> str:
+    """Python-int replay for video_flicker_parts. Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_videoflicker_{Path(vid).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(vid, columns=["clip_id", "n_frames"])
+        ids = np.sort(t["clip_id"].to_numpy(zero_copy_only=False))
+        nf = int(t["n_frames"][0].as_py())
+        rows = []
+        for cid in ids.tolist():
+            frames = [
+                [int(v) for v in _sy.pixel_pattern(
+                    np.array([cid * 64 + f], np.uint64),
+                    _sy.VIDEO_W, _sy.VIDEO_H)[0].ravel().tolist()]
+                for f in range(nf)]
+            a = sum(v * v for fr in frames for v in fr)
+            npx = len(frames[0])
+            b2 = 0
+            for px in range(npx):
+                s = sum(frames[f][px] for f in range(nf))
+                b2 += s * s
+            rows.append({"clip_id": cid, "sum_sq": a, "sq_sum": b2,
+                         "n_frames": nf})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _video_flicker_sql(vid: str) -> str:
+    return (f"SELECT clip_id, sum_sq, sq_sum, n_frames "
+            f"FROM read_parquet('{_video_flicker_sidecar(vid)}')")
+
+
+def q_near_simultaneous_pairs(sf_dir: str):
+    """Temporal band SELF-join: per unordered event-type pair, how
+    many same-user event pairs landed within 60 seconds of each other
+    — the multi-device / bot-burst signature. One user co-partition;
+    each bucket sorts by (ts, event_id) once, finds every 60-second
+    window end by searchsorted, and resolves all five types' counts
+    from per-type prefix sums — no pair row ever materializes. The
+    (ts, event_id) order is the pair-once discipline, mirrored in the
+    SQL replay."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+    W = 60_000_000  # 60 s in µs
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"type_a": pd.Series(dtype=object),
+                              "type_b": pd.Series(dtype=object),
+                              "n_pairs": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        et = df["event_type"].to_numpy()
+        types, tcode = np.unique(et, return_inverse=True)
+        o = np.lexsort((e, ts, u))
+        u, ts, tcode = u[o], ts[o], tcode[o]
+        k = len(types)
+        # composite (user-segment << 48) + relative-ts key: sorted
+        # ascending, and windows can never cross users because the
+        # segment offset dwarfs any in-bucket time range (asserted)
+        seg_of = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        rel = ts - ts.min()
+        assert rel.max(initial=0) < (1 << 48) - W, "ts-range contract"
+        comp = seg_of * (1 << 48) + rel
+        P = np.zeros((len(u) + 1, k), np.int64)
+        P[1:] = np.eye(k, dtype=np.int64)[tcode].cumsum(axis=0)
+        hi = np.searchsorted(comp, comp + W, side="right")
+        cnt = np.zeros((k, k), np.int64)
+        for b in range(k):
+            win = P[hi, b] - P[np.arange(len(u)) + 1, b]
+            np.add.at(cnt[:, b], tcode, win)
+        rows = []
+        for a in range(k):
+            for b in range(k):
+                lo_t, hi_t = sorted((types[a], types[b]))
+                if cnt[a, b]:
+                    rows.append((lo_t, hi_t, int(cnt[a, b])))
+        if not rows:
+            return empty
+        g = pd.DataFrame(rows, columns=["type_a", "type_b",
+                                        "n_pairs"]) \
+            .groupby(["type_a", "type_b"], as_index=False).sum()
+        return g
+
+    out = (_with_bucket(ev, "user_id", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby(["type_a", "type_b"]).sum("n_pairs"))
+    return _rename(out, ["type_a", "type_b", "n_pairs"])
+
+
+QUERIES["near_simultaneous_pairs"] = q_near_simultaneous_pairs
+ORACLE_SQL["near_simultaneous_pairs"] = """
+        SELECT LEAST(e1.event_type, e2.event_type) AS type_a,
+               GREATEST(e1.event_type, e2.event_type) AS type_b,
+               count(*) AS n_pairs
+        FROM events e1 JOIN events e2
+          ON e2.user_id = e1.user_id
+         AND (e2.ts > e1.ts
+              OR (e2.ts = e1.ts AND e2.event_id > e1.event_id))
+         AND epoch_us(e2.ts) - epoch_us(e1.ts) <= 60000000
+        GROUP BY 1, 2
     """

@@ -214,6 +214,8 @@ CHECKED = [
     "csv_roundtrip_events",
     "order_delta_signs",
     "pareto_frontier_nations",
+    "dow_detrended_parts",
+    "near_simultaneous_pairs",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -1098,4 +1100,20 @@ def test_mirror_symmetry_images_oracle(ray_session, con):
            .sort_values("image_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("image_id", "asym"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_video_flicker_parts_oracle(ray_session, con):
+    """Stacked flicker reduction vs the python-int per-pixel replay
+    at sf0.001."""
+    from geotile.queries import (QUERIES, _video_dir_for,
+                                 _video_flicker_sql)
+
+    vid = _video_dir_for(SF)
+    got = (QUERIES["video_flicker_parts"](SF).to_pandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    exp = (con.execute(_video_flicker_sql(vid)).df()
+           .sort_values("clip_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("clip_id", "sum_sq", "sq_sum", "n_frames"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
