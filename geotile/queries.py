@@ -19477,3 +19477,247 @@ ORACLE_SQL["near_simultaneous_pairs"] = """
          AND epoch_us(e2.ts) - epoch_us(e1.ts) <= 60000000
         GROUP BY 1, 2
     """
+
+
+def q_reorder_after_return(sf_dir: str):
+    """Post-return behavior: of the customers who ever had a returned
+    lineitem, how many ordered AGAIN strictly after their first
+    return shipment — the churn-after-defect probe. Chain: R-flagged
+    lineitems ⋈ orders (bucketed, orderkey) → per-customer MIN ship
+    date → orders ⋈ that (bucketed, custkey) → per-customer later
+    counts → three global counters from customer-cardinality
+    partials. Both joins are fact-scale co-partitions at 100 TB."""
+    from geotile.ops.relational import bucketed_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate"]) \
+        .map_batches(lambda t: t.filter(pc.equal(
+            t["l_returnflag"], pa.scalar("R")))
+            .select(["l_orderkey", "l_shipdate"]),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    j1 = bucketed_join(li, orders, "l_orderkey", "o_orderkey",
+                       n_buckets=16)
+
+    def min_part(t: pa.Table) -> pa.Table:
+        g = pa.table({"c": t["o_custkey"],
+                      "md": t["l_shipdate"].cast(pa.int64())}) \
+            .group_by("c").aggregate([("md", "min")])
+        return pa.table({"c": g["c"], "md": g["md_min"]})
+
+    first_ret = (j1.map_batches(min_part, batch_format="pyarrow")
+                 .groupby("c").min("md"))
+    first_ret = _rename(first_ret, ["c", "md"]).materialize()
+
+    j2 = bucketed_join(orders, first_ret, "o_custkey", "c",
+                       n_buckets=16)
+
+    def later_part(t: pa.Table) -> pa.Table:
+        later = pc.greater(t["o_orderdate"].cast(pa.int64()),
+                           t["md"]).cast(pa.int64())
+        g = pa.table({"c": t["o_custkey"], "lat": later}) \
+            .group_by("c").aggregate([("lat", "sum")])
+        return pa.table({"c": g["c"], "n_later": g["lat_sum"]})
+
+    per_cust = (j2.map_batches(later_part, batch_format="pyarrow")
+                .groupby("c").sum("n_later"))
+
+    def tally(t: pa.Table) -> pa.Table:
+        nl = t["sum(n_later)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_ret_customers": pa.array([len(nl)], pa.int64()),
+            "n_reordered": pa.array([int((nl > 0).sum())], pa.int64()),
+            "n_later_orders": pa.array([int(nl.sum())], pa.int64())})
+
+    parts = per_cust.map_batches(tally,
+                                 batch_format="pyarrow").take_all()
+    return pd.DataFrame({
+        "n_ret_customers": [sum(r["n_ret_customers"] for r in parts)],
+        "n_reordered": [sum(r["n_reordered"] for r in parts)],
+        "n_later_orders": [sum(r["n_later_orders"] for r in parts)]})
+
+
+QUERIES["reorder_after_return"] = q_reorder_after_return
+ORACLE_SQL["reorder_after_return"] = """
+        WITH r AS (SELECT o.o_custkey AS c, MIN(l.l_shipdate) AS md
+                   FROM lineitem l
+                   JOIN orders o ON o.o_orderkey = l.l_orderkey
+                   WHERE l.l_returnflag = 'R' GROUP BY 1),
+        j AS (SELECT r.c,
+                     COUNT(*) FILTER (o.o_orderdate > r.md) AS n_later
+              FROM r JOIN orders o ON o.o_custkey = r.c
+              GROUP BY 1)
+        SELECT count(*) AS n_ret_customers,
+               CAST(count(*) FILTER (n_later > 0) AS BIGINT)
+                   AS n_reordered,
+               CAST(SUM(n_later) AS BIGINT) AS n_later_orders
+        FROM j
+    """
+
+
+def q_early_breadth_users(sf_dir: str):
+    """Early-behavior breadth: for every user, how many DISTINCT
+    event types appear in their FIRST five events ((ts, event_id)
+    order) — the onboarding-diversity histogram. One user
+    co-partition, one lexsort; the first-5 slice and the per-user
+    distinct count are both segment algebra."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"breadth": pd.Series(dtype=np.int64),
+                              "n_users": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        _, tcode = np.unique(df["event_type"].to_numpy(),
+                             return_inverse=True)
+        o = np.lexsort((e, ts, u))
+        u, tcode = u[o], tcode[o]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        offset = np.arange(len(u)) - starts[run]
+        keep = offset < 5
+        ku, kt = run[keep], tcode[keep]
+        # distinct types per user among kept rows
+        pair = ku * 8 + kt  # ≤5 event types
+        up = np.unique(pair)
+        breadth = np.bincount(up // 8).astype(np.int64)
+        breadth = breadth[breadth > 0]
+        g = pd.DataFrame({"breadth": breadth}) \
+            .groupby("breadth", as_index=False).size()
+        return g.rename(columns={"size": "n_users"})
+
+    out = (_with_bucket(ev, "user_id", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby("breadth").sum("n_users"))
+    return _rename(out, ["breadth", "n_users"])
+
+
+QUERIES["early_breadth_users"] = q_early_breadth_users
+ORACLE_SQL["early_breadth_users"] = """
+        WITH r AS (SELECT user_id, event_type,
+                          row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+                   FROM events),
+        b AS (SELECT user_id,
+                     CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                         AS breadth
+              FROM r WHERE rn <= 5 GROUP BY 1)
+        SELECT breadth, count(*) AS n_users FROM b GROUP BY 1
+    """
+
+
+def q_nation_quartile_bands(sf_dir: str):
+    """Quantile-band ASSIGN join: each order lands in its own
+    nation's revenue quartile band — boundaries are the exact cents
+    values at 0-based ranks (n−1)·q//4 (q = 1..3) computed where the
+    nation lives, broadcast back, and band = #boundaries strictly
+    below the order's cents (ties stay in the lower band). Two
+    scans: one nation co-partition for boundaries, one stateless
+    banding pass with 25×4 partials."""
+    from geotile.ops.relational import _with_bucket
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).take_all()
+    ck = np.array(sorted(r["c_custkey"] for r in cust), np.int64)
+    byc = {r["c_custkey"]: r["c_nationkey"] for r in cust}
+    cn = np.array([byc[k] for k in ck], np.int64)
+    dref = ray.put((ck, cn))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def with_nation(t: pa.Table) -> pa.Table:
+        ck_, cn_ = _broadcast(dref)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False)
+        i = np.minimum(np.searchsorted(ck_, c),
+                       max(len(ck_) - 1, 0))
+        hit = (ck_[i] == c) if len(ck_) else np.zeros(len(c), bool)
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        return pa.table({
+            "nation": pa.array(cn_[i[hit]]),
+            "cents": pc.array_filter(cents, pa.array(hit))})
+
+    tagged = orders.map_batches(with_nation,
+                                batch_format="pyarrow").materialize()
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"nation": pd.Series(dtype=np.int64),
+                                 "b1": pd.Series(dtype=np.int64),
+                                 "b2": pd.Series(dtype=np.int64),
+                                 "b3": pd.Series(dtype=np.int64)})
+        v = np.sort(df["cents"].to_numpy(np.int64))
+        n = len(v)
+        return pd.DataFrame({
+            "nation": [int(df["nation"].iloc[0])],
+            "b1": [int(v[(n - 1) * 1 // 4])],
+            "b2": [int(v[(n - 1) * 2 // 4])],
+            "b3": [int(v[(n - 1) * 3 // 4])]})
+
+    brows = tagged.groupby("nation").map_groups(
+        bounds, batch_format="pandas").take_all()
+    nats = np.array(sorted(r["nation"] for r in brows), np.int64)
+    byn = {r["nation"]: r for r in brows}
+    B = np.array([[byn[k]["b1"], byn[k]["b2"], byn[k]["b3"]]
+                  for k in nats], np.int64)
+    bref = ray.put((nats, B))
+
+    def band(t: pa.Table) -> pa.Table:
+        nats_, B_ = _broadcast(bref)
+        nat = t["nation"].to_numpy(zero_copy_only=False)
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        i = np.searchsorted(nats_, nat)
+        bd = (v > B_[i, 0]).astype(np.int64) \
+            + (v > B_[i, 1]) + (v > B_[i, 2])
+        g = pa.table({"nation": pa.array(nat), "band": pa.array(bd),
+                      "cents": pa.array(v)}) \
+            .group_by(["nation", "band"]).aggregate(
+                [([], "count_all"), ("cents", "sum")])
+        return pa.table({"nation": g["nation"], "band": g["band"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "sum_cents": g["cents_sum"]})
+
+    out = (tagged.map_batches(band, batch_format="pyarrow")
+           .groupby(["nation", "band"]).sum(["n", "sum_cents"]))
+    return _rename(out, ["nation", "band", "n", "sum_cents"])
+
+
+QUERIES["nation_quartile_bands"] = q_nation_quartile_bands
+ORACLE_SQL["nation_quartile_bands"] = """
+        WITH o AS (SELECT cu.c_nationkey AS nation,
+                          CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                               AS BIGINT) AS cents
+                   FROM orders o
+                   JOIN customer cu ON cu.c_custkey = o.o_custkey),
+        r AS (SELECT nation, cents,
+                     row_number() OVER (PARTITION BY nation
+                                        ORDER BY cents) AS rn,
+                     COUNT(*) OVER (PARTITION BY nation) AS n
+              FROM o),
+        b AS (SELECT nation,
+                     MAX(cents) FILTER (rn - 1 = (n - 1) * 1 // 4)
+                         AS b1,
+                     MAX(cents) FILTER (rn - 1 = (n - 1) * 2 // 4)
+                         AS b2,
+                     MAX(cents) FILTER (rn - 1 = (n - 1) * 3 // 4)
+                         AS b3
+              FROM r GROUP BY 1)
+        SELECT CAST(o.nation AS BIGINT) AS nation,
+               CAST((o.cents > b.b1)::BIGINT + (o.cents > b.b2)::BIGINT
+                    + (o.cents > b.b3)::BIGINT AS BIGINT) AS band,
+               count(*) AS n,
+               CAST(SUM(o.cents) AS BIGINT) AS sum_cents
+        FROM o JOIN b USING (nation)
+        GROUP BY 1, 2
+    """

@@ -216,6 +216,9 @@ CHECKED = [
     "pareto_frontier_nations",
     "dow_detrended_parts",
     "near_simultaneous_pairs",
+    "reorder_after_return",
+    "early_breadth_users",
+    "nation_quartile_bands",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
