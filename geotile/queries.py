@@ -4655,6 +4655,8 @@ def oracle_sql() -> dict[str, str]:
     out["mirror_symmetry_images"] = _mirror_sql(img01)
     out["video_flicker_parts"] = _video_flicker_sql(
         _video_dir_for("/root/testdata/sf0.01"))
+    out["quadkey_occupancy"] = _quadkey_occupancy_sql(sf01)
+    out["simhash_bit_bias"] = _simhash_bit_bias_sql(sf01)
     return out
 
 
@@ -19720,4 +19722,181 @@ ORACLE_SQL["nation_quartile_bands"] = """
                CAST(SUM(o.cents) AS BIGINT) AS sum_cents
         FROM o JOIN b USING (nation)
         GROUP BY 1, 2
+    """
+
+
+def q_type_run_lengths(sf_dir: str):
+    """Gaps-and-islands on the event stream: per event type, how many
+    maximal same-type RUNS each user produced, total events and the
+    longest run — repetitive-behavior fingerprinting. One user
+    co-partition; run boundaries, lengths and all three per-type
+    reductions are segment algebra after a single lexsort. Classic
+    rn−rt island replay in SQL."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_type": pd.Series(dtype=object),
+                              "n_runs": pd.Series(dtype=np.int64),
+                              "n_events": pd.Series(dtype=np.int64),
+                              "max_run": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        et = df["event_type"].to_numpy()
+        types, tcode = np.unique(et, return_inverse=True)
+        o = np.lexsort((e, ts, u))
+        u, tcode = u[o], tcode[o]
+        brk = np.r_[True, (u[1:] != u[:-1])
+                    | (tcode[1:] != tcode[:-1])]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.r_[starts, len(u)])
+        rtype = tcode[starts]
+        k = len(types)
+        n_runs = np.bincount(rtype, minlength=k).astype(np.int64)
+        n_ev = np.bincount(rtype, weights=lens,
+                           minlength=k).astype(np.int64)
+        mx = np.zeros(k, np.int64)
+        np.maximum.at(mx, rtype, lens)
+        return pd.DataFrame({"event_type": types, "n_runs": n_runs,
+                             "n_events": n_ev, "max_run": mx})
+
+    out = (_with_bucket(ev, "user_id", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(rd.aggregate.Sum("n_runs"),
+                      rd.aggregate.Sum("n_events"),
+                      rd.aggregate.Max("max_run")))
+    return _rename(out, ["event_type", "n_runs", "n_events",
+                         "max_run"])
+
+
+QUERIES["type_run_lengths"] = q_type_run_lengths
+ORACLE_SQL["type_run_lengths"] = """
+        WITH r AS (SELECT user_id, event_type,
+                          row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+                          row_number() OVER (
+                              PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rt
+                   FROM events),
+        runs AS (SELECT event_type, count(*) AS run_len
+                 FROM r GROUP BY user_id, event_type, rn - rt)
+        SELECT event_type, count(*) AS n_runs,
+               CAST(SUM(run_len) AS BIGINT) AS n_events,
+               CAST(MAX(run_len) AS BIGINT) AS max_run
+        FROM runs GROUP BY 1
+    """
+
+
+def q_quadkey_occupancy(sf_dir: str):
+    """Spatial-index fill audit: for every occupied res-11 parent
+    cell, how many of its four res-12 Morton children hold at least
+    one tile — the 1..4 occupancy histogram that predicts pyramid
+    compressibility. Child dedup partials → parent bit algebra
+    (payload >> 2, res tag rewritten) → two bounded aggregations.
+    SQL replays the full Morton encode plus the same bit ops."""
+    from geotile.geom import cells
+    from geotile.ops.tiles import read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["lon", "lat"])
+    PAYLOAD = (1 << 58) - 1
+
+    def child(t: pa.Table) -> pa.Table:
+        c = cells.encode(t["lon"].to_numpy(), t["lat"].to_numpy(),
+                         12).view(np.int64)
+        g = pa.table({"cell": pa.array(c)}).group_by("cell") \
+            .aggregate([])
+        return g
+
+    kids = (ds.map_batches(child, batch_format="pyarrow")
+            .groupby("cell").count())
+
+    def parent(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy(zero_copy_only=False)
+        par = ((c & PAYLOAD) >> 2) + (11 << 58)
+        g = pa.table({"parent": pa.array(par)}).group_by("parent") \
+            .aggregate([([], "count_all")])
+        return pa.table({"parent": g["parent"],
+                         "k": g["count_all"].cast(pa.int64())})
+
+    occ = (kids.map_batches(parent, batch_format="pyarrow")
+           .groupby("parent").sum("k"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        k = t["sum(k)"]
+        g = pa.table({"occupancy": k}).group_by("occupancy") \
+            .aggregate([([], "count_all")])
+        return pa.table({"occupancy": g["occupancy"],
+                         "n_parents": g["count_all"]
+                         .cast(pa.int64())})
+
+    out = (occ.map_batches(hist, batch_format="pyarrow")
+           .groupby("occupancy").sum("n_parents"))
+    return _rename(out, ["occupancy", "n_parents"])
+
+
+QUERIES["quadkey_occupancy"] = q_quadkey_occupancy
+
+
+def _quadkey_occupancy_sql(sf_dir: str) -> str:
+    img = _image_dir_for(sf_dir)
+    cell12 = _sql_cell("lon", "lat", 12)
+    return f"""
+        WITH kids AS (SELECT DISTINCT {cell12} AS cell
+                      FROM read_parquet('{img}/part-*.parquet')),
+        par AS (SELECT ((cell & {(1 << 58) - 1}) >> 2)
+                       + {11 << 58} AS parent,
+                       count(*) AS k
+                FROM kids GROUP BY 1)
+        SELECT CAST(k AS BIGINT) AS occupancy,
+               count(*) AS n_parents
+        FROM par GROUP BY 1
+    """
+
+
+def q_simhash_bit_bias(sf_dir: str):
+    """Hash-quality audit: per bit position 0..63, how many document
+    simhashes have the bit SET — a biased position flags a weak
+    feature mix. The engine folds its own vectorized simhash batches
+    with 64 shift-and-mask reductions (64-row partials); the oracle
+    replays the same bit extraction over the independent scalar
+    simhash sidecar."""
+    from geotile.ops.dedup import simhash_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bits(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False)
+        ns = np.array([int(((h >> b) & 1).sum()) for b in range(64)],
+                      np.int64)
+        return pa.table({"bit": pa.array(np.arange(64,
+                                                   dtype=np.int64)),
+                         "n_set": pa.array(ns)})
+
+    out = (ds.map_batches(bits, batch_format="pyarrow")
+           .groupby("bit").sum("n_set"))
+    return _rename(out, ["bit", "n_set"])
+
+
+QUERIES["simhash_bit_bias"] = q_simhash_bit_bias
+
+
+def _simhash_bit_bias_sql(sf_dir: str) -> str:
+    return f"""
+        WITH s AS (SELECT simhash
+                   FROM read_parquet('{_simhash_sidecar(sf_dir)}')),
+        b AS (SELECT unnest(range(0, 64)) AS bit)
+        SELECT CAST(b.bit AS BIGINT) AS bit,
+               CAST(SUM((s.simhash >> b.bit) & 1) AS BIGINT) AS n_set
+        FROM b, s GROUP BY 1
     """

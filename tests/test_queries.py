@@ -219,6 +219,7 @@ CHECKED = [
     "reorder_after_return",
     "early_breadth_users",
     "nation_quartile_bands",
+    "type_run_lengths",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -1119,4 +1120,32 @@ def test_video_flicker_parts_oracle(ray_session, con):
            .sort_values("clip_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("clip_id", "sum_sq", "sq_sum", "n_frames"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_quadkey_occupancy_oracle(ray_session, con):
+    """Morton parent bit algebra vs the SQL encode replay at
+    sf0.001."""
+    from geotile.queries import QUERIES, _quadkey_occupancy_sql
+
+    got = (QUERIES["quadkey_occupancy"](SF).to_pandas()
+           .sort_values("occupancy").reset_index(drop=True))
+    exp = (con.execute(_quadkey_occupancy_sql(SF)).df()
+           .sort_values("occupancy").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("occupancy", "n_parents"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_simhash_bit_bias_oracle(ray_session, con):
+    """Engine shift-and-mask bit sums vs the scalar simhash sidecar at
+    sf0.001."""
+    from geotile.queries import QUERIES, _simhash_bit_bias_sql
+
+    got = (QUERIES["simhash_bit_bias"](SF).to_pandas()
+           .sort_values("bit").reset_index(drop=True))
+    exp = (con.execute(_simhash_bit_bias_sql(SF)).df()
+           .sort_values("bit").reset_index(drop=True))
+    assert len(got) == len(exp) == 64
+    for c in ("bit", "n_set"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
