@@ -4657,6 +4657,7 @@ def oracle_sql() -> dict[str, str]:
         _video_dir_for("/root/testdata/sf0.01"))
     out["quadkey_occupancy"] = _quadkey_occupancy_sql(sf01)
     out["simhash_bit_bias"] = _simhash_bit_bias_sql(sf01)
+    out["coverage_holes_cells"] = _coverage_holes_sql(sf01)
     return out
 
 
@@ -19899,4 +19900,180 @@ def _simhash_bit_bias_sql(sf_dir: str) -> str:
         SELECT CAST(b.bit AS BIGINT) AS bit,
                CAST(SUM((s.simhash >> b.bit) & 1) AS BIGINT) AS n_set
         FROM b, s GROUP BY 1
+    """
+
+
+def q_coverage_holes_cells(sf_dir: str):
+    """Network coverage-fringe map: tiles farther than 500 m from
+    EVERY route centerline, rolled up per res-12 cell — where the
+    network thins out. Per batch: the same clamped-projection meter-frame
+    distance kernel as kNN against the broadcast route parts (min
+    across parts = min across routes, sqrt is monotone so the order
+    of sqrt/min matches the replay bit-for-bit), threshold, Morton
+    encode, cell partials. Oracle: the segments-sidecar d² replay
+    with a global per-image min."""
+    from geotile.geom import cells
+    from geotile.geom.buffer import meter_frame
+    from geotile.geom.pip import points_to_polyline_distance
+    from geotile.ops.join import (_ANCHOR_LAT, _ANCHOR_LON,
+                                  route_polylines)
+    from geotile.ops.tiles import read_image_table
+
+    mx, my = meter_frame(_ANCHOR_LAT)
+    lines = route_polylines(_fixture_ctx())
+    parts = [p for rid in sorted(lines) for p in lines[rid]]
+    pref = ray.put(parts)
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["lon", "lat"])
+
+    def holes(t: pa.Table) -> pa.Table:
+        parts_ = _broadcast(pref)
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        px = (lon - _ANCHOR_LON) * mx
+        py = (lat - _ANCHOR_LAT) * my
+        best = np.full(len(lon), np.inf)
+        for part in parts_:
+            m = np.column_stack([(part[:, 0] - _ANCHOR_LON) * mx,
+                                 (part[:, 1] - _ANCHOR_LAT) * my])
+            best = np.minimum(best,
+                              points_to_polyline_distance(px, py, m))
+        hole = best > 500.0
+        c = cells.encode(lon[hole], lat[hole], 12).view(np.int64)
+        g = pa.table({"cell": pa.array(c)}).group_by("cell") \
+            .aggregate([([], "count_all")])
+        return pa.table({"cell": g["cell"],
+                         "n_holes": g["count_all"].cast(pa.int64())})
+
+    out = (ds.map_batches(holes, batch_format="pyarrow")
+           .groupby("cell").sum("n_holes"))
+    return _rename(out, ["cell", "n_holes"])
+
+
+QUERIES["coverage_holes_cells"] = q_coverage_holes_cells
+
+
+def _coverage_holes_sql(sf_dir: str) -> str:
+    from geotile.geom.buffer import meter_frame
+    from geotile.ops.join import _ANCHOR_LAT, _ANCHOR_LON
+
+    img = _image_dir_for(sf_dir)
+    segs = _oracle_segments_path()
+    mx, my = meter_frame(_ANCHOR_LAT)
+    cell12 = _sql_cell("p.lon", "p.lat", 12)
+    return f"""
+        WITH p AS (SELECT image_id, lon, lat,
+                          (lon - ({_ANCHOR_LON!r})) * {mx!r} AS px,
+                          (lat - ({_ANCHOR_LAT!r})) * {my!r} AS py
+                   FROM read_parquet('{img}/part-*.parquet')),
+        ps AS (SELECT p.image_id, p.px, p.py, s.ax, s.ay, s.dx, s.dy,
+                      greatest(0.0, least(1.0,
+                          ((p.px - s.ax) * s.dx + (p.py - s.ay) * s.dy)
+                          * s.inv_l2)) AS t
+               FROM p CROSS JOIN read_parquet('{segs}') s),
+        d AS (SELECT image_id,
+                     min(((px - ax) - t * dx) * ((px - ax) - t * dx)
+                       + ((py - ay) - t * dy) * ((py - ay) - t * dy))
+                         AS d2
+              FROM ps GROUP BY 1)
+        SELECT {cell12} AS cell, count(*) AS n_holes
+        FROM d JOIN p USING (image_id)
+        WHERE sqrt(d.d2) > 500.0
+        GROUP BY 1
+    """
+
+
+def q_sessions_crossing_midnight(sf_dir: str):
+    """Session-boundary audit: of all 30-minute-gap sessions, how
+    many span a UTC midnight — the bias a naive daily rollup
+    introduces. Stage reuse: ops/relational.sessionize assigns
+    session ids where the user lives; per-session day extents and
+    the two global counters are bounded partials."""
+    from geotile.ops.relational import sessionize
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    s = sessionize(ev, key="user_id", ts="ts", gap_s=1800.0)
+
+    def extents(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n_sessions":
+                                 pd.Series(dtype=np.int64),
+                                 "n_crossing":
+                                 pd.Series(dtype=np.int64)})
+        d = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64) // 86_400_000_000
+        u = df["user_id"].to_numpy(np.int64)
+        sid = df["session_idx"].to_numpy(np.int64)
+        key = u * (1 << 20) + sid  # sessions/user ≪ 2^20
+        o = np.argsort(key, kind="stable")
+        key, d = key[o], d[o]
+        new = np.r_[True, key[1:] != key[:-1]]
+        first = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        d0 = np.full(len(first), np.iinfo(np.int64).max)
+        d1 = np.full(len(first), np.iinfo(np.int64).min)
+        np.minimum.at(d0, gid, d)
+        np.maximum.at(d1, gid, d)
+        return pd.DataFrame({"n_sessions": [len(first)],
+                             "n_crossing": [int((d1 > d0).sum())]})
+
+    parts = s.map_batches(extents, batch_format="pandas").take_all()
+    return pd.DataFrame({
+        "n_sessions": [sum(int(r["n_sessions"]) for r in parts)],
+        "n_crossing": [sum(int(r["n_crossing"]) for r in parts)]})
+
+
+QUERIES["sessions_crossing_midnight"] = q_sessions_crossing_midnight
+ORACLE_SQL["sessions_crossing_midnight"] = """
+        WITH s AS (SELECT user_id, ts,
+                          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                              OVER (PARTITION BY user_id ORDER BY ts)
+                              > 1800000000 THEN 1 ELSE 0 END AS brk
+                   FROM events),
+        x AS (SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s),
+        g AS (SELECT user_id, sid,
+                     MIN(epoch_us(ts) // 86400000000) AS d0,
+                     MAX(epoch_us(ts) // 86400000000) AS d1
+              FROM x GROUP BY 1, 2)
+        SELECT count(*) AS n_sessions,
+               CAST(count(*) FILTER (d1 > d0) AS BIGINT) AS n_crossing
+        FROM g
+    """
+
+
+def q_price_endings_orders(sf_dir: str):
+    """Psychological-pricing / data-quality audit: the distribution of
+    order totalprice CENT endings (cents mod 100) — synthetic data
+    shows uniform noise, scraped catalogs spike at .99. One 100-row
+    aggregate from batch partials."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        ending = pc.subtract(cents, pc.multiply(
+            pc.divide(cents, pa.scalar(100, pa.int64())),
+            pa.scalar(100, pa.int64())))
+        g = pa.table({"ending": ending}).group_by("ending") \
+            .aggregate([([], "count_all")])
+        return pa.table({"ending": g["ending"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    out = (orders.map_batches(part, batch_format="pyarrow")
+           .groupby("ending").sum("n"))
+    return _rename(out, ["ending", "n"])
+
+
+QUERIES["price_endings_orders"] = q_price_endings_orders
+ORACLE_SQL["price_endings_orders"] = """
+        WITH c AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT) AS cents
+                   FROM orders)
+        SELECT cents % 100 AS ending, count(*) AS n
+        FROM c GROUP BY 1
     """

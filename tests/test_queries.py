@@ -220,6 +220,8 @@ CHECKED = [
     "early_breadth_users",
     "nation_quartile_bands",
     "type_run_lengths",
+    "sessions_crossing_midnight",
+    "price_endings_orders",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -1148,4 +1150,18 @@ def test_simhash_bit_bias_oracle(ray_session, con):
            .sort_values("bit").reset_index(drop=True))
     assert len(got) == len(exp) == 64
     for c in ("bit", "n_set"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_coverage_holes_cells_oracle(ray_session, con):
+    """kNN-threshold fringe map vs the segments-sidecar d² replay at
+    sf0.001."""
+    from geotile.queries import QUERIES, _coverage_holes_sql
+
+    got = (QUERIES["coverage_holes_cells"]("/root/testdata/sf0.001")
+           .to_pandas().sort_values("cell").reset_index(drop=True))
+    exp = (con.execute(_coverage_holes_sql("/root/testdata/sf0.001"))
+           .df().sort_values("cell").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("cell", "n_holes"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
