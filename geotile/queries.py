@@ -4658,6 +4658,7 @@ def oracle_sql() -> dict[str, str]:
     out["quadkey_occupancy"] = _quadkey_occupancy_sql(sf01)
     out["simhash_bit_bias"] = _simhash_bit_bias_sql(sf01)
     out["coverage_holes_cells"] = _coverage_holes_sql(sf01)
+    out["nearest_route_share"] = _nearest_route_share_sql(sf01)
     return out
 
 
@@ -20076,4 +20077,189 @@ ORACLE_SQL["price_endings_orders"] = """
                    FROM orders)
         SELECT cents % 100 AS ending, count(*) AS n
         FROM c GROUP BY 1
+    """
+
+
+def q_nearest_route_share(sf_dir: str):
+    """Catchment share: how many tiles have each route as their
+    NEAREST centerline (kNN rank-0 counts) — the market-share view of
+    the corridor. Reuses the exact kNN operator (per-batch partial
+    top-k, round-6 distance + route-id tie discipline); the share
+    readout is a route-cardinality aggregate. Oracle: the kNN replay
+    filtered to rn = 1 and grouped."""
+    from geotile.ops.join import knn_routes, route_polylines
+    from geotile.ops.tiles import JOIN_COLUMNS, read_image_table
+
+    ctx = _fixture_ctx()
+    ds = read_image_table(_image_dir_for(sf_dir), columns=JOIN_COLUMNS)
+    nn = knn_routes(ds, route_polylines(ctx), k=1)
+    out = (nn.map_batches(lambda t: t.select(["route_id"]),
+                          batch_format="pyarrow")
+           .groupby("route_id").count())
+    return _rename(out, ["route_id", "n_tiles"])
+
+
+QUERIES["nearest_route_share"] = q_nearest_route_share
+
+
+def _nearest_route_share_sql(sf_dir: str) -> str:
+    from geotile.geom.buffer import meter_frame
+    from geotile.ops.join import _ANCHOR_LAT, _ANCHOR_LON
+
+    img = _image_dir_for(sf_dir)
+    segs = _oracle_segments_path()
+    mx, my = meter_frame(_ANCHOR_LAT)
+    return f"""
+        WITH p AS (SELECT image_id,
+                          (lon - ({_ANCHOR_LON!r})) * {mx!r} AS px,
+                          (lat - ({_ANCHOR_LAT!r})) * {my!r} AS py
+                   FROM read_parquet('{img}/part-*.parquet')),
+        ps AS (SELECT p.image_id, s.route_id, p.px, p.py,
+                      s.ax, s.ay, s.dx, s.dy,
+                      greatest(0.0, least(1.0,
+                          ((p.px - s.ax) * s.dx + (p.py - s.ay) * s.dy)
+                          * s.inv_l2)) AS t
+               FROM p CROSS JOIN read_parquet('{segs}') s),
+        d AS (SELECT image_id, route_id,
+                     min(((px - ax) - t * dx) * ((px - ax) - t * dx)
+                       + ((py - ay) - t * dy) * ((py - ay) - t * dy))
+                         AS d2
+              FROM ps GROUP BY 1, 2),
+        r AS (SELECT image_id, route_id,
+                     row_number() OVER (PARTITION BY image_id
+                         ORDER BY sqrt(d2), route_id) AS rn
+              FROM d)
+        SELECT route_id, count(*) AS n_tiles
+        FROM r WHERE rn = 1 GROUP BY 1
+    """
+
+
+def q_priority_migration_customers(sf_dir: str):
+    """Priority migration matrix: each repeat customer's FIRST order
+    priority vs their LAST ((day, orderkey) order) — do buyers
+    escalate? One custkey co-partition, two segment-end gathers,
+    25-cell partials. Double-ROW_NUMBER replay."""
+    from geotile.ops.relational import _with_bucket
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate",
+                    "o_orderpriority"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"first_prio": pd.Series(dtype=object),
+                              "last_prio": pd.Series(dtype=object),
+                              "n_customers":
+                                  pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        c = df["o_custkey"].to_numpy(np.int64)
+        k = df["o_orderkey"].to_numpy(np.int64)
+        d = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        pr = df["o_orderpriority"].to_numpy()
+        o = np.lexsort((k, d, c))
+        cc, pp = c[o], pr[o]
+        starts = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]])
+        ends = np.r_[starts[1:], len(cc)] - 1
+        multi = ends > starts  # repeat customers only
+        g = pd.DataFrame({"first_prio": pp[starts[multi]],
+                          "last_prio": pp[ends[multi]]}) \
+            .groupby(["first_prio", "last_prio"],
+                     as_index=False).size()
+        return g.rename(columns={"size": "n_customers"})
+
+    out = (_with_bucket(orders, "o_custkey", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby(["first_prio", "last_prio"]).sum("n_customers"))
+    return _rename(out, ["first_prio", "last_prio", "n_customers"])
+
+
+QUERIES["priority_migration_customers"] = q_priority_migration_customers
+ORACLE_SQL["priority_migration_customers"] = """
+        WITH r AS (SELECT o_custkey AS c, o_orderpriority AS p,
+                          row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY CAST(epoch_us(o_orderdate)
+                                  // 86400000000 AS BIGINT),
+                                  o_orderkey) AS rn,
+                          row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY CAST(epoch_us(o_orderdate)
+                                  // 86400000000 AS BIGINT) DESC,
+                                  o_orderkey DESC) AS rnd,
+                          COUNT(*) OVER (PARTITION BY o_custkey) AS n
+                   FROM orders)
+        SELECT f.p AS first_prio, l.p AS last_prio,
+               count(*) AS n_customers
+        FROM r f JOIN r l ON l.c = f.c AND l.rnd = 1
+        WHERE f.rn = 1 AND f.n >= 2
+        GROUP BY 1, 2
+    """
+
+
+def q_cusum_daily_revenue(sf_dir: str):
+    """Change-point detection, integer-exact: the CUSUM excursion of
+    daily revenue against the global mean WITHOUT forming the mean —
+    E_k = D·P_k − (k+1)·T (D days, P_k the dollar prefix, T the
+    total), max |E_k| and its earliest day. Day partials + an
+    O(days) epilogue; a regime shift shows as a deep excursion.
+    Dollar lattice (cents·days·prefix would court int64 overflow at
+    100 TB). Window-SUM replay."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        d = pc.divide(t["o_orderdate"].cast(pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        dollars = pc.floor(pc.add(t["o_totalprice"],
+                                  pa.scalar(0.5))).cast(pa.int64())
+        g = pa.table({"day": d, "c": dollars}).group_by("day") \
+            .aggregate([("c", "sum")])
+        return pa.table({"day": g["day"], "c": g["c_sum"]})
+
+    rows = (orders.map_batches(part, batch_format="pyarrow")
+            .groupby("day").sum("c")).take_all()
+    if not rows:
+        return pd.DataFrame({"max_excursion":
+                             pd.Series(dtype=np.int64),
+                             "argmax_day": pd.Series(dtype=np.int64)})
+    days = {r["day"]: r["sum(c)"] for r in rows}
+    lo, hi = min(days), max(days)
+    series = [days.get(d, 0) for d in range(lo, hi + 1)]
+    D = len(series)
+    T = sum(series)
+    best, best_day, P = -1, -1, 0
+    for k, c in enumerate(series):
+        P += c
+        e = abs(D * P - (k + 1) * T)
+        if e > best:
+            best, best_day = e, lo + k
+    return pd.DataFrame({"max_excursion": [best],
+                         "argmax_day": [best_day]})
+
+
+QUERIES["cusum_daily_revenue"] = q_cusum_daily_revenue
+ORACLE_SQL["cusum_daily_revenue"] = """
+        WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                       AS BIGINT) AS day,
+                          SUM(CAST(floor(o_totalprice + 0.5)
+                                   AS BIGINT)) AS c
+                   FROM orders GROUP BY 1),
+        b AS (SELECT MIN(day) AS lo, MAX(day) AS hi,
+                     CAST(SUM(c) AS BIGINT) AS t FROM d),
+        idx AS (SELECT unnest(range(0, CAST((SELECT hi - lo + 1 FROM b)
+                    AS BIGINT))) AS i),
+        s0 AS (SELECT i.i, COALESCE(d.c, 0) AS c
+               FROM idx i LEFT JOIN d
+                 ON d.day = i.i + (SELECT lo FROM b)),
+        e AS (SELECT i,
+                     abs((SELECT hi - lo + 1 FROM b)
+                         * SUM(c) OVER (ORDER BY i
+                             ROWS UNBOUNDED PRECEDING)
+                         - (i + 1) * (SELECT t FROM b)) AS exc
+              FROM s0)
+        SELECT CAST(MAX(exc) AS BIGINT) AS max_excursion,
+               CAST((SELECT lo FROM b)
+                    + MIN(i) FILTER (exc = (SELECT MAX(exc) FROM e))
+                    AS BIGINT) AS argmax_day
+        FROM e
     """

@@ -222,6 +222,8 @@ CHECKED = [
     "type_run_lengths",
     "sessions_crossing_midnight",
     "price_endings_orders",
+    "priority_migration_customers",
+    "cusum_daily_revenue",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -1164,4 +1166,18 @@ def test_coverage_holes_cells_oracle(ray_session, con):
            .df().sort_values("cell").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("cell", "n_holes"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_nearest_route_share_oracle(ray_session, con):
+    """kNN rank-0 share vs the rn=1 replay at sf0.001."""
+    from geotile.queries import QUERIES, _nearest_route_share_sql
+
+    got = (QUERIES["nearest_route_share"]("/root/testdata/sf0.001")
+           .to_pandas().sort_values("route_id").reset_index(drop=True))
+    exp = (con.execute(_nearest_route_share_sql(
+        "/root/testdata/sf0.001")).df()
+        .sort_values("route_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("route_id", "n_tiles"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
