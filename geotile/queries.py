@@ -20263,3 +20263,196 @@ ORACLE_SQL["cusum_daily_revenue"] = """
                     AS BIGINT) AS argmax_day
         FROM e
     """
+
+
+def q_repetitiveness_docs(sf_dir: str):
+    """Template/boilerplate detector: per document the ratio of
+    DISTINCT adjacent token pairs to total pairs, bucketed to deciles
+    (distinct·10 // total, single-token docs land in bucket 10) —
+    low buckets are copy-paste templates. Vectorized: one flatten
+    builds every doc's pair strings with doc-offset prefixes, one
+    np.unique dedups per doc; doc-cardinality partials."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(lists).to_pylist(),
+                          dtype=object)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        # adjacent pairs within each doc: positions where the next
+        # token belongs to the same doc
+        ok = np.flatnonzero(doc_of[1:] == doc_of[:-1]) \
+            if len(doc_of) > 1 else np.array([], np.int64)
+        n_pairs = np.bincount(doc_of[ok], minlength=len(lens)) \
+            .astype(np.int64)
+        if len(ok):
+            pair = np.char.add(
+                np.char.add(doc_of[ok].astype(str), "\x1f"),
+                np.char.add(np.char.add(
+                    flat[ok].astype(str), "\x1f"),
+                    flat[ok + 1].astype(str)))
+            upair = np.unique(pair)
+            udoc = np.array([int(s.split("\x1f", 1)[0])
+                             for s in upair.tolist()], np.int64)
+            n_dist = np.bincount(udoc, minlength=len(lens)) \
+                .astype(np.int64)
+        else:
+            n_dist = np.zeros(len(lens), np.int64)
+        bucket = np.where(n_pairs > 0,
+                          n_dist * 10 // np.maximum(n_pairs, 1), 10)
+        g = pa.table({"bucket": pa.array(bucket.astype(np.int64))}) \
+            .group_by("bucket").aggregate([([], "count_all")])
+        return pa.table({"bucket": g["bucket"],
+                         "n_docs": g["count_all"].cast(pa.int64())})
+
+    out = (docs.map_batches(part, batch_format="pyarrow")
+           .groupby("bucket").sum("n_docs"))
+    return _rename(out, ["bucket", "n_docs"])
+
+
+QUERIES["repetitiveness_docs"] = q_repetitiveness_docs
+ORACLE_SQL["repetitiveness_docs"] = """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        p AS (SELECT doc_id,
+                     toks[CAST(i AS BIGINT)] || chr(31)
+                         || toks[CAST(i AS BIGINT) + 1] AS pair
+              FROM w, unnest(range(1, len(toks))) AS u(i)),
+        s AS (SELECT doc_id, count(*) AS n_pairs,
+                     CAST(COUNT(DISTINCT pair) AS BIGINT) AS n_dist
+              FROM p GROUP BY 1),
+        all_docs AS (SELECT w.doc_id,
+                            COALESCE(s.n_pairs, 0) AS n_pairs,
+                            COALESCE(s.n_dist, 0) AS n_dist
+                     FROM w LEFT JOIN s USING (doc_id))
+        SELECT CASE WHEN n_pairs > 0
+                    THEN n_dist * 10 // GREATEST(n_pairs, 1)
+                    ELSE 10 END AS bucket,
+               count(*) AS n_docs
+        FROM all_docs GROUP BY 1
+    """
+
+
+def q_burst_window_max_users(sf_dir: str):
+    """Bot-likeness: each user's MAXIMUM event count inside any
+    60-second window anchored at one of their events, as a histogram
+    — humans cap at a handful, scripts do not. One user co-partition;
+    the composite (segment << 48) + relative-ts key lets a single
+    searchsorted resolve every window, window counts are index
+    algebra, per-user maxima are segment maxima."""
+    from geotile.ops.relational import _with_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    W = 60_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"max_burst": pd.Series(dtype=np.int64),
+                              "n_users": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        o = np.lexsort((e, ts, u))
+        u, ts = u[o], ts[o]
+        seg_of = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        rel = ts - ts.min()
+        assert rel.max(initial=0) < (1 << 48) - W, "ts-range contract"
+        comp = seg_of * (1 << 48) + rel
+        # count of events in [t_i, t_i + W) within the user segment
+        hi = np.searchsorted(comp, comp + W, side="left")
+        win = hi - np.arange(len(u))
+        mx = np.zeros(seg_of[-1] + 1, np.int64)
+        np.maximum.at(mx, seg_of, win)
+        g = pd.DataFrame({"max_burst": mx}) \
+            .groupby("max_burst", as_index=False).size()
+        return g.rename(columns={"size": "n_users"})
+
+    out = (_with_bucket(ev, "user_id", 32)
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby("max_burst").sum("n_users"))
+    return _rename(out, ["max_burst", "n_users"])
+
+
+QUERIES["burst_window_max_users"] = q_burst_window_max_users
+ORACLE_SQL["burst_window_max_users"] = """
+        WITH c AS (SELECT e1.user_id, e1.event_id, count(*) AS w
+                   FROM events e1 JOIN events e2
+                     ON e2.user_id = e1.user_id
+                    AND e2.ts >= e1.ts
+                    AND epoch_us(e2.ts) - epoch_us(e1.ts) < 60000000
+                   GROUP BY 1, 2),
+        m AS (SELECT user_id, CAST(MAX(w) AS BIGINT) AS max_burst
+              FROM c GROUP BY 1)
+        SELECT max_burst, count(*) AS n_users FROM m GROUP BY 1
+    """
+
+
+def q_weak_edges_dups(sf_dir: str):
+    """Weak-link audit on the near-dup graph: edges whose endpoints
+    share NO common neighbour (triangle-free links — one borderline
+    pair, not a cluster) vs the total. Broadcast CSR adjacency;
+    per-edge sorted-array intersection. Oracle: NOT-EXISTS common-
+    neighbour replay over the pair list."""
+    from geotile.ops.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        tau=0.35).take_all()
+    a = np.array([r["a"] for r in pairs], np.int64)
+    b = np.array([r["b"] for r in pairs], np.int64)
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    o = np.lexsort((v, u))
+    u, v = u[o], v[o]
+    nodes, starts = np.unique(u, return_index=True)
+    ends = np.r_[starts[1:], len(u)]
+    aref = ray.put((nodes, starts, ends, v))
+
+    ds = rd.from_arrow(pa.table({"a": pa.array(a),
+                                 "b": pa.array(b)})).repartition(4)
+
+    def weak(t: pa.Table) -> pa.Table:
+        nodes_, starts_, ends_, adj = _broadcast(aref)
+        aa = t["a"].to_numpy(zero_copy_only=False)
+        bb = t["b"].to_numpy(zero_copy_only=False)
+        n_weak = 0
+        for x, y in zip(aa.tolist(), bb.tolist()):
+            i = np.searchsorted(nodes_, x)
+            j = np.searchsorted(nodes_, y)
+            nx = adj[starts_[i]:ends_[i]]
+            ny = adj[starts_[j]:ends_[j]]
+            common = int(np.searchsorted(ny, nx, side="right").sum()
+                         - np.searchsorted(ny, nx, side="left").sum())
+            # x and y are in each other's lists but never in both
+            if common == 0:
+                n_weak += 1
+        return pa.table({"n_edges": pa.array([len(aa)], pa.int64()),
+                         "n_weak": pa.array([n_weak], pa.int64())})
+
+    parts = ds.map_batches(weak, batch_format="pyarrow").take_all()
+    return pd.DataFrame({
+        "n_edges": [sum(r["n_edges"] for r in parts)],
+        "n_weak": [sum(r["n_weak"] for r in parts)]})
+
+
+QUERIES["weak_edges_dups"] = q_weak_edges_dups
+
+
+ORACLE_SQL["weak_edges_dups"] = f"""
+        WITH pairs AS ({EMBEDDING_DUPS_SQL}),
+        e AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs)
+                   AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM e x JOIN e y
+                      ON y.v = x.v AND y.u = p.b
+                    WHERE x.u = p.a)) AS n_weak
+    """

@@ -224,6 +224,9 @@ CHECKED = [
     "price_endings_orders",
     "priority_migration_customers",
     "cusum_daily_revenue",
+    "repetitiveness_docs",
+    "burst_window_max_users",
+    "weak_edges_dups",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
