@@ -13802,7 +13802,7 @@ ORACLE_SQL["nation_quarter_qoq"] = """
                           CAST(EXTRACT(year FROM o_orderdate) * 4
                                + (EXTRACT(month FROM o_orderdate) - 1)
                                  // 3 AS BIGINT) AS q,
-                          SUM(CAST(floor(o_totalprice + 0.5)
+                          SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
                                    AS BIGINT)) AS cents
                    FROM orders JOIN customer ON o_custkey = c_custkey
                    GROUP BY 1, 2),
