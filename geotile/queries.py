@@ -4659,6 +4659,7 @@ def oracle_sql() -> dict[str, str]:
     out["simhash_bit_bias"] = _simhash_bit_bias_sql(sf01)
     out["coverage_holes_cells"] = _coverage_holes_sql(sf01)
     out["nearest_route_share"] = _nearest_route_share_sql(sf01)
+    out["cross_source_leakage"] = _cross_source_leakage_sql(sf01)
     return out
 
 
@@ -20455,4 +20456,191 @@ ORACLE_SQL["weak_edges_dups"] = f"""
                     SELECT 1 FROM e x JOIN e y
                       ON y.v = x.v AND y.u = p.b
                     WHERE x.u = p.a)) AS n_weak
+    """
+
+
+def q_mutual_best_pairs(sf_dir: str):
+    """Reciprocal best match: (part, supplier) pairs where the
+    supplier is the part's top revenue source AND the part is that
+    supplier's top revenue part — the mutual-argmax matching used in
+    alignment/dedup. One packed (part,supp) revenue aggregate feeds
+    TWO strict argmax passes (part co-partition, then supplier
+    co-partition of the same pair table); mutual pairs meet in a
+    driver set intersection bounded by min(parts, suppliers). Ties
+    break to the smaller counterpart key. Double-ROW_NUMBER replay."""
+    from geotile.ops.relational import _with_bucket
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))).cast(pa.int64())
+        packed = pc.add(pc.multiply(t["l_partkey"],
+                                    pa.scalar(1 << 20, pa.int64())),
+                        t["l_suppkey"])
+        g = pa.table({"pk": packed, "c": cents}).group_by("pk") \
+            .aggregate([("c", "sum")])
+        return pa.table({"pk": g["pk"], "cents": g["c_sum"]})
+
+    pairs = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("pk").sum("cents"))
+    pairs = _rename(pairs, ["pk", "cents"]).map_batches(
+        lambda t: pa.table({
+            "part": pc.shift_right(t["pk"], pa.scalar(20, pa.int64())),
+            "supp": pc.bit_wise_and(t["pk"],
+                                    pa.scalar((1 << 20) - 1,
+                                              pa.int64())),
+            "cents": t["cents"]}),
+        batch_format="pyarrow").materialize()
+
+    def argmax_by(key: str, other: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({key: pd.Series(dtype=np.int64),
+                                     other: pd.Series(dtype=np.int64)})
+            k = df[key].to_numpy(np.int64)
+            o_ = df[other].to_numpy(np.int64)
+            c = df["cents"].to_numpy(np.int64)
+            # best = max cents, tie -> smaller counterpart key
+            order = np.lexsort((o_, -c, k))
+            kk = k[order]
+            first = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+            return pd.DataFrame({key: kk[first],
+                                 other: o_[order][first]})
+        return fn
+
+    best_supp = (_with_bucket(pairs, "part", 16)
+                 .groupby("bucket").map_groups(
+                     argmax_by("part", "supp"),
+                     batch_format="pandas")).take_all()
+    best_part = (_with_bucket(pairs, "supp", 16)
+                 .groupby("bucket").map_groups(
+                     argmax_by("supp", "part"),
+                     batch_format="pandas")).take_all()
+    bs = {(r["part"], r["supp"]) for r in best_supp}
+    bp = {(r["part"], r["supp"]) for r in best_part}
+    mutual = sorted(bs & bp)
+    return pd.DataFrame({
+        "p_partkey": [p for p, _ in mutual],
+        "s_suppkey": [s for _, s in mutual]})
+
+
+QUERIES["mutual_best_pairs"] = q_mutual_best_pairs
+ORACLE_SQL["mutual_best_pairs"] = """
+        WITH ps AS (SELECT l_partkey AS p, l_suppkey AS s,
+                           CAST(SUM(CAST(floor(l_extendedprice * 100.0
+                                               + 0.5) AS BIGINT))
+                                AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1, 2),
+        bp AS (SELECT p, s, row_number() OVER (PARTITION BY p
+                   ORDER BY c DESC, s) AS rn FROM ps),
+        bs AS (SELECT p, s, row_number() OVER (PARTITION BY s
+                   ORDER BY c DESC, p) AS rn FROM ps)
+        SELECT bp.p AS p_partkey, bp.s AS s_suppkey
+        FROM bp JOIN bs ON bs.p = bp.p AND bs.s = bp.s
+        WHERE bp.rn = 1 AND bs.rn = 1
+    """
+
+
+def q_cross_source_leakage(sf_dir: str):
+    """Contamination audit: NEAR-duplicate documents (MinHash+LSH
+    verified pairs, tau = 0.35) whose two sides live in DIFFERENT
+    sources, counted per unordered source pair — train/eval leakage's
+    most common shape. Stage reuse: the oracle-checked pair operator
+    runs unchanged; sources attach via a broadcast sorted id→source
+    gather (corpus-dim here; co-partition the pair list against
+    documents at 100 TB). LEAST/GREATEST pair-once discipline."""
+    from geotile.ops.dedup import minhash_lsh_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"]).take_all()
+    ids = np.array(sorted(r["doc_id"] for r in docs), np.int64)
+    byd = {r["doc_id"]: r["source"] for r in docs}
+    srcs = np.array([byd[k] for k in ids])
+    sref = ray.put((ids, srcs))
+
+    pairs = minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.35)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids_, srcs_ = _broadcast(sref)
+        a = srcs_[np.searchsorted(ids_, t["a"].to_numpy(
+            zero_copy_only=False))]
+        b = srcs_[np.searchsorted(ids_, t["b"].to_numpy(
+            zero_copy_only=False))]
+        keep = a != b
+        a, b = a[keep], b[keep]
+        swap = a > b  # np.minimum has no str ufunc; compare + where
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        g = pa.table({"source_a": pa.array(lo),
+                      "source_b": pa.array(hi)}) \
+            .group_by(["source_a", "source_b"]).aggregate(
+                [([], "count_all")])
+        return pa.table({"source_a": g["source_a"],
+                         "source_b": g["source_b"],
+                         "n_pairs": g["count_all"].cast(pa.int64())})
+
+    out = (pairs.map_batches(tag, batch_format="pyarrow")
+           .groupby(["source_a", "source_b"]).sum("n_pairs"))
+    return _rename(out, ["source_a", "source_b", "n_pairs"])
+
+
+QUERIES["cross_source_leakage"] = q_cross_source_leakage
+
+
+def _cross_source_leakage_sql(sf_dir: str) -> str:
+    return f"""
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+        FROM read_parquet('{_minhash_pairs_sidecar(sf_dir)}') p
+        JOIN documents da ON da.doc_id = p.a
+        JOIN documents db ON db.doc_id = p.b
+        WHERE da.source <> db.source
+        GROUP BY 1, 2
+    """
+
+
+def q_value_ecdf_probes(sf_dir: str):
+    """ECDF probes: per event type, how many values fall at or below
+    each fixed threshold (1, 10, 100, 250) — the monitoring
+    dashboard's cheap distribution fingerprint. type×4 partials, one
+    tiny shuffle."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    PROBES = (1.0, 10.0, 100.0, 250.0)
+
+    def part(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        cols = {"event_type": pa.array(types),
+                "n": pa.array(np.bincount(
+                    inv, minlength=len(types)).astype(np.int64))}
+        for p in PROBES:
+            cols[f"le_{int(p)}"] = pa.array(np.bincount(
+                inv, weights=(v <= p).astype(np.float64),
+                minlength=len(types)).astype(np.int64))
+        return pa.table(cols)
+
+    out = (ev.map_batches(part, batch_format="pyarrow")
+           .groupby("event_type")
+           .sum(["n", "le_1", "le_10", "le_100", "le_250"]))
+    return _rename(out, ["event_type", "n", "le_1", "le_10",
+                         "le_100", "le_250"])
+
+
+QUERIES["value_ecdf_probes"] = q_value_ecdf_probes
+ORACLE_SQL["value_ecdf_probes"] = """
+        SELECT event_type, count(*) AS n,
+               CAST(count(*) FILTER (value <= 1.0) AS BIGINT)
+                   AS le_1,
+               CAST(count(*) FILTER (value <= 10.0) AS BIGINT)
+                   AS le_10,
+               CAST(count(*) FILTER (value <= 100.0) AS BIGINT)
+                   AS le_100,
+               CAST(count(*) FILTER (value <= 250.0) AS BIGINT)
+                   AS le_250
+        FROM events GROUP BY 1
     """

@@ -227,6 +227,8 @@ CHECKED = [
     "repetitiveness_docs",
     "burst_window_max_users",
     "weak_edges_dups",
+    "mutual_best_pairs",
+    "value_ecdf_probes",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -1183,4 +1185,20 @@ def test_nearest_route_share_oracle(ray_session, con):
         .sort_values("route_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("route_id", "n_tiles"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_cross_source_leakage_oracle(ray_session, con):
+    """Near-dup cross-source pair counts vs the minhash-pairs sidecar
+    joined to documents at sf0.001."""
+    from geotile.queries import QUERIES, _cross_source_leakage_sql
+
+    got = (QUERIES["cross_source_leakage"](SF).to_pandas()
+           .sort_values(["source_a", "source_b"])
+           .reset_index(drop=True))
+    exp = (con.execute(_cross_source_leakage_sql(SF)).df()
+           .sort_values(["source_a", "source_b"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("source_a", "source_b", "n_pairs"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
