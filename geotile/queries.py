@@ -4660,6 +4660,8 @@ def oracle_sql() -> dict[str, str]:
     out["coverage_holes_cells"] = _coverage_holes_sql(sf01)
     out["nearest_route_share"] = _nearest_route_share_sql(sf01)
     out["cross_source_leakage"] = _cross_source_leakage_sql(sf01)
+    out["closest_pair_tiles"] = _closest_pair_sql(sf01)
+    out["audio_loudest_window"] = _audio_loudest_sql(aud01)
     return out
 
 
@@ -20644,3 +20646,277 @@ ORACLE_SQL["value_ecdf_probes"] = """
                    AS le_250
         FROM events GROUP BY 1
     """
+
+
+def q_closest_pair_tiles(sf_dir: str):
+    """Distributed CLOSEST PAIR over the tile points: grid cells of
+    side g = 0.01° scatter every point to its cell, candidate pairs
+    form only inside a cell and its 8 neighbours (dedup by packed
+    index pair), and the exact squared degree distance elects the
+    global minimum with the earliest (id_a, id_b) tie rule. The grid
+    guarantee — the true closest pair shares a 3×3 neighbourhood
+    whenever its distance ≤ g — is ASSERTED on the result. SQL
+    replays the same quantized join."""
+    import pyarrow.parquet as pq
+
+    from geotile.ops.tiles import read_image_table
+
+    G = 0.01
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["image_id", "lon", "lat"])
+    rows = ds.take_all()  # ids + 2 doubles; corpus-dim for the demo
+    rows.sort(key=lambda r: r["image_id"])
+    ids = np.array([r["image_id"] for r in rows])
+    lon = np.array([r["lon"] for r in rows])
+    lat = np.array([r["lat"] for r in rows])
+    pref = ray.put((ids, lon, lat))
+
+    src = rd.from_arrow(pa.table({
+        "i": pa.array(np.arange(len(ids), dtype=np.int64)),
+        "cx": pa.array(np.floor(lon / G).astype(np.int64)),
+        "cy": pa.array(np.floor(lat / G).astype(np.int64))})) \
+        .repartition(8)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False)
+        cx = t["cx"].to_numpy(zero_copy_only=False)
+        cy = t["cy"].to_numpy(zero_copy_only=False)
+        oc, oi = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                oc.append((cx + dx) << 32 | ((cy + dy) & 0xFFFFFFFF))
+                oi.append(i)
+        return pa.table({"cell": pa.array(np.concatenate(oc)),
+                         "i": pa.array(np.concatenate(oi)),
+                         "home": pa.array(np.tile(
+                             (cx << 32) | (cy & 0xFFFFFFFF), 9))})
+
+    def best_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"d2": pd.Series(dtype=np.float64),
+                              "ia": pd.Series(dtype=np.int64),
+                              "ib": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        _, lon_, lat_ = _broadcast(pref)
+        cell = df["cell"].to_numpy(np.int64)
+        i = df["i"].to_numpy(np.int64)
+        home = df["home"].to_numpy(np.int64)
+        o = np.lexsort((i, cell))
+        cell, i, home = cell[o], i[o], home[o]
+        first = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        cnt = np.diff(np.r_[first, len(cell)])
+        best = (np.inf, -1, -1)
+        for f, c in zip(first[cnt > 1], cnt[cnt > 1]):
+            ii = i[f:f + c]
+            hh = home[f:f + c]
+            # pair once: only when this cell is the FIRST point's home
+            own = hh == cell[f]
+            if not own.any():
+                continue
+            a, b = np.meshgrid(ii, ii, indexing="ij")
+            oa = np.repeat(own, len(ii)).reshape(len(ii), len(ii))
+            m = (a < b) & oa
+            if not m.any():
+                continue
+            aa, bb = a[m], b[m]
+            dx = lon_[aa] - lon_[bb]
+            dy = lat_[aa] - lat_[bb]
+            d2 = dx * dx + dy * dy
+            k = np.lexsort((bb, aa, d2))[0]
+            if (d2[k], aa[k], bb[k]) < best:
+                best = (float(d2[k]), int(aa[k]), int(bb[k]))
+        if best[1] < 0:
+            return empty
+        return pd.DataFrame({"d2": [best[0]], "ia": [best[1]],
+                             "ib": [best[2]]})
+
+    cands = (src.map_batches(scatter, batch_format="pyarrow")
+             .map_batches(lambda t: t.append_column(
+                 "bkt", pc.bit_wise_and(t["cell"],
+                                        pa.scalar(0x3F, pa.int64()))),
+                 batch_format="pyarrow")
+             .groupby("bkt").map_groups(best_in_bucket,
+                                        batch_format="pandas")
+             ).take_all()
+    assert cands, "no candidate pair — raise the grid size g"
+    best = min((r["d2"], r["ia"], r["ib"]) for r in cands)
+    assert best[0] <= G * G, "grid guarantee violated — raise g"
+    return pd.DataFrame({"img_a": [ids[best[1]]],
+                         "img_b": [ids[best[2]]],
+                         "d2_e12": [int(np.floor(
+                             best[0] * 1e12 + 0.5))]})
+
+
+QUERIES["closest_pair_tiles"] = q_closest_pair_tiles
+
+
+def _closest_pair_sql(sf_dir: str) -> str:
+    img = _image_dir_for(sf_dir)
+    return f"""
+        WITH p AS (SELECT image_id, lon, lat,
+                          CAST(floor(lon / 0.01) AS BIGINT) AS cx,
+                          CAST(floor(lat / 0.01) AS BIGINT) AS cy
+                   FROM read_parquet('{img}/part-*.parquet')),
+        d AS (SELECT a.image_id AS ia, b.image_id AS ib,
+                     (a.lon - b.lon) * (a.lon - b.lon)
+                     + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+              FROM p a JOIN p b
+                ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+               AND a.image_id < b.image_id),
+        r AS (SELECT ia, ib, d2,
+                     row_number() OVER (ORDER BY d2, ia, ib) AS rn
+              FROM d)
+        SELECT ia AS img_a, ib AS img_b,
+               CAST(floor(d2 * 1e12 + 0.5) AS BIGINT) AS d2_e12
+        FROM r WHERE rn = 1
+    """
+
+
+def q_quarter_close_spike(sf_dir: str):
+    """Quarter-close pull-forward audit: per calendar quarter, the
+    share of orders landing in the LAST three days — the revenue-
+    recognition spike every sales org denies. Quarter boundaries via
+    exact month arithmetic (datetime64[M] in the engine, date_trunc
+    + INTERVAL in SQL); quarter-cardinality partials with ppm
+    shares."""
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def part(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy().astype("datetime64[us]")
+        day = d.astype("datetime64[D]")
+        month = d.astype("datetime64[M]")
+        y = month.astype(np.int64) // 12 + 1970
+        m = month.astype(np.int64) % 12
+        q = m // 3
+        nq_start = ((y - 1970) * 12 + (q + 1) * 3) \
+            .astype("datetime64[M]").astype("datetime64[D]")
+        gap = (nq_start - day).astype(np.int64)
+        qid = y * 4 + q
+        last3 = (gap <= 3).astype(np.int64)
+        g = pa.table({"quarter": pa.array(qid),
+                      "l3": pa.array(last3)}) \
+            .group_by("quarter").aggregate(
+                [([], "count_all"), ("l3", "sum")])
+        return pa.table({"quarter": g["quarter"],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "n_last3": g["l3_sum"]})
+
+    rows = (orders.map_batches(part, batch_format="pyarrow")
+            .groupby("quarter").sum(["n", "n_last3"])).take_all()
+    return pd.DataFrame(sorted(
+        ({"quarter": r["quarter"], "n": r["sum(n)"],
+          "n_last3": r["sum(n_last3)"],
+          "share_ppm": r["sum(n_last3)"] * 1_000_000 // r["sum(n)"]}
+         for r in rows), key=lambda x: x["quarter"]))
+
+
+QUERIES["quarter_close_spike"] = q_quarter_close_spike
+ORACLE_SQL["quarter_close_spike"] = """
+        WITH o AS (SELECT CAST(EXTRACT(year FROM o_orderdate) * 4
+                               + (EXTRACT(month FROM o_orderdate) - 1)
+                                 // 3 AS BIGINT) AS quarter,
+                          CASE WHEN date_diff('day',
+                                   CAST(o_orderdate AS DATE),
+                                   CAST(date_trunc('quarter',
+                                        o_orderdate)
+                                        + INTERVAL 3 MONTH AS DATE))
+                                   <= 3
+                               THEN 1 ELSE 0 END AS l3
+                   FROM orders)
+        SELECT quarter, count(*) AS n,
+               CAST(SUM(l3) AS BIGINT) AS n_last3,
+               SUM(l3) * 1000000 // count(*) AS share_ppm
+        FROM o GROUP BY 1
+    """
+
+
+def q_audio_loudest_window(sf_dir: str):
+    """Loudest second per track: the maximum rolling 43-frame energy
+    sum over the AudioFrameStage ledger (43·1024 samples ≈ 1 s at
+    44.1 kHz) with its earliest start frame — highlight extraction.
+    Stage reuse + one cumsum sliding window per track row-group.
+    Python-int replay sidecar."""
+    from geotile.ops.audio import AudioFrameStage, read_audio_table
+    from geotile.ops.relational import _with_bucket
+
+    WIN = 43
+    ds = read_audio_table(_audio_dir_for(sf_dir))
+    frames = ds.map_batches(AudioFrameStage, batch_format="pyarrow",
+                            batch_size=64, concurrency=2)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"track_id": pd.Series(dtype=np.int64),
+                                 "max_energy":
+                                     pd.Series(dtype=np.int64),
+                                 "start_frame":
+                                     pd.Series(dtype=np.int64)})
+        tid = df["track_id"].to_numpy(np.int64)
+        fr = df["frame"].to_numpy(np.int64)
+        en = df["energy"].to_numpy(np.int64)
+        o = np.lexsort((fr, tid))
+        tid, fr, en = tid[o], fr[o], en[o]
+        out_t, out_m, out_s = [], [], []
+        starts = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1]])
+        ends = np.r_[starts[1:], len(tid)]
+        for s, e in zip(starts, ends):
+            seg = en[s:e]
+            w = min(WIN, len(seg))
+            c = np.concatenate([[0], np.cumsum(seg)])
+            sums = c[w:] - c[:-w]
+            k = int(sums.argmax())  # first hit = earliest start
+            out_t.append(tid[s])
+            out_m.append(int(sums[k]))
+            out_s.append(int(fr[s + k]))
+        return pd.DataFrame({"track_id": out_t,
+                             "max_energy": out_m,
+                             "start_frame": out_s})
+
+    out = (_with_bucket(frames, "track_id", 8)
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow"))
+    return out
+
+
+QUERIES["audio_loudest_window"] = q_audio_loudest_window
+
+
+def _audio_loudest_sidecar(aud: str) -> str:
+    """Python-int replay for audio_loudest_window. Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_audioloudest_{Path(aud).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        WIN = 43
+        t = pq.read_table(aud, columns=["track_id"])
+        ids = np.sort(t["track_id"].to_numpy(zero_copy_only=False))
+        pcm = _sy.audio_samples(ids)
+        frame = 1024
+        nfr = pcm.shape[1] // frame
+        rows = []
+        for j, tid in enumerate(ids.tolist()):
+            en = [sum(int(v) * int(v)
+                      for v in pcm[j, f * frame:(f + 1) * frame]
+                      .tolist()) for f in range(nfr)]
+            w = min(WIN, nfr)
+            best, bs = -1, -1
+            for s in range(nfr - w + 1):
+                tot = sum(en[s:s + w])
+                if tot > best:
+                    best, bs = tot, s
+            rows.append({"track_id": tid, "max_energy": best,
+                         "start_frame": bs})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _audio_loudest_sql(aud: str) -> str:
+    return (f"SELECT track_id, max_energy, start_frame "
+            f"FROM read_parquet('{_audio_loudest_sidecar(aud)}')")

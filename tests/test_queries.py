@@ -229,6 +229,7 @@ CHECKED = [
     "weak_edges_dups",
     "mutual_best_pairs",
     "value_ecdf_probes",
+    "quarter_close_spike",
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
@@ -1201,4 +1202,33 @@ def test_cross_source_leakage_oracle(ray_session, con):
            .reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("source_a", "source_b", "n_pairs"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_closest_pair_tiles_oracle(ray_session, con):
+    """Grid-bucketed closest pair vs the quantized-join replay at
+    sf0.001 (same tie rule d2, ia, ib)."""
+    from geotile.queries import QUERIES, _closest_pair_sql
+
+    got = QUERIES["closest_pair_tiles"]("/root/testdata/sf0.001")
+    exp = con.execute(
+        _closest_pair_sql("/root/testdata/sf0.001")).df()
+    assert len(got) == len(exp) == 1
+    for c in ("img_a", "img_b", "d2_e12"):
+        assert got[c].iloc[0] == exp[c].iloc[0], c
+
+
+def test_audio_loudest_window_oracle(ray_session, con):
+    """Cumsum sliding-window maxima over the shared frame ledger vs
+    the python-int replay at sf0.001."""
+    from geotile.queries import (QUERIES, _audio_dir_for,
+                                 _audio_loudest_sql)
+
+    aud = _audio_dir_for(SF)
+    got = (QUERIES["audio_loudest_window"](SF).to_pandas()
+           .sort_values("track_id").reset_index(drop=True))
+    exp = (con.execute(_audio_loudest_sql(aud)).df()
+           .sort_values("track_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("track_id", "max_energy", "start_frame"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
