@@ -4662,6 +4662,7 @@ def oracle_sql() -> dict[str, str]:
     out["cross_source_leakage"] = _cross_source_leakage_sql(sf01)
     out["closest_pair_tiles"] = _closest_pair_sql(sf01)
     out["audio_loudest_window"] = _audio_loudest_sql(aud01)
+    out["otsu_threshold_images"] = _otsu_sql(img01)
     return out
 
 
@@ -20920,3 +20921,285 @@ def _audio_loudest_sidecar(aud: str) -> str:
 def _audio_loudest_sql(aud: str) -> str:
     return (f"SELECT track_id, max_energy, start_frame "
             f"FROM read_parquet('{_audio_loudest_sidecar(aud)}')")
+
+
+def q_gmd_nations(sf_dir: str):
+    """Gini mean difference of order totals per nation: the exact
+    pairwise |xi − xj| sum on the cents lattice via the sorted-rank
+    identity Σ(2i−n+1)·x(i) — inequality-of-spend audit without the
+    O(n²) join. Broadcast custkey→nation map; one nation co-partition
+    holds each nation's cents whole, the weighted sum is int64 index
+    algebra. ROW_NUMBER replay."""
+    from geotile.ops.relational import _with_bucket
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).take_all()
+    ck = np.array([r["c_custkey"] for r in cust], np.int64)
+    nk = np.array([r["c_nationkey"] for r in cust], np.int64)
+    o = np.argsort(ck)
+    cref = ray.put((ck[o], nk[o]))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def annotate(t: pa.Table) -> pa.Table:
+        ck_, nk_ = _broadcast(cref)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False)
+        nat = nk_[np.searchsorted(ck_, c)]
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5).astype(np.int64)
+        return pa.table({"nationkey": pa.array(nat),
+                         "cents": pa.array(cents)})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"nationkey": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64),
+                              "pairsum_cents":
+                                  pd.Series(dtype=np.int64),
+                              "md_cents": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        nat = df["nationkey"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        o = np.lexsort((cents, nat))
+        nat, cents = nat[o], cents[o]
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+        seg_of = np.cumsum(np.r_[True, nat[1:] != nat[:-1]]) - 1
+        n_seg = seg_of[-1] + 1
+        k = np.bincount(seg_of, minlength=n_seg).astype(np.int64)
+        i_local = np.arange(len(nat)) - starts[seg_of]
+        w = 2 * i_local - k[seg_of] + 1
+        acc = np.zeros(n_seg, np.int64)
+        np.add.at(acc, seg_of, w * cents)
+        md = np.where(k >= 2, acc * 2 // np.maximum(k * (k - 1), 1),
+                      0)
+        return pd.DataFrame({"nationkey": nat[starts], "n": k,
+                             "pairsum_cents": acc, "md_cents": md})
+
+    ds = orders.map_batches(annotate, batch_format="pyarrow")
+    return (_with_bucket(ds, "nationkey", 8)
+            .groupby("bucket").map_groups(fold, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow"))
+
+
+QUERIES["gmd_nations"] = q_gmd_nations
+ORACLE_SQL["gmd_nations"] = """
+        WITH o AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                          CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT) AS cents
+                   FROM orders JOIN customer ON c_custkey = o_custkey),
+        r AS (SELECT nationkey, cents,
+                     ROW_NUMBER() OVER (PARTITION BY nationkey
+                                        ORDER BY cents) AS rn,
+                     COUNT(*) OVER (PARTITION BY nationkey) AS n
+              FROM o)
+        SELECT nationkey, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM((2 * rn - n - 1) * cents) AS BIGINT)
+                 AS pairsum_cents,
+               CASE WHEN MAX(n) >= 2
+                    THEN CAST(SUM((2 * rn - n - 1) * cents) * 2
+                              // (MAX(n) * (MAX(n) - 1)) AS BIGINT)
+                    ELSE 0 END AS md_cents
+        FROM r GROUP BY nationkey
+    """
+
+
+def q_interval_merge_users(sf_dir: str):
+    """Gaps-and-islands interval merge: every event opens a 300-second
+    presence interval; merge overlaps per user and report interval
+    count + exact covered microseconds — the classic uptime/coverage
+    operator. Equal-width intervals make merged ends monotone within
+    the per-user ts sort, so island breaks are one diff and coverage
+    is first/last index algebra per island. LAG + island-sum replay."""
+    from geotile.ops.relational import _with_bucket
+
+    W = 300_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                              "n_intervals":
+                                  pd.Series(dtype=np.int64),
+                              "covered_us":
+                                  pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        o = np.lexsort((ts, u))
+        u, ts = u[o], ts[o]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        brk = new_user | np.r_[False, ts[1:] - ts[:-1] > W]
+        isl_starts = np.flatnonzero(brk)
+        isl_ends = np.r_[isl_starts[1:], len(u)]
+        cover = ts[isl_ends - 1] - ts[isl_starts] + W
+        isl_user = u[isl_starts]
+        ustarts = np.flatnonzero(np.r_[True,
+                                       isl_user[1:] != isl_user[:-1]])
+        uends = np.r_[ustarts[1:], len(isl_user)]
+        seg_of = np.cumsum(np.r_[True,
+                                 isl_user[1:] != isl_user[:-1]]) - 1
+        n_u = seg_of[-1] + 1
+        cov = np.zeros(n_u, np.int64)
+        np.add.at(cov, seg_of, cover)
+        return pd.DataFrame({"user_id": isl_user[ustarts],
+                             "n_intervals": (uends - ustarts)
+                                 .astype(np.int64),
+                             "covered_us": cov})
+
+    return (_with_bucket(ev, "user_id", 32)
+            .groupby("bucket").map_groups(fold, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow"))
+
+
+QUERIES["interval_merge_users"] = q_interval_merge_users
+ORACLE_SQL["interval_merge_users"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        s AS (SELECT user_id, t,
+                     CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
+                                                ORDER BY t)
+                              > 300000000
+                          OR LAG(t) OVER (PARTITION BY user_id
+                                          ORDER BY t) IS NULL
+                          THEN 1 ELSE 0 END AS brk
+              FROM e),
+        g AS (SELECT user_id, t,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+              FROM s),
+        i AS (SELECT user_id, isl, MIN(t) AS a, MAX(t) AS b
+              FROM g GROUP BY 1, 2)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(b - a + 300000000) AS BIGINT) AS covered_us
+        FROM i GROUP BY 1
+    """
+
+
+def q_otsu_threshold_images(sf_dir: str):
+    """Per-image Otsu binarization threshold for the first 1024
+    images, EXACT: maximize the between-class score (s·N − S·c)² /
+    (c·(N−c)) over gray levels with python-int cross-multiplication
+    (the products exceed int64), earliest level on ties — the
+    auto-threshold front end of any segmentation stage. Histograms,
+    cumulative counts and the int64 numerators are fully vectorized
+    per (w, h) group; only the 255-step argmax runs per image.
+    Fraction-replay sidecar."""
+    from geotile.ops.tiles import ImageDecodeStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(1024)
+
+    class OtsuStage:
+        def __init__(self):
+            self.decoders = ImageDecodeStage(verify=False).decoders
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_pylist()
+            hs = batch["h"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            ids = batch["image_id"].to_numpy(zero_copy_only=False)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, (wi, hi) in enumerate(zip(ws, hs)):
+                groups.setdefault((wi, hi), []).append(i)
+            out_id, out_t, out_fg = [], [], []
+            for (wi, hi), slots in groups.items():
+                px = np.stack([self.decoders[fmts[i]](payloads[i],
+                                                      wi, hi)
+                               for i in slots])
+                gray = px.astype(np.int64).sum(axis=3) // 3
+                n = len(slots)
+                npx = wi * hi
+                code = (np.arange(n)[:, None, None] * 256 + gray)
+                hist = np.bincount(code.ravel(),
+                                   minlength=n * 256) \
+                    .reshape(n, 256).astype(np.int64)
+                c = np.cumsum(hist, axis=1)
+                s = np.cumsum(hist * np.arange(256), axis=1)
+                S = s[:, 255]
+                num = (s * npx - S[:, None] * c) ** 2
+                den = c * (npx - c)
+                for j in range(n):
+                    bt, bnum, bden = -1, 0, 1
+                    cj, nj, dj = c[j], num[j], den[j]
+                    for t in range(255):
+                        if cj[t] == 0 or cj[t] == npx:
+                            continue
+                        # exact: num/den > bnum/bden (python ints)
+                        if int(nj[t]) * bden > bnum * int(dj[t]):
+                            bt, bnum, bden = t, int(nj[t]), int(dj[t])
+                    out_id.append(ids[slots[j]])
+                    out_t.append(bt)
+                    out_fg.append(int(npx - cj[bt]) if bt >= 0 else 0)
+            return pa.table({
+                "image_id": pa.array(out_id, pa.string()),
+                "threshold": pa.array(out_t, pa.int64()),
+                "n_fg": pa.array(out_fg, pa.int64())})
+
+    return ds.map_batches(OtsuStage, batch_format="pyarrow",
+                          batch_size=256, concurrency=2)
+
+
+QUERIES["otsu_threshold_images"] = q_otsu_threshold_images
+
+
+def _otsu_sidecar(img: str, n: int = 1024) -> str:
+    """Fraction replay for otsu_threshold_images. Content-keyed on
+    synth.py."""
+    from fractions import Fraction
+
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_otsu_{Path(img).name}_{n}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["image_id", "w", "h"])
+        order = pc.sort_indices(t["image_id"])[:n]
+        ids = t["image_id"].take(order)
+        ws = t["w"].take(order).to_numpy(zero_copy_only=False)
+        hs = t["h"].take(order).to_numpy(zero_copy_only=False)
+        idx = _sy.image_index(ids).astype(np.uint64)
+        thr = np.zeros(len(ws), np.int64)
+        nfg = np.zeros(len(ws), np.int64)
+        for wi, hi in set(zip(ws.tolist(), hs.tolist())):
+            m = np.nonzero((ws == wi) & (hs == hi))[0]
+            px = _sy.pixel_pattern(idx[m], wi, hi)
+            npx = wi * hi
+            for j, slot in enumerate(m):
+                hist = [0] * 256
+                for y in range(hi):
+                    for x in range(wi):
+                        g = (int(px[j, y, x, 0])
+                             + int(px[j, y, x, 1])
+                             + int(px[j, y, x, 2])) // 3
+                        hist[g] += 1
+                S = sum(g * hist[g] for g in range(256))
+                best = Fraction(-1)
+                bt = -1
+                cc = ss = 0
+                bfg = 0
+                for t2 in range(255):
+                    cc += hist[t2]
+                    ss += t2 * hist[t2]
+                    if cc == 0 or cc == npx:
+                        continue
+                    f = Fraction((ss * npx - S * cc) ** 2,
+                                 cc * (npx - cc))
+                    if f > best:
+                        best, bt, bfg = f, t2, npx - cc
+                thr[slot] = bt
+                nfg[slot] = bfg if bt >= 0 else 0
+        out = pa.table({"image_id": ids,
+                        "threshold": pa.array(thr),
+                        "n_fg": pa.array(nfg)})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _otsu_sql(img: str) -> str:
+    return (f"SELECT image_id, threshold, n_fg "
+            f"FROM read_parquet('{_otsu_sidecar(img)}')")

@@ -233,6 +233,8 @@ CHECKED = [
     "char_class_docs",
     "global_max_gap_events",
     "label_gram_matrix",
+    "gmd_nations",
+    "interval_merge_users",
 ]
 
 
@@ -1231,4 +1233,19 @@ def test_audio_loudest_window_oracle(ray_session, con):
            .sort_values("track_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("track_id", "max_energy", "start_frame"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_otsu_threshold_images_oracle(ray_session, con):
+    """Vectorized int64 histogram/cumsum + python-int cross-mult
+    argmax vs the Fraction replay at sf0.001."""
+    from geotile.queries import (QUERIES, _image_dir_for, _otsu_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["otsu_threshold_images"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_otsu_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "threshold", "n_fg"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
