@@ -4663,6 +4663,7 @@ def oracle_sql() -> dict[str, str]:
     out["closest_pair_tiles"] = _closest_pair_sql(sf01)
     out["audio_loudest_window"] = _audio_loudest_sql(aud01)
     out["otsu_threshold_images"] = _otsu_sql(img01)
+    out["kcore_dups"] = _kcore_sql(sf01)
     return out
 
 
@@ -21203,3 +21204,260 @@ def _otsu_sidecar(img: str, n: int = 1024) -> str:
 def _otsu_sql(img: str) -> str:
     return (f"SELECT image_id, threshold, n_fg "
             f"FROM read_parquet('{_otsu_sidecar(img)}')")
+
+
+def q_kcore_dups(sf_dir: str):
+    """Core decomposition of the near-dup graph: every node's core
+    number (the largest k for which it survives k-core peeling) —
+    the standard dense-cluster strength measure that separates
+    borderline dup chains (core 1) from tight clique clusters. Pair
+    generation is the distributed LSH+verify stage; the edge set is
+    dedup-output scale, so peeling runs once over broadcastable CSR
+    arrays with vectorized batch removal (bincount degree decrements
+    per round). Oracle: independent pure-python peeling over the SQL
+    cosine-join pair list (two algorithms, one answer)."""
+    from geotile.ops.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        tau=0.35).take_all()
+    empty = pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                          "core": pd.Series(dtype=np.int64)})
+    if not pairs:
+        return empty
+    a = np.array([r["a"] for r in pairs], np.int64)
+    b = np.array([r["b"] for r in pairs], np.int64)
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    o = np.lexsort((v, u))
+    u, v = u[o], v[o]
+    nodes, starts = np.unique(u, return_index=True)
+    ends = np.r_[starts[1:], len(u)]
+    # neighbor ids → dense indices for bincount decrements
+    vi = np.searchsorted(nodes, v)
+    n = len(nodes)
+    deg = (ends - starts).astype(np.int64)
+    core = np.zeros(n, np.int64)
+    alive = np.ones(n, bool)
+    k = 0
+    while alive.any():
+        k += 1
+        while True:
+            rem = np.flatnonzero(alive & (deg < k))
+            if len(rem) == 0:
+                break
+            core[rem] = k - 1
+            alive[rem] = False
+            nb = np.concatenate([vi[starts[r]:ends[r]] for r in rem])
+            nb = nb[alive[nb]]
+            deg -= np.bincount(nb, minlength=n)
+    return pd.DataFrame({"node": nodes, "core": core})
+
+
+QUERIES["kcore_dups"] = q_kcore_dups
+
+
+def _kcore_sidecar(sf_dir: str) -> str:
+    """Pure-python peeling replay over the SQL cosine-join pairs.
+    Content-keyed on the pair SQL text."""
+    from hashlib import blake2b
+    from pathlib import Path
+
+    import duckdb
+
+    key = blake2b((EMBEDDING_DUPS_SQL + sf_dir + "kcore-v1")
+                  .encode(), digest_size=8).hexdigest()
+    p = _oracle_cache_dir() / (
+        f"oracle_kcore_{Path(sf_dir).name}_{key}.parquet")
+    if not p.exists():
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')")
+        prs = con.execute(
+            f"SELECT a, b FROM ({EMBEDDING_DUPS_SQL})").fetchall()
+        adj: dict[int, set[int]] = {}
+        for x, y in prs:
+            adj.setdefault(int(x), set()).add(int(y))
+            adj.setdefault(int(y), set()).add(int(x))
+        core: dict[int, int] = {}
+        k = 0
+        while adj:
+            k += 1
+            changed = True
+            while changed:
+                changed = False
+                for nd in [nd for nd, nb in adj.items()
+                           if len(nb) < k]:
+                    core[nd] = k - 1
+                    for w in adj.pop(nd):
+                        if w in adj:
+                            adj[w].discard(nd)
+                    changed = True
+        out = pa.table({
+            "node": pa.array(sorted(core), pa.int64()),
+            "core": pa.array([core[nd] for nd in sorted(core)],
+                             pa.int64())})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _kcore_sql(sf_dir: str) -> str:
+    return (f"SELECT node, core "
+            f"FROM read_parquet('{_kcore_sidecar(sf_dir)}')")
+
+
+def q_anagram_groups_docs(sf_dir: str):
+    """Anagram classes over the corpus vocabulary: group distinct
+    tokens by their sorted-character signature and keep classes with
+    ≥2 distinct members (signature, n_tokens, n_occ) — the cheap
+    token-normalization/typo-class audit. Per-batch value_counts
+    partials → one vocabulary-scale token shuffle → signatures
+    computed once per DISTINCT token (never per occurrence) →
+    signature groupby; n_tokens > 1 flags an anagram class.
+    Tokenization = split on single spaces, empties dropped
+    (string_split parity). list_sort char replay."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    vocab = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("token").sum("n"))
+    vocab = _rename(vocab, ["token", "n"])
+
+    def sig_part(t: pa.Table) -> pa.Table:
+        toks = t["token"].to_pylist()
+        sigs = ["".join(sorted(tk)) for tk in toks]
+        return pa.table({"signature": pa.array(sigs, pa.string()),
+                         "n_tokens": pa.array([1] * len(toks),
+                                              pa.int64()),
+                         "n_occ": t["n"]})
+
+    agg = (vocab.map_batches(sig_part, batch_format="pyarrow")
+           .groupby("signature").sum(["n_tokens", "n_occ"]))
+    agg = _rename(agg, ["signature", "n_tokens", "n_occ"])
+    return agg
+
+
+QUERIES["anagram_groups_docs"] = q_anagram_groups_docs
+ORACLE_SQL["anagram_groups_docs"] = """
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+        u AS (SELECT t, count(*) AS occ FROM tok
+              WHERE t <> '' GROUP BY 1),
+        sig AS (SELECT array_to_string(list_sort(string_split(t, '')),
+                                       '') AS signature, occ
+                FROM u)
+        SELECT signature, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(occ) AS BIGINT) AS n_occ
+        FROM sig GROUP BY 1
+    """
+
+
+def q_mann_kendall_nations(sf_dir: str):
+    """Mann-Kendall trend statistic per nation: S = Σ_{i<j}
+    sign(cents_j − cents_i) over the day-ordered daily revenue
+    series — the distribution-free monotone-trend test with exact
+    integer S (no variance, no floats). Day×nation partial sums +
+    one small groupby; the day series is calendar-bounded, so the
+    per-nation pair scan is chunked index algebra inside a 25-group
+    co-partition. Self-join sign replay."""
+    from geotile.ops.relational import _with_bucket
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).take_all()
+    ck = np.array([r["c_custkey"] for r in cust], np.int64)
+    nk = np.array([r["c_nationkey"] for r in cust], np.int64)
+    o = np.argsort(ck)
+    cref = ray.put((ck[o], nk[o]))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+    DAY = 86_400_000_000
+
+    def part(t: pa.Table) -> pa.Table:
+        ck_, nk_ = _broadcast(cref)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False)
+        nat = nk_[np.searchsorted(ck_, c)]
+        day = (t["o_orderdate"].cast(pa.int64()).to_numpy()
+               // DAY)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5).astype(np.int64)
+        g = pa.table({"nationkey": pa.array(nat),
+                      "day": pa.array(day),
+                      "cents": pa.array(cents)}) \
+            .group_by(["nationkey", "day"]).aggregate([("cents",
+                                                        "sum")])
+        return pa.table({"nationkey": g["nationkey"],
+                         "day": g["day"],
+                         "cents": g["cents_sum"]})
+
+    daily = (orders.map_batches(part, batch_format="pyarrow")
+             .groupby(["nationkey", "day"]).sum("cents"))
+    daily = _rename(daily, ["nationkey", "day", "cents"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"nationkey": pd.Series(dtype=np.int64),
+                              "n_days": pd.Series(dtype=np.int64),
+                              "s_stat": pd.Series(dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        nat = df["nationkey"].to_numpy(np.int64)
+        day = df["day"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        o = np.lexsort((day, nat))
+        nat, cents = nat[o], cents[o]
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+        ends = np.r_[starts[1:], len(nat)]
+        out_n, out_d, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            c = cents[s:e]
+            d = len(c)
+            total = 0
+            for j0 in range(1, d, 512):
+                js = np.arange(j0, min(j0 + 512, d))
+                sub = np.sign(c[js][:, None]
+                              - c[None, :js[-1]]).astype(np.int64)
+                mask = np.arange(js[-1])[None, :] < js[:, None]
+                total += int((sub * mask).sum())
+            out_n.append(nat[s])
+            out_d.append(d)
+            out_s.append(total)
+        return pd.DataFrame({"nationkey": out_n,
+                             "n_days": np.array(out_d, np.int64),
+                             "s_stat": np.array(out_s, np.int64)})
+
+    return (_with_bucket(daily, "nationkey", 8)
+            .groupby("bucket").map_groups(fold, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow"))
+
+
+QUERIES["mann_kendall_nations"] = q_mann_kendall_nations
+ORACLE_SQL["mann_kendall_nations"] = """
+        WITH d AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                          epoch_us(o_orderdate) // 86400000000 AS day,
+                          CAST(SUM(CAST(floor(o_totalprice * 100.0
+                                              + 0.5) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM orders JOIN customer ON c_custkey = o_custkey
+                   GROUP BY 1, 2),
+        s AS (SELECT a.nationkey,
+                     SUM(CASE WHEN b.cents > a.cents THEN 1
+                              WHEN b.cents < a.cents THEN -1
+                              ELSE 0 END) AS s_stat
+              FROM d a JOIN d b ON b.nationkey = a.nationkey
+                               AND b.day > a.day
+              GROUP BY 1),
+        n AS (SELECT nationkey, count(*) AS n_days FROM d GROUP BY 1)
+        SELECT n.nationkey, CAST(n.n_days AS BIGINT) AS n_days,
+               CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat
+        FROM n LEFT JOIN s USING (nationkey)
+    """

@@ -235,6 +235,8 @@ CHECKED = [
     "label_gram_matrix",
     "gmd_nations",
     "interval_merge_users",
+    "anagram_groups_docs",
+    "mann_kendall_nations",
 ]
 
 
@@ -1248,4 +1250,18 @@ def test_otsu_threshold_images_oracle(ray_session, con):
            .sort_values("image_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("image_id", "threshold", "n_fg"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_kcore_dups_oracle(ray_session, con):
+    """Vectorized CSR batch peeling vs the pure-python dict peeling
+    over the SQL cosine-join pairs at sf0.001."""
+    from geotile.queries import QUERIES, _kcore_sql
+
+    got = (QUERIES["kcore_dups"](SF)
+           .sort_values("node").reset_index(drop=True))
+    exp = (con.execute(_kcore_sql(SF)).df()
+           .sort_values("node").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("node", "core"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
