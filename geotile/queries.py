@@ -4664,6 +4664,9 @@ def oracle_sql() -> dict[str, str]:
     out["audio_loudest_window"] = _audio_loudest_sql(aud01)
     out["otsu_threshold_images"] = _otsu_sql(img01)
     out["kcore_dups"] = _kcore_sql(sf01)
+    out["audio_haar_detail_tracks"] = _audio_haar_sql(aud01)
+    out["video_quadrant_motion"] = _video_quadrant_sql(
+        _video_dir_for("/root/testdata/sf0.01"))
     return out
 
 
@@ -21461,3 +21464,284 @@ ORACLE_SQL["mann_kendall_nations"] = """
                CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat
         FROM n LEFT JOIN s USING (nationkey)
     """
+
+
+def q_local_supplier_volume_q5(sf_dir: str):
+    """TPC-H Q5 proper — local supplier volume: revenue from 1996
+    lineitems where the SUPPLIER and the ordering CUSTOMER sit in the
+    same nation. region_revenue covers the Q5 join shape; this adds
+    Q5's defining s_nationkey = c_nationkey equality, which needs both
+    nation keys ON the fact row before the filter. supplier nation
+    broadcasts into the lineitem map; customer nation rides
+    orders→lineitem through the size-guarded lookup_join (broadcast at
+    dim scale, bucketed co-partition past 2^20 rows). Revenue lands on
+    the e4 lattice per element (region_revenue convention)."""
+    from geotile.ops.relational import lookup_join
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).take_all()
+    sk = np.array([r["s_suppkey"] for r in sup], np.int64)
+    sn = np.array([r["s_nationkey"] for r in sup], np.int64)
+    o = np.argsort(sk)
+    sref = ray.put((sk[o], sn[o]))
+    nname = {r["n_nationkey"]: r["n_name"]
+             for r in _read(sf_dir, "nation").take_all()}
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: pa.table(
+            {"c_custkey": t["c_custkey"].cast(pa.int64()),
+             "cnat": t["c_nationkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    LO = np.datetime64("1996-01-01").astype("datetime64[us]") \
+        .astype(np.int64)
+    HI = np.datetime64("1997-01-01").astype("datetime64[us]") \
+        .astype(np.int64)
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(us, pa.scalar(LO)),
+                       pc.less(us, pa.scalar(HI)))
+        f = t.filter(keep)
+        return pa.table({"o_orderkey": f["o_orderkey"].cast(pa.int64()),
+                         "o_custkey": f["o_custkey"].cast(pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_proj, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    oc = _semi_lookup_join(orders, "o_custkey", cust, "c_custkey",
+                           "cnat", out_key="o_orderkey")
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        sk_, sn_ = _broadcast(sref)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        snat = sn_[np.searchsorted(sk_, s)]
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                         "snat": pa.array(snat),
+                         "q": _e(rev, 10000)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]) \
+        .map_batches(li_proj, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    j = lookup_join(li, "l_orderkey", oc, "o_orderkey", "cnat")
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["snat"], t["cnat"]))
+        g = pa.table({"nat": f["snat"], "q": f["q"]}) \
+            .group_by("nat").aggregate([("q", "sum"),
+                                        ([], "count_all")])
+        return pa.table({"nat": g["nat"],
+                         "rev_e4": g["q_sum"].cast(pa.int64()),
+                         "n": g["count_all"].cast(pa.int64())})
+
+    rows = (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("nat").sum(["rev_e4", "n"])).take_all()
+    return pd.DataFrame(sorted(
+        ({"n_name": nname[int(r["nat"])],
+          "rev_e4": r["sum(rev_e4)"], "n": r["sum(n)"]}
+         for r in rows), key=lambda x: x["n_name"]))
+
+
+QUERIES["local_supplier_volume_q5"] = q_local_supplier_volume_q5
+ORACLE_SQL["local_supplier_volume_q5"] = """
+        SELECT n.n_name,
+               CAST(SUM(CAST(round(l.l_extendedprice
+                                   * (1 - l.l_discount) * 10000)
+                             AS BIGINT)) AS BIGINT) AS rev_e4,
+               COUNT(*) AS n
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE s.s_nationkey = c.c_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """
+
+
+def q_audio_haar_detail_tracks(sf_dir: str):
+    """Haar wavelet detail energies per audio track, levels 1 and 2 —
+    exact integers: d1 = Σ(s[2i] − s[2i+1])², d2 = Σ((s[4i]+s[4i+1])
+    − (s[4i+2]+s[4i+3]))² — the transient-vs-sustained fingerprint a
+    music/speech discriminator thresholds on. One reshape-diff-square
+    per stacked batch tensor; no per-sample Python. Python-int replay
+    sidecar."""
+    from geotile.ops.audio import AudioFrameStage, read_audio_table
+
+    ds = read_audio_table(_audio_dir_for(sf_dir))
+
+    class HaarStage:
+        def __init__(self):
+            self.dec = AudioFrameStage().decoders["pcm16"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["track_id"].to_numpy(zero_copy_only=False)
+            codecs = batch["codec"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            if set(codecs) - {"pcm16"}:
+                raise NotImplementedError("only pcm16 in container")
+            rows = [self.dec(p) for p in payloads]
+            groups: dict[int, list[int]] = {}
+            for i, r in enumerate(rows):
+                groups.setdefault(len(r), []).append(i)
+            out_id, out_1, out_2 = [], [], []
+            for length, slots in groups.items():
+                pcm = np.stack([rows[i] for i in slots]) \
+                    .astype(np.int64)
+                n2 = (length // 2) * 2
+                p2 = pcm[:, :n2].reshape(len(slots), -1, 2)
+                d1 = ((p2[:, :, 0] - p2[:, :, 1]) ** 2).sum(axis=1)
+                n4 = (length // 4) * 4
+                p4 = pcm[:, :n4].reshape(len(slots), -1, 4)
+                d2 = (((p4[:, :, 0] + p4[:, :, 1])
+                       - (p4[:, :, 2] + p4[:, :, 3])) ** 2) \
+                    .sum(axis=1)
+                out_id.append(ids[slots])
+                out_1.append(d1)
+                out_2.append(d2)
+            return pa.table({
+                "track_id": pa.array(np.concatenate(out_id)),
+                "d1_energy": pa.array(np.concatenate(out_1)),
+                "d2_energy": pa.array(np.concatenate(out_2))})
+
+    return ds.map_batches(HaarStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+
+
+QUERIES["audio_haar_detail_tracks"] = q_audio_haar_detail_tracks
+
+
+def _audio_haar_sidecar(aud: str) -> str:
+    """Python-int replay for audio_haar_detail_tracks. Content-keyed
+    on synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_audiohaar_{Path(aud).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(aud, columns=["track_id"])
+        ids = np.sort(t["track_id"].to_numpy(zero_copy_only=False))
+        pcm = _sy.audio_samples(ids)
+        rows = []
+        for j, tid in enumerate(ids.tolist()):
+            s = [int(v) for v in pcm[j].tolist()]
+            d1 = sum((s[2 * i] - s[2 * i + 1]) ** 2
+                     for i in range(len(s) // 2))
+            d2 = sum(((s[4 * i] + s[4 * i + 1])
+                      - (s[4 * i + 2] + s[4 * i + 3])) ** 2
+                     for i in range(len(s) // 4))
+            rows.append({"track_id": tid, "d1_energy": d1,
+                         "d2_energy": d2})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _audio_haar_sql(aud: str) -> str:
+    return (f"SELECT track_id, d1_energy, d2_energy "
+            f"FROM read_parquet('{_audio_haar_sidecar(aud)}')")
+
+
+def q_video_quadrant_motion(sf_dir: str):
+    """Spatially-localized motion: per clip, the exact integer
+    Σ|frame diff| inside each of the four frame quadrants (TL TR BL
+    BR) — where in the frame the action happens, the feature a
+    cropping/attention stage keys on. One stacked 5-D |diff| per
+    (frames, w, h) group, then four quadrant slices of the same diff
+    tensor. Python-int replay sidecar."""
+    from geotile.ops.video import read_video_table
+
+    ds = read_video_table(_video_dir_for(sf_dir))
+
+    class QuadStage:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            codecs = set(batch["codec"].to_pylist())
+            if codecs - {"rawseq"}:
+                raise NotImplementedError("only rawseq in container")
+            ids = batch["clip_id"].to_numpy(zero_copy_only=False)
+            nf = batch["n_frames"].to_numpy(zero_copy_only=False)
+            ws = batch["w"].to_numpy(zero_copy_only=False)
+            hs = batch["h"].to_numpy(zero_copy_only=False)
+            payloads = batch["bytes"].to_pylist()
+            groups: dict[tuple[int, int, int], list[int]] = {}
+            for i, key in enumerate(zip(nf, ws, hs)):
+                groups.setdefault(tuple(int(x) for x in key),
+                                  []).append(i)
+            cols = {"clip_id": [], "tl": [], "tr": [],
+                    "bl": [], "br": []}
+            for (f, w, h), slots in groups.items():
+                clips = np.stack([
+                    np.frombuffer(payloads[i], dtype=np.uint8)
+                    .reshape(f, h, w, 3) for i in slots]) \
+                    .astype(np.int64)
+                d = np.abs(clips[:, 1:] - clips[:, :-1])
+                hh, wh = h // 2, w // 2
+                quads = {"tl": d[:, :, :hh, :wh],
+                         "tr": d[:, :, :hh, wh:],
+                         "bl": d[:, :, hh:, :wh],
+                         "br": d[:, :, hh:, wh:]}
+                cols["clip_id"].append(ids[slots])
+                for k, v in quads.items():
+                    cols[k].append(v.sum(axis=(1, 2, 3, 4)))
+            return pa.table({k: pa.array(np.concatenate(v))
+                             for k, v in cols.items()})
+
+    return ds.map_batches(QuadStage, batch_format="pyarrow",
+                          batch_size=32, concurrency=2)
+
+
+QUERIES["video_quadrant_motion"] = q_video_quadrant_motion
+
+
+def _video_quadrant_sidecar(vid: str) -> str:
+    """Python-int replay for video_quadrant_motion. Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_videoquad_{Path(vid).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(vid, columns=["clip_id", "n_frames"])
+        ids = np.sort(t["clip_id"].to_numpy(zero_copy_only=False))
+        nf = int(t["n_frames"][0].as_py())
+        W, H = _sy.VIDEO_W, _sy.VIDEO_H
+        hh, wh = H // 2, W // 2
+        rows = []
+        for cid in ids.tolist():
+            frames = [_sy.pixel_pattern(
+                np.array([cid * 64 + f], np.uint64), W, H)[0]
+                for f in range(nf)]
+            acc = {"tl": 0, "tr": 0, "bl": 0, "br": 0}
+            for f in range(nf - 1):
+                a, b = frames[f], frames[f + 1]
+                for y in range(H):
+                    for x in range(W):
+                        q = ("t" if y < hh else "b") \
+                            + ("l" if x < wh else "r")
+                        for ch in range(3):
+                            acc[q] += abs(int(b[y, x, ch])
+                                          - int(a[y, x, ch]))
+            rows.append({"clip_id": cid, **acc})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _video_quadrant_sql(vid: str) -> str:
+    return (f"SELECT clip_id, tl, tr, bl, br "
+            f"FROM read_parquet('{_video_quadrant_sidecar(vid)}')")

@@ -237,6 +237,7 @@ CHECKED = [
     "interval_merge_users",
     "anagram_groups_docs",
     "mann_kendall_nations",
+    "local_supplier_volume_q5",
 ]
 
 
@@ -1264,4 +1265,36 @@ def test_kcore_dups_oracle(ray_session, con):
            .sort_values("node").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("node", "core"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_audio_haar_detail_tracks_oracle(ray_session, con):
+    """Reshape-diff-square batch tensor vs the python-int replay at
+    sf0.001."""
+    from geotile.queries import (QUERIES, _audio_dir_for,
+                                 _audio_haar_sql)
+
+    aud = _audio_dir_for(SF)
+    got = (QUERIES["audio_haar_detail_tracks"](SF).to_pandas()
+           .sort_values("track_id").reset_index(drop=True))
+    exp = (con.execute(_audio_haar_sql(aud)).df()
+           .sort_values("track_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("track_id", "d1_energy", "d2_energy"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_video_quadrant_motion_oracle(ray_session, con):
+    """Quadrant slices of the stacked |diff| tensor vs the per-pixel
+    python replay at sf0.001."""
+    from geotile.queries import (QUERIES, _video_dir_for,
+                                 _video_quadrant_sql)
+
+    vid = _video_dir_for(SF)
+    got = (QUERIES["video_quadrant_motion"](SF).to_pandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    exp = (con.execute(_video_quadrant_sql(vid)).df()
+           .sort_values("clip_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("clip_id", "tl", "tr", "bl", "br"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
