@@ -21745,3 +21745,207 @@ def _video_quadrant_sidecar(vid: str) -> str:
 def _video_quadrant_sql(vid: str) -> str:
     return (f"SELECT clip_id, tl, tr, bl, br "
             f"FROM read_parquet('{_video_quadrant_sidecar(vid)}')")
+
+
+def q_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9-shaped profit rollup (no partsupp table in this
+    schema, so profit = revenue): for lineitems of RED parts
+    (p_name LIKE 'red %'), revenue by SUPPLIER nation × order year.
+    Part filter ships as a broadcast sorted keyset (dim scale);
+    supplier nation folds into the same lineitem map; the order year
+    rides the size-guarded lookup_join. e4 lattice per element."""
+    from geotile.ops.relational import lookup_join
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"]).take_all()
+    red = np.array(sorted(r["p_partkey"] for r in parts
+                          if r["p_name"].startswith("red ")), np.int64)
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).take_all()
+    sk = np.array([r["s_suppkey"] for r in sup], np.int64)
+    sn = np.array([r["s_nationkey"] for r in sup], np.int64)
+    o = np.argsort(sk)
+    bref = ray.put((red, sk[o], sn[o]))
+    nname = {r["n_nationkey"]: r["n_name"]
+             for r in _read(sf_dir, "nation").take_all()}
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"]).cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                         "year": y})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(ord_proj, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        red_, sk_, sn_ = _broadcast(bref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(red_, pk)
+        safe = np.minimum(pos, max(len(red_) - 1, 0))
+        keep = (pos < len(red_)) & (red_[safe] == pk) \
+            if len(red_) else np.zeros(len(pk), bool)
+        f = t.filter(pa.array(keep))
+        s = f["l_suppkey"].to_numpy(zero_copy_only=False)
+        snat = sn_[np.searchsorted(sk_, s)]
+        rev = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        return pa.table({"l_orderkey": f["l_orderkey"].cast(pa.int64()),
+                         "snat": pa.array(snat),
+                         "q": _e(rev, 10000)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(li_proj, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    j = lookup_join(li, "l_orderkey", orders, "o_orderkey", "year")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"snat": t["snat"], "year": t["year"],
+                      "q": t["q"]}) \
+            .group_by(["snat", "year"]).aggregate([("q", "sum"),
+                                                   ([], "count_all")])
+        return pa.table({"snat": g["snat"], "year": g["year"],
+                         "rev_e4": g["q_sum"].cast(pa.int64()),
+                         "n": g["count_all"].cast(pa.int64())})
+
+    rows = (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["snat", "year"]).sum(["rev_e4", "n"])).take_all()
+    return pd.DataFrame(sorted(
+        ({"n_name": nname[int(r["snat"])], "year": r["year"],
+          "rev_e4": r["sum(rev_e4)"], "n": r["sum(n)"]}
+         for r in rows), key=lambda x: (x["n_name"], x["year"])))
+
+
+QUERIES["profit_by_nation_year"] = q_profit_by_nation_year
+ORACLE_SQL["profit_by_nation_year"] = """
+        SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate)
+                              AS BIGINT) AS year,
+               CAST(SUM(CAST(round(l.l_extendedprice
+                                   * (1 - l.l_discount) * 10000)
+                             AS BIGINT)) AS BIGINT) AS rev_e4,
+               COUNT(*) AS n
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE 'red %'
+        GROUP BY 1, 2
+    """
+
+
+def q_tumbling_argmax_events(sf_dir: str):
+    """Per 1-hour tumbling window, the ARGMAX event: (window, event_id
+    of the max value, the value) with the smallest event_id breaking
+    value ties — the representative-sample selection every
+    dashboarding pipeline runs. Mergeable argmax: per-batch partial
+    argmax per window (one lexsort + segment head), then the same fold
+    as the final reduce — selection only, no float arithmetic, so
+    doubles hash exactly. ROW_NUMBER replay."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    HOUR = 3_600_000_000
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"win": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64())})
+        w = (t["ts"].cast(pa.int64()).to_numpy() // HOUR
+             if t.schema.field("ts").type != pa.int64()
+             else t["ts"].to_numpy(zero_copy_only=False))
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((e, -v, w))
+        w, e, v = w[o], e[o], v[o]
+        heads = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        return pa.table({"win": pa.array(w[heads]),
+                         "event_id": pa.array(e[heads]),
+                         "value": pa.array(v[heads])})
+
+    part = ev.map_batches(fold, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return (part.groupby("win")
+            .map_groups(lambda df: df.sort_values(
+                ["value", "event_id"],
+                ascending=[False, True]).head(1),
+                batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow"))
+
+
+QUERIES["tumbling_argmax_events"] = q_tumbling_argmax_events
+ORACLE_SQL["tumbling_argmax_events"] = """
+        WITH e AS (SELECT epoch_us(ts) // 3600000000 AS win,
+                          event_id, value,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY epoch_us(ts) // 3600000000
+                              ORDER BY value DESC, event_id) AS rn
+                   FROM events)
+        SELECT win, event_id, value FROM e WHERE rn = 1
+    """
+
+
+def q_probe_energy_labels(sf_dir: str):
+    """Random-probe quadratic form per label: Σ_i (v·q_i)² where q_i
+    is the embedding on the e3 integer lattice and v the
+    deterministic ±1 probe (splitmix64 parity per dimension) — the
+    one-probe trace estimator of the label Gram matrix energy
+    (Hutchinson step), exact in int64. One matvec per batch; the
+    shuffle carries 10 label partials. Literal ±1 list replay."""
+    from geotile.synth import splitmix64
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "probe_energy": pa.array([], pa.int64())})
+        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        dim = x.shape[1]
+        sgn = np.where(
+            splitmix64(np.arange(dim, dtype=np.uint64))
+            & np.uint64(1), 1, -1).astype(np.int64)
+        q = np.floor(x.astype(np.float64) * 1000.0 + 0.5) \
+            .astype(np.int64)
+        d = q @ sgn
+        lab = t["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pa.table({"label": pa.array(lab),
+                      "e": pa.array(d * d),
+                      "one": pa.array(np.ones(len(lab), np.int64))}) \
+            .group_by("label").aggregate([("e", "sum"),
+                                          ("one", "sum")])
+        return pa.table({"label": g["label"],
+                         "n": g["one_sum"],
+                         "probe_energy": g["e_sum"]})
+
+    out = (emb.map_batches(part, batch_format="pyarrow")
+           .groupby("label").sum(["n", "probe_energy"]))
+    return _rename(out, ["label", "n", "probe_energy"])
+
+
+QUERIES["probe_energy_labels"] = q_probe_energy_labels
+
+
+def _probe_sign_literal(dim: int = 64) -> str:
+    from geotile.synth import splitmix64
+
+    sgn = np.where(splitmix64(np.arange(dim, dtype=np.uint64))
+                   & np.uint64(1), 1.0, -1.0)
+    return "[" + ", ".join(f"{v:.1f}" for v in sgn) + "]"
+
+
+ORACLE_SQL["probe_energy_labels"] = f"""
+        WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+                          CAST(list_dot_product(
+                              list_transform(
+                                  CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 1000.0 + 0.5)),
+                              CAST({_probe_sign_literal()}
+                                   AS DOUBLE[])) AS BIGINT) AS d
+                   FROM embeddings)
+        SELECT label, count(*) AS n,
+               CAST(SUM(d * d) AS BIGINT) AS probe_energy
+        FROM q GROUP BY 1
+    """

@@ -238,6 +238,9 @@ CHECKED = [
     "anagram_groups_docs",
     "mann_kendall_nations",
     "local_supplier_volume_q5",
+    "profit_by_nation_year",
+    "tumbling_argmax_events",
+    "probe_energy_labels",
 ]
 
 
