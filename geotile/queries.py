@@ -4667,6 +4667,8 @@ def oracle_sql() -> dict[str, str]:
     out["audio_haar_detail_tracks"] = _audio_haar_sql(aud01)
     out["video_quadrant_motion"] = _video_quadrant_sql(
         _video_dir_for("/root/testdata/sf0.01"))
+    out["zorder_range_counts"] = _zorder_range_sql(img01)
+    out["image_haar_bands"] = _image_haar_sql(img01)
     return out
 
 
@@ -21949,3 +21951,296 @@ ORACLE_SQL["probe_energy_labels"] = f"""
                CAST(SUM(d * d) AS BIGINT) AS probe_energy
         FROM q GROUP BY 1
     """
+
+
+_ZQ_RES = 14
+_ZQ_BOXES = ((-122.5, -121.9, 37.2, 37.7),
+             (-122.35, -122.15, 37.35, 37.55),
+             (-122.28, -122.22, 37.44, 37.52))
+
+
+def _zorder_ranges(ix0: int, ix1: int, iy0: int, iy1: int,
+                   res: int) -> list[tuple[int, int]]:
+    """Exact quadtree decomposition of the INCLUSIVE grid rectangle
+    into maximal aligned quads = contiguous Morton ranges [lo, hi) in
+    the res-tagged cell-id space."""
+    from geotile.geom import cells
+
+    out: list[tuple[int, int]] = []
+
+    def rec(qx: int, qy: int, size: int) -> None:
+        if qx > ix1 or qx + size - 1 < ix0 \
+                or qy > iy1 or qy + size - 1 < iy0:
+            return
+        if qx >= ix0 and qx + size - 1 <= ix1 \
+                and qy >= iy0 and qy + size - 1 <= iy1:
+            lo = int(cells.from_ixy(np.array([qx]), np.array([qy]),
+                                    res).view(np.int64)[0])
+            out.append((lo, lo + size * size))
+            return
+        h = size // 2
+        for dx in (0, h):
+            for dy in (0, h):
+                rec(qx + dx, qy + dy, h)
+
+    rec(0, 0, 1 << res)
+    out.sort()
+    return out
+
+
+def q_zorder_range_counts(sf_dir: str):
+    """Z-order INDEX-RANGE scan: each viewport rectangle decomposes
+    (driver-side, O(perimeter)) into maximal aligned quadtree Morton
+    ranges; tiles match by pure cell-id interval membership — two
+    searchsorteds per batch, never a lon/lat comparison. This is the
+    scan shape a Morton-sorted 100-TB tile store serves from its
+    block index. The oracle replays the RECTANGLE predicate on the
+    quantized grid axes instead — the count matches iff the
+    decomposition is exact."""
+    from geotile.geom import cells
+    from geotile.ops.tiles import read_image_table
+
+    ranges = []
+    for (wlo, whi, slo, nhi) in _ZQ_BOXES:
+        ix, iy = cells._quantize(np.array([wlo, whi]),
+                                 np.array([slo, nhi]), _ZQ_RES)
+        ranges.append(_zorder_ranges(int(ix[0]), int(ix[1]),
+                                     int(iy[0]), int(iy[1]), _ZQ_RES))
+    los = [np.array([r[0] for r in rs], np.int64) for rs in ranges]
+    his = [np.array([r[1] for r in rs], np.int64) for rs in ranges]
+    rref = ray.put((los, his))
+
+    ds = read_image_table(_image_dir_for(sf_dir),
+                          columns=["lon", "lat"])
+
+    def part(t: pa.Table) -> pa.Table:
+        los_, his_ = _broadcast(rref)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        cell = cells.encode(lon, lat, _ZQ_RES).view(np.int64)
+        qid, cnt = [], []
+        for q, (lo, hi) in enumerate(zip(los_, his_)):
+            pos = np.searchsorted(lo, cell, side="right") - 1
+            ok = pos >= 0
+            ok[ok] &= cell[ok] < hi[pos[ok]]
+            qid.append(q)
+            cnt.append(int(ok.sum()))
+        return pa.table({"query_id": pa.array(qid, pa.int64()),
+                         "n_tiles": pa.array(cnt, pa.int64())})
+
+    out = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("query_id").sum("n_tiles"))
+    return _rename(out, ["query_id", "n_tiles"])
+
+
+QUERIES["zorder_range_counts"] = q_zorder_range_counts
+
+
+def _zorder_range_sql(img_dir: str) -> str:
+    from geotile.geom import cells
+
+    parts = []
+    for q, (wlo, whi, slo, nhi) in enumerate(_ZQ_BOXES):
+        ix, iy = cells._quantize(np.array([wlo, whi]),
+                                 np.array([slo, nhi]), _ZQ_RES)
+        parts.append(
+            f"SELECT {q} AS query_id, count(*) AS n_tiles "
+            f"FROM g WHERE ix BETWEEN {int(ix[0])} AND {int(ix[1])} "
+            f"AND iy BETWEEN {int(iy[0])} AND {int(iy[1])}")
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH g AS (SELECT
+            {_sql_quant('lon', '180.0', '360.0', _ZQ_RES)} AS ix,
+            {_sql_quant('lat', '90.0', '180.0', _ZQ_RES)} AS iy
+            FROM read_parquet('{img_dir}/part-*.parquet'))
+        {union}
+    """
+
+
+def q_head_vocab_coverage_sources(sf_dir: str):
+    """Head-vocabulary coverage per source: what fraction (ppm) of
+    each source's token stream falls in the corpus-wide top-10
+    vocabulary — the 'generic vs niche content' signal a corpus
+    mixer weights sources by. Phase 1 = the distributed top-k
+    pattern (per-batch value_counts partials → vocabulary shuffle →
+    partial top-k); the 10-token head then broadcasts into a single
+    per-source counting pass. Top-10 CTE replay."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    vocab = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("token").sum("n")).take_all()
+    toks = np.array([r["token"] for r in vocab])
+    ns = np.array([r["sum(n)"] for r in vocab], np.int64)
+    order = np.lexsort((toks, -ns))[:10]
+    head = set(toks[order].tolist())
+    href = ray.put(np.sort(np.array(sorted(head))))
+
+    def cover(t: pa.Table) -> pa.Table:
+        head_ = _broadcast(href)
+        toks_l = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks_l)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        lens = pc.list_value_length(toks_l).to_numpy(
+            zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        src_rep = np.repeat(src, lens)[
+            keep.to_numpy(zero_copy_only=False)]
+        fa = flat.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(head_, fa)
+        safe = np.minimum(pos, len(head_) - 1)
+        in_head = (head_[safe] == fa).astype(np.int64)
+        g = pa.table({"source": pa.array(src_rep),
+                      "n_head": pa.array(in_head),
+                      "n_total": pa.array(np.ones(len(fa),
+                                                  np.int64))}) \
+            .group_by("source").aggregate([("n_head", "sum"),
+                                           ("n_total", "sum")])
+        return pa.table({"source": g["source"],
+                         "n_head": g["n_head_sum"],
+                         "n_total": g["n_total_sum"]})
+
+    agg = (ds.map_batches(cover, batch_format="pyarrow")
+           .groupby("source").sum(["n_head", "n_total"]))
+    agg = _rename(agg, ["source", "n_head", "n_total"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        nh = t["n_head"].to_numpy(zero_copy_only=False)
+        nt = t["n_total"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "head_ppm", pa.array(nh * 1_000_000 // nt))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["head_vocab_coverage_sources"] = q_head_vocab_coverage_sources
+ORACLE_SQL["head_vocab_coverage_sources"] = """
+        WITH tok AS (SELECT source,
+                            unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+        tk AS (SELECT source, t FROM tok WHERE t <> ''),
+        vocab AS (SELECT t, count(*) AS n FROM tk GROUP BY 1),
+        head AS (SELECT t FROM vocab ORDER BY n DESC, t LIMIT 10),
+        c AS (SELECT source,
+                     CAST(SUM(CASE WHEN t IN (SELECT t FROM head)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+                     count(*) AS n_total
+              FROM tk GROUP BY 1)
+        SELECT source, n_head, CAST(n_total AS BIGINT) AS n_total,
+               n_head * 1000000 // n_total AS head_ppm
+        FROM c
+    """
+
+
+def q_image_haar_bands(sf_dir: str):
+    """2-D Haar band energies per image (first 1024): non-overlapping
+    2×2 blocks of the gray plane → exact integer ΣLH², ΣHL², ΣHH²
+    (horizontal / vertical / diagonal detail) — the orientation-energy
+    fingerprint a texture or compressibility stage keys on. One
+    reshape per (w, h) group; all three bands from the same block
+    tensor. Python-int replay sidecar."""
+    from geotile.ops.tiles import ImageDecodeStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(1024)
+
+    class HaarBandStage:
+        def __init__(self):
+            self.decoders = ImageDecodeStage(verify=False).decoders
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_pylist()
+            hs = batch["h"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            ids = batch["image_id"].to_numpy(zero_copy_only=False)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, (wi, hi) in enumerate(zip(ws, hs)):
+                groups.setdefault((wi, hi), []).append(i)
+            out = {"image_id": [], "lh_energy": [], "hl_energy": [],
+                   "hh_energy": []}
+            for (wi, hi), slots in groups.items():
+                px = np.stack([self.decoders[fmts[i]](payloads[i],
+                                                      wi, hi)
+                               for i in slots])
+                gray = px.astype(np.int64).sum(axis=3) // 3
+                h2, w2 = (hi // 2) * 2, (wi // 2) * 2
+                b = gray[:, :h2, :w2] \
+                    .reshape(len(slots), h2 // 2, 2, w2 // 2, 2)
+                a = b[:, :, 0, :, 0]
+                bb = b[:, :, 0, :, 1]
+                c = b[:, :, 1, :, 0]
+                d = b[:, :, 1, :, 1]
+                lh = ((a - bb + c - d) ** 2).sum(axis=(1, 2))
+                hl = ((a + bb - c - d) ** 2).sum(axis=(1, 2))
+                hh = ((a - bb - c + d) ** 2).sum(axis=(1, 2))
+                out["image_id"].append(ids[slots])
+                out["lh_energy"].append(lh)
+                out["hl_energy"].append(hl)
+                out["hh_energy"].append(hh)
+            return pa.table({k: pa.array(np.concatenate(v))
+                             for k, v in out.items()})
+
+    return ds.map_batches(HaarBandStage, batch_format="pyarrow",
+                          batch_size=256, concurrency=2)
+
+
+QUERIES["image_haar_bands"] = q_image_haar_bands
+
+
+def _image_haar_sidecar(img: str, n: int = 1024) -> str:
+    """Python-int replay for image_haar_bands. Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_imghaar_{Path(img).name}_{n}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["image_id", "w", "h"])
+        order = pc.sort_indices(t["image_id"])[:n]
+        ids = t["image_id"].take(order)
+        ws = t["w"].take(order).to_numpy(zero_copy_only=False)
+        hs = t["h"].take(order).to_numpy(zero_copy_only=False)
+        idx = _sy.image_index(ids).astype(np.uint64)
+        lhs = np.zeros(len(ws), np.int64)
+        hls = np.zeros(len(ws), np.int64)
+        hhs = np.zeros(len(ws), np.int64)
+        for wi, hi in set(zip(ws.tolist(), hs.tolist())):
+            m = np.nonzero((ws == wi) & (hs == hi))[0]
+            px = _sy.pixel_pattern(idx[m], wi, hi)
+            for j, slot in enumerate(m):
+                lh = hl = hh = 0
+                for y in range(0, (hi // 2) * 2, 2):
+                    for x in range(0, (wi // 2) * 2, 2):
+                        def g(yy, xx):
+                            return (int(px[j, yy, xx, 0])
+                                    + int(px[j, yy, xx, 1])
+                                    + int(px[j, yy, xx, 2])) // 3
+                        a, b2 = g(y, x), g(y, x + 1)
+                        c, d = g(y + 1, x), g(y + 1, x + 1)
+                        lh += (a - b2 + c - d) ** 2
+                        hl += (a + b2 - c - d) ** 2
+                        hh += (a - b2 - c + d) ** 2
+                lhs[slot], hls[slot], hhs[slot] = lh, hl, hh
+        out = pa.table({"image_id": ids,
+                        "lh_energy": pa.array(lhs),
+                        "hl_energy": pa.array(hls),
+                        "hh_energy": pa.array(hhs)})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _image_haar_sql(img: str) -> str:
+    return (f"SELECT image_id, lh_energy, hl_energy, hh_energy "
+            f"FROM read_parquet('{_image_haar_sidecar(img)}')")

@@ -241,6 +241,7 @@ CHECKED = [
     "profit_by_nation_year",
     "tumbling_argmax_events",
     "probe_energy_labels",
+    "head_vocab_coverage_sources",
 ]
 
 
@@ -1300,4 +1301,36 @@ def test_video_quadrant_motion_oracle(ray_session, con):
            .sort_values("clip_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("clip_id", "tl", "tr", "bl", "br"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_zorder_range_counts_oracle(ray_session, con):
+    """Morton quadtree range decomposition vs the rectangle predicate
+    replay on the quantized axes at sf0.001."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _zorder_range_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["zorder_range_counts"](SF).to_pandas()
+           .sort_values("query_id").reset_index(drop=True))
+    exp = (con.execute(_zorder_range_sql(img)).df()
+           .sort_values("query_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("query_id", "n_tiles"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_image_haar_bands_oracle(ray_session, con):
+    """Block-tensor band energies vs the per-pixel python replay at
+    sf0.001."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _image_haar_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["image_haar_bands"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_image_haar_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "lh_energy", "hl_energy", "hh_energy"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
