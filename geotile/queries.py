@@ -4669,6 +4669,7 @@ def oracle_sql() -> dict[str, str]:
         _video_dir_for("/root/testdata/sf0.01"))
     out["zorder_range_counts"] = _zorder_range_sql(img01)
     out["image_haar_bands"] = _image_haar_sql(img01)
+    out["audio_walsh_bands"] = _audio_walsh_sql(aud01)
     return out
 
 
@@ -22244,3 +22245,231 @@ def _image_haar_sidecar(img: str, n: int = 1024) -> str:
 def _image_haar_sql(img: str) -> str:
     return (f"SELECT image_id, lh_energy, hl_energy, hh_energy "
             f"FROM read_parquet('{_image_haar_sidecar(img)}')")
+
+
+def q_two_hop_dups(sf_dir: str):
+    """2-hop neighbourhood size per node of the near-dup graph — the
+    'transitive contamination radius' a dedup-propagation pass needs
+    to budget for. CSR adjacency broadcasts once (edge set is
+    dedup-output scale); each node batch unions its neighbours'
+    neighbour lists with one np.unique — no per-edge Python beyond
+    the gather. DISTINCT 2-path replay."""
+    from geotile.ops.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        tau=0.35).take_all()
+    if not pairs:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "n_2hop": pd.Series(dtype=np.int64)})
+    a = np.array([r["a"] for r in pairs], np.int64)
+    b = np.array([r["b"] for r in pairs], np.int64)
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    o = np.lexsort((v, u))
+    u, v = u[o], v[o]
+    nodes, starts = np.unique(u, return_index=True)
+    ends = np.r_[starts[1:], len(u)]
+    aref = ray.put((nodes, starts, ends, v))
+
+    ds = rd.from_arrow(pa.table({"node": pa.array(nodes)})) \
+        .repartition(4)
+
+    def hop2(t: pa.Table) -> pa.Table:
+        nodes_, starts_, ends_, adj = _broadcast(aref)
+        out_n, out_c = [], []
+        for nd in t["node"].to_numpy(zero_copy_only=False).tolist():
+            i = np.searchsorted(nodes_, nd)
+            nb = adj[starts_[i]:ends_[i]]
+            js = np.searchsorted(nodes_, nb)
+            reach = np.concatenate(
+                [nb] + [adj[starts_[j]:ends_[j]] for j in js])
+            reach = np.unique(reach)
+            n2 = len(reach) - int(
+                np.searchsorted(reach, nd, side="right")
+                - np.searchsorted(reach, nd, side="left"))
+            out_n.append(nd)
+            out_c.append(n2)
+        return pa.table({"node": pa.array(out_n, pa.int64()),
+                         "n_2hop": pa.array(out_c, pa.int64())})
+
+    return ds.map_batches(hop2, batch_format="pyarrow",
+                          batch_size=512)
+
+
+QUERIES["two_hop_dups"] = q_two_hop_dups
+ORACLE_SQL["two_hop_dups"] = f"""
+        WITH pairs AS ({EMBEDDING_DUPS_SQL}),
+        e AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs),
+        two AS (SELECT e1.u, e2.v AS w
+                FROM e e1 JOIN e e2 ON e2.u = e1.v
+                WHERE e2.v <> e1.u
+                UNION SELECT u, v FROM e)
+        SELECT u AS node, CAST(count(DISTINCT w) AS BIGINT) AS n_2hop
+        FROM two GROUP BY 1
+    """
+
+
+def q_token_burstiness_head(sf_dir: str):
+    """Burstiness moments for the top-20 head tokens: per token, the
+    number of docs containing it, total occurrences, and Σ(per-doc
+    count)² — the exact integer moments behind the Fano factor that
+    separates bursty topical terms from uniform function words.
+    Documents are row-atomic, so per-doc counts complete inside each
+    batch; the shuffle carries 20 partial rows per batch. Per-doc
+    unnest replay."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    vocab = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("token").sum("n")).take_all()
+    toks = np.array([r["token"] for r in vocab])
+    ns = np.array([r["sum(n)"] for r in vocab], np.int64)
+    order = np.lexsort((toks, -ns))[:20]
+    href = ray.put(np.sort(toks[order]))
+
+    def moments(t: pa.Table) -> pa.Table:
+        head_ = _broadcast(href)
+        toks_l = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks_l)
+        keep = pc.not_equal(flat, "")
+        lens = pc.list_value_length(toks_l).to_numpy(
+            zero_copy_only=False)
+        doc_rep = np.repeat(np.arange(len(lens)), lens)[
+            keep.to_numpy(zero_copy_only=False)]
+        fa = flat.filter(keep).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(head_, fa)
+        safe = np.minimum(pos, len(head_) - 1)
+        ok = head_[safe] == fa
+        code = doc_rep[ok] * len(head_) + safe[ok]
+        cnt = np.bincount(code, minlength=len(lens) * len(head_)) \
+            .reshape(len(lens), len(head_)).astype(np.int64)
+        return pa.table({
+            "token": pa.array(np.tile(head_, 1)),
+            "n_docs": pa.array((cnt > 0).sum(axis=0)
+                               .astype(np.int64)),
+            "n_occ": pa.array(cnt.sum(axis=0)),
+            "sum_sq": pa.array((cnt * cnt).sum(axis=0))})
+
+    out = (ds.map_batches(moments, batch_format="pyarrow")
+           .groupby("token").sum(["n_docs", "n_occ", "sum_sq"]))
+    return _rename(out, ["token", "n_docs", "n_occ", "sum_sq"])
+
+
+QUERIES["token_burstiness_head"] = q_token_burstiness_head
+ORACLE_SQL["token_burstiness_head"] = """
+        WITH tok AS (SELECT doc_id,
+                            unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+        tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        vocab AS (SELECT t, count(*) AS n FROM tk GROUP BY 1),
+        head AS (SELECT t FROM vocab ORDER BY n DESC, t LIMIT 20),
+        dc AS (SELECT t, doc_id, count(*) AS c FROM tk
+               WHERE t IN (SELECT t FROM head) GROUP BY 1, 2)
+        SELECT h.t AS token,
+               CAST(COALESCE(count(dc.doc_id), 0) AS BIGINT)
+                 AS n_docs,
+               CAST(COALESCE(SUM(dc.c), 0) AS BIGINT) AS n_occ,
+               CAST(COALESCE(SUM(dc.c * dc.c), 0) AS BIGINT)
+                 AS sum_sq
+        FROM head h LEFT JOIN dc ON dc.t = h.t
+        GROUP BY 1
+    """
+
+
+def q_audio_walsh_bands(sf_dir: str):
+    """8-point Walsh-Hadamard band energies per track: frames of 8
+    samples transform with the ±1 Hadamard matrix (sequency order);
+    output Σcoef² per band — the integer-exact 'spectrum' a cheap
+    audio classifier bins on (Haar levels 1-2 are two of these eight
+    bands; the other six are new information). One (tracks × frames
+    × 8) @ H8ᵀ matmul per batch. Python-int replay sidecar."""
+    from geotile.ops.audio import AudioFrameStage, read_audio_table
+
+    ds = read_audio_table(_audio_dir_for(sf_dir))
+    H8 = np.array([[1 if bin(i & j).count("1") % 2 == 0 else -1
+                    for j in range(8)] for i in range(8)], np.int64)
+
+    class WalshStage:
+        def __init__(self):
+            self.dec = AudioFrameStage().decoders["pcm16"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["track_id"].to_numpy(zero_copy_only=False)
+            codecs = batch["codec"].to_pylist()
+            if set(codecs) - {"pcm16"}:
+                raise NotImplementedError("only pcm16 in container")
+            rows = [self.dec(p) for p in batch["bytes"].to_pylist()]
+            groups: dict[int, list[int]] = {}
+            for i, r in enumerate(rows):
+                groups.setdefault(len(r), []).append(i)
+            out_id, out_b, out_e = [], [], []
+            for length, slots in groups.items():
+                n8 = (length // 8) * 8
+                pcm = np.stack([rows[i][:n8] for i in slots]) \
+                    .astype(np.int64).reshape(len(slots), -1, 8)
+                coef = pcm @ H8.T  # (k, frames, 8)
+                en = (coef * coef).sum(axis=1)  # (k, 8)
+                k = len(slots)
+                out_id.append(np.repeat(ids[slots], 8))
+                out_b.append(np.tile(np.arange(8, dtype=np.int64),
+                                     k))
+                out_e.append(en.reshape(-1))
+            return pa.table({
+                "track_id": pa.array(np.concatenate(out_id)),
+                "band": pa.array(np.concatenate(out_b)),
+                "energy": pa.array(np.concatenate(out_e))})
+
+    return ds.map_batches(WalshStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+
+
+QUERIES["audio_walsh_bands"] = q_audio_walsh_bands
+
+
+def _audio_walsh_sidecar(aud: str) -> str:
+    """Python-int replay for audio_walsh_bands. Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_audiowalsh_{Path(aud).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(aud, columns=["track_id"])
+        ids = np.sort(t["track_id"].to_numpy(zero_copy_only=False))
+        pcm = _sy.audio_samples(ids)
+        h8 = [[1 if bin(i & j).count("1") % 2 == 0 else -1
+               for j in range(8)] for i in range(8)]
+        rows = []
+        for j, tid in enumerate(ids.tolist()):
+            s = [int(v) for v in pcm[j].tolist()]
+            nfr = len(s) // 8
+            en = [0] * 8
+            for f in range(nfr):
+                fr = s[f * 8:(f + 1) * 8]
+                for band in range(8):
+                    c = sum(h8[band][k] * fr[k] for k in range(8))
+                    en[band] += c * c
+            for band in range(8):
+                rows.append({"track_id": tid, "band": band,
+                             "energy": en[band]})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _audio_walsh_sql(aud: str) -> str:
+    return (f"SELECT track_id, band, energy "
+            f"FROM read_parquet('{_audio_walsh_sidecar(aud)}')")

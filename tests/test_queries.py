@@ -242,6 +242,8 @@ CHECKED = [
     "tumbling_argmax_events",
     "probe_energy_labels",
     "head_vocab_coverage_sources",
+    "two_hop_dups",
+    "token_burstiness_head",
 ]
 
 
@@ -1333,4 +1335,20 @@ def test_image_haar_bands_oracle(ray_session, con):
            .sort_values("image_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("image_id", "lh_energy", "hl_energy", "hh_energy"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_audio_walsh_bands_oracle(ray_session, con):
+    """Hadamard matmul band energies vs the python-int frame replay
+    at sf0.001."""
+    from geotile.queries import (QUERIES, _audio_dir_for,
+                                 _audio_walsh_sql)
+
+    aud = _audio_dir_for(SF)
+    got = (QUERIES["audio_walsh_bands"](SF).to_pandas()
+           .sort_values(["track_id", "band"]).reset_index(drop=True))
+    exp = (con.execute(_audio_walsh_sql(aud)).df()
+           .sort_values(["track_id", "band"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("track_id", "band", "energy"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
