@@ -4670,6 +4670,8 @@ def oracle_sql() -> dict[str, str]:
     out["zorder_range_counts"] = _zorder_range_sql(img01)
     out["image_haar_bands"] = _image_haar_sql(img01)
     out["audio_walsh_bands"] = _audio_walsh_sql(aud01)
+    out["best_split_daily"] = _best_split_sql(sf01)
+    out["largest_blob_images"] = _largest_blob_sql(img01)
     return out
 
 
@@ -22473,3 +22475,314 @@ def _audio_walsh_sidecar(aud: str) -> str:
 def _audio_walsh_sql(aud: str) -> str:
     return (f"SELECT track_id, band, energy "
             f"FROM read_parquet('{_audio_walsh_sidecar(aud)}')")
+
+
+def q_best_split_daily(sf_dir: str):
+    """Optimal 2-segmentation of the daily revenue series: the single
+    change-point minimizing total within-segment SSE, chosen EXACTLY —
+    candidates compare by the rational objective sum_l²/n_l +
+    sum_r²/n_r on the cents lattice (Fraction arithmetic, earliest
+    split on ties), so no float ever decides the argmax. Day partials
+    are distributed; the candidate scan is an O(days) driver epilogue
+    over the calendar-bounded series (cusum_daily_revenue pattern).
+    Brute-force Fraction replay from SQL daily sums."""
+    DAY = 86_400_000_000
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].cast(pa.int64()).to_numpy() // DAY
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5).astype(np.int64)
+        g = pa.table({"day": pa.array(day),
+                      "cents": pa.array(cents)}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    rows = (orders.map_batches(part, batch_format="pyarrow")
+            .groupby("day").sum("cents")).take_all()
+    empty = pd.DataFrame({"split_day": pd.Series(dtype=np.int64),
+                          "n_l": pd.Series(dtype=np.int64),
+                          "n_r": pd.Series(dtype=np.int64),
+                          "sum_l": pd.Series(dtype=np.int64),
+                          "sum_r": pd.Series(dtype=np.int64)})
+    if len(rows) < 2:
+        return empty
+    days = np.array([r["day"] for r in rows], np.int64)
+    cents = np.array([r["sum(cents)"] for r in rows], np.int64)
+    o = np.argsort(days)
+    days, cents = days[o], cents[o]
+    from fractions import Fraction
+
+    d = len(days)
+    pref = np.concatenate([[0], np.cumsum(cents)])
+    total = int(pref[-1])
+    best, bt = Fraction(-1), -1
+    for t in range(1, d):
+        sl, sr = int(pref[t]), total - int(pref[t])
+        g = Fraction(sl * sl, t) + Fraction(sr * sr, d - t)
+        if g > best:
+            best, bt = g, t
+    return pd.DataFrame({"split_day": [int(days[bt])],
+                         "n_l": [bt], "n_r": [d - bt],
+                         "sum_l": [int(pref[bt])],
+                         "sum_r": [total - int(pref[bt])]})
+
+
+QUERIES["best_split_daily"] = q_best_split_daily
+
+
+_DAILY_CENTS_SQL = """
+    SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM read_parquet('{sf}/orders.parquet') GROUP BY 1
+"""
+
+
+def _best_split_sidecar(sf_dir: str) -> str:
+    """Brute-force Fraction replay for best_split_daily: daily sums
+    from SQL, every split's segment sums recomputed from scratch."""
+    from fractions import Fraction
+    from hashlib import blake2b
+    from pathlib import Path
+
+    import duckdb
+
+    sql = _DAILY_CENTS_SQL.format(sf=sf_dir)
+    key = blake2b((sql + "bestsplit-v1").encode(),
+                  digest_size=8).hexdigest()
+    p = _oracle_cache_dir() / (
+        f"oracle_bestsplit_{Path(sf_dir).name}_{key}.parquet")
+    if not p.exists():
+        rows = sorted(duckdb.connect().execute(sql).fetchall())
+        days = [int(r[0]) for r in rows]
+        cents = [int(r[1]) for r in rows]
+        d = len(days)
+        best, bt = Fraction(-1), -1
+        for t in range(1, d):
+            sl = sum(cents[:t])
+            sr = sum(cents[t:])
+            g = Fraction(sl * sl, t) + Fraction(sr * sr, d - t)
+            if g > best:
+                best, bt = g, t
+        out = pa.table({
+            "split_day": pa.array([days[bt]], pa.int64()),
+            "n_l": pa.array([bt], pa.int64()),
+            "n_r": pa.array([d - bt], pa.int64()),
+            "sum_l": pa.array([sum(cents[:bt])], pa.int64()),
+            "sum_r": pa.array([sum(cents[bt:])], pa.int64())})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _best_split_sql(sf_dir: str) -> str:
+    return (f"SELECT split_day, n_l, n_r, sum_l, sum_r "
+            f"FROM read_parquet('{_best_split_sidecar(sf_dir)}')")
+
+
+def q_largest_blob_images(sf_dir: str):
+    """Largest and second-largest 4-connected foreground component
+    per image (first 1024) — the object-dominance feature that
+    separates one-big-region frames from speckle. Reuses the
+    whole-batch min-neighbour relaxation labelling (blob_count law);
+    component sizes are one bincount of converged labels per image.
+    Scalar flood-fill replay."""
+    from geotile.ops.tiles import ImageDecodeStage, read_image_table
+
+    ds = read_image_table(_image_dir_for(sf_dir)).limit(1024)
+
+    class LargestBlobStage:
+        def __init__(self):
+            self.decoders = ImageDecodeStage(verify=False).decoders
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_pylist()
+            hs = batch["h"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            ids = batch["image_id"].to_numpy(zero_copy_only=False)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, (wi, hi) in enumerate(zip(ws, hs)):
+                groups.setdefault((wi, hi), []).append(i)
+            out_id, out_1, out_2 = [], [], []
+            BIG = np.int64(1 << 62)
+            for (wi, hi), slots in groups.items():
+                px = np.stack([self.decoders[fmts[i]](payloads[i],
+                                                      wi, hi)
+                               for i in slots])
+                gray = px.astype(np.int64).sum(axis=3) // 3
+                fg = gray >= 128
+                k = len(slots)
+                lab = np.arange(k * hi * wi, dtype=np.int64) \
+                    .reshape(k, hi, wi)
+                lab = np.where(fg, lab, BIG)
+                while True:
+                    new = lab.copy()
+                    new[:, 1:, :] = np.minimum(new[:, 1:, :],
+                                               lab[:, :-1, :])
+                    new[:, :-1, :] = np.minimum(new[:, :-1, :],
+                                                lab[:, 1:, :])
+                    new[:, :, 1:] = np.minimum(new[:, :, 1:],
+                                               lab[:, :, :-1])
+                    new[:, :, :-1] = np.minimum(new[:, :, :-1],
+                                                lab[:, :, 1:])
+                    new = np.where(fg, new, BIG)
+                    if (new == lab).all():
+                        break
+                    lab = new
+                for j in range(k):
+                    m = fg[j].ravel()
+                    if not m.any():
+                        out_id.append(ids[slots[j]])
+                        out_1.append(0)
+                        out_2.append(0)
+                        continue
+                    _, counts = np.unique(lab[j].ravel()[m],
+                                          return_counts=True)
+                    counts = np.sort(counts)[::-1]
+                    out_id.append(ids[slots[j]])
+                    out_1.append(int(counts[0]))
+                    out_2.append(int(counts[1])
+                                 if len(counts) > 1 else 0)
+            return pa.table({
+                "image_id": pa.array(out_id, pa.string()),
+                "max_blob": pa.array(out_1, pa.int64()),
+                "second_blob": pa.array(out_2, pa.int64())})
+
+    return ds.map_batches(LargestBlobStage, batch_format="pyarrow",
+                          batch_size=128, concurrency=2)
+
+
+QUERIES["largest_blob_images"] = q_largest_blob_images
+
+
+def _largest_blob_sidecar(img: str, n: int = 1024) -> str:
+    """Flood-fill replay for largest_blob_images. Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_lblob_{Path(img).name}_{n}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(img, columns=["image_id", "w", "h"])
+        order = pc.sort_indices(t["image_id"])[:n]
+        ids = t["image_id"].take(order)
+        ws = t["w"].take(order).to_numpy(zero_copy_only=False)
+        hs = t["h"].take(order).to_numpy(zero_copy_only=False)
+        idx = _sy.image_index(ids).astype(np.uint64)
+        m1 = np.zeros(len(ws), np.int64)
+        m2 = np.zeros(len(ws), np.int64)
+        for wi, hi in set(zip(ws.tolist(), hs.tolist())):
+            mm = np.nonzero((ws == wi) & (hs == hi))[0]
+            px = _sy.pixel_pattern(idx[mm], wi, hi)
+            for j, slot in enumerate(mm):
+                fg = [[(int(px[j, y, x, 0]) + int(px[j, y, x, 1])
+                        + int(px[j, y, x, 2])) // 3 >= 128
+                       for x in range(wi)] for y in range(hi)]
+                seen = [[False] * wi for _ in range(hi)]
+                sizes = []
+                for y0 in range(hi):
+                    for x0 in range(wi):
+                        if not fg[y0][x0] or seen[y0][x0]:
+                            continue
+                        stack, sz = [(y0, x0)], 0
+                        seen[y0][x0] = True
+                        while stack:
+                            y, x = stack.pop()
+                            sz += 1
+                            for dy, dx in ((1, 0), (-1, 0),
+                                           (0, 1), (0, -1)):
+                                yy, xx = y + dy, x + dx
+                                if 0 <= yy < hi and 0 <= xx < wi \
+                                        and fg[yy][xx] \
+                                        and not seen[yy][xx]:
+                                    seen[yy][xx] = True
+                                    stack.append((yy, xx))
+                        sizes.append(sz)
+                sizes.sort(reverse=True)
+                m1[slot] = sizes[0] if sizes else 0
+                m2[slot] = sizes[1] if len(sizes) > 1 else 0
+        out = pa.table({"image_id": ids,
+                        "max_blob": pa.array(m1),
+                        "second_blob": pa.array(m2)})
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _largest_blob_sql(img: str) -> str:
+    return (f"SELECT image_id, max_blob, second_blob "
+            f"FROM read_parquet('{_largest_blob_sidecar(img)}')")
+
+
+def q_supplier_breadth_customers(sf_dir: str):
+    """Bipartite degree histogram: how many DISTINCT suppliers each
+    customer has bought from (via orders→lineitem), as a histogram —
+    supply-chain diversification at a glance. The custkey rides the
+    size-guarded lookup_join onto lineitem; (custkey, suppkey) pairs
+    pack into one int64 key (packed-key law) for the distinct
+    shuffle; per-customer counts and the final histogram are two tiny
+    follow-up groupbys. DISTINCT-pair SQL replay."""
+    from geotile.ops.relational import lookup_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"].cast(pa.int64()),
+             "cust": t["o_custkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    j = lookup_join(li, "l_orderkey", orders, "o_orderkey", "cust")
+    PACK = np.int64(1) << np.int64(20)
+
+    def pack(t: pa.Table) -> pa.Table:
+        c = t["cust"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        assert s.max(initial=0) < PACK, "suppkey packing contract"
+        k = np.unique(c * PACK + s)
+        return pa.table({"k": pa.array(k)})
+
+    pairs = (j.map_batches(pack, batch_format="pyarrow")
+             .groupby("k").count())
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        g = pa.table({"cust": pa.array(k // PACK),
+                      "ns": pa.array(np.ones(len(k), np.int64))}) \
+            .group_by("cust").aggregate([("ns", "sum")])
+        return pa.table({"cust": g["cust"], "ns": g["ns_sum"]})
+
+    counts = (pairs.map_batches(per_cust, batch_format="pyarrow")
+              .groupby("cust").sum("ns"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        ns = t["sum(ns)"].to_numpy(zero_copy_only=False)
+        g = pa.table({"n_suppliers": pa.array(ns),
+                      "n_customers": pa.array(np.ones(len(ns),
+                                                      np.int64))}) \
+            .group_by("n_suppliers").aggregate([("n_customers",
+                                                 "sum")])
+        return pa.table({"n_suppliers": g["n_suppliers"],
+                         "n_customers": g["n_customers_sum"]})
+
+    out = (counts.map_batches(hist, batch_format="pyarrow")
+           .groupby("n_suppliers").sum("n_customers"))
+    return _rename(out, ["n_suppliers", "n_customers"])
+
+
+QUERIES["supplier_breadth_customers"] = q_supplier_breadth_customers
+ORACLE_SQL["supplier_breadth_customers"] = """
+        WITH cs AS (SELECT DISTINCT o.o_custkey AS c,
+                                    l.l_suppkey AS s
+                    FROM lineitem l
+                    JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        d AS (SELECT c, count(*) AS ns FROM cs GROUP BY 1)
+        SELECT CAST(ns AS BIGINT) AS n_suppliers,
+               count(*) AS n_customers
+        FROM d GROUP BY 1
+    """

@@ -244,6 +244,7 @@ CHECKED = [
     "head_vocab_coverage_sources",
     "two_hop_dups",
     "token_burstiness_head",
+    "supplier_breadth_customers",
 ]
 
 
@@ -1351,4 +1352,32 @@ def test_audio_walsh_bands_oracle(ray_session, con):
            .sort_values(["track_id", "band"]).reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("track_id", "band", "energy"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_best_split_daily_oracle(ray_session, con):
+    """Prefix-sum Fraction argmax vs the brute-force segment-sum
+    replay at sf0.001."""
+    from geotile.queries import QUERIES, _best_split_sql
+
+    got = QUERIES["best_split_daily"](SF).reset_index(drop=True)
+    exp = con.execute(_best_split_sql(SF)).df()
+    assert len(got) == len(exp) == 1
+    for c in ("split_day", "n_l", "n_r", "sum_l", "sum_r"):
+        assert int(got[c][0]) == int(exp[c][0]), c
+
+
+def test_largest_blob_images_oracle(ray_session, con):
+    """Min-relaxation labelling + bincount vs the scalar flood-fill
+    replay at sf0.001."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _largest_blob_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["largest_blob_images"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_largest_blob_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "max_blob", "second_blob"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
