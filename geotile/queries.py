@@ -4672,6 +4672,9 @@ def oracle_sql() -> dict[str, str]:
     out["audio_walsh_bands"] = _audio_walsh_sql(aud01)
     out["best_split_daily"] = _best_split_sql(sf01)
     out["largest_blob_images"] = _largest_blob_sql(img01)
+    out["containment_pairs_docs"] = _containment_sql(sf01)
+    out["video_temporal_haar"] = _video_thaar_sql(
+        _video_dir_for("/root/testdata/sf0.01"))
     return out
 
 
@@ -22786,3 +22789,289 @@ ORACLE_SQL["supplier_breadth_customers"] = """
                count(*) AS n_customers
         FROM d GROUP BY 1
     """
+
+
+def q_containment_pairs_docs(sf_dir: str):
+    """Asymmetric containment for the verified MinHash near-dup
+    pairs: |Sa∩Sb| with both distinct-shingle set sizes — the
+    partial-copy detector (high containment, low Jaccard = one doc
+    embedded in another) that symmetric dedup misses. Pair discovery
+    is the distributed LSH+verify stage; shingle sets recompute with
+    the engine's vectorized Rabin-Karp shingling for just the paired
+    docs (pair-output scale broadcast; co-partition the pair list
+    against documents at 100 TB). Scalar shingle-set replay."""
+    from geotile.ops.dedup import (_shingle_flat, hashed_tokens,
+                                   minhash_lsh_pairs)
+
+    pairs = minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.35)
+    plist = pairs.take_all()
+    if not plist:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                             "b": pd.Series(dtype=np.int64),
+                             "inter": pd.Series(dtype=np.int64),
+                             "na": pd.Series(dtype=np.int64),
+                             "nb": pd.Series(dtype=np.int64)})
+    need = sorted({r["a"] for r in plist} | {r["b"] for r in plist})
+    need_arr = np.array(need, np.int64)
+    nref = ray.put(need_arr)
+
+    def gather(t: pa.Table) -> pa.Table:
+        need_ = _broadcast(nref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(need_, d)
+        safe = np.minimum(pos, len(need_) - 1)
+        keep = need_[safe] == d
+        return t.filter(pa.array(keep))
+
+    texts = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(gather, batch_format="pyarrow")).take_all()
+    shing: dict[int, np.ndarray] = {}
+    for r in texts:
+        h, off = hashed_tokens(pa.array([r["text"]], pa.string()))
+        sh, _ = _shingle_flat(h, off, 3)
+        shing[r["doc_id"]] = np.unique(sh)
+    sref = ray.put(shing)
+
+    ds = rd.from_arrow(pa.table(
+        {"a": pa.array([r["a"] for r in plist], pa.int64()),
+         "b": pa.array([r["b"] for r in plist], pa.int64())})) \
+        .repartition(4)
+
+    def cont(t: pa.Table) -> pa.Table:
+        sh_ = _broadcast(sref)
+        aa = t["a"].to_numpy(zero_copy_only=False)
+        bb = t["b"].to_numpy(zero_copy_only=False)
+        inter = np.zeros(len(aa), np.int64)
+        na = np.zeros(len(aa), np.int64)
+        nb = np.zeros(len(aa), np.int64)
+        for i, (x, y) in enumerate(zip(aa.tolist(), bb.tolist())):
+            sa, sb = sh_[x], sh_[y]
+            inter[i] = len(np.intersect1d(sa, sb,
+                                          assume_unique=True))
+            na[i], nb[i] = len(sa), len(sb)
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "inter": pa.array(inter),
+                         "na": pa.array(na), "nb": pa.array(nb)})
+
+    return ds.map_batches(cont, batch_format="pyarrow")
+
+
+QUERIES["containment_pairs_docs"] = q_containment_pairs_docs
+
+
+def _containment_sidecar(sf_dir: str) -> str:
+    from geotile.oracle_ref import minhash_lsh_pairs_ref, shingles
+
+    def build() -> pa.Table:
+        docs = _read_docs(sf_dir)
+        byid = dict(docs)
+        pairs = minhash_lsh_pairs_ref(docs, threshold=0.35)
+        rows = []
+        for a, b, _j in pairs:
+            sa = set(shingles(byid[a], 3))
+            sb = set(shingles(byid[b], 3))
+            rows.append({"a": a, "b": b,
+                         "inter": len(sa & sb),
+                         "na": len(sa), "nb": len(sb)})
+        if not rows:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "inter": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        return pa.Table.from_pylist(rows)
+
+    return _ref_sidecar(sf_dir, "containment", build)
+
+
+def _containment_sql(sf_dir: str) -> str:
+    return (f"SELECT a, b, inter, na, nb "
+            f"FROM read_parquet('{_containment_sidecar(sf_dir)}')")
+
+
+def q_butterfly_count_cs(sf_dir: str):
+    """Butterfly (bipartite 4-cycle) census of the customer–supplier
+    purchase graph: wedges = Σ_pairs-of-suppliers-sharing-a-customer,
+    butterflies = Σ_wedge-keys C(w, 2) — the bipartite clustering
+    primitive behind fraud-ring and co-purchase mining. Distinct
+    (cust, supp) edges via the packed-key shuffle; each customer
+    group emits its C(ns, 2) supplier pairs (bounded by the supplier
+    dimension); one pair-key groupby and a tiny Σ C(w,2) epilogue.
+    DISTINCT double-join replay."""
+    from geotile.ops.relational import _with_bucket, lookup_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"].cast(pa.int64()),
+             "cust": t["o_custkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    j = lookup_join(li, "l_orderkey", orders, "o_orderkey", "cust")
+    PACK = np.int64(1) << np.int64(20)
+
+    def pack(t: pa.Table) -> pa.Table:
+        c = t["cust"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = np.unique(c * PACK + s)
+        return pa.table({"k": pa.array(k)})
+
+    edges = (j.map_batches(pack, batch_format="pyarrow")
+             .groupby("k").count())
+
+    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"pk": pd.Series(dtype=np.int64),
+                                 "w": pd.Series(dtype=np.int64)})
+        k = np.sort(df["k"].to_numpy(np.int64))
+        cust = k // PACK
+        supp = k % PACK
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        out = []
+        for s, e in zip(starts, ends):
+            ss = supp[s:e]
+            if len(ss) < 2:
+                continue
+            iu = np.triu_indices(len(ss), k=1)
+            out.append(ss[iu[0]] * PACK + ss[iu[1]])
+        if not out:
+            return pd.DataFrame({"pk": pd.Series(dtype=np.int64),
+                                 "w": pd.Series(dtype=np.int64)})
+        pk = np.concatenate(out)
+        return pd.DataFrame({"pk": pk,
+                             "w": np.ones(len(pk), np.int64)})
+
+    def cust_col(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": t["k"],
+                         "cust": pa.array(k // PACK)})
+
+    wedges = (_with_bucket(edges.map_batches(cust_col,
+                                             batch_format="pyarrow"),
+                           "cust", 16)
+              .groupby("bucket")
+              .map_groups(wedge_pairs, batch_format="pandas")
+              .map_batches(lambda t: t, batch_format="pyarrow")
+              .groupby("pk").sum("w"))
+
+    def part(t: pa.Table) -> pa.Table:
+        w = t["sum(w)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "wedges": pa.array([int(w.sum())], pa.int64()),
+            "butterflies": pa.array([int((w * (w - 1) // 2).sum())],
+                                    pa.int64()),
+            "wedge_keys": pa.array([len(w)], pa.int64())})
+
+    rows = wedges.map_batches(part, batch_format="pyarrow").take_all()
+    return pd.DataFrame({
+        "wedges": [int(sum(r["wedges"] for r in rows))],
+        "butterflies": [int(sum(r["butterflies"] for r in rows))],
+        "wedge_keys": [int(sum(r["wedge_keys"] for r in rows))]})
+
+
+QUERIES["butterfly_count_cs"] = q_butterfly_count_cs
+ORACLE_SQL["butterfly_count_cs"] = """
+        WITH cs AS (SELECT DISTINCT o.o_custkey AS c,
+                                    l.l_suppkey AS s
+                    FROM lineitem l
+                    JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        wedge AS (SELECT x.s AS s1, y.s AS s2, count(*) AS w
+                  FROM cs x JOIN cs y ON y.c = x.c AND y.s > x.s
+                  GROUP BY 1, 2)
+        SELECT CAST(SUM(w) AS BIGINT) AS wedges,
+               CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS butterflies,
+               CAST(count(*) AS BIGINT) AS wedge_keys
+        FROM wedge
+    """
+
+
+def q_video_temporal_haar(sf_dir: str):
+    """Temporal micro-structure per clip from the per-frame pixel-sum
+    series (EVERY frame: the sampling stage runs with every_n=1):
+    total variation Σ|Δ| and level-1 Haar detail Σ(s₂ᵢ−s₂ᵢ₊₁)² —
+    exact integers separating smooth pans from strobing content. One
+    frame-ledger pass, per-clip folds are index algebra. Python-int
+    replay sidecar."""
+    from geotile.ops.relational import _with_bucket
+    from geotile.ops.video import VideoFrameStage, read_video_table
+
+    ds = read_video_table(_video_dir_for(sf_dir))
+    frames = ds.map_batches(VideoFrameStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=2,
+                            fn_constructor_kwargs={"every_n": 1})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"clip_id": pd.Series(dtype=np.int64),
+                                 "tv": pd.Series(dtype=np.int64),
+                                 "d1_energy":
+                                     pd.Series(dtype=np.int64)})
+        cid = df["clip_id"].to_numpy(np.int64)
+        fr = df["frame_idx"].to_numpy(np.int64)
+        s = df["pixel_sum"].to_numpy(np.int64)
+        o = np.lexsort((fr, cid))
+        cid, s = cid[o], s[o]
+        starts = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
+        ends = np.r_[starts[1:], len(cid)]
+        out_c, out_tv, out_d1 = [], [], []
+        for a, e in zip(starts, ends):
+            seg = s[a:e]
+            tv = int(np.abs(np.diff(seg)).sum())
+            n2 = (len(seg) // 2) * 2
+            p = seg[:n2].reshape(-1, 2)
+            d1 = int(((p[:, 0] - p[:, 1]) ** 2).sum())
+            out_c.append(cid[a])
+            out_tv.append(tv)
+            out_d1.append(d1)
+        return pd.DataFrame({"clip_id": out_c,
+                             "tv": np.array(out_tv, np.int64),
+                             "d1_energy": np.array(out_d1,
+                                                   np.int64)})
+
+    return (_with_bucket(frames, "clip_id", 8)
+            .groupby("bucket").map_groups(fold, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow"))
+
+
+QUERIES["video_temporal_haar"] = q_video_temporal_haar
+
+
+def _video_thaar_sidecar(vid: str) -> str:
+    """Python-int replay for video_temporal_haar. Content-keyed on
+    synth.py."""
+    import geotile.synth as _sy
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = _oracle_cache_dir() / (
+        f"oracle_videothaar_{Path(vid).name}_{_mods_digest(_sy)}.parquet"
+    )
+    if not p.exists():
+        t = pq.read_table(vid, columns=["clip_id", "n_frames"])
+        ids = np.sort(t["clip_id"].to_numpy(zero_copy_only=False))
+        nf = int(t["n_frames"][0].as_py())
+        rows = []
+        for cid in ids.tolist():
+            sums = []
+            for f in range(nf):
+                px = _sy.pixel_pattern(
+                    np.array([cid * 64 + f], np.uint64),
+                    _sy.VIDEO_W, _sy.VIDEO_H)[0]
+                sums.append(sum(int(v) for v in px.ravel().tolist()))
+            tv = sum(abs(sums[i + 1] - sums[i])
+                     for i in range(nf - 1))
+            d1 = sum((sums[2 * i] - sums[2 * i + 1]) ** 2
+                     for i in range(nf // 2))
+            rows.append({"clip_id": cid, "tv": tv, "d1_energy": d1})
+        out = pa.Table.from_pylist(rows)
+        _oracle_cache_dir().mkdir(parents=True, exist_ok=True)
+        _atomic_write_table(out, p)
+    return str(p)
+
+
+def _video_thaar_sql(vid: str) -> str:
+    return (f"SELECT clip_id, tv, d1_energy "
+            f"FROM read_parquet('{_video_thaar_sidecar(vid)}')")

@@ -245,6 +245,7 @@ CHECKED = [
     "two_hop_dups",
     "token_burstiness_head",
     "supplier_breadth_customers",
+    "butterfly_count_cs",
 ]
 
 
@@ -1380,4 +1381,34 @@ def test_largest_blob_images_oracle(ray_session, con):
            .sort_values("image_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("image_id", "max_blob", "second_blob"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_containment_pairs_docs_oracle(ray_session, con):
+    """Vectorized shingle-set intersections vs the scalar shingle
+    replay at sf0.001."""
+    from geotile.queries import QUERIES, _containment_sql
+
+    got = (QUERIES["containment_pairs_docs"](SF).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    exp = (con.execute(_containment_sql(SF)).df()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("a", "b", "inter", "na", "nb"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_video_temporal_haar_oracle(ray_session, con):
+    """Frame-ledger index algebra vs the python-int replay at
+    sf0.001."""
+    from geotile.queries import (QUERIES, _video_dir_for,
+                                 _video_thaar_sql)
+
+    vid = _video_dir_for(SF)
+    got = (QUERIES["video_temporal_haar"](SF).to_pandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    exp = (con.execute(_video_thaar_sql(vid)).df()
+           .sort_values("clip_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("clip_id", "tv", "d1_energy"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
