@@ -246,6 +246,8 @@ CHECKED = [
     "token_burstiness_head",
     "supplier_breadth_customers",
     "butterfly_count_cs",
+    "degree_assortativity_dups",
+    "anomalous_minutes_events",
 ]
 
 
@@ -1411,4 +1413,18 @@ def test_video_temporal_haar_oracle(ray_session, con):
            .sort_values("clip_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("clip_id", "tv", "d1_energy"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_sig_agreement_pairs_docs_oracle(ray_session, con):
+    """Vectorized flat-segment signer vs the scalar fold61 signature
+    replay at sf0.001."""
+    from geotile.queries import QUERIES, _sig_agreement_sql
+
+    got = (QUERIES["sig_agreement_pairs_docs"](SF).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    exp = (con.execute(_sig_agreement_sql(SF)).df()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("a", "b", "n_agree"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
