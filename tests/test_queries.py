@@ -248,6 +248,7 @@ CHECKED = [
     "butterfly_count_cs",
     "degree_assortativity_dups",
     "anomalous_minutes_events",
+    "nucleus_mass_types",
 ]
 
 
@@ -1427,4 +1428,35 @@ def test_sig_agreement_pairs_docs_oracle(ray_session, con):
            .sort_values(["a", "b"]).reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("a", "b", "n_agree"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_gray_modes_images_oracle(ray_session, con):
+    """Histogram-tensor double argmax vs the per-pixel python replay
+    at sf0.001."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _gray_modes_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["gray_modes_images"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_gray_modes_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "mode1", "count1", "mode2", "count2"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_audio_peak_tracks_oracle(ray_session, con):
+    """Stacked |abs| argmax vs the python scan replay at sf0.001."""
+    from geotile.queries import (QUERIES, _audio_dir_for,
+                                 _audio_peak_sql)
+
+    aud = _audio_dir_for(SF)
+    got = (QUERIES["audio_peak_tracks"](SF).to_pandas()
+           .sort_values("track_id").reset_index(drop=True))
+    exp = (con.execute(_audio_peak_sql(aud)).df()
+           .sort_values("track_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("track_id", "peak", "peak_idx", "crest_num"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
