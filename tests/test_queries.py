@@ -249,6 +249,9 @@ CHECKED = [
     "degree_assortativity_dups",
     "anomalous_minutes_events",
     "nucleus_mass_types",
+    "vocab_jaccard_sources",
+    "daily_cross_source_moments",
+    "linenumber_contiguity_audit",
 ]
 
 
