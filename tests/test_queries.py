@@ -252,6 +252,8 @@ CHECKED = [
     "vocab_jaccard_sources",
     "daily_cross_source_moments",
     "linenumber_contiguity_audit",
+    "childless_orders_audit",
+    "basket_pairs_user_days",
 ]
 
 
@@ -1462,4 +1464,20 @@ def test_audio_peak_tracks_oracle(ray_session, con):
            .sort_values("track_id").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     for c in ("track_id", "peak", "peak_idx", "crest_num"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_quadtree_depth_images_oracle(ray_session, con):
+    """Level-synchronous tensor decomposition vs the recursive python
+    replay at sf0.001."""
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _quadtree_sql)
+
+    img = _image_dir_for(SF)
+    got = (QUERIES["quadtree_depth_images"](SF).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (con.execute(_quadtree_sql(img)).df()
+           .sort_values("image_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    for c in ("image_id", "n_leaves", "max_depth"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
