@@ -318,3 +318,68 @@ def range_counts_ref(vectors, labels, r2: int):
         st[0] += 1
         st[1] += cnt
     return {k: tuple(v) for k, v in out.items()}
+
+
+def hilbert_xy2d(order: int, x: int, y: int) -> int:
+    """Scalar Hilbert curve index of grid cell (x, y) on a 2^order ×
+    2^order grid — the published iterative xy2d (Wikipedia "Hilbert
+    curve", converting to/from Hilbert order). Pure python ints; the
+    engine's vectorized numpy twin lives in geotile/geom/hilbert.py and
+    a bug cannot live in both."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def rdp_keep_count(xs, ys, tolerance: float) -> int:
+    """Scalar Ramer–Douglas–Peucker retained-vertex count with the
+    EXACT arithmetic of geotile/geom/rdp.rdp (same expression order,
+    same first-argmax tie rule, same clamp) but pure-python floats and
+    an explicit scalar loop — an independent replay of the vectorized
+    kernel, not an import of it."""
+    n = len(xs)
+    if n <= 2 or tolerance <= 0:
+        return n
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    tol2 = tolerance * tolerance
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        ax, ay = xs[lo], ys[lo]
+        bx, by = xs[hi], ys[hi]
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        best_d2 = -1.0
+        best_i = -1
+        for i in range(lo + 1, hi):
+            sx, sy = xs[i], ys[i]
+            if L2 == 0.0:
+                d2 = (sx - ax) ** 2 + (sy - ay) ** 2
+            else:
+                t = ((sx - ax) * dx + (sy - ay) * dy) / L2
+                if t < 0.0:
+                    t = 0.0
+                elif t > 1.0:
+                    t = 1.0
+                d2 = (sx - (ax + t * dx)) ** 2 + (sy - (ay + t * dy)) ** 2
+            if d2 > best_d2:
+                best_d2 = d2
+                best_i = i
+        if best_d2 > tol2:
+            keep[best_i] = True
+            stack.append((lo, best_i))
+            stack.append((best_i, hi))
+    return sum(keep)

@@ -1,0 +1,96 @@
+"""Round-3 batch: Hilbert-curve locality, RDP retention curve, shape
+sinuosity — kernel unit tests (the driver-facing oracle equality runs
+in BENCH/check_correctness.py; these pin the kernel properties the
+oracles can't see, e.g. the Hilbert adjacency invariant)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hilbert_scalar_vs_vectorized():
+    from geotile.geom.hilbert import hilbert_xy2d
+    from geotile.oracle_ref import hilbert_xy2d as h_ref
+
+    rng = np.random.default_rng(3)
+    for order in (4, 9, 16):
+        n = 1 << order
+        x = rng.integers(0, n, 300).astype(np.int64)
+        y = rng.integers(0, n, 300).astype(np.int64)
+        got = hilbert_xy2d(order, x, y)
+        exp = np.array([h_ref(order, int(a), int(b))
+                        for a, b in zip(x, y)], np.int64)
+        assert (got == exp).all()
+
+
+def test_hilbert_is_a_bijective_neighbor_walk():
+    """The defining curve property: over the FULL 2^order grid the
+    codes are a permutation of [0, 4^order) and consecutive codes map
+    to 4-adjacent cells (Manhattan distance exactly 1) — Morton fails
+    this, Hilbert must satisfy it everywhere."""
+    from geotile.geom.hilbert import hilbert_xy2d
+
+    order = 5
+    n = 1 << order
+    ix, iy = np.meshgrid(np.arange(n, dtype=np.int64),
+                         np.arange(n, dtype=np.int64), indexing="ij")
+    ix, iy = ix.ravel(), iy.ravel()
+    d = hilbert_xy2d(order, ix, iy)
+    assert sorted(d.tolist()) == list(range(n * n))
+    o = np.argsort(d)
+    step = (np.abs(np.diff(ix[o])) + np.abs(np.diff(iy[o])))
+    assert (step == 1).all()
+
+
+def test_rdp_scalar_replay_matches_vectorized():
+    from geotile.geom.rdp import rdp
+    from geotile.oracle_ref import rdp_keep_count
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        m = int(rng.integers(2, 120))
+        pts = np.cumsum(rng.normal(0, 1.0, (m, 2)), axis=0)
+        for tol in (0.1, 0.5, 2.0):
+            assert len(rdp(pts, tol)) == rdp_keep_count(
+                pts[:, 0].tolist(), pts[:, 1].tolist(), tol)
+
+
+def test_rdp_retention_monotone_in_eps(ray_session):
+    """More tolerance can never KEEP more vertices; every shape keeps
+    at least its two endpoints."""
+    from geotile.queries import QUERIES
+
+    df = QUERIES["rdp_retention_shapes"](SF).to_pandas()
+    assert (df["n_kept"] >= 2).all()
+    for sid, g in df.groupby("shape_id"):
+        g = g.sort_values("eps_e6")
+        assert (np.diff(g["n_kept"].to_numpy()) <= 0).all(), sid
+
+
+def test_sinuosity_path_at_least_chord(ray_session):
+    """Triangle inequality on the lattice: n·path_d2 ≥ chord_d2 (by
+    Cauchy–Schwarz over the segment decomposition); a straight 2-point
+    shape has path_d2 == chord_d2."""
+    from geotile.queries import QUERIES
+
+    df = QUERIES["route_sinuosity_parts"](SF).to_pandas()
+    assert len(df) > 0
+    n_legs = (df["n_points"] - 1).clip(lower=1)
+    assert (n_legs * df["path_d2"] >= df["chord_d2"]).all()
+
+
+def test_hilbert_runs_never_worse_than_cells(ray_session):
+    """Run counts are in [1, n_cells] for non-empty rects, and the
+    whole-ROI rect (rect 0) sees every occupied cell of the two
+    sub-rects."""
+    from geotile.queries import QUERIES
+
+    df = QUERIES["hilbert_range_counts"](SF)
+    full = df[df.rect_id == 0].iloc[0]
+    assert full.n_cells > 0
+    sub = df[df.rect_id != 0]
+    assert (sub.n_cells <= full.n_cells).all()
+    ok = df[df.n_cells > 0]
+    for col in ("hilbert_runs", "morton_runs"):
+        assert (ok[col] >= 1).all() and (ok[col] <= ok.n_cells).all()
