@@ -94,3 +94,59 @@ def test_hilbert_runs_never_worse_than_cells(ray_session):
     ok = df[df.n_cells > 0]
     for col in ("hilbert_runs", "morton_runs"):
         assert (ok[col] >= 1).all() and (ok[col] <= ok.n_cells).all()
+
+
+def test_kmv_exact_below_k(ray_session):
+    """Distinct users below K ⇒ KMV returns the exact count."""
+    import duckdb
+
+    from geotile.queries import QUERIES
+
+    df = QUERIES["kmv_distinct_users"](SF)
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{SF}/events.parquet')").fetchone()[0]
+    if exact < 256:
+        assert int(df["est"].iloc[0]) == exact
+        assert int(df["k"].iloc[0]) == exact
+    else:
+        assert abs(int(df["est"].iloc[0]) - exact) / exact < 0.25
+
+
+def test_snm_matches_single_node_replay(ray_session):
+    """Engine pairs == the trivially-correct single-process replay
+    (sort everything, slide the window) — proves the range-partition +
+    boundary-stitch decomposition loses/invents nothing."""
+    import pyarrow.parquet as pq
+
+    from geotile.queries import _SNM_KEYLEN, _SNM_W, QUERIES
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t["key"] = (t["text"].str.replace(" ", "", regex=False)
+                .str.lower().str.slice(0, _SNM_KEYLEN))
+    t = t.sort_values(["key", "doc_id"]).reset_index(drop=True)
+    exp = set()
+    for w in range(1, _SNM_W + 1):
+        for i in range(len(t) - w):
+            exp.add((int(t.doc_id[i]), int(t.doc_id[i + w]), w,
+                     int(t.key[i] == t.key[i + w])))
+    got = QUERIES["snm_candidate_pairs"](SF).take_all()
+    gset = {(r["a"], r["b"], r["gap"], r["same_key"]) for r in got}
+    assert gset == exp
+
+
+def test_cn_scores_exclude_edges(ray_session):
+    """No predicted pair may already be an edge; every score ≥ 1."""
+    from geotile.ops.dedup import embedding_dup_pairs
+    from geotile.queries import QUERIES, _read
+
+    got = QUERIES["cn_link_prediction_dups"](SF)
+    rows = got.take_all() if hasattr(got, "take_all") else \
+        got.to_dict("records")
+    edges = {(r["a"], r["b"]) for r in embedding_dup_pairs(
+        _read(SF, "embeddings", ["vec_id", "embedding"]),
+        tau=0.35).take_all()}
+    for r in rows:
+        assert (r["a"], r["b"]) not in edges
+        assert r["cn"] >= 1 and r["a"] < r["b"]
