@@ -383,3 +383,47 @@ def rdp_keep_count(xs, ys, tolerance: float) -> int:
             stack.append((lo, best_i))
             stack.append((best_i, hi))
     return sum(keep)
+
+
+def mmr_topk_ref(ids, vectors, signs, k: int):
+    """Scalar-python Maximal Marginal Relevance greedy selection with
+    λ = 1/2 on the e6 integer lattice: round r picks the unselected
+    vector maximizing rel_i − max_{s∈S} sim(i, s) (both exact int64
+    dot products; rel against the ±1 probe ``signs``; the maxsim term
+    is 0 in round 0), smallest id on ties. Returns [(rank, id, score)].
+    Incremental: each round only dots candidates against the newly
+    selected vector — O(k·n·dim) python-int ops, no numpy."""
+    n = len(ids)
+    dim = len(signs)
+    rel = []
+    for v in vectors:
+        acc = 0
+        for j in range(dim):
+            acc += v[j] * signs[j]
+        rel.append(acc)
+    NEG = -(1 << 200)
+    best_sim = [NEG] * n  # max sim to the selected set so far
+    chosen = [False] * n
+    out = []
+    for rank in range(min(k, n)):
+        bi = -1
+        bs = None
+        for i in range(n):
+            if chosen[i]:
+                continue
+            ms = best_sim[i] if out else 0
+            sc = rel[i] - ms
+            if bs is None or sc > bs or (sc == bs and ids[i] < ids[bi]):
+                bi, bs = i, sc
+        out.append((rank, ids[bi], bs))
+        chosen[bi] = True
+        sel = vectors[bi]
+        for i in range(n):
+            if chosen[i]:
+                continue
+            acc = 0
+            for j in range(dim):
+                acc += vectors[i][j] * sel[j]
+            if acc > best_sim[i]:
+                best_sim[i] = acc
+    return out

