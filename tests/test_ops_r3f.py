@@ -222,3 +222,50 @@ def test_audio_decimate_energy_bounds(ray_session):
     for r in rows:
         assert r["energy"] <= 4 * raw[r["track_id"]]
         assert r["sum_abs"] >= 0 and r["n_frames"] > 0
+
+
+def test_route_headways_invariants(ray_session):
+    """Every (route, direction, stop) sees ≥1 visit; gap aggregates
+    are consistent (min ≤ max, sum ≥ (n−1)·min) and non-negative
+    (GTFS clock strings are monotone within a service day here)."""
+    from geotile.queries import QUERIES
+
+    df = QUERIES["route_headways"](SF).to_pandas()
+    assert len(df) > 0
+    assert (df["n_visits"] >= 1).all()
+    assert (df["min_headway_s"] >= 0).all()
+    assert (df["min_headway_s"] <= df["max_headway_s"]).all()
+    multi = df[df.n_visits > 1]
+    assert (multi["sum_headway_s"]
+            >= (multi["n_visits"] - 1) * multi["min_headway_s"]).all()
+    assert (multi["sum_headway_s"]
+            <= (multi["n_visits"] - 1) * multi["max_headway_s"]).all()
+
+
+def test_blob_geometry_consistent_with_sizes(ray_session):
+    """blob_size must equal largest_blob_images' top size; the bbox
+    must contain the centroid (x0·size ≤ cx_num ≤ x1·size)."""
+    from geotile.queries import QUERIES
+
+    geo = QUERIES["blob_geometry_images"](SF).to_pandas() \
+        .set_index("image_id")
+    top = QUERIES["largest_blob_images"](SF).to_pandas() \
+        .set_index("image_id")
+    j = geo.join(top, how="inner")
+    assert len(j) == len(geo)
+    assert (j["blob_size"] == j["max_blob"]).all()
+    nz = geo[geo.blob_size > 0]
+    assert (nz["x0"] * nz["blob_size"] <= nz["cx_num"]).all()
+    assert (nz["cx_num"] <= nz["x1"] * nz["blob_size"]).all()
+    assert (nz["y0"] * nz["blob_size"] <= nz["cy_num"]).all()
+    assert (nz["cy_num"] <= nz["y1"] * nz["blob_size"]).all()
+
+
+def test_kendall_bounds(ray_session):
+    """|S| is bounded by the number of day pairs C(n,2)."""
+    from geotile.queries import QUERIES
+
+    df = QUERIES["kendall_nation_pairs"](SF)
+    assert len(df) == 3
+    npairs = df["n_days"] * (df["n_days"] - 1) // 2
+    assert (df["s_stat"].abs() <= npairs).all()
