@@ -269,3 +269,63 @@ def test_kendall_bounds(ray_session):
     assert len(df) == 3
     npairs = df["n_days"] * (df["n_days"] - 1) // 2
     assert (df["s_stat"].abs() <= npairs).all()
+
+
+def test_geohash_reference_vectors(ray_session):
+    """The vectorized encode must reproduce PUBLISHED geohash strings
+    (geohash.org reference points), not merely self-agree."""
+    from geotile.queries import _GH_ALPHABET
+
+    def encode6(lon, lat):
+        n = 1 << 15
+        ix = min(max(int(np.floor((lon + 180.0) / 360.0 * n)), 0),
+                 n - 1)
+        iy = min(max(int(np.floor((lat + 90.0) / 180.0 * n)), 0),
+                 n - 1)
+        code = 0
+        for b in range(15):
+            code |= ((ix >> b) & 1) << (2 * b + 1)
+            code |= ((iy >> b) & 1) << (2 * b)
+        return "".join(_GH_ALPHABET[(code >> (5 * (5 - i))) & 31]
+                       for i in range(6))
+
+    # reference: geohash of (57.64911, 10.40744) = u4pruy (wikipedia)
+    assert encode6(10.40744, 57.64911) == "u4pruy"
+    # San Francisco bay area well-known prefix 9q8y (lon/lat of SF)
+    assert encode6(-122.4194, 37.7749).startswith("9q8y")
+
+
+def test_geohash_counts_conserve_rows(ray_session):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from geotile.queries import QUERIES, _image_dir_for
+
+    df = QUERIES["geohash_cell_counts"](SF).to_pandas()
+    total = sum(pq.read_metadata(f).num_rows for f in glob.glob(
+        f"{_image_dir_for(SF)}/part-*.parquet"))
+    assert df["n_tiles"].sum() == total
+    assert df["geohash"].str.len().eq(6).all()
+    # the synth ROI is the SF peninsula: every geohash must sit in 9q
+    assert df["geohash"].str.startswith("9q").all()
+
+
+def test_dilation_grows_but_bounded(ray_session):
+    from geotile.queries import QUERIES
+
+    df = QUERIES["dilation_area_images"](SF).to_pandas()
+    assert (df["area_dilated"] >= df["area"]).all()
+    # 4-neighbour dilation adds at most 4 pixels per foreground pixel
+    assert (df["area_dilated"] <= 5 * df["area"]).all()
+
+
+def test_q20_gate_is_strict(ray_session):
+    from geotile.queries import QUERIES
+
+    got = QUERIES["excess_suppliers_q20"](SF)
+    rows = got.take_all() if hasattr(got, "take_all") else \
+        got.to_dict("records")
+    for r in rows:
+        assert 100 * r["q96_e2"] > 16 * r["qall_e2"]
+        assert r["qall_e2"] >= r["q96_e2"] >= 0
