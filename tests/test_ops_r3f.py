@@ -329,3 +329,65 @@ def test_q20_gate_is_strict(ray_session):
     for r in rows:
         assert 100 * r["q96_e2"] > 16 * r["qall_e2"]
         assert r["qall_e2"] >= r["q96_e2"] >= 0
+
+
+def test_interp_fill_is_linear_and_interior(ray_session):
+    """Interpolants sit strictly between observed days; endpoints
+    reproduce: num at d0+0/d1 would equal v0·den/v1·den (checked via
+    the convexity bound min(v0,v1)·den ≤ num ≤ max(v0,v1)·den)."""
+    import duckdb
+
+    from geotile.queries import QUERIES
+
+    df = QUERIES["interp_fill_daily_users"](SF).take_all()
+    obs = duckdb.sql(f"""
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS c
+        FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2
+    """).df()
+    key = {(int(r.user_id), int(r.day)): int(r.c)
+           for r in obs.itertuples()}
+    assert len(df) > 0
+    for r in df:
+        u, d = int(r["user_id"]), int(r["day"])
+        assert (u, d) not in key  # interior days only
+        assert r["den"] >= 2
+        # convexity: between neighbours' values
+        lo = d - 1
+        while (u, lo) not in key:
+            lo -= 1
+        hi = d + 1
+        while (u, hi) not in key:
+            hi += 1
+        v0, v1 = key[(u, lo)], key[(u, hi)]
+        assert min(v0, v1) * r["den"] <= r["num"] \
+            <= max(v0, v1) * r["den"]
+
+
+def test_threshold_sweep_monotone(ray_session):
+    """Raising tau can only REMOVE edges/nodes, never grow the largest
+    component."""
+    from geotile.queries import QUERIES
+
+    df = QUERIES["component_threshold_sweep_dups"](SF)
+    assert (np.diff(df["n_edges"].to_numpy()) <= 0).all()
+    assert (np.diff(df["n_nodes"].to_numpy()) <= 0).all()
+    assert (np.diff(df["max_size"].to_numpy()) <= 0).all()
+    assert (df["n_components"] <= df["n_nodes"]).all()
+
+
+def test_route_coverage_deciles_conserve_tiles(ray_session):
+    """Every tile lands in exactly one (route, decile); totals match
+    the image-table row count; deciles stay in [0, 9]."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from geotile.queries import QUERIES, _image_dir_for
+
+    df = QUERIES["route_coverage_deciles"](SF)
+    total = sum(pq.read_metadata(f).num_rows for f in glob.glob(
+        f"{_image_dir_for(SF)}/part-*.parquet"))
+    assert df["n_tiles"].sum() == total
+    assert df["decile"].between(0, 9).all()
+    assert df["route_id"].nunique() >= 2
