@@ -391,3 +391,37 @@ def test_route_coverage_deciles_conserve_tiles(ray_session):
     assert df["n_tiles"].sum() == total
     assert df["decile"].between(0, 9).all()
     assert df["route_id"].nunique() >= 2
+
+
+def test_majority_baseline_bounds(ray_session):
+    from geotile.queries import QUERIES
+
+    df = QUERIES["next_type_majority_accuracy"](SF)
+    assert (df["n_hit"] <= df["n_test"]).all()
+    assert (df["n_test"] > 0).all()
+
+
+def test_contamination_bounds_and_split(ray_session):
+    """Only test-split docs appear; n_seen ≤ n_bigrams; doc ids obey
+    the Knuth-hash test assignment (b ≥ 95)."""
+    from geotile.queries import QUERIES
+
+    rows = QUERIES["test_contamination_docs"](SF).take_all()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_seen"] <= r["n_bigrams"]
+        b = (r["doc_id"] * 2654435761) % 4294967296 % 100
+        assert b >= 95
+
+
+def test_quota_allocation_sums_to_budget(ray_session):
+    from geotile.queries import _QUOTA_BUDGET, QUERIES
+
+    df = QUERIES["quota_allocation_sources"](SF)
+    assert df["final_alloc"].sum() == _QUOTA_BUDGET
+    assert ((df["final_alloc"] - df["floor_alloc"]).isin([0, 1])).all()
+    # proportionality sandwich: floor ≤ exact share ≤ floor+1
+    total = df["n_docs"].sum()
+    exact = _QUOTA_BUDGET * df["n_docs"]
+    assert (df["floor_alloc"] * total <= exact).all()
+    assert (exact < (df["floor_alloc"] + 1) * total).all()
