@@ -425,3 +425,44 @@ def test_quota_allocation_sums_to_budget(ray_session):
     exact = _QUOTA_BUDGET * df["n_docs"]
     assert (df["floor_alloc"] * total <= exact).all()
     assert (exact < (df["floor_alloc"] + 1) * total).all()
+
+
+def test_snm_recall_consistent(ray_session):
+    from geotile.queries import QUERIES
+
+    df = QUERIES["snm_recall_audit"](SF)
+    r = df.iloc[0]
+    assert 0 <= r["n_caught"] <= min(r["n_truth"], r["n_candidates"])
+
+
+def test_dim_median_is_an_element(ray_session):
+    """The lower median must be an ACTUAL matrix element of its
+    dimension (order statistic, never an average)."""
+    import pyarrow.parquet as pq
+
+    from geotile.queries import QUERIES
+
+    df = QUERIES["dim_median_embeddings"](SF).to_pandas()
+    V = np.stack(pq.read_table(
+        f"{SF}/embeddings.parquet",
+        columns=["embedding"])["embedding"].to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    assert len(df) == V.shape[1]
+    for r in df.itertuples():
+        col = np.floor(V[:, r.dim] * 1e6).astype(np.int64)
+        assert r.median_e6 in col
+        assert r.n == V.shape[0]
+
+
+def test_dispersion_classes_partition_users(ray_session):
+    import duckdb
+
+    from geotile.queries import QUERIES
+
+    df = QUERIES["dispersion_class_users"](SF)
+    n_multi = duckdb.sql(f"""
+        SELECT count(*) FROM (
+            SELECT user_id FROM read_parquet('{SF}/events.parquet')
+            GROUP BY 1 HAVING count(*) >= 3)
+    """).fetchone()[0]
+    assert df["n_users"].sum() == n_multi
