@@ -466,3 +466,44 @@ def test_dispersion_classes_partition_users(ray_session):
             GROUP BY 1 HAVING count(*) >= 3)
     """).fetchone()[0]
     assert df["n_users"].sum() == n_multi
+
+
+def test_int8_quant_error_bound(ray_session):
+    """|x − q·s| ≤ s/2 per element when unsaturated ⇒ per-dim total
+    error ≤ n·(s+1)/2; saturation only possible at code boundary."""
+    from geotile.queries import QUERIES
+
+    rows = QUERIES["int8_quant_audit_embeddings"](SF).take_all()
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert len(rows) > 0
+    for r in rows:
+        assert r["scale"] >= 1
+        assert 0 <= r["n_sat"] <= n
+        assert r["abs_err"] <= n * (r["scale"] + 1)
+
+
+def test_proj_profile_matches_numpy(ray_session):
+    """Engine peaks equal a direct numpy recomputation from the synth
+    pixel generator (independent of the decode path)."""
+    import geotile.synth as sy
+    from geotile.queries import QUERIES
+
+    df = QUERIES["proj_profile_images"](SF).to_pandas()
+    samp = df.head(16)
+    idx = sy.image_index(pa.array(samp["image_id"]))
+    for k, r in enumerate(samp.itertuples()):
+        w, h = sy.image_size(np.array([idx[k]], np.uint64))
+        px = sy.pixel_pattern(np.array([idx[k]], np.uint64),
+                              int(w[0]), int(h[0]))[0]
+        gray = px.astype(np.int64).sum(axis=2) // 3
+        assert int(gray.sum(axis=1).argmax()) == r.peak_row
+        assert int(gray.sum(axis=0).argmax()) == r.peak_col
+
+
+def test_sentence_stats_mass_conserved(ray_session):
+    from geotile.queries import QUERIES
+
+    df = QUERIES["sentence_stats_docs"](SF).to_pandas()
+    assert (df["n_sentences"] <= df["n_frags"]).all()
+    assert (df["char_mass"] >= df["n_sentences"]).all()
