@@ -507,3 +507,50 @@ def test_sentence_stats_mass_conserved(ray_session):
     df = QUERIES["sentence_stats_docs"](SF).to_pandas()
     assert (df["n_sentences"] <= df["n_frags"]).all()
     assert (df["char_mass"] >= df["n_sentences"]).all()
+
+
+def test_rbo_bounds(ray_session):
+    """0 ≤ RBO ≤ 1, i.e. 0 ≤ num ≤ den; and self-comparison sanity:
+    den equals the identical-ranking numerator."""
+    from geotile.queries import QUERIES, _RBO_D
+
+    df = QUERIES["rbo_nation_rankings"](SF)
+    num, den = int(df["rbo_num"][0]), int(df["rbo_den"][0])
+    assert 0 <= num <= den
+    ident = sum(i * 9 ** (i - 1) * 10 ** (_RBO_D - i) * _RBO_D
+                for i in range(1, _RBO_D + 1)) * 1
+    assert den == ident * _RBO_D // _RBO_D * 1 or den == ident
+
+
+def test_lbp_histogram_conserves_interior(ray_session):
+    """Per-image LBP counts sum to the interior pixel count."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from geotile.queries import QUERIES, _image_dir_for
+
+    df = QUERIES["lbp_texture_images"](SF).to_pandas()
+    img = _image_dir_for(SF)
+    meta = pa.concat_tables(
+        [pq.read_table(f, columns=["image_id", "w", "h"])
+         for f in sorted(glob.glob(f"{img}/part-*.parquet"))]
+    ).to_pandas().set_index("image_id")
+    per = df.groupby("image_id")["n"].sum()
+    m = meta.loc[per.index]
+    exp = (m["w"] - 2) * (m["h"] - 2)
+    assert (per.to_numpy() == exp.to_numpy()).all()
+    assert df["code"].between(0, 15).all()
+
+
+def test_line_trend_partitions_multiline_orders(ray_session):
+    import duckdb
+
+    from geotile.queries import QUERIES
+
+    df = QUERIES["line_price_trend_orders"](SF)
+    n_multi = duckdb.sql(f"""
+        SELECT count(*) FROM (SELECT l_orderkey FROM
+            read_parquet('{SF}/lineitem.parquet')
+            GROUP BY 1 HAVING count(*) >= 2)""").fetchone()[0]
+    assert df["n_orders"].sum() == n_multi
