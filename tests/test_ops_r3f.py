@@ -554,3 +554,55 @@ def test_line_trend_partitions_multiline_orders(ray_session):
             read_parquet('{SF}/lineitem.parquet')
             GROUP BY 1 HAVING count(*) >= 2)""").fetchone()[0]
     assert df["n_orders"].sum() == n_multi
+
+
+def test_route_pair_dist_symmetric_bound(ray_session):
+    """Vertex-sampled separation: d(A→B) and d(B→A) are both ≥ the
+    true separation, and both directions exist for every shaped
+    route pair; values are finite and non-negative."""
+    from geotile.queries import QUERIES
+
+    df = QUERIES["route_pair_min_vertex_dist"](SF)
+    assert len(df) >= 2 and len(df) % 2 == 0
+    assert (df["min_d2"] >= 0).all()
+    assert np.isfinite(df["min_d2"]).all()
+    pairs = {(r.route_a, r.route_b) for r in df.itertuples()}
+    for a, b in pairs:
+        assert (b, a) in pairs
+
+
+def test_seam_cost_bounds(ray_session):
+    """Seam cost ≤ h·max_gradient (255) and ≥ the per-image min row
+    energy; end_col inside the image."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from geotile.queries import QUERIES, _image_dir_for
+
+    df = QUERIES["seam_energy_images"](SF).to_pandas()
+    meta = pa.concat_tables(
+        [pq.read_table(f, columns=["image_id", "w", "h"])
+         for f in sorted(glob.glob(
+             f"{_image_dir_for(SF)}/part-*.parquet"))]
+    ).to_pandas().set_index("image_id")
+    m = meta.loc[df["image_id"]]
+    assert (df["seam_cost"].to_numpy()
+            <= 255 * m["h"].to_numpy()).all()
+    assert (df["seam_cost"] >= 0).all()
+    assert (df["end_col"].to_numpy() < m["w"].to_numpy()).all()
+
+
+def test_log2_gap_histogram_totals(ray_session):
+    import duckdb
+
+    from geotile.queries import QUERIES
+
+    df = QUERIES["log2_gap_histogram_users"](SF).to_pandas()
+    n = duckdb.sql(f"""
+        WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS d
+                   FROM read_parquet('{SF}/events.parquet'))
+        SELECT count(*) FROM g WHERE d > 0""").fetchone()[0]
+    assert df["n_gaps"].sum() == n
+    assert (df["bucket"] >= 1).all()
