@@ -606,3 +606,40 @@ def test_log2_gap_histogram_totals(ray_session):
         SELECT count(*) FROM g WHERE d > 0""").fetchone()[0]
     assert df["n_gaps"].sum() == n
     assert (df["bucket"] >= 1).all()
+
+
+def test_skew_report_consistency(ray_session):
+    from geotile.queries import QUERIES
+
+    df = QUERIES["skew_report_keys"](SF)
+    assert len(df) == 3
+    assert (df["max_key_rows"] <= df["n_rows"]).all()
+    assert (df["n_distinct"] <= df["n_rows"]).all()
+    assert (df["max_key_rows"] * 1_000_000 // df["n_rows"]
+            == df["top_share_ppm"]).all()
+
+
+def test_type_drift_zero_sums(ray_session):
+    """Σ drift numerators = T1·T2 − T2·T1 = 0 exactly."""
+    from geotile.queries import QUERIES
+
+    got = QUERIES["type_drift_halves"](SF).take_all()
+    assert sum(r["drift_num"] for r in got) == 0
+    t1 = sum(r["n1"] for r in got)
+    t2 = sum(r["n2"] for r in got)
+    assert abs(t1 - t2) <= 1  # median split balances halves
+
+
+def test_exclusion_funnel_subset_of_funnel(ray_session):
+    """Clean converters ⊆ converters; conversions bounded by
+    purchases."""
+    import duckdb
+
+    from geotile.queries import QUERIES
+
+    df = QUERIES["exclusion_funnel_users"](SF)
+    assert int(df["n_users_clean"][0]) <= int(df["n_users_conv"][0])
+    n_purch = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet') "
+        f"WHERE event_type = 'purchase'").fetchone()[0]
+    assert int(df["n_clean_conversions"][0]) <= n_purch
