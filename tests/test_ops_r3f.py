@@ -643,3 +643,45 @@ def test_exclusion_funnel_subset_of_funnel(ray_session):
         f"SELECT count(*) FROM read_parquet('{SF}/events.parquet') "
         f"WHERE event_type = 'purchase'").fetchone()[0]
     assert int(df["n_clean_conversions"][0]) <= n_purch
+
+
+def test_hog4_conserves_interior(ray_session):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from geotile.queries import QUERIES, _image_dir_for
+
+    df = QUERIES["hog4_images"](SF).to_pandas()
+    meta = pa.concat_tables(
+        [pq.read_table(f, columns=["image_id", "w", "h"])
+         for f in sorted(glob.glob(
+             f"{_image_dir_for(SF)}/part-*.parquet"))]
+    ).to_pandas().set_index("image_id")
+    m = meta.loc[df["image_id"]]
+    tot = df[["q0", "q1", "q2", "q3", "n_flat"]].sum(axis=1)
+    exp = (m["w"] - 2) * (m["h"] - 2)
+    assert (tot.to_numpy() == exp.to_numpy()).all()
+
+
+def test_audio_median_is_a_sample_magnitude(ray_session):
+    import geotile.synth as sy
+    from geotile.queries import QUERIES
+
+    got = QUERIES["audio_median_abs_tracks"](SF).take_all()
+    ids = np.array(sorted(r["track_id"] for r in got))
+    pcm = np.abs(sy.audio_samples(ids[:8]))
+    by = {r["track_id"]: r["median_abs"] for r in got}
+    for j, tid in enumerate(ids[:8].tolist()):
+        assert by[tid] in pcm[j]
+        assert by[tid] == int(np.sort(pcm[j])[(pcm.shape[1] - 1) // 2])
+
+
+def test_join_card_audit_actual_le_cross(ray_session):
+    from geotile.queries import QUERIES
+
+    df = QUERIES["join_card_est_audit"](SF)
+    assert (df["actual"] <= df["n_left"] * df["n_right"]).all()
+    assert (df["d_left"] <= df["n_left"]).all()
+    # FK joins: actual ≤ n_left (right side is key-unique)
+    assert (df["actual"] <= df["n_left"]).all()
