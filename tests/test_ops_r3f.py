@@ -685,3 +685,51 @@ def test_join_card_audit_actual_le_cross(ray_session):
     assert (df["d_left"] <= df["n_left"]).all()
     # FK joins: actual ≤ n_left (right side is key-unique)
     assert (df["actual"] <= df["n_left"]).all()
+
+
+def test_er_canonical_closure(ray_session):
+    """Every canonical id must itself map to itself, and canonicals
+    must be the longest member (checked via n_chars lookup)."""
+    import pyarrow.parquet as pq
+
+    from geotile.queries import QUERIES
+
+    df = QUERIES["er_canonical_docs"](SF)
+    if len(df) == 0:
+        return
+    m = dict(zip(df["doc_id"], df["canonical_id"]))
+    lens = dict(zip(
+        *pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "n_chars"]).columns))
+    lens = {k.as_py(): v.as_py() for k, v in zip(
+        pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id"])["doc_id"],
+        pq.read_table(f"{SF}/documents.parquet",
+                      columns=["n_chars"])["n_chars"])}
+    for d, c in m.items():
+        assert m[c] == c
+        assert lens[c] >= lens[d] or c < d
+
+
+def test_medoid_is_member(ray_session):
+    from geotile.queries import QUERIES
+
+    got = QUERIES["medoid_dup_clusters"](SF)
+    rows = got.take_all() if hasattr(got, "take_all") else \
+        got.to_dict("records")
+    for r in rows:
+        assert r["n_members"] >= 2
+        # medoid must belong to its own cluster id space (cluster_id
+        # is the min member id, so medoid ≥ cluster_id)
+        assert r["medoid_id"] >= r["cluster_id"]
+
+
+def test_cell_gini_bounds(ray_session):
+    """0 ≤ GMD numerator ≤ (n−1)·Σx (max inequality bound)."""
+    from geotile.queries import QUERIES
+
+    got = QUERIES["cell_count_gini"](SF)
+    rows = got.take_all() if hasattr(got, "take_all") else \
+        got.to_dict("records")
+    r = rows[0]
+    assert 0 <= r["gmd_num"] <= (r["n_cells"] - 1) * r["total_tiles"]
