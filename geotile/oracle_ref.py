@@ -427,3 +427,54 @@ def mmr_topk_ref(ids, vectors, signs, k: int):
             if acc > best_sim[i]:
                 best_sim[i] = acc
     return out
+
+
+def kcenter_ref(ids, vectors, k: int):
+    """Scalar-python farthest-first (k-center, Gonzalez 1985)
+    traversal on the e6 integer lattice: seed = max self-dot
+    (smaller id on ties); each later round picks the point with the
+    largest EXACT min squared L2 distance to the selected set
+    (smaller id on ties), d2 from python-int dot products only.
+    Returns [(rank, id, score)] with score = self-dot for the seed
+    and the winning min-d2 afterwards."""
+    n = len(ids)
+    self_dot = []
+    for v in vectors:
+        acc = 0
+        for c in v:
+            acc += c * c
+        self_dot.append(acc)
+    bi = 0
+    for i in range(1, n):
+        if (self_dot[i] > self_dot[bi]
+                or (self_dot[i] == self_dot[bi] and ids[i] < ids[bi])):
+            bi = i
+    out = [(0, ids[bi], self_dot[bi])]
+    chosen = [False] * n
+    chosen[bi] = True
+    mind2 = [None] * n
+    last = bi
+    for rank in range(1, min(k, n)):
+        sel = vectors[last]
+        sd = self_dot[last]
+        for i in range(n):
+            if chosen[i]:
+                continue
+            acc = 0
+            vi = vectors[i]
+            for j in range(len(sel)):
+                acc += vi[j] * sel[j]
+            d2 = self_dot[i] + sd - 2 * acc
+            if mind2[i] is None or d2 < mind2[i]:
+                mind2[i] = d2
+        bi = -1
+        for i in range(n):
+            if chosen[i]:
+                continue
+            if (bi < 0 or mind2[i] > mind2[bi]
+                    or (mind2[i] == mind2[bi] and ids[i] < ids[bi])):
+                bi = i
+        out.append((rank, ids[bi], mind2[bi]))
+        chosen[bi] = True
+        last = bi
+    return out
