@@ -478,3 +478,31 @@ def kcenter_ref(ids, vectors, k: int):
         chosen[bi] = True
         last = bi
     return out
+
+
+def soundex_ref(token: str) -> str:
+    """Scalar SIMPLIFIED Soundex (h/w treated as vowels, i.e. code 0
+    — the common simplified variant, stated spec for both engines):
+    map letters to digit codes, collapse adjacent equal codes, drop
+    zeros after the first letter, emit first letter + 3 digits
+    padded with '0'. Non-alpha bytes map to code 0."""
+    lut = {}
+    for ch in "bfpv":
+        lut[ch] = 1
+    for ch in "cgjkqsxz":
+        lut[ch] = 2
+    for ch in "dt":
+        lut[ch] = 3
+    lut["l"] = 4
+    for ch in "mn":
+        lut[ch] = 5
+    lut["r"] = 6
+    codes = [lut.get(ch, 0) for ch in token]
+    kept = [codes[0]] if codes else []
+    for i in range(1, len(codes)):
+        if codes[i] != codes[i - 1]:
+            kept.append(codes[i])
+    digits = [c for c in kept[1:] if c != 0]
+    head = token[0].upper() if token and token[0].isascii() \
+        and token[0].isalpha() else "?"
+    return head + "".join(str(c) for c in (digits + [0, 0, 0])[:3])
