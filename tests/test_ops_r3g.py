@@ -1,0 +1,99 @@
+"""Round-3 batch G: shingle boilerplate census, cohort retention
+matrix, Euler quad census — sf0.001 oracle equality for the SQL ops
+(mirrors the driver compare) plus the structural invariants the
+oracles can't see."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _compare(name, got, exp):
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    got, exp = _canon(got), _canon(exp)
+    assert list(got.columns) == list(exp.columns), name
+    assert len(got) == len(exp), name
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert (a == b.astype(float)).all(), (name, c)
+        else:
+            assert (a == b).all(), (name, c)
+
+
+@pytest.mark.parametrize("name", [
+    "boilerplate_shingles_docs",
+    "cohort_retention_matrix",
+])
+def test_r3g_oracle_matches(ray_session, con, name):
+    from geotile.queries import ORACLE_SQL, QUERIES
+
+    _compare(name, QUERIES[name](SF), con.execute(ORACLE_SQL[name]).df())
+
+
+def test_cohort_matrix_conservation(ray_session, con):
+    """Column sums: offset-0 row count per cohort equals the cohort's
+    user count (every user is active on their own first day), and the
+    total cell mass equals the distinct (user, day) count."""
+    from geotile.queries import QUERIES
+
+    df = QUERIES["cohort_retention_matrix"](SF).to_pandas()
+    total = con.execute(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT user_id, "
+        "epoch_us(ts)//86400000000 FROM events)").fetchone()[0]
+    assert int(df["n_users"].sum()) == total
+    day0 = df[df.day_offset == 0]
+    n_users = con.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert int(day0["n_users"].sum()) == n_users
+    # retention within a cohort never exceeds its day-0 size
+    base = day0.set_index("cohort_day")["n_users"]
+    assert (df["n_users"] <= df["cohort_day"].map(base).to_numpy()).all()
+
+
+def test_euler_quad_sidecar_equality(ray_session):
+    """Engine (vectorized shifted views) vs the independent python quad
+    walk, exact, over the sf0.001 image table."""
+    import pyarrow.parquet as pq
+
+    from geotile.queries import QUERIES, _euler_sidecar, _image_dir_for
+
+    img = _image_dir_for(SF)
+    got = _canon(QUERIES["euler_quad_images"](SF).to_pandas())
+    exp = _canon(pq.read_table(_euler_sidecar(img)).to_pandas())
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_euler_connectivity_identity(ray_session):
+    """Gray's identity: E4 - E8 == QD exactly, and with the synth
+    pattern's dense foreground the counts stay plausibly bounded
+    (|E| <= pixel count)."""
+    from geotile.queries import QUERIES
+
+    df = QUERIES["euler_quad_images"](SF).to_pandas()
+    assert len(df) == 1024
+    assert (df.euler4 - df.euler8 == df.qd).all()
+    assert (df.q1 >= 0).all() and (df.q3 >= 0).all() and (df.qd >= 0).all()
