@@ -97,3 +97,52 @@ def test_euler_connectivity_identity(ray_session):
     assert len(df) == 1024
     assert (df.euler4 - df.euler8 == df.qd).all()
     assert (df.q1 >= 0).all() and (df.q3 >= 0).all() and (df.qd >= 0).all()
+
+
+def test_audio_crest_sidecar_equality(ray_session):
+    import pyarrow.parquet as pq
+
+    from geotile.queries import (QUERIES, _audio_crest_sidecar,
+                                 _audio_dir_for)
+
+    got = _canon(QUERIES["audio_crest_factor"](SF).to_pandas())
+    exp = _canon(pq.read_table(
+        _audio_crest_sidecar(_audio_dir_for(SF))).to_pandas())
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # structural: peak^2 <= energy <= peak^2 * n (peak is a sample)
+    assert (got.peak ** 2 <= got.energy).all()
+
+
+def test_video_ptp_conservation(ray_session):
+    from geotile.queries import QUERIES
+    from geotile.synth import VIDEO_H, VIDEO_W
+
+    df = QUERIES["video_pixel_range_hist"](SF).to_pandas()
+    per_clip = df.groupby("clip_id")["n"].sum()
+    assert (per_clip == VIDEO_H * VIDEO_W * 3).all()
+
+
+def test_video_ptp_sidecar_equality(ray_session):
+    import pyarrow.parquet as pq
+
+    from geotile.queries import (QUERIES, _video_dir_for,
+                                 _video_ptp_sidecar)
+
+    got = _canon(QUERIES["video_pixel_range_hist"](SF).to_pandas())
+    exp = _canon(pq.read_table(
+        _video_ptp_sidecar(_video_dir_for(SF))).to_pandas())
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_cm_heavy_hitters_oracle(ray_session, con):
+    from geotile.queries import QUERIES, _cm_sql
+
+    got = QUERIES["cm_heavy_hitters_audit"](SF)
+    exp = con.execute(_cm_sql(SF)).df()
+    _compare("cm_heavy_hitters_audit", got, exp)
+    # count-min error is one-sided: estimate never undershoots
+    assert (got["over_c"] >= 0).all()
