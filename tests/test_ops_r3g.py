@@ -146,3 +146,47 @@ def test_cm_heavy_hitters_oracle(ray_session, con):
     _compare("cm_heavy_hitters_audit", got, exp)
     # count-min error is one-sided: estimate never undershoots
     assert (got["over_c"] >= 0).all()
+
+
+def test_tax_rounding_oracle(ray_session, con):
+    from geotile.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES["tax_rounding_audit"](SF)
+    exp = con.execute(ORACLE_SQL["tax_rounding_audit"]).df()
+    _compare("tax_rounding_audit", got, exp)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    n_orders = con.execute(
+        "SELECT COUNT(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
+    assert int(got["n_orders"].sum()) == n_orders
+
+
+def test_palette_quant_conservation_and_sidecar(ray_session):
+    import pyarrow.parquet as pq
+
+    from geotile.queries import (QUERIES, _image_dir_for,
+                                 _palette_sidecar)
+
+    got = QUERIES["palette_quant_images"](SF).to_pandas()
+    per_img = got.groupby("image_id")["n"].sum()
+    # mixed sizes: every image's counts must sum to its own w*h
+    sizes = pq.read_table(_image_dir_for(SF),
+                          columns=["image_id", "w", "h"]).to_pandas()
+    sizes["px"] = sizes.w * sizes.h
+    m = sizes.set_index("image_id")["px"]
+    assert (per_img == per_img.index.map(m)).all()
+    exp = _canon(pq.read_table(
+        _palette_sidecar(_image_dir_for(SF))).to_pandas())
+    gc = _canon(got)
+    assert len(gc) == len(exp) > 0
+    for c in gc.columns:
+        assert (gc[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_dup_diameter_oracle(ray_session, con):
+    from geotile.queries import QUERIES, _diameter_sql
+
+    got = QUERIES["dup_diameter_sweep"](SF)
+    exp = con.execute(_diameter_sql(SF)).df()
+    _compare("dup_diameter_sweep", got, exp)
+    # the double-sweep invariant: ecc(far1) >= d(far1, start) = ecc1
+    assert (got["ecc2"] >= got["ecc1"]).all()
