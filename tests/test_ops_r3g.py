@@ -190,3 +190,50 @@ def test_dup_diameter_oracle(ray_session, con):
     _compare("dup_diameter_sweep", got, exp)
     # the double-sweep invariant: ecc(far1) >= d(far1, start) = ecc1
     assert (got["ecc2"] >= got["ecc1"]).all()
+
+
+@pytest.mark.parametrize("name", [
+    "spectral_mass_embeddings",
+    "front_coding_vocab",
+    "length_sortedness_sources",
+    "tax_rounding_audit",
+])
+def test_r3g_batch_d_oracle(ray_session, con, name):
+    from geotile.queries import ORACLE_SQL, QUERIES
+
+    _compare(name, QUERIES[name](SF), con.execute(ORACLE_SQL[name]).df())
+
+
+def test_spectral_mass_bounds(ray_session):
+    """Cauchy-Schwarz sandwich: trace^2/dim <= frob2 <= trace^2, so
+    the participation ratio lies in [1, 64]."""
+    from geotile.queries import QUERIES
+
+    df = QUERIES["spectral_mass_embeddings"](SF)
+    tr, fr = int(df.trace[0]), int(df.frob2[0])
+    assert tr > 0 and fr > 0
+    assert tr * tr <= 64 * fr
+    assert fr <= tr * tr
+
+
+def test_front_coding_known_vocab(ray_session, tmp_path):
+    """Hand-checkable vocabulary: {'ab','abc','abd','b'} sorted gives
+    LCPs 0,2,2,0 -> saved 4, raw 9, max 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["ab abc b", "abd ab"]),
+                  "lang": pa.array(["en", "en"]),
+                  "source": pa.array(["s0", "s0"]),
+                  "n_chars": pa.array([8, 6], pa.int64())})
+    pq.write_table(t, d / "documents.parquet")
+    from geotile.queries import QUERIES
+
+    df = QUERIES["front_coding_vocab"](str(d))
+    assert df.n_tokens[0] == 4
+    assert df.raw_chars[0] == 9
+    assert df.saved_chars[0] == 4
+    assert df.max_lcp[0] == 2
