@@ -107,14 +107,15 @@ def points_to_polyline_distance(
     bx, by = line[1:, 0], line[1:, 1]
     dx, dy = bx - ax, by - ay
     L2 = dx * dx + dy * dy
-    L2 = np.where(L2 == 0.0, 1.0, L2)
-    inv_L2 = 1.0 / L2
-    # subnormal-length segments overflow the reciprocal to inf and the
-    # later 0·inf produces NaN distances; clamping inv to 0 degrades
-    # them to distance-to-segment-start (error ≤ the segment's own
-    # ≲1e-154 length). Real meter-frame geometry never hits this, so
-    # the kNN oracle's bit-exact `· inv_l2` replay is untouched.
-    inv_L2 = np.where(np.isfinite(inv_L2), inv_L2, 0.0)
+    # zero/subnormal-length segments would overflow the reciprocal
+    # (RuntimeWarning under pytest -W error); guard the divide itself
+    # so degenerate segments get inv=0 → t=0 → distance-to-segment-
+    # start (error ≤ the segment's own ≲1e-154 length). Real
+    # meter-frame geometry never hits this, so the kNN oracle's
+    # bit-exact `· inv_l2` replay is untouched.
+    finite = L2 > np.finfo(np.float64).tiny
+    inv_L2 = np.zeros_like(L2)
+    np.divide(1.0, L2, out=inv_L2, where=finite)
     out = np.full(len(px), np.inf)
     step = max(1, chunk // max(1, len(ax)))
     for s in range(0, len(px), step):

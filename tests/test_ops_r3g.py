@@ -139,10 +139,10 @@ def test_video_ptp_sidecar_equality(ray_session):
 
 
 def test_cm_heavy_hitters_oracle(ray_session, con):
-    from geotile.queries import QUERIES, _cm_sql
+    from geotile.queries import QUERIES, _cmhh_sql
 
     got = QUERIES["cm_heavy_hitters_audit"](SF)
-    exp = con.execute(_cm_sql(SF)).df()
+    exp = con.execute(_cmhh_sql(SF)).df()
     _compare("cm_heavy_hitters_audit", got, exp)
     # count-min error is one-sided: estimate never undershoots
     assert (got["over_c"] >= 0).all()
