@@ -5,7 +5,7 @@ The driver initialises Ray BEFORE importing this module; nothing here
 
 - ``entry()``      — flagship spatial-join + tiling pipeline at sf0.001
 - ``queries()``    — one callable per implemented operator/pipeline
-                     (SURVEY.md §2 inventory; see geotile/queries.py)
+                     (SURVEY.md §2 inventory; see geotile/queries/)
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
                      query, with matching column names + rounding
 """

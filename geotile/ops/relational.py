@@ -88,6 +88,7 @@ def bucketed_join(
     right_key: str,
     n_buckets: int = 32,
     how: str = "inner",
+    shuffle_partitions: int | None = None,
 ) -> rd.Dataset:
     """Hash-partitioned join of two LARGE datasets on an int64 key.
     Each side is bucketed, tagged, unioned, then each bucket group joins
@@ -99,7 +100,16 @@ def bucketed_join(
     lineage), and the join executes it again — a derived input (e.g. a
     groupby aggregate) should be ``materialize()``d by the caller when
     its size allows (measured 7.0 → 5.0 s on an aggregate⋈dim join at
-    sf0.1). Raw reads and already-materialized datasets are free."""
+    sf0.1). Raw reads and already-materialized datasets are free.
+
+    ``shuffle_partitions`` coalesces the tagged union to that many
+    blocks before the bucket groupby.  The sort shuffle's partition
+    count tracks the INPUT block count, so two over-split small sides
+    (64 read splits each) otherwise pay a 128-reduce-task fixed cost
+    for kilobyte partitions (measured 4.5 → 3.5 s on the Q7-shape
+    double join at sf0.1).  Leave None when the inputs are genuinely
+    large — at the 100 TB design point the natural block count IS the
+    right partition count and a coalesce would be an extra all-to-all."""
     lcols = [n for n in left.schema().names]
     rcols = [n for n in right.schema().names]
     lschema = left.schema().base_schema
@@ -132,7 +142,10 @@ def bucketed_join(
             return df.iloc[:0][[n for n, _ in all_fields]]
         return l.merge(r, left_on=left_key, right_on=right_key, how=how)
 
-    return lb.union(rb).groupby("bucket").map_groups(merge, batch_format="pandas")
+    u = lb.union(rb)
+    if shuffle_partitions:
+        u = u.repartition(shuffle_partitions)
+    return u.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
 def anti_join(

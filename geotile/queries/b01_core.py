@@ -86,7 +86,9 @@ def q_pricing_summary(sf_dir: str):
             }
         )
 
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+    # 6-row partials per block: coalesce the slivers so the final
+    # aggregate is a 4-partition shuffle, not a 64-reduce fixed cost
+    out = ds.map_batches(partial, batch_format="pyarrow").repartition(4).groupby(
         ["l_returnflag", "l_linestatus"]
     ).sum(["sum_qty", "sum_rev", "n"])
     out = _rename(out, ["l_returnflag", "l_linestatus", "sum_qty", "sum_rev", "n"])

@@ -2944,7 +2944,7 @@ def q_shipping_priority_q3(sf_dir: str):
             pc.less(t["o_orderdate"], pa.scalar(CUT))),
             batch_format="pyarrow")
     oc = bucketed_join(orders, cust, "o_custkey", "c_custkey",
-                       n_buckets=16)
+                       n_buckets=32)
     oc = oc.map_batches(
         lambda t: pa.table({
             "o_orderkey": t["o_orderkey"],
@@ -2958,7 +2958,7 @@ def q_shipping_priority_q3(sf_dir: str):
         .map_batches(lambda t: t.filter(
             pc.greater(t["l_shipdate"], pa.scalar(CUT))),
             batch_format="pyarrow")
-    j = bucketed_join(li, oc, "l_orderkey", "o_orderkey", n_buckets=16)
+    j = bucketed_join(li, oc, "l_orderkey", "o_orderkey", n_buckets=32)
 
     def partial(t: pa.Table) -> pa.Table:
         rev = pc.floor(pc.add(pc.multiply(
@@ -3561,16 +3561,18 @@ def q_nation_pair_revenue(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     oc = bucketed_join(orders, cust, "o_custkey", "c_custkey",
-                       n_buckets=16)
+                       n_buckets=32, shuffle_partitions=32)
     oc = oc.map_batches(
         lambda t: pa.table({"o_orderkey": t["o_orderkey"],
                             "cnat": t["c_nationkey"].cast(pa.int64())}),
-        batch_format="pyarrow").materialize()  # schema-probe law
+        batch_format="pyarrow").repartition(16) \
+        .materialize()  # schema-probe law; 16 blocks, not 128 slivers
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice",
                 "l_discount", "l_shipdate"])
-    j = bucketed_join(li, oc, "l_orderkey", "o_orderkey", n_buckets=16)
+    j = bucketed_join(li, oc, "l_orderkey", "o_orderkey", n_buckets=32,
+                      shuffle_partitions=32)
 
     sk, snat_raw = _dim_np(sf_dir, "supplier", "s_suppkey", ["s_nationkey"])
     snat = snat_raw.astype(np.int64, copy=False)
@@ -3600,7 +3602,11 @@ def q_nation_pair_revenue(sf_dir: str):
                          "revenue_e4": g["revenue_e4_sum"],
                          "n": g["count_all"].cast(pa.int64())})
 
+    # the partials are 25x25xyears-bounded per block: coalesce the
+    # 192 sliver blocks so the final aggregate is not a 192-reduce
+    # fixed-cost shuffle (VERDICT r3 #7: 7.7 -> ~3.5 s at sf0.1)
     agg = (j.map_batches(partial, batch_format="pyarrow")
+           .repartition(8)
            .groupby(["snat", "cnat", "l_year"])
            .sum(["revenue_e4", "n"]))
     agg = _rename(agg, ["snat", "cnat", "l_year", "revenue_e4", "n"])
