@@ -5912,8 +5912,12 @@ def q_bloom_fpr_audit(sf_dir: str):
     jan = jan.materialize()  # schema-probe law: count + build + truth
     n_rows = jan.count()
     fref, m, k = bloom_build(jan, "o_custkey", max(n_rows, 1))
-    truth = np.unique(np.array(
-        [r["o_custkey"] for r in jan.take_all()], np.int64))
+    from geotile.ops.relational import broadcast_dim
+
+    # January custkeys are fact-scale: capped vectorized collect, no
+    # per-row Python (VERDICT r3 #2)
+    jk, _jt = broadcast_dim(jan, "o_custkey")
+    truth = np.unique(jk)
     tref = ray.put(truth)
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
@@ -5928,10 +5932,9 @@ def q_bloom_fpr_audit(sf_dir: str):
         return pa.table({"n_pass": pa.array([len(keys)], pa.int64()),
                          "n_true": pa.array([n_true], pa.int64())})
 
-    parts = passed.map_batches(stats, batch_format="pyarrow") \
-        .take_all()
-    n_pass = sum(r["n_pass"] for r in parts)
-    n_true = sum(r["n_true"] for r in parts)
+    pdf = passed.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n_pass = int(pdf["n_pass"].sum())
+    n_true = int(pdf["n_true"].sum())
     n_probed = cust.count()
     return pd.DataFrame({"n_probed": [n_probed], "n_pass": [n_pass],
                          "n_true": [n_true],
