@@ -23,8 +23,42 @@ def _e(col, scale: int):
 
 
 
+_READ_BLOCK_BYTES = 32 << 20  # one read block per ~32 MB of file
+
+
+def _read_num_blocks(path: str) -> int:
+    """Cluster-width floor, file-size growth: Ray's default split
+    (2×CPUs regardless of size) shatters the sf-scale tables into
+    kilobyte slivers, and every downstream sort/groupby inherits that
+    partition count as pure fixed cost (the nation_pair_revenue
+    lesson, VERDICT r3 #7, applied at the root).  max(width, bytes/32M)
+    keeps one wave of width-parallel map tasks at bench scale and
+    grows with the data at the 100-TB point, where bytes/32M dominates
+    and the block count is the one you'd want anyway."""
+    import os
+
+    import ray
+
+    cpus = 16
+    if ray.is_initialized():
+        global _READ_WIDTH
+        if _READ_WIDTH is None:
+            _READ_WIDTH = int(ray.cluster_resources().get("CPU", 16))
+        cpus = _READ_WIDTH
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return cpus
+    return max(cpus, size // _READ_BLOCK_BYTES)
+
+
+_READ_WIDTH: int | None = None
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=_read_num_blocks(path))
 
 
 
@@ -3495,8 +3529,11 @@ def q_region_revenue(sf_dir: str):
              "n": g["count_all"].cast(pa.int64())}
         )
 
+    # 5-region partials per block: coalesce the 64 slivers before the
+    # final aggregate (the nation_pair_revenue partition-count lesson)
     return _rename(
         joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)
         .groupby("region")
         .sum(["rev_e4", "n"]),
         ["region", "rev_e4", "n"],
@@ -5749,8 +5786,8 @@ def _shard_by_chars(ds, C: int = 20_000, SHIFT: int = 10):
                          "chars": g["chars_sum"].cast(pa.int64())})
 
     sums = ds.map_batches(bpart, batch_format="pyarrow",
-                          zero_copy_batch=True).groupby("bucket").sum(
-        "chars").take_all()  # bucket-scale
+                          zero_copy_batch=True).repartition(4) \
+        .groupby("bucket").sum("chars").take_all()  # bucket-scale
     sums.sort(key=lambda r: r["bucket"])
     base, acc = {}, 0
     for r in sums:
@@ -5778,6 +5815,7 @@ def _shard_by_chars(ds, C: int = 20_000, SHIFT: int = 10):
     out = (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+        .repartition(4)  # shard-scale partials per bucket group
         .groupby("shard_id").sum(["n_docs", "sum_chars"])
     )
     return _rename(out, ["shard_id", "n_docs", "sum_chars"])
@@ -6072,6 +6110,9 @@ def q_image_dup_clusters(sf_dir: str):
     )
 
 __defined__ = (
+    '_READ_BLOCK_BYTES',
+    '_READ_WIDTH',
+    '_read_num_blocks',
     '_dim_np',
     'DOC_QUALITY_SQL',
     'EMBEDDING_DUPS_SQL',

@@ -1833,7 +1833,11 @@ def q_llm_corpus_prep(sf_dir: str):
                          "n_chars": pa.array(((v >> 10)
                                               & ((1 << 14) - 1))[keep])})
 
-    kept = survivors.map_batches(unpack, batch_format="pyarrow")
+    # materialize: _shard_by_chars executes its input twice (bucket
+    # sums + the sharding pass); without this the dedup shuffle runs
+    # twice (the bucketed_join derived-input law)
+    kept = survivors.map_batches(unpack, batch_format="pyarrow") \
+        .materialize()
     return _shard_by_chars(kept)
 
 
@@ -5412,6 +5416,7 @@ def q_watermark_late_events(sf_dir: str):
         return pa.table({"b": g["b"], "mx": g["us_max"]})
 
     rows = (ev.map_batches(pass_a, batch_format="pyarrow")
+            .repartition(4)  # ≤4096-row partials: coalesce the slivers
             .groupby("b").max("mx")).take_all()
     rows.sort(key=lambda r: r["b"])
     # coarsen to ≤256 groups: map_groups pays a per-GROUP machinery
@@ -5463,6 +5468,7 @@ def q_watermark_late_events(sf_dir: str):
 
     out = (ev.map_batches(with_bucket, batch_format="pyarrow")
            .groupby("bucket").map_groups(late, batch_format="pandas")
+           .repartition(4)  # day-scale partials per bucket group
            .groupby("day").sum(["n_events", "n_late"]))
     return _rename(out, ["day", "n_events", "n_late"])
 

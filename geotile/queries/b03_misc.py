@@ -5933,8 +5933,10 @@ def q_bloom_fpr_audit(sf_dir: str):
                          "n_true": pa.array([n_true], pa.int64())})
 
     pdf = passed.map_batches(stats, batch_format="pyarrow").to_pandas()
-    n_pass = int(pdf["n_pass"].sum())
-    n_true = int(pdf["n_true"].sum())
+    # an all-filtered input yields a SCHEMALESS empty frame (map fns
+    # never run on empty blocks) — zero-fill, as the SQL replay does
+    n_pass = int(pdf["n_pass"].sum()) if "n_pass" in pdf.columns else 0
+    n_true = int(pdf["n_true"].sum()) if "n_true" in pdf.columns else 0
     n_probed = cust.count()
     return pd.DataFrame({"n_probed": [n_probed], "n_pass": [n_pass],
                          "n_true": [n_true],
