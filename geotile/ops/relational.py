@@ -39,7 +39,20 @@ def broadcast_dim(
     """
     import ray
 
-    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    parts = ray.get(ds.to_arrow_refs())
+    # Ray emits SCHEMALESS blocks for empty inputs (UDFs never run on
+    # empty blocks) — drop them, and rebuild an empty TYPED table from
+    # the dataset schema so callers can still gather columns
+    parts = [p for p in parts if p.num_columns > 0]
+    if parts:
+        tbl = pa.concat_tables(parts)
+    else:
+        schema = ds.schema()
+        if schema is None:
+            raise ValueError(
+                "broadcast_dim: empty dim with unknown schema — filter "
+                "produced no blocks and the lineage carries no schema")
+        tbl = pa.Table.from_pylist([], schema=schema.base_schema)
     if tbl.num_rows > max_rows:
         raise ValueError(
             f"broadcast_dim: {tbl.num_rows} rows exceeds max_rows="

@@ -52,3 +52,15 @@ def test_dim_lookup_empty_dim(ray_session):
     idx, hit = dim_lookup(np.array([], np.int64), np.array([1, 2], np.int64))
     assert not hit.any()
     assert len(idx) == 2
+
+
+def test_broadcast_dim_all_filtered_empty(ray_session):
+    tbl = pa.table({"k": [1, 2, 3], "v": [10, 20, 30]})
+    ds = _ds(tbl).map_batches(
+        lambda t: t.filter(pa.array([False] * len(t))),
+        batch_format="pyarrow")
+    keys, out = broadcast_dim(ds, "k")
+    assert len(keys) == 0
+    assert out.num_rows == 0
+    # typed columns survive: gathering from the empty dim is safe
+    assert out["v"].to_numpy(zero_copy_only=False).shape == (0,)
