@@ -1,4 +1,43 @@
-"""Query battery part 1/12 (split from the former single-module queries.py)."""
+"""Query battery part — 113 driver queries (split from the former single-module queries.py).
+
+Registers:
+pricing_summary, cust_nation_orders, broadcast_join_brand_revenue,
+semi_join_date_filter, left_join_customer_orders,
+distinct_parts_per_flag, exact_dedup_docs, union_order_subsets,
+topk_orders, bucket_join_priority_revenue, user_sessions,
+asof_clicks_views, followup_events, top_terms_docs, tfidf_docs,
+dup_span_docs, rolling_window_user, rollup_docs, pivot_docs,
+grouped_topk_users, corr_moments_docs, ntile_events,
+right_join_orders_customer, intersect_users, except_users,
+full_outer_customer_orders, jaccard_pairs_docs, quantiles_events,
+quantiles_cont_events, funnel_users, cohort_retention_users,
+event_gap_stats_user, last_event_user, type_cooccurrence_users,
+pagerank_dups, weighted_avg_lineitem, embedding_cov_moments,
+stopword_filter_docs, kmeans_embeddings, resampled_hourly_events,
+mad_events, throttled_events, grouping_sets_docs, percent_rank_events,
+top_bigrams_docs, cm_user_counts, train_split_docs,
+global_sort_orders, ndjson_events_ingest, user_sequence_strings,
+winsorized_stats_events, region_revenue, multi_distinct_daily,
+dedup_keep_canonical, union_by_name_orders, value_histogram_events,
+hourly_activity_events, transition_counts_events,
+mode_event_type_user, cube_docs, skyline_orders, embedding_dim_stats,
+grouped_quantiles_events, stratified_sample_events,
+dup_clusters_embeddings, distinct_users_exact, hash_sample_docs,
+heavy_hitter_users, image_resize, anti_join_customers,
+sliding_window_events, hll_distinct_users, hll_grouped_users,
+phash_neighbor_stats, event_props_stats, envelope_events,
+cell_quantize_events, pip_triangle_docs, spatial_grid_join_docs,
+window_events, doc_token_stats, doc_stats_by_lang, knn_embeddings,
+lang_id_docs, fingerprint_docs, minhash_pairs_docs, simhash_docs,
+simhash_pairs_docs, embedding_dups, ivf_ann, tile_assignments,
+tile_knn, tile_cell_counts, route_feature_collections, tile_dissolve,
+image_invariants, image_channel_histogram, gtfs_stop_features,
+gtfs_line_features, gtfs_envelope, gtfs_convex_hull,
+gtfs_buffer_stats, gtfs_dissolved_stats, doc_quality,
+image_embeddings, embedding_buckets, tile_covered_cells,
+bloom_semi_join_lineitem, token_shards_docs, rfm_segments,
+triangle_dups, bfs_dups, linreg_hour_value
+"""
 
 
 from __future__ import annotations

@@ -1,4 +1,37 @@
-"""Query battery part 2/12 (split from the former single-module queries.py)."""
+"""Query battery part — 91 driver queries (split from the former single-module queries.py).
+
+Registers:
+image_dup_clusters, spatial_dbscan_events, range_window_events,
+above_avg_orders, streaks_users, novelty_daily, snapshot_diff_orders,
+profile_orders, linear_scores_embeddings, revenue_deciles,
+fuzzy_token_pairs_docs, session_concurrency_events,
+sliding_distinct_users, running_revenue_orders, session_stats_users,
+upsert_orders, label_centroids, dense_rank_orders,
+double_charge_orders, centroid_confusion, dominant_dim_embeddings,
+weekly_type_wow, image_patch_sums, caption_stop_stats,
+hierarchy_rollup_customers, daily_metrics_long, type_lift_daily,
+topk_ties_orders, type_trigrams_users, llm_corpus_prep, ks_lang_docs,
+benford_prices, regex_tokens_docs, pushdown_orders, near_price_pairs,
+weighted_median_lineitem, fmt_size_association, daily_churn_users,
+dense_type_day_matrix, anomaly_counts_users, drawdown_users,
+rolling_distinct_types, decay_score_users, gini_impurity_users,
+division_completion_users, locf_events, clamped_balance_users,
+posting_lists_embeddings, shipping_priority_q3, revenue_share_nations,
+monotone_run_users, tile_pyramid_counts, scd2_orders,
+gap_filled_daily_users, caption_geo_consistency, rebase_index_users,
+except_all_users, nation_pair_revenue, custdist_orders,
+promo_session_overlap, spearman_users, mannwhitney_daily, twap_users,
+distance_rings_docs, pq_codes_embeddings, pattern_triples_users,
+compaction_plan_docs, dominant_supplier_parts, activity_bitmap_users,
+important_parts, image_glcm_energy, audio_frame_energy,
+token_pair_support_docs, attribution_lasttouch, audio_silence_runs,
+decile_transition_users, revenue_concentration_orders,
+partitioned_sink_events, tile_autocorr_cells, funnel_windowed_users,
+bounce_rate_daily, adjacent_vector_dots, watermark_late_events,
+keyspace_gaps_orders, tile_stop_hulls, ri_audit_edges,
+conversion_latency_users, moments4_by_type, bottomk_quantile_events,
+ab_conversion_parts, session_duration_quantiles
+"""
 
 
 from __future__ import annotations

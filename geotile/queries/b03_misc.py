@@ -1,4 +1,38 @@
-"""Query battery part 3/12 (split from the former single-module queries.py)."""
+"""Query battery part — 88 driver queries (split from the former single-module queries.py).
+
+Registers:
+dau_overlap_daily, audio_autocorr_tracks, zonemap_events,
+user_feature_matrix, dict_encoding_audit, tile_viewport_query,
+silhouette_parts_labels, ivm_priority_revenue, doc_top_tokens,
+above_nation_avg_customers, dow_seasonality_orders,
+matryoshka_energy_labels, trend_slope_users, image_median_gray,
+tile_corridor_query, session_entry_exit_matrix, forecast_revenue_q6,
+late_shipments_q12, priority_exists_check_q4, embedding_drift_labels,
+promo_revenue_share_q14, small_qty_revenue_q17, order_gap_median_hist,
+disjunctive_pred_q19, top_supplier_q15, waiting_customers_q22,
+returned_revenue_q10, volatility_users, hapax_rate_sources,
+stream_dedup_ttl, nation_quarter_qoq, growth_accounting_quarters,
+cell_dominant_stop, calibration_bins_embeddings, hhi_nations,
+bigram_coverage_langs, segment_octants_routes, unigram_l1_langs,
+business_lead_hist, transition_dwell_matrix,
+abc_classification_customers, video_frame_sums, supplier_mad_nations,
+acquisition_conversion, burst_minutes_events, supplier_cov_nations,
+lang_confusion_matrix, crossmodal_pairing_audit,
+diversified_topk_orders, session_gap_sweep, pq_residual_energy,
+image_center_bias, stop_spacing_legs, wallet_share_customers,
+time_pyramid_counts, route_overlap_matrix, dow_hour_heatmap_events,
+status_priority_crosstab, nation_percentile_customers,
+audio_half_drift, lines_per_order_hist, stop_hull_area_parts,
+dup_rate_sources, dup_degree_hist, all_ontime_orders,
+stop_bbox_iou_pairs, source_trigram_affinity, seasonal_index_months,
+weekend_aov_parts, purchase_gap_median, balance_asymmetry_nations,
+vocab_growth_curve, nn1_accuracy_labels, status_share_monthly,
+size_price_moments_brands, phash_popcount_stats,
+large_volume_orders_q18, supplier_count_q16, audio_zcr_tracks,
+video_motion_energy, image_gradient_energy, market_share_q8,
+char_class_docs, global_max_gap_events, label_gram_matrix,
+poly_edge_crossings, bloom_fpr_audit, scene_change_runs
+"""
 
 
 from __future__ import annotations

@@ -1,4 +1,33 @@
-"""Query battery part 4/12 (split from the former single-module queries.py)."""
+"""Query battery part — 74 driver queries (split from the former single-module queries.py).
+
+Registers:
+last_supplier_orders_q21, triplet_violation_labels,
+daily_autocorr_events, cheapest_supplier_parts, dup_component_sizes,
+hist_equalize_sums, phash_nn_images, simpson_diversity_sources,
+bursty_customers_nations, local_clustering_dups, haar_energy_daily,
+lifetime_span_customers, blob_count_images, daily_xcorr_types,
+audio_onsets_tracks, csv_roundtrip_events, range_density_labels,
+order_delta_signs, disc_tile_counts, mirror_symmetry_images,
+pareto_frontier_nations, dow_detrended_parts, video_flicker_parts,
+near_simultaneous_pairs, reorder_after_return, early_breadth_users,
+nation_quartile_bands, type_run_lengths, quadkey_occupancy,
+simhash_bit_bias, coverage_holes_cells, sessions_crossing_midnight,
+price_endings_orders, nearest_route_share,
+priority_migration_customers, cusum_daily_revenue,
+repetitiveness_docs, burst_window_max_users, weak_edges_dups,
+mutual_best_pairs, cross_source_leakage, value_ecdf_probes,
+closest_pair_tiles, quarter_close_spike, audio_loudest_window,
+gmd_nations, interval_merge_users, otsu_threshold_images, kcore_dups,
+anagram_groups_docs, mann_kendall_nations, local_supplier_volume_q5,
+audio_haar_detail_tracks, video_quadrant_motion,
+profit_by_nation_year, tumbling_argmax_events, probe_energy_labels,
+zorder_range_counts, head_vocab_coverage_sources, image_haar_bands,
+two_hop_dups, token_burstiness_head, audio_walsh_bands,
+best_split_daily, largest_blob_images, supplier_breadth_customers,
+containment_pairs_docs, butterfly_count_cs, video_temporal_haar,
+degree_assortativity_dups, anomalous_minutes_events,
+sig_agreement_pairs_docs, nucleus_mass_types, gray_modes_images
+"""
 
 
 from __future__ import annotations

@@ -1,4 +1,29 @@
-"""Query battery part 5/12 (split from the former single-module queries.py)."""
+"""Query battery part — 59 driver queries (split from the former single-module queries.py).
+
+Registers:
+audio_peak_tracks, vocab_jaccard_sources, daily_cross_source_moments,
+linenumber_contiguity_audit, quadtree_depth_images,
+childless_orders_audit, basket_pairs_user_days, route_sinuosity_parts,
+rdp_retention_shapes, hilbert_range_counts, snm_candidate_pairs,
+kmv_distinct_users, cn_link_prediction_dups, rle_runs_images,
+mmr_topk_embeddings, audio_decimate_tracks, route_headways,
+blob_geometry_images, kendall_nation_pairs, geohash_cell_counts,
+dilation_area_images, excess_suppliers_q20, interp_fill_daily_users,
+component_threshold_sweep_dups, route_coverage_deciles,
+next_type_majority_accuracy, test_contamination_docs,
+quota_allocation_sources, snm_recall_audit, dim_median_embeddings,
+dispersion_class_users, int8_quant_audit_embeddings,
+proj_profile_images, sentence_stats_docs, rbo_nation_rankings,
+lbp_texture_images, line_price_trend_orders,
+route_pair_min_vertex_dist, seam_energy_images,
+log2_gap_histogram_users, skew_report_keys, type_drift_halves,
+exclusion_funnel_users, hog4_images, audio_median_abs_tracks,
+join_card_est_audit, er_canonical_docs, medoid_dup_clusters,
+cell_count_gini, fair_share_sources, borda_topk_customers,
+identical_behavior_users, trimmed_revenue_nations,
+isotonic_monthly_revenue, pmi_bigrams_docs, hex_cell_counts,
+dist_transform_images, zigzag_runs_users, median_filter_images
+"""
 
 
 from __future__ import annotations

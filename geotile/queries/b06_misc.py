@@ -1,4 +1,28 @@
-"""Query battery part 6/12 (split from the former single-module queries.py)."""
+"""Query battery part — 59 driver queries (split from the former single-module queries.py).
+
+Registers:
+greedy_matching_dups, markup_audit_brands, audio_requant_audit,
+kcenter_seeds_embeddings, kmv_jaccard_types, motion_centroid_clips,
+bitplane_census_images, supplier_value_gate_q11,
+hour_uniformity_types, first_token_lift_docs, greedy_coloring_dups,
+brightest_block_images, audio_monotone_runs, f2_sketch_users,
+coverage_perimeter_cells, source_chargram_l1,
+ship_lag_buckets_priority, moravec_corners_images,
+token_reuse_distance_docs, majority_label_prop_dups,
+stratified_cell_sample, packing_plan_sources, audio_clipping_audit,
+soundex_classes_docs, blockiness_images, order_backlog_curve,
+stop_transfer_pairs, activity_halflife_users, video_time_symmetry,
+kanon_users, channel_corr_images, trip_length_hist, lang_runs_sources,
+column_period_images, shape_cell_trace, return_rate_brands,
+bipartite_audit_dups, second_order_latency, anisotropy_embeddings,
+predictable_tokens_docs, type_mix_daily, row_trend_images,
+audio_halftime, stop_seq_contiguity, above_type_avg_parts,
+daily_growth_streak, motion_spikes_clips, rank_code_cost_docs,
+modal_color_images, qty_disc_association, caption_templates_images,
+caption_brightness_cov, service_days_gtfs, race_to_value_users,
+channel_order_census, nn_margin_audit, boilerplate_shingles_docs,
+cohort_retention_matrix, euler_quad_images
+"""
 
 
 from __future__ import annotations

@@ -1,4 +1,29 @@
-"""Query battery part 7/12 (split from the former single-module queries.py)."""
+"""Query battery part — 56 driver queries (split from the former single-module queries.py).
+
+Registers:
+audio_crest_factor, video_pixel_range_hist, cm_heavy_hitters_audit,
+tax_rounding_audit, palette_quant_images, dup_diameter_sweep,
+spectral_mass_embeddings, front_coding_vocab,
+length_sortedness_sources, shape_seg_length_bands,
+saturation_census_images, audio_lsb_bias, gtfs_leg_speed_audit,
+freq_spectrum_sources, granulometry_images, gtfs_transfer_windows,
+bpe_merges_docs, gram_det_embeddings, route_color_contrast,
+rice_coding_tracks, pair_dist_hist_embeddings,
+shape_orientation_audit, bright_rect_images, video_loop_period,
+coverage_saturation_curve, single_linkage_merges,
+caption_token_brightness_lift, stop_dwell_census,
+shingle_novelty_curve, texture_direction_census,
+direction_stop_asymmetry, box_count_images, cell_moore_census,
+clockface_schedule_audit, linear_counting_users,
+hopkins_clusterability, gtfs_orphan_audit, onion_profile_images,
+daily_ohlc_values, sttr_sources, typicality_outlier_images,
+video_rice_temporal, fd_violation_audit, record_count_users,
+bright_bbox_images, customer_basket_jaccard, token_stutter_docs,
+trip_duration_direction_asymmetry, ldiversity_users, ktruss_dups,
+split_order_audit, shape_self_intersections, dup_rows_images,
+brevity_law_docs, schedule_overtake_audit,
+selectivity_independence_audit
+"""
 
 
 from __future__ import annotations

@@ -1,4 +1,28 @@
-"""Query battery part 8/12 (split from the former single-module queries.py)."""
+"""Query battery part — 54 driver queries (split from the former single-module queries.py).
+
+Registers:
+route_loop_audit, order_total_reconciliation, rich_club_dups,
+dom_seasonality_purchases, palindrome_census_docs,
+part_pair_lift_orders, lis_customer_orders, huffman_cost_sources,
+emd_weekend_weekday, naive_lag_mae_daily,
+percentile_mismatch_customers, fano_factor_types, lz78_parse_sources,
+eulerian_audit_routes, distinct_substrings_docs,
+hash_bucket_load_orders, pack_size_gcd_parts, simpson_strata_brands,
+bridges_dups, audio_predictor_order_audit, rle_sort_benefit_lineitem,
+stop_service_span, bwt_runs_sources, gorilla_ts_bits_users,
+roaring_container_census, phash_hubness_images, elias_fano_bits_users,
+fleet_size_routes, lyndon_factors_sources, video_cut_audit,
+alias_table_nations, voptimal_hist_weekly,
+lsh_bucket_balance_embeddings, buffer_area_audit_routes,
+cube_status_priority, frechet_direction_gap_routes,
+multi_distinct_orders, km_survival_weeks, csa_earliest_arrival,
+merkle_root_orders, skyline_parts, lrs_census_sources,
+varint_posting_bytes_users, lcs_adjacent_docs,
+lsm_compaction_sim_daily, ring_rebalance_orders, ima_adpcm_tracks,
+dither_fs_images, band_pair_census_orders, h_index_nations,
+persistence_census_images, gop_plan_clips, chamfer_label_pairs,
+theil_sen_customers
+"""
 
 
 from __future__ import annotations

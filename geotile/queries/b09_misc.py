@@ -1,4 +1,20 @@
-"""Query battery part 9/12 (split from the former single-module queries.py)."""
+"""Query battery part — 39 driver queries (split from the former single-module queries.py).
+
+Registers:
+block_match_motion_clips, dtw_adjacent_tracks, viterbi_segments_users,
+border_census_docs, aho_corasick_docs, hungarian_match_nations,
+hough_peak_images, mst_cells_tiles, gotoh_adjacent_docs,
+rho_cycle_orders, rmq_day_ranges, ffd_binpack_weekly, obst_sources,
+kadane_priority_days, sliding_extrema_days, moore_hodgson_weekly,
+hopcroft_karp_dups, manacher_docs, max_submatrix_images,
+dinic_flow_nations, gale_shapley_nations, rect_union_cells,
+ntt_lag_xcorr, hull_diameter_cells, btree_buildplan_orders,
+stoer_wagner_dups, held_karp_tsp_cells, radix_trie_sources,
+elias_universal_bits_users, life_census_images, probe_count_weekly,
+json_props_stats, stress_centrality_dups, boruvka_mst_cells,
+apriori_triples_docs, rs_erasure_weekly, lz77_parse_docs,
+mcmf_nations, scc_census_orders
+"""
 
 
 from __future__ import annotations

@@ -1,4 +1,20 @@
-"""Query battery part 10/12 (split from the former single-module queries.py)."""
+"""Query battery part — 41 driver queries (split from the former single-module queries.py).
+
+Registers:
+eh_window_counts_users, winnowing_docs, two_choice_load_orders,
+stab_count_sessions, walk_counts_dups, linear_partition_days,
+mtf_codes_docs, count_sketch_users, fm_pcsa_users, min_swaps_weekly,
+osa_adjacent_docs, luhn_audit_orders, crc32_docs, hamming74_tracks,
+secretary_rule_weekly, disk_scan_weekly, hrw_jump_rebalance_orders,
+ear_clip_routes, gk_quantiles_orders, open_addressing_weekly,
+fenwick_online_ranks_weekly, xor_filter_orders, histogram_rect_days,
+rolling_median_days, rsa_roundtrip_orders, rank_gf2_sources,
+gcd_census_orders, lehmer_rank_weekly, celf_coverage_tiles,
+shapley_power_nations, widest_path_cells, ttc_exchange_nations,
+voting_methods_nations, hull_width_cells, bwt_roundtrip_docs,
+wiener_index_dups, tsp_2opt_gap_cells, astar_cells, lazy_segtree_days,
+cuckoo_insert_orders, lca_binarylift_dups
+"""
 
 
 from __future__ import annotations

@@ -1,4 +1,21 @@
-"""Query battery part 11/12 (split from the former single-module queries.py)."""
+"""Query battery part — 41 driver queries (split from the former single-module queries.py).
+
+Registers:
+zeller_dow_orders, horner_estrin_days, jaro_adjacent_docs,
+montgomery_redc_orders, karatsuba_bigint_sources,
+prufer_roundtrip_dups, simpson_paradox_nations,
+activity_selection_weekly, median_two_shards_orders,
+majority_vote_users, gray_roundtrip_orders, spmv_csr_docs,
+auction_assignment_nations, welford_users, knapsack_mitm_nations,
+prime_keys_orders, necklace_census_weeks, dominance_pairs_parts,
+run_formation_orders, cache_paging_orders, matrix_chain_days,
+stern_brocot_orders, damm_audit_orders, zorder_bigmin_query,
+mo_range_distinct_days, rank_select_days, gf256_docs,
+crt_bezout_orders, tonelli_orders, kasiski_docs, ckmeans_days,
+pava_days, grundy_weekly, josephus_weekly, rsk_weekly,
+bst_height_weekly, carter_wegman_orders, decimal_period_orders,
+elo_weekly_nations, adler32_docs, simple9_users
+"""
 
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""Query battery part 12/12 (split from the former single-module queries.py)."""
+"""Query battery part — driver oracle entry point (oracle_sql; split from the former single-module queries.py)."""
 
 
 from __future__ import annotations
