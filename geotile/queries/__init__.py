@@ -54,6 +54,9 @@ _PRIORITY = (
     "fingerprint_docs", "ivf_ann", "hll_distinct_users",
     "cm_user_counts", "cm_heavy_hitters_audit",
 )
-assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
+if not set(_PRIORITY) <= set(QUERIES):
+    raise AssertionError(
+        f"_PRIORITY keys missing from QUERIES: "
+        f"{sorted(set(_PRIORITY) - set(QUERIES))}")
 QUERIES = {k: QUERIES[k] for k in _PRIORITY} | {
     k: v for k, v in QUERIES.items() if k not in _PRIORITY}

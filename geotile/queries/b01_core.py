@@ -206,7 +206,8 @@ def q_cust_nation_orders(sf_dir: str):
                               ["c_name", "c_nationkey"])
     nk, nname = _dim_np(sf_dir, "nation", "n_nationkey", ["n_name"])
     ni, nhit = dim_lookup(nk, cnat.astype(np.int64, copy=False))
-    assert nhit.all(), "customer.c_nationkey missing from nation dim"
+    if not nhit.all():
+        raise ValueError("customer.c_nationkey missing from nation dim")
     dim_ref = ray.put(
         (
             ck,

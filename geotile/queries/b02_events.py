@@ -3058,7 +3058,8 @@ def q_revenue_share_nations(sf_dir: str):
     ck, cnat = _dim_np(sf_dir, "customer", "c_custkey", ["c_nationkey"])
     nk, nname = _dim_np(sf_dir, "nation", "n_nationkey", ["n_name"])
     ni, nhit = dim_lookup(nk, cnat.astype(np.int64, copy=False))
-    assert nhit.all(), "customer.c_nationkey missing from nation dim"
+    if not nhit.all():
+        raise ValueError("customer.c_nationkey missing from nation dim")
     dim_ref = ray.put((ck, pa.array(nname[ni], pa.string())))
 
     def partial(t: pa.Table) -> pa.Table:

@@ -4982,10 +4982,18 @@ def q_customer_basket_jaccard(sf_dir: str):
         it = t["sum(inter)"].to_numpy(zero_copy_only=False)
         keep = it >= 2
         a, b, it = a[keep], b[keep], it[keep]
-        # every pair cust came FROM the basket ledger, so hits are
-        # guaranteed; searchsorted gather replaces the per-row dict
-        na = szn_[np.searchsorted(szk_, a)]
-        nb = szn_[np.searchsorted(szk_, b)]
+        # VERIFIED gather (dim_lookup hit mask): pair custs come from
+        # the same basket lineage as the sizes, but the two are separate
+        # executions — a miss must DROP the pair (inner semantics, as
+        # the SQL's JOIN sz does), never gather a neighbor's size
+        from geotile.ops.relational import dim_lookup
+
+        ia, ha = dim_lookup(szk_, a)
+        ib, hb = dim_lookup(szk_, b)
+        ok = ha & hb
+        a, b, it = a[ok], b[ok], it[ok]
+        na = szn_[ia[ok]]
+        nb = szn_[ib[ok]]
         return pa.table({"a": pa.array(a), "b": pa.array(b),
                          "inter": pa.array(it),
                          "size_a": pa.array(na),
