@@ -3063,12 +3063,17 @@ def q_revenue_share_nations(sf_dir: str):
     dim_ref = ray.put((ck, pa.array(nname[ni], pa.string())))
 
     def partial(t: pa.Table) -> pa.Table:
+        # VERIFIED gather: orders with a custkey absent from the dim
+        # drop, matching the oracle's inner JOIN customer
         keys, nats = _broadcast(dim_ref)
-        idx = pa.array(np.searchsorted(keys, t["o_custkey"].to_numpy()))
+        ci, chit = dim_lookup(keys, t["o_custkey"].to_numpy()
+                              .astype(np.int64, copy=False))
+        t = t.filter(pa.array(chit))
         rev = pc.floor(pc.add(pc.multiply(t["o_totalprice"],
                                           pa.scalar(100.0)),
                               pa.scalar(0.5))).cast(pa.int64())
-        g = pa.table({"nation": pc.take(nats, idx), "rev_e2": rev}) \
+        g = pa.table({"nation": pc.take(nats, pa.array(ci[chit])),
+                      "rev_e2": rev}) \
             .group_by("nation").aggregate([("rev_e2", "sum")])
         return pa.table({"nation": g["nation"],
                          "rev_e2": g["rev_e2_sum"]})
@@ -3650,11 +3655,19 @@ def q_nation_pair_revenue(sf_dir: str):
     agg = _rename(agg, ["snat", "cnat", "l_year", "revenue_e4", "n"])
 
     def attach(t: pa.Table) -> pa.Table:
+        # VERIFIED gathers: a nationkey absent from the nation dim
+        # drops the row, matching the oracle's two inner nation JOINs
+        from geotile.ops.relational import dim_lookup
+
         _, _, nk_, names_ = _broadcast(dim_ref)
-        si = pa.array(np.searchsorted(nk_, t["snat"].to_numpy()))
-        ci = pa.array(np.searchsorted(nk_, t["cnat"].to_numpy()))
-        return pa.table({"supp_nation": pc.take(names_, si),
-                         "cust_nation": pc.take(names_, ci),
+        si, sh = dim_lookup(nk_, t["snat"].to_numpy()
+                            .astype(np.int64, copy=False))
+        ci, ch = dim_lookup(nk_, t["cnat"].to_numpy()
+                            .astype(np.int64, copy=False))
+        ok = sh & ch
+        t = t.filter(pa.array(ok))
+        return pa.table({"supp_nation": pc.take(names_, pa.array(si[ok])),
+                         "cust_nation": pc.take(names_, pa.array(ci[ok])),
                          "l_year": t["l_year"],
                          "revenue_e4": t["revenue_e4"],
                          "n": t["n"]})
