@@ -87,6 +87,12 @@ def run_checkpointed(
         if max_partitions is not None and ran >= max_partitions:
             break
         t0 = time.time()
+        # fingerprint BEFORE the (lazy) read executes: if the shard is
+        # rewritten mid-run the stamp mismatches on the next scan and
+        # the partition reruns — stamping after execution would record
+        # the NEW file against the OLD output and freeze it as done
+        in_fp = _fingerprint(p)
+        in_bytes = p.stat().st_size
         ds = rd.read_parquet(str(p), columns=columns)
         out = pipeline_fn(ds)
         part_dir = out_dir / f"part={p.stem}"
@@ -104,8 +110,8 @@ def run_checkpointed(
         manifest = {
             "partition": p.stem,
             "input_file": str(p),
-            "input_bytes": p.stat().st_size,
-            "input_fingerprint": _fingerprint(p),
+            "input_bytes": in_bytes,
+            "input_fingerprint": in_fp,
             "output_rows": out_rows,
             "output_bytes": out_bytes,
             "lineage": lineage or ["read_parquet", "pipeline", "write_parquet"],

@@ -530,10 +530,16 @@ class KnnStage:
 
     @staticmethod
     def _select_topk(D: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        part = np.argpartition(D, k - 1, axis=1)[:, :k]
-        pd_ = np.take_along_axis(D, part, axis=1)
-        order = np.argsort(pd_, axis=1, kind="stable")
-        return np.take_along_axis(part, order, axis=1), np.take_along_axis(pd_, order, axis=1)
+        # STABLE argsort, not argpartition: among EQUAL distances
+        # straddling rank k argpartition picks arbitrarily, so the
+        # exact-scan and ring paths could report different tied routes.
+        # Stable sort ties break by CANDIDATE COLUMN ORDER — global
+        # route index in both call paths (the exact scan passes all
+        # routes in id order; the ring path passes `cand` ascending) —
+        # so both paths agree on ties. Route counts are dim-scale
+        # (hundreds), so the log-factor over argpartition is noise.
+        order = np.argsort(D, axis=1, kind="stable")[:, :k]
+        return order, np.take_along_axis(D, order, axis=1)
 
     def _ring_topk(self, lon, lat, px, py, k):
         """Cell-ring expansion: candidates per unique tile cell."""
@@ -586,6 +592,13 @@ class KnnStage:
         py = (lat - _ANCHOR_LAT) * self.my
         n = len(px)
         k = min(self.k, len(self.route_ids))
+        if k == 0:
+            # zero routes: a typed empty result, not a np.stack crash
+            return pa.table({
+                "image_id": pa.array([], geo["image_id"].type),
+                "rank": pa.array([], pa.int32()),
+                "route_id": pa.array([], pa.string()),
+                "dist_m": pa.array([], pa.float64())})
         if self.ring is not None and n:
             top, topd = self._ring_topk(lon, lat, px, py, k)
         else:
@@ -616,8 +629,11 @@ def knn_routes(ds: rd.Dataset, route_lines: dict[str, np.ndarray], k: int = 3,
                ring_threshold: int = KNN_RING_THRESHOLD,
                ring_res: int = KNN_RING_RES) -> rd.Dataset:
     """Stateless-task kNN stage (same broadcast/caching discipline as
-    spatial_join; ``concurrency`` retained for API compat, unused)."""
-    ref = ray.put(route_lines)
+    spatial_join; ``concurrency`` retained for API compat, unused).
+    Pass an ``ObjectRef`` to broadcast ONCE across checkpointed
+    per-partition invocations (mirrors spatial_join's contract)."""
+    ref = (route_lines if isinstance(route_lines, ray.ObjectRef)
+           else ray.put(route_lines))
 
     def knn_fn(batch: pa.Table) -> pa.Table:
         return _cached_stage(
@@ -666,7 +682,7 @@ def _merge_cell_counts(t: pa.Table) -> pa.Table:
     return pa.table({"cell": pa.array(uniq.view(np.int64)), "n": pa.array(s)})
 
 
-def _partial_cell_counts(batch: pa.Table, res: int, coarse_res: int, salt: int) -> pa.Table:
+def _partial_cell_counts(batch: pa.Table, coarse_res: int, salt: int) -> pa.Table:
     from geotile.synth import image_index, splitmix64, tile_centers
 
     # encode at coarse_res DIRECTLY: floor(x/(k·step)) == floor(floor(x/step)/k)
@@ -700,7 +716,13 @@ def cell_tile_counts(
     batch_size: int | None = None, coalesce: int | None = None,
     reduce: str = "tree",
 ) -> rd.Dataset:
-    """Tiles per coarse cell: per-batch partial aggregation (the combiner
+    """Tiles per coarse cell. ``res`` is accepted for API symmetry with
+    the join but does NOT affect the result: the combiner encodes at
+    ``coarse_res`` directly (floor(x/(k·step)) == floor(floor(x/step)/k)
+    on the power-of-two lattice, so the fine-res Morton interleave is
+    skipped entirely).
+
+    Per-batch partial aggregation (the combiner
     — each batch emits ≤ #unique cells rows), then a reduce over the
     KB-scale partials. The all-to-all only ever moves partial counts.
 
@@ -723,7 +745,7 @@ def cell_tile_counts(
     """
     tree = reduce == "tree"
     partial = ds.map_batches(
-        lambda b: _partial_cell_counts(b, res, coarse_res, 1 if tree else salt),
+        lambda b: _partial_cell_counts(b, coarse_res, 1 if tree else salt),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
@@ -737,9 +759,7 @@ def cell_tile_counts(
     if coalesce is None:
         coalesce = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
     if tree:
-        lvl1 = partial.repartition(coalesce).map_batches(
-            lambda t: t.drop_columns(["salt"]), batch_format="pyarrow"
-        ).map_batches(_merge_cell_counts, batch_format="pyarrow")
+        lvl1 = partial.repartition(coalesce).map_batches(_merge_cell_counts, batch_format="pyarrow")
         out = lvl1.repartition(1).map_batches(
             _merge_cell_counts, batch_format="pyarrow"
         )

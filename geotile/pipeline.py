@@ -21,12 +21,29 @@ from geotile.formats import get_geojson_by_format
 from geotile.geojson import dumps
 from geotile.ops.gtfs import GtfsContext
 
-_SANITIZE_RE = re.compile(r'[/\\?<>\\:*|"\x00-\x1f]')
+_SANITIZE_RE = re.compile(r'[/\\?<>\\:*|"\x00-\x1f\x80-\x9f]')
+_WIN_RESERVED_RE = re.compile(
+    r"^(con|prn|aux|nul|com[0-9]|lpt[0-9])(\..*)?$", re.IGNORECASE)
+
+
+def _truncate_utf8(name: str, max_bytes: int = 255) -> str:
+    """Truncate to max_bytes of UTF-8 WITHOUT splitting a codepoint —
+    NAME_MAX is a byte limit, so a 200-char CJK name (~600 bytes) must
+    shrink to fit even though len() is under 255."""
+    b = name.encode("utf-8")
+    if len(b) <= max_bytes:
+        return name
+    return b[:max_bytes].decode("utf-8", errors="ignore")
 
 
 def sanitize(name: str) -> str:
-    """Filename sanitization (reference uses npm sanitize-filename)."""
-    return _SANITIZE_RE.sub("", name)[:255]
+    """Filename sanitization with npm sanitize-filename parity
+    (reference dependency): strips illegal + C0/C1 control chars,
+    empties Windows-reserved device names, truncates to 255 BYTES."""
+    out = _SANITIZE_RE.sub("", name)
+    if _WIN_RESERVED_RE.match(out):
+        out = ""
+    return _truncate_utf8(out)
 
 
 def prep_directory(path: Path, overwrite: bool) -> None:
@@ -87,6 +104,13 @@ def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
             f"{ctx_key(ctx)}: Generating geoJSON {{bar}} {{value}}/{{total}}",
             len(routes), config,
         )
+        # duplicate-name disambiguation is route-level: count
+        # (agency_id, route_id) pairs ONCE instead of rescanning the
+        # route list per direction (O(routes^2 x directions) before)
+        from collections import Counter
+
+        pair_counts = Counter(
+            (r.get("agency_id"), r["route_id"]) for r in routes)
         for index, route in enumerate(routes):
             stats["routes"] += 1
             trips = ctx.trips_for(route["route_id"]).to_pylist()
@@ -111,12 +135,8 @@ def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
                 parts.append(str(route["route_id"]))
                 if d["direction_id"] is not None:
                     parts.append(str(d["direction_id"]))
-                identical = [
-                    r for r in routes
-                    if r.get("agency_id") == route.get("agency_id")
-                    and r["route_id"] == route["route_id"]
-                ]
-                if len(identical) > 1:
+                if pair_counts[(route.get("agency_id"),
+                                route["route_id"])] > 1:
                     parts.append(str(index))
                 _write(output_path / sanitize("_".join(parts) + ".geojson"), gj, stats)
             # reference increments AFTER each route completes (ADVICE r2)
