@@ -118,6 +118,8 @@ def simplify_feature(f: dict[str, Any], precision: int | None) -> dict[str, Any]
         return f
     g = f.get("geometry") or {}
     gt = g.get("type")
+    if "coordinates" not in g:
+        return f  # null/absent geometry is valid GeoJSON — pass through
     if gt and gt != "MultiPolygon":
         g = dict(g)
         g["coordinates"] = _simplify_coords(gt, g["coordinates"], 1.0 / 10**precision)

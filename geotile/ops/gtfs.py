@@ -132,9 +132,11 @@ class GtfsContext:
             if start_date:
                 m = pc.and_(m, pc.greater_equal(cal["end_date"], start_date))
             self.service_ids = cal.filter(m)["service_id"].to_pylist()
-        # trips filtered by service (dimension-side semi-join)
+        # trips filtered by service (dimension-side semi-join); a feed
+        # without trips.txt stays constructible (shapes-only fixtures) —
+        # trip-consuming paths raise the clear error lazily
         trips = self.dims["trips"]
-        if self.service_ids is not None:
+        if trips is not None and self.service_ids is not None:
             trips = trips.filter(pc.is_in(trips["service_id"], pa.array(self.service_ids)))
         self.trips = trips
         self._trips_ref = None
@@ -145,9 +147,18 @@ class GtfsContext:
         self.cache: dict[tuple, object] = {}
 
     # -- broadcast helpers ------------------------------------------------
+    def _trips_dim(self) -> pa.Table:
+        if self.trips is None:
+            # fail loud with the table name instead of an opaque
+            # NoneType attribute error
+            raise FileNotFoundError(
+                f"required table 'trips' missing from {self.feed_dir} "
+                "(not found, or listed in the agency's exclude)")
+        return self.trips
+
     def trips_ref(self):
         if self._trips_ref is None:
-            self._trips_ref = ray.put(self.trips)
+            self._trips_ref = ray.put(self._trips_dim())
         return self._trips_ref
 
     def dim_ref(self, name: str):
@@ -200,21 +211,56 @@ class GtfsContext:
             return fi["feed_version"][0].as_py()
         return None
 
+    def _routes_dim(self) -> pa.Table:
+        r = self.dims.get("routes")
+        if r is None:
+            # fail loud with the table name instead of an opaque
+            # NoneType attribute error (contexts without routes.txt are
+            # fine until a route-consuming path is used)
+            raise FileNotFoundError(
+                f"required table 'routes' missing from {self.feed_dir} "
+                "(not found, or listed in the agency's exclude)")
+        return r
+
     def routes_table(self, route_id: str | None = None) -> pa.Table:
-        r = self.dims["routes"]
+        r = self._routes_dim()
         if route_id is not None:
             r = r.filter(pc.equal(r["route_id"], route_id))
         return r
 
     def route_attributes_map(self) -> dict[str, dict]:
-        ra = self.dims.get("route_attributes")
-        if ra is None:
-            return {}
-        return {row["route_id"]: {k: v for k, v in row.items() if k != "route_id"}
+        # memoized: per-route loops call this once per route — rebuilding
+        # the full to_pylist each time made line assembly O(routes x attrs)
+        if "route_attributes_map" not in self.cache:
+            ra = self.dims.get("route_attributes")
+            self.cache["route_attributes_map"] = {} if ra is None else {
+                row["route_id"]: {k: v for k, v in row.items()
+                                  if k != "route_id"}
                 for row in ra.to_pylist()}
+        return self.cache["route_attributes_map"]
+
+    def stops_map(self) -> dict[str, dict]:
+        """Memoized stop_id → record dict (stop_features/stop_points
+        re-materialized the whole stops dim per query before)."""
+        if "stops_map" not in self.cache:
+            self.cache["stops_map"] = {
+                r["stop_id"]: r for r in self.dims["stops"].to_pylist()}
+        return self.cache["stops_map"]
+
+    def routes_map(self) -> dict[str, dict]:
+        if "routes_map" not in self.cache:
+            # LAST occurrence wins on duplicate route_ids — the
+            # semantics of the inline dict comprehension this map
+            # replaced in stop_features (pinned by the stops goldens);
+            # _route_props inherits it (the old filter-scan-[0] took
+            # the first — observable only on malformed dup-id feeds)
+            self.cache["routes_map"] = {
+                r["route_id"]: r for r in self._routes_dim().to_pylist()}
+        return self.cache["routes_map"]
+
 
     def trips_for(self, route_id: str | None = None, direction_id: int | None = None) -> pa.Table:
-        t = self.trips
+        t = self._trips_dim()
         if route_id is not None:
             t = t.filter(pc.equal(t["route_id"], route_id))
         if direction_id is not None:

@@ -53,7 +53,7 @@ def shape_linestrings(ctx: GtfsContext, shape_ids: set[str]) -> list[dict]:
 def route_shape_map(ctx: GtfsContext, query: dict) -> dict[str, list[str]]:
     """Distinct route_id → [shape_id] from the (service-filtered) trips
     dim, narrowed by the query (route_id / direction_id / shape_id)."""
-    t = ctx.trips
+    t = ctx._trips_dim()
     if query.get("route_id") is not None:
         t = t.filter(pc.equal(t["route_id"], query["route_id"]))
     if query.get("direction_id") is not None:
@@ -61,15 +61,21 @@ def route_shape_map(ctx: GtfsContext, query: dict) -> dict[str, list[str]]:
     if query.get("shape_id") is not None:
         t = t.filter(pc.equal(t["shape_id"], query["shape_id"]))
     out: dict[str, list[str]] = defaultdict(list)
-    for rid, sid in sorted(set(zip(t["route_id"].to_pylist(), t["shape_id"].to_pylist()))):
-        if sid is not None:
-            out[rid].append(sid)
+    # drop null shape_ids BEFORE sorting — None < str raises, and a
+    # shapeless trip contributes nothing to the shapes join anyway
+    pairs = {(rid, sid)
+             for rid, sid in zip(t["route_id"].to_pylist(),
+                                 t["shape_id"].to_pylist())
+             if sid is not None}
+    for rid, sid in sorted(pairs):
+        out[rid].append(sid)
     return dict(out)
 
 
 def _route_props(ctx: GtfsContext, route_id: str) -> dict:
-    rt = ctx.routes_table(route_id)
-    rec = rt.to_pylist()[0] if rt.num_rows else {"route_id": route_id}
+    # memoized id->record map: the old per-route routes_table filter
+    # scan made per-route loops O(routes^2) on the driver
+    rec = ctx.routes_map().get(route_id) or {"route_id": route_id}
     attrs = ctx.route_attributes_map().get(route_id, {})
     # node-gtfs getShapesAsGeoJSON flattens route props + attributes and
     # adds agency_name (visible in examples/lines-buffer.geojson props)
@@ -204,6 +210,12 @@ def fallback_line_features(ctx: GtfsContext, query: dict) -> list[dict]:
         rid = rec["route_id"]
         ordered = ordered_stop_ids_for_route(ctx, rid, seqs)
         coords = [[stop_xy[s][0], stop_xy[s][1]] for s in ordered if s in stop_xy]
+        if not coords:
+            # a route with no usable trips/stops: the reference throws
+            # here (maxBy of an empty trip list); emitting an empty
+            # LineString instead crashes the buffer/envelope formats
+            # downstream — skip the route
+            continue
         props = dict(rec)
         props.update(ctx.route_attributes_map().get(rid, {}))
         props["agency_name"] = ctx.agency_name

@@ -44,7 +44,8 @@ class _AttachRoutes:
     route_id) pairs — vectorized index_in gather + group_by distinct,
     no per-row Python on the stop_times fact."""
 
-    def __init__(self, trips_ref, route_id=None, direction_id=None):
+    def __init__(self, trips_ref, route_id=None, direction_id=None,
+                 shape_id=None):
         import pyarrow.compute as pc
 
         trips: pa.Table = ray.get(trips_ref)
@@ -52,6 +53,11 @@ class _AttachRoutes:
             trips = trips.filter(pc.equal(trips["route_id"], route_id))
         if direction_id is not None:
             trips = trips.filter(pc.equal(trips["direction_id"], direction_id))
+        if shape_id is not None:
+            # shape-scoped stop queries resolve through the shape's
+            # trips, as node-gtfs getStops does for its join-key params
+            # (reference formats pass {shape_id} for outputType=shape)
+            trips = trips.filter(pc.equal(trips["shape_id"], shape_id))
         self.trip_ids = trips["trip_id"].combine_chunks()
         self.route_ids = trips["route_id"].combine_chunks()
 
@@ -79,7 +85,8 @@ def _distinct_routes(df: pd.DataFrame) -> pd.DataFrame:
 def stop_route_lists(ctx: GtfsContext, query: dict) -> dict[str, list[str]]:
     """Distributed stop→routes aggregation; returns {stop_id: [route_id]}
     for used stops only."""
-    key = ("stop_route_lists", query.get("route_id"), query.get("direction_id"))
+    key = ("stop_route_lists", query.get("route_id"),
+           query.get("direction_id"), query.get("shape_id"))
     if key in ctx.cache:
         return ctx.cache[key]
     from geotile.ops.join import _cached_stage
@@ -87,11 +94,13 @@ def stop_route_lists(ctx: GtfsContext, query: dict) -> dict[str, list[str]]:
     ds = ctx.stop_times(columns=["trip_id", "stop_id"])
     tref = ctx.trips_ref()
     rid, did = query.get("route_id"), query.get("direction_id")
+    sid = query.get("shape_id")
 
     def attach_fn(batch: pa.Table) -> pa.Table:
         # stateless task + per-worker cached stage (no actor pool)
         return _cached_stage(
-            ("stoproutes", tref.hex(), rid, did), lambda: _AttachRoutes(tref, rid, did)
+            ("stoproutes", tref.hex(), rid, did, sid),
+            lambda: _AttachRoutes(tref, rid, did, sid)
         )(batch)
 
     ds = ds.map_batches(attach_fn, batch_format="pyarrow")
@@ -101,25 +110,31 @@ def stop_route_lists(ctx: GtfsContext, query: dict) -> dict[str, list[str]]:
     return out
 
 
+def _used_stop_ids(stops: dict[str, dict], used: dict) -> list[str]:
+    """Ordered used-stop ids + their parent stations — the shared
+    selection behind stop_features and stop_points (the parent-station
+    quirk must stay identical in both or convex/buffer outputs diverge
+    from the stop features)."""
+    parents = {
+        stops[s].get("parent_station")
+        for s in used
+        if s in stops and stops[s].get("parent_station")
+    }
+    return sorted(set(used) | {p for p in parents if p in stops})
+
+
 def stop_features(ctx: GtfsContext, query: dict) -> list[dict]:
     """Point features for used stops (+ their parent stations), each with
     the nested distinct-route property list, ordered by stop_id."""
     used = stop_route_lists(ctx, query)
-    stops = {r["stop_id"]: r for r in ctx.dims["stops"].to_pylist()}
-    routes = {r["route_id"]: r for r in ctx.dims["routes"].to_pylist()}
+    stops = ctx.stops_map()
+    routes = ctx.routes_map()
     agency_name = ctx.agency_name
 
     # parent stations of used stops ride along with an EMPTY routes dict
     # (the examples/stops.geojson "routes": {} quirk)
-    parents = sorted(
-        {
-            stops[s].get("parent_station")
-            for s in used
-            if s in stops and stops[s].get("parent_station")
-        }
-    )
     feats = []
-    for sid in sorted(set(used) | set(p for p in parents if p in stops)):
+    for sid in _used_stop_ids(stops, used):
         rec = stops.get(sid)
         if rec is None:
             continue
@@ -146,13 +161,6 @@ def stop_features(ctx: GtfsContext, query: dict) -> list[dict]:
 def stop_points(ctx: GtfsContext, query: dict) -> np.ndarray:
     """(n, 2) lon/lat of used stops — the convex-hull / buffer input."""
     used = stop_route_lists(ctx, query)
-    stops = {r["stop_id"]: r for r in ctx.dims["stops"].to_pylist()}
-    parents = sorted(
-        {
-            stops[s].get("parent_station")
-            for s in used
-            if s in stops and stops[s].get("parent_station")
-        }
-    )
-    ids = sorted(set(used) | set(p for p in parents if p in stops))
+    stops = ctx.stops_map()
+    ids = _used_stop_ids(stops, used)
     return np.array([[stops[s]["stop_lon"], stops[s]["stop_lat"]] for s in ids], dtype=np.float64)

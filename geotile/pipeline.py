@@ -98,7 +98,7 @@ def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
         if ctx.service_ids is not None:
             # reference getRoutes(baseQuery) excludes routes with no
             # in-range service (src/lib/gtfs-to-geojson.ts:168)
-            served = set(ctx.trips["route_id"].to_pylist())
+            served = set(ctx._trips_dim()["route_id"].to_pylist())
             routes = [r for r in routes if r["route_id"] in served]
         bar = progress_bar(
             f"{ctx_key(ctx)}: Generating geoJSON {{bar}} {{value}}/{{total}}",
