@@ -54,6 +54,11 @@ def route_shape_map(ctx: GtfsContext, query: dict) -> dict[str, list[str]]:
     """Distinct route_id → [shape_id] from the (service-filtered) trips
     dim, narrowed by the query (route_id / direction_id / shape_id)."""
     t = ctx._trips_dim()
+    if "shape_id" not in t.column_names:
+        # trips.shape_id is OPTIONAL per the GTFS spec: a feed without
+        # the column has no shapes mapping at all -> the stop-order
+        # fallback path takes over (same as an all-null column)
+        return {}
     if query.get("route_id") is not None:
         t = t.filter(pc.equal(t["route_id"], query["route_id"]))
     if query.get("direction_id") is not None:

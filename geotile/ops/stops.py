@@ -56,8 +56,12 @@ class _AttachRoutes:
         if shape_id is not None:
             # shape-scoped stop queries resolve through the shape's
             # trips, as node-gtfs getStops does for its join-key params
-            # (reference formats pass {shape_id} for outputType=shape)
-            trips = trips.filter(pc.equal(trips["shape_id"], shape_id))
+            # (reference formats pass {shape_id} for outputType=shape);
+            # trips without the optional shape_id column match nothing
+            if "shape_id" in trips.column_names:
+                trips = trips.filter(pc.equal(trips["shape_id"], shape_id))
+            else:
+                trips = trips.slice(0, 0)
         self.trip_ids = trips["trip_id"].combine_chunks()
         self.route_ids = trips["route_id"].combine_chunks()
 

@@ -74,9 +74,11 @@ def build_geojson(ctx: GtfsContext, config: PipelineConfig, output_path: Path,
             # shape_id, reference src/lib/gtfs-to-geojson.ts:132)
             shape_ids = sorted(ctx.shapes().unique("shape_id"))
         else:
+            trips = ctx.dims.get("trips")
+            has_col = trips is not None and "shape_id" in trips.column_names
             shape_ids = sorted(
-                {s for s in (ctx.dims["trips"]["shape_id"].to_pylist()
-                             if ctx.dims.get("trips") is not None else []) if s}
+                {s for s in (trips["shape_id"].to_pylist()
+                             if has_col else []) if s}
             )
         if not shape_ids:
             raise RuntimeError(
