@@ -56,7 +56,8 @@ def discs_batch(lons: np.ndarray, lats: np.ndarray, radius_m: float, steps: int 
 
 
 def buffer_raster(
-    lines: list[np.ndarray], radius_m: float, cells_per_radius: int = 8
+    lines: list[np.ndarray], radius_m: float, cells_per_radius: int = 8,
+    fill_rings: list[np.ndarray] | None = None,
 ) -> tuple[np.ndarray, Grid, list[np.ndarray], float, float, float, float]:
     """The raster-buffer internals: local meter frame, grid, and the
     per-pixel distance mask. Returns (mask, grid, metric_lines, lon0,
@@ -85,6 +86,18 @@ def buffer_raster(
     mask = np.zeros((grid.ny, grid.nx), dtype=bool)
     for ml in metric:
         mask |= distance_mask(ml, radius_m, grid)
+    if fill_rings:
+        # Polygon-buffer semantics (@turf/buffer): the expanded shape is
+        # the FILLED polygon grown by radius, not an annulus around its
+        # boundary — OR the even-odd fill of the input rings in
+        from geotile.geom.raster import polygon_mask
+
+        metric_fill = [
+            np.column_stack([(np.asarray(r)[:, 0] - lon0) * mx,
+                             (np.asarray(r)[:, 1] - lat0) * my])
+            for r in fill_rings
+        ]
+        mask |= polygon_mask(metric_fill, grid)
     return mask, grid, metric, lon0, lat0, mx, my
 
 
@@ -93,12 +106,15 @@ def buffer_polyline(
     radius_m: float,
     cells_per_radius: int = 8,
     simplify: bool = True,
+    fill_rings: list[np.ndarray] | None = None,
 ) -> list[tuple[np.ndarray, list[np.ndarray]]]:
     """Buffer one or more polylines ((m,2) lon/lat arrays, treated as one
     feature — e.g. a MultiLineString route) by ``radius_m``. Returns
-    [(outer_ring, [holes])] in lon/lat."""
+    [(outer_ring, [holes])] in lon/lat.  ``fill_rings``: rings whose
+    even-odd interior ORs into the mask — pass a Polygon's rings here so
+    its buffer is the filled expansion, not a boundary annulus."""
     mask, grid, _metric, lon0, lat0, mx, my = buffer_raster(
-        lines, radius_m, cells_per_radius
+        lines, radius_m, cells_per_radius, fill_rings=fill_rings
     )
     step = grid.step
     polys = mask_to_polygons(mask, grid)

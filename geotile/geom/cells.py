@@ -56,6 +56,11 @@ def _compact(v: np.ndarray) -> np.ndarray:
 
 
 def _quantize(lon: np.ndarray, lat: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    # CLAMP convention at the domain edges (lon=180 -> column n-1, not a
+    # wrap to 0): replayed bit-for-bit by the SQL oracle (_sql_quant's
+    # least/greatest) and matched by polygon_cover_cells, so points and
+    # covers agree at the boundary. Antimeridian-SPANNING geometry is
+    # outside the engine's local-meter-frame domain either way.
     n = 1 << res
     ix = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * n).astype(np.int64)
     iy = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * n).astype(np.int64)

@@ -56,10 +56,27 @@ def grid_for_bounds(
     return Grid(x0, y0, step, nx, ny)
 
 
-def polygon_mask(rings: list[np.ndarray], grid: Grid) -> np.ndarray:
+def polygon_mask(
+    rings: list[np.ndarray], grid: Grid,
+    window: tuple[int, int, int, int] | None = None,
+) -> np.ndarray:
     """Even-odd scanline fill of a polygon (outer ring + holes) into a
-    boolean (ny, nx) mask: pixel is filled iff its CENTER is inside."""
-    mask_acc = np.zeros((grid.ny, grid.nx), dtype=np.int32)
+    boolean (ny, nx) mask: pixel is filled iff its CENTER is inside.
+
+    ``window=(i0, i1, j0, j1)`` fills only that sub-rectangle (shape
+    (j1-j0, i1-i0)) — ALL arithmetic stays in the full grid's frame
+    (crossings strictly left of the window fold into its first column,
+    preserving parity), so the windowed fill is BIT-IDENTICAL to the
+    corresponding slice of the full fill.  This is the dissolve's
+    per-feature fast path: a small disc fills a ~17x17 window instead
+    of allocating and cumsumming the whole metro grid."""
+    if window is None:
+        i0, i1, j0, j1 = 0, grid.nx, 0, grid.ny
+    else:
+        i0, i1, j0, j1 = window
+        if i1 <= i0 or j1 <= j0:  # fully outside the grid
+            return np.zeros((max(0, j1 - j0), max(0, i1 - i0)), bool)
+    mask_acc = np.zeros((j1 - j0, i1 - i0), dtype=np.int32)
     yc = grid.centers_y()
     for ring in rings:
         r = np.asarray(ring, dtype=np.float64)
@@ -78,8 +95,8 @@ def polygon_mask(rings: list[np.ndarray], grid: Grid) -> np.ndarray:
         hi = np.maximum(y1, y2)
         r0 = np.ceil((lo - grid.y0) / grid.step - 0.5).astype(np.int64)
         r1 = np.ceil((hi - grid.y0) / grid.step - 0.5).astype(np.int64)
-        np.clip(r0, 0, grid.ny, out=r0)
-        np.clip(r1, 0, grid.ny, out=r1)
+        np.clip(r0, j0, j1, out=r0)
+        np.clip(r1, j0, j1, out=r1)
         for e in range(len(x1)):
             rows = np.arange(r0[e], r1[e])
             if len(rows) == 0:
@@ -89,9 +106,9 @@ def polygon_mask(rings: list[np.ndarray], grid: Grid) -> np.ndarray:
             # c0 = first pixel index whose center is >= the crossing; the
             # crossing is "to the left" of pixels ix >= c0
             c0 = np.ceil((xint - grid.x0) / grid.step - 0.5).astype(np.int64)
-            valid = c0 < grid.nx
-            rows, c0 = rows[valid], np.maximum(c0[valid], 0)
-            np.add.at(mask_acc, (rows, c0), 1)
+            valid = c0 < i1
+            rows, c0 = rows[valid], np.maximum(c0[valid] - i0, 0)
+            np.add.at(mask_acc, (rows - j0, c0), 1)
     parity = np.cumsum(mask_acc, axis=1)  # crossings at-or-left of each pixel center
     return (parity % 2).astype(bool)
 
@@ -255,20 +272,15 @@ def polygon_cover_cells(
     n = 1 << res
     ix_min = int(np.floor((allx.min() + 180.0) / dlon)) - 1
     iy_min = int(np.floor((ally.min() + 90.0) / dlat)) - 1
-    # local grid in cell units, aligned with the global cell lattice
-    grid = Grid(
-        x0=-180.0 + ix_min * dlon,
-        y0=-90.0 + iy_min * dlat,
-        step=1.0,  # dummy; we fill per-axis below
-        nx=0, ny=0,
-    )
+    # local frame origin aligned with the global cell lattice
+    x0 = -180.0 + ix_min * dlon
     nx = int(np.ceil((allx.max() + 180.0) / dlon)) - ix_min + 2
     ny = int(np.ceil((ally.max() + 90.0) / dlat)) - iy_min + 2
     # center-inside fill: reuse polygon_mask on a lon-scaled frame.
     # polygon_mask assumes square steps, so scale lat into lon units.
     sy = dlon / dlat
     scaled = [np.column_stack([np.asarray(r)[:, 0], np.asarray(r)[:, 1] * sy]) for r in rings]
-    g = Grid(x0=grid.x0, y0=(-90.0 + iy_min * dlat) * sy, step=dlon, nx=nx, ny=ny)
+    g = Grid(x0=x0, y0=(-90.0 + iy_min * dlat) * sy, step=dlon, nx=nx, ny=ny)
     inside = polygon_mask(scaled, g)
     # boundary supercover: mark every cell an edge passes through
     # (exact parametric traversal — no false negatives, no dilation)
@@ -281,7 +293,13 @@ def polygon_cover_cells(
 
     def _ids(mm: np.ndarray) -> np.ndarray:
         jy, jx = np.nonzero(mm)
-        gx = (jx + ix_min) % n
+        # CLAMP, matching cells._quantize (and its SQL oracle replay):
+        # a % n wrap sent east-edge cells to column 0 while encode()
+        # clamps points at lon=180 to column n-1 — the one disagreement
+        # that could produce a candidate-pruning FALSE NEGATIVE at the
+        # antimeridian (out of the engine's meter-frame domain, but the
+        # no-false-negative invariant should not depend on that)
+        gx = np.clip(jx + ix_min, 0, n - 1)
         gy = np.clip(jy + iy_min, 0, n - 1)
         return np.unique(cellmod.from_ixy(gx.astype(np.uint64), gy.astype(np.uint64), res))
 
@@ -442,26 +460,64 @@ def keys_to_lonlat(keys: np.ndarray, res: int) -> np.ndarray:
     return np.column_stack([lon, lat])
 
 
+def _interior_point(ring: np.ndarray) -> np.ndarray:
+    """A point STRICTLY inside a simple closed ring (first==last) — the
+    classical convex-vertex probe (O'Rourke): the vertex MEAN is outside
+    for non-convex rings (a C-shape's mean sits in its mouth).  Take the
+    lowest-then-leftmost vertex v (always convex), triangle (a, v, b)
+    with its neighbors; if no other vertex lies inside that triangle its
+    centroid is interior, else the midpoint of v and the inside vertex
+    closest to v is."""
+    pts = ring[:-1]
+    n = len(pts)
+    i = int(np.lexsort((pts[:, 0], pts[:, 1]))[0])
+    a, v, b = pts[(i - 1) % n], pts[i], pts[(i + 1) % n]
+
+    def _cross(o, p, q):
+        return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+    # signed-area orientation of the triangle (normalize to CCW)
+    if _cross(a, v, b) < 0:
+        a, b = b, a
+    d1 = (pts[:, 0] - a[0]) * (v[1] - a[1]) - (pts[:, 1] - a[1]) * (v[0] - a[0])
+    d2 = (pts[:, 0] - v[0]) * (b[1] - v[1]) - (pts[:, 1] - v[1]) * (b[0] - v[0])
+    d3 = (pts[:, 0] - b[0]) * (a[1] - b[1]) - (pts[:, 1] - b[1]) * (a[0] - b[0])
+    inside = (d1 < 0) & (d2 < 0) & (d3 < 0)  # strictly inside CCW triangle
+    if not inside.any():
+        return (a + v + b) / 3.0
+    cand = pts[inside]
+    q = cand[np.argmin(((cand - v) ** 2).sum(axis=1))]
+    return (v + q) / 2.0
+
+
 def rings_to_polygons(
     rings: list[np.ndarray],
 ) -> list[tuple[np.ndarray, list[np.ndarray]]]:
     """Closed rings → (outer, [holes]) by orientation + containment —
     the assignment half of mask_to_polygons, frame-agnostic (uniform
-    y-scaling preserves area order and containment)."""
+    y-scaling preserves area order and containment).
+
+    Hole→parent assignment probes a TRUE interior point of the hole
+    ring and takes the smallest containing outer whose area exceeds the
+    hole's — both conditions matter: the vertex-mean probe mis-attached
+    C-shaped holes (mean in the mouth → dropped) and, in the
+    lake-with-island case, the island outer CONTAINS the probe point
+    even though the lake hole can only belong to the land polygon (an
+    outer smaller than the hole can never be its parent)."""
     outers: list[tuple[float, np.ndarray]] = []
-    holes: list[np.ndarray] = []
+    holes: list[tuple[float, np.ndarray]] = []
     for r in rings:
         a = signed_area(r)
         if a > 0:
             outers.append((a, r))
         elif a < 0:
-            holes.append(r)
+            holes.append((-a, r))
     outers.sort(key=lambda t: t[0])  # smallest first → innermost match wins
     polys: list[tuple[np.ndarray, list[np.ndarray]]] = [(r, []) for _, r in outers]
-    for h in holes:
-        p0 = h[:-1].mean(axis=0)
-        for i, (_, outer) in enumerate(outers):
-            if _contains(p0, outer):
+    for ha, h in holes:
+        p0 = _interior_point(h)
+        for i, (oa, outer) in enumerate(outers):
+            if oa > ha and _contains(p0, outer):
                 polys[i][1].append(h)
                 break
     return polys

@@ -60,8 +60,12 @@ def rdp_ring(ring: np.ndarray, tolerance: float, min_points: int = 4) -> np.ndar
 
 
 def round_coords(arr: np.ndarray, precision: int | None) -> np.ndarray:
-    """truncateGeoJSONDecimals (reference src/lib/geojson-utils.ts:59-107):
-    one vectorized np.round regardless of geometry nesting depth."""
+    """truncateGeoJSONDecimals (reference src/lib/geojson-utils.ts:59-107)
+    via @turf/helpers round = Math.round(x*10^p)/10^p — JS Math.round is
+    HALF-UP (toward +inf), so exact binary ties like 100.125 @ p=2 must
+    give 100.13; np.round's half-to-even gave 100.12 and broke byte
+    parity on .125/.375-style coordinates."""
     if precision is None:
         return np.asarray(arr, dtype=np.float64)
-    return np.round(np.asarray(arr, dtype=np.float64), precision)
+    m = 10.0 ** precision
+    return np.floor(np.asarray(arr, dtype=np.float64) * m + 0.5) / m

@@ -69,15 +69,21 @@ def buffer_feature(f: dict, radius_m: float, cells_per_radius: int = 8) -> dict:
         lon, lat = g["coordinates"]
         ring = disc(lon, lat, radius_m)
         return feature("Polygon", [ring.tolist()], f["properties"])
+    fill_rings = None
     if g["type"] == "LineString":
         lines = [np.asarray(g["coordinates"], dtype=np.float64)]
     elif g["type"] == "MultiLineString":
         lines = [np.asarray(ls, dtype=np.float64) for ls in g["coordinates"]]
     elif g["type"] in ("Polygon",):
+        # @turf/buffer grows the FILLED polygon; buffering only the
+        # boundary rings produced a hollow annulus that excluded the
+        # entire original interior
         lines = [np.asarray(r, dtype=np.float64) for r in g["coordinates"]]
+        fill_rings = lines
     else:
         raise ValueError(f"cannot buffer {g['type']}")
-    polys = buffer_polyline(lines, radius_m, cells_per_radius)
+    polys = buffer_polyline(lines, radius_m, cells_per_radius,
+                            fill_rings=fill_rings)
     if len(polys) == 1:
         outer, holes = polys[0]
         return feature("Polygon", [outer.tolist()] + [h.tolist() for h in holes], f["properties"])
@@ -121,7 +127,18 @@ def dissolve_raster(
     )
     mask = np.zeros((grid.ny, grid.nx), dtype=bool)
     for rs in metric:
-        mask |= polygon_mask(rs, grid)
+        # windowed fill: each feature touches only its bbox sub-window
+        # (bit-identical to the full-grid fill by polygon_mask's window
+        # contract) — the full-grid version made dissolve O(features x
+        # grid_area), ~5e9 cell-ops for 5000 stop discs on a metro grid
+        ap = np.vstack(rs)
+        i0 = max(0, int(np.floor((ap[:, 0].min() - grid.x0) / grid.step)) - 1)
+        i1 = min(grid.nx, int(np.ceil((ap[:, 0].max() - grid.x0) / grid.step)) + 2)
+        j0 = max(0, int(np.floor((ap[:, 1].min() - grid.y0) / grid.step)) - 1)
+        j1 = min(grid.ny, int(np.ceil((ap[:, 1].max() - grid.y0) / grid.step)) + 2)
+        if i0 >= i1 or j0 >= j1:
+            continue
+        mask[j0:j1, i0:i1] |= polygon_mask(rs, grid, window=(i0, i1, j0, j1))
     return mask, grid, metric, lon0, lat0, mx, my
 
 
@@ -132,6 +149,8 @@ def dissolve_features(feats: list[dict], agency_name: str | None,
     Raster union on a shared local-meter grid → one Polygon feature per
     disjoint region, each carrying only {agency_name} — matching the
     examples/stops-dissolved.geojson shape (47 disjoint polygons)."""
+    if not feats:
+        return []  # an all-skipped route set dissolves to nothing
     if len(feats) == 1:
         out = dict(feats[0])
         out["properties"] = {**(out.get("properties") or {}), "agency_name": agency_name}
