@@ -430,21 +430,36 @@ def triangle_count(
         dl = degs[np.searchsorted(nodes, lo)]
         dh = degs[np.searchsorted(nodes, hi)]
         fwd = (dl < dh) | ((dl == dh) & (lo < hi))
-        return pa.table({"src": pa.array(np.where(fwd, lo, hi)),
-                         "dst": pa.array(np.where(fwd, hi, lo))})
+        s = np.where(fwd, lo, hi)
+        return pa.table({"src": pa.array(s),
+                         "dst": pa.array(np.where(fwd, hi, lo)),
+                         "sb": pa.array(_bucket_of(s, n_buckets))})
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        out = df["dst"].to_numpy(np.int64)
-        out = np.unique(out)
-        if len(out) < 2:
+        # ALL sources of one hash(src) bucket in a single Ray group
+        # (per-SOURCE map_groups paid the ~0.5 ms/group scheduling law
+        # at node cardinality); per-source triu runs inside the bucket
+        # over a lexsorted run partition
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        o = np.lexsort((dst, src))
+        s, d = src[o], dst[o]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        bounds = np.r_[starts, len(s)]
+        ks: list[np.ndarray] = []
+        for st, en in zip(bounds[:-1], bounds[1:]):
+            out = d[st:en]  # sorted + unique per source (edge keys are)
+            if len(out) < 2:
+                continue
+            i, j = np.triu_indices(len(out), 1)
+            ks.append(out[i] * (1 << 31) + out[j])  # w1 < w2 canonically
+        if not ks:
             return pd.DataFrame({"k": np.empty(0, np.int64)})
-        i, j = np.triu_indices(len(out), 1)
-        w1, w2 = out[i], out[j]  # out is sorted, so w1 < w2 canonically
-        return pd.DataFrame({"k": w1 * (1 << 31) + w2})
+        return pd.DataFrame({"k": np.concatenate(ks)})
 
     wk = (
         ekeys.map_batches(orient, batch_format="pyarrow")
-        .groupby("src").map_groups(wedges, batch_format="pandas")
+        .groupby("sb").map_groups(wedges, batch_format="pandas")
     )
 
     # closure semi-count: bucket wedge keys and edge keys by hash, count
