@@ -302,6 +302,13 @@ def kmeans_lloyd(
     )
     labels = np.arange(len(C), dtype=np.int64)  # ORIGINAL cluster ids —
     # survive empty-cluster drops so output labels match the SQL replay
+    if C.shape[1] >= 4096:
+        # PACKING CONTRACT for the kd = k*4096 + dim groupby key below:
+        # checked ONCE on the driver (an assert inside the worker UDF
+        # vanishes under -O and distinct (cluster, dim) cells would
+        # collide silently)
+        raise ValueError(
+            f"kmeans packed key needs dim < 4096, got {C.shape[1]}")
 
     def dists(q: np.ndarray, C: np.ndarray) -> np.ndarray:
         # exact in float64: |q|,|c| ≤ ~2e4 ⇒ every dot/sum < 2^53
@@ -325,9 +332,8 @@ def kmeans_lloyd(
             ki = np.repeat(np.arange(kk, dtype=np.int64), d)
             # packed single-int groupby key (k·4096 + dim): Ray's
             # sort-based multi-key aggregate is ~0.7s/block even on
-            # tiny partials. PACKING CONTRACT: dim < 4096, else
-            # distinct (cluster, dim) cells collide silently
-            assert d < 4096, f"kmeans packed key needs dim < 4096, got {d}"
+            # tiny partials. PACKING CONTRACT: dim < 4096 — validated
+            # once on the driver right after C is built
             return pa.table(
                 {
                     "kd": pa.array(ki * 4096 + np.tile(np.arange(d, dtype=np.int64), kk)),

@@ -239,12 +239,22 @@ class GtfsContext:
                 for row in ra.to_pylist()}
         return self.cache["route_attributes_map"]
 
+    def _stops_dim(self) -> pa.Table:
+        s = self.dims.get("stops")
+        if s is None:
+            # same loud-failure contract as _routes_dim/_trips_dim: name
+            # the missing table instead of a NoneType attribute error
+            raise FileNotFoundError(
+                f"required table 'stops' missing from {self.feed_dir} "
+                "(not found, or listed in the agency's exclude)")
+        return s
+
     def stops_map(self) -> dict[str, dict]:
         """Memoized stop_id → record dict (stop_features/stop_points
         re-materialized the whole stops dim per query before)."""
         if "stops_map" not in self.cache:
             self.cache["stops_map"] = {
-                r["stop_id"]: r for r in self.dims["stops"].to_pylist()}
+                r["stop_id"]: r for r in self._stops_dim().to_pylist()}
         return self.cache["stops_map"]
 
     def routes_map(self) -> dict[str, dict]:

@@ -194,7 +194,7 @@ def fallback_line_features(ctx: GtfsContext, query: dict) -> list[dict]:
     """Reference stop-order fallback (src/lib/geojson-utils.ts:227-252):
     one LineString per route through its ordered stops."""
     routes = ctx.routes_table(query.get("route_id"))
-    stops = ctx.dims["stops"]
+    stops = ctx._stops_dim()
     stop_xy = {
         sid: (lon, lat)
         for sid, lon, lat in zip(

@@ -24,6 +24,8 @@ from geotile.ops.gtfs import GtfsContext
 _SANITIZE_RE = re.compile(r'[/\\?<>\\:*|"\x00-\x1f\x80-\x9f]')
 _WIN_RESERVED_RE = re.compile(
     r"^(con|prn|aux|nul|com[0-9]|lpt[0-9])(\..*)?$", re.IGNORECASE)
+_DOT_RESERVED_RE = re.compile(r"^\.+$")
+_WIN_TRAILING_RE = re.compile(r"[. ]+$")
 
 
 def _truncate_utf8(name: str, max_bytes: int = 255) -> str:
@@ -38,11 +40,18 @@ def _truncate_utf8(name: str, max_bytes: int = 255) -> str:
 
 def sanitize(name: str) -> str:
     """Filename sanitization with npm sanitize-filename parity
-    (reference dependency): strips illegal + C0/C1 control chars,
-    empties Windows-reserved device names, truncates to 255 BYTES."""
+    (reference dependency), rule-for-rule in npm's order: strip illegal
+    + C0/C1 control chars, empty dot-only names (reservedRe ^\\.+$ —
+    without this '..' escapes the output dir and prep_directory could
+    clear the parent), empty Windows-reserved device names, strip
+    trailing dots/spaces (windowsTrailingRe [. ]+$), truncate to 255
+    BYTES."""
     out = _SANITIZE_RE.sub("", name)
+    if _DOT_RESERVED_RE.match(out):
+        out = ""
     if _WIN_RESERVED_RE.match(out):
         out = ""
+    out = _WIN_TRAILING_RE.sub("", out)
     return _truncate_utf8(out)
 
 
