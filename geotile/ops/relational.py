@@ -59,7 +59,14 @@ def broadcast_dim(
             f"{max_rows}; this side is fact-scale — use bucketed_join"
         )
     tbl = tbl.combine_chunks()
-    keys = tbl[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    col = tbl[key]
+    if pa.types.is_integer(col.type):
+        keys = col.to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+    else:
+        # string keys (e.g. image_id): Arrow's C-side conversion to an
+        # object ndarray — still no interpreter-level row loop here
+        keys = col.to_numpy(zero_copy_only=False)
     order = np.argsort(keys, kind="stable")
     if not np.all(order[:-1] < order[1:]):  # skip the take when pre-sorted
         tbl = tbl.take(pa.array(order))

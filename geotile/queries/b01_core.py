@@ -132,6 +132,33 @@ def _dim_np(sf_dir: str, table: str, key: str, cols: list[str],
 
 
 
+def _emb_dim_np(sf_dir: str, extra_cols: tuple[str, ...] = (),
+                max_rows: int = 5_000_000):
+    """The ``_dim_np`` analogue for the embeddings table (VERDICT r4
+    #1): size-capped :func:`broadcast_dim` collect, then the embedding
+    list column flattens to an (n, d) float64 matrix via Arrow kernels
+    — no ``take_all`` + per-row listcomp.  Returns ``(sorted vec_ids,
+    matrix, *extra column arrays)`` aligned by vec_id position.  The
+    cap is the explicit statement that this is the SMALL-corpus path;
+    at the 100 TB point the LSH-bucketed twin replaces the broadcast
+    (each caller's docstring names its replacement)."""
+    from geotile.ops.relational import broadcast_dim
+
+    keys, tbl = broadcast_dim(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", *extra_cols]),
+        "vec_id", max_rows=max_rows)
+    col = tbl["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.float64)
+    V = (flat.reshape(tbl.num_rows, -1) if tbl.num_rows
+         else flat.reshape(0, 0))
+    return (keys, V,
+            *(tbl[c].to_numpy(zero_copy_only=False) for c in extra_cols))
+
+
+
 # ---------------------------------------------------------------------------
 # q1: pricing summary — the partial+final aggregation pattern (SURVEY A4/M)
 # ---------------------------------------------------------------------------
@@ -852,9 +879,15 @@ def q_doc_stats_by_lang(sf_dir: str):
 def q_knn_embeddings(sf_dir: str):
     from geotile.ops.ann import topk_bruteforce
 
+    import pyarrow.dataset as pads
+
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = emb.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    # query-set selection rides the parquet read as a pushed-down
+    # predicate (row-group pruning) instead of scanning the full table
+    # to keep 5 rows (VERDICT r4 minor #4)
+    q = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < 5,
     ).take_all()
     qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
     Q = np.array([r["embedding"] for r in q], dtype=np.float64)
@@ -6165,6 +6198,7 @@ __defined__ = (
     '_READ_WIDTH',
     '_read_num_blocks',
     '_dim_np',
+    '_emb_dim_np',
     'DOC_QUALITY_SQL',
     'EMBEDDING_DUPS_SQL',
     'ORACLE_SQL',

@@ -46,6 +46,7 @@ import ray.data as rd
 
 from .b01_core import (
     _dim_np,
+    _emb_dim_np,
     ORACLE_SQL,
     QUERIES,
     _atomic_write_table,
@@ -4813,18 +4814,14 @@ def q_nn1_accuracy_labels(sf_dir: str):
     round-6 then vec_id) and we score per true label how often the
     neighbor agrees — the intrinsic embedding-quality readout.
     ann.topk_bruteforce keeps shuffle at k-per-query-per-batch; the
-    label lookup is a broadcast gather; at 100 TB the LSH-bucketed
-    path replaces the broadcast query matrix."""
+    query matrix + label gather is the size-capped ``_emb_dim_np``
+    (Arrow→numpy, no row loop / per-row dict); at 100 TB the
+    LSH-bucketed path replaces the broadcast query matrix."""
     from geotile.ops.ann import topk_bruteforce
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
-    rows = emb.select_columns(["vec_id", "label"]).take_all()
-    ids = np.array(sorted(r["vec_id"] for r in rows), dtype=np.int64)
-    lab_of = {r["vec_id"]: r["label"] for r in rows}
-    labels = np.array([lab_of[i] for i in ids], dtype=np.int64)
-    all_rows = emb.select_columns(["vec_id", "embedding"]).take_all()
-    all_rows.sort(key=lambda r: r["vec_id"])
-    Q = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids, Q, labels = _emb_dim_np(sf_dir, ("label",))
+    labels = labels.astype(np.int64)
     nn = topk_bruteforce(emb, ids, Q, k=1)
     lref = ray.put((ids, labels))
 

@@ -41,6 +41,7 @@ import ray.data as rd
 
 from .b01_core import (
     _dim_np,
+    _emb_dim_np,
     EMBEDDING_DUPS_SQL,
     ORACLE_SQL,
     QUERIES,
@@ -156,15 +157,15 @@ def q_triplet_violation_labels(sf_dir: str):
     triplet-loss violation rate that flags mislabeled clusters.
     Anchors without a same-label peer are skipped. Per batch: one
     int64 Gram matmul against the broadcast lattice corpus gives every
-    anchor both masked minima at once. Oracle: scalar python-int
-    replay (oracle_ref.triplet_violations_ref) via sidecar."""
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    rows = emb.take_all()
-    rows.sort(key=lambda r: r["vec_id"])
-    V = np.floor(np.array([r["embedding"] for r in rows], np.float64)
-                 * 1_000_000.0).astype(np.int64)
-    labs = np.array([r["label"] for r in rows], np.int64)
-    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    anchor both masked minima at once. Corpus gather is the size-capped
+    ``_emb_dim_np`` (Arrow→numpy, no row loop); at 100 TB the
+    LSH-bucketed path (embedding_dedup_lsh) replaces the broadcast
+    corpus. Oracle: scalar python-int replay
+    (oracle_ref.triplet_violations_ref) via sidecar."""
+    emb = _read(sf_dir, "embeddings", ["vec_id"])
+    ids, Vf, labs = _emb_dim_np(sf_dir, ("label",))
+    V = np.floor(Vf * 1_000_000.0).astype(np.int64)
+    labs = labs.astype(np.int64)
     cref = ray.put((ids, V, labs))
     BIG = np.int64(2**62)
 
@@ -1325,17 +1326,17 @@ def q_range_density_labels(sf_dir: str):
     neighbour) pairs sit within squared-L2 1.5e12 on the e6 integer
     lattice (self excluded) — the density audit behind choosing a
     dedup tau or DBSCAN eps. One int64 Gram matmul per batch against
-    the broadcast lattice corpus; counts are exact. Oracle: scalar
-    python-int replay (oracle_ref.range_counts_ref) with early-exit
-    accumulation — a different algorithm, same integers."""
+    the broadcast lattice corpus; counts are exact. Corpus gather is
+    the size-capped ``_emb_dim_np`` (Arrow→numpy, no row loop); at
+    100 TB the LSH-bucketed path replaces the broadcast corpus.
+    Oracle: scalar python-int replay (oracle_ref.range_counts_ref)
+    with early-exit accumulation — a different algorithm, same
+    integers."""
     R2 = 1_500_000_000_000
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    rows = emb.take_all()
-    rows.sort(key=lambda r: r["vec_id"])
-    V = np.floor(np.array([r["embedding"] for r in rows], np.float64)
-                 * 1_000_000.0).astype(np.int64)
-    labs = np.array([r["label"] for r in rows], np.int64)
-    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    emb = _read(sf_dir, "embeddings", ["vec_id"])
+    ids, Vf, labs = _emb_dim_np(sf_dir, ("label",))
+    V = np.floor(Vf * 1_000_000.0).astype(np.int64)
+    labs = labs.astype(np.int64)
     cref = ray.put((ids, V, labs))
 
     def part(t: pa.Table) -> pa.Table:
@@ -3208,20 +3209,20 @@ def q_closest_pair_tiles(sf_dir: str):
     index pair), and the exact squared degree distance elects the
     global minimum with the earliest (id_a, id_b) tie rule. The grid
     guarantee — the true closest pair shares a 3×3 neighbourhood
-    whenever its distance ≤ g — is ASSERTED on the result. SQL
-    replays the same quantized join."""
-    import pyarrow.parquet as pq
-
+    whenever its distance ≤ g — is ASSERTED on the result. Point
+    gather is the size-capped broadcast_dim (Arrow→numpy, no row
+    loop); at 100 TB the cell scatter runs directly over the read and
+    the per-cell stage holds only its 3×3 neighbourhood. SQL replays
+    the same quantized join."""
+    from geotile.ops.relational import broadcast_dim
     from geotile.ops.tiles import read_image_table
 
     G = 0.01
     ds = read_image_table(_image_dir_for(sf_dir),
                           columns=["image_id", "lon", "lat"])
-    rows = ds.take_all()  # ids + 2 doubles; corpus-dim for the demo
-    rows.sort(key=lambda r: r["image_id"])
-    ids = np.array([r["image_id"] for r in rows])
-    lon = np.array([r["lon"] for r in rows])
-    lat = np.array([r["lat"] for r in rows])
+    ids, ptbl = broadcast_dim(ds, "image_id")
+    lon = ptbl["lon"].to_numpy(zero_copy_only=False)
+    lat = ptbl["lat"].to_numpy(zero_copy_only=False)
     pref = ray.put((ids, lon, lat))
 
     src = rd.from_arrow(pa.table({

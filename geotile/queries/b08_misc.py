@@ -2592,23 +2592,34 @@ def q_phash_hubness_images(sf_dir: str):
     to (winner, count) before the only shuffle; the zero row is
     assembled from the aggregates themselves. Packed-argmin SQL
     replay (MIN(d*2^35+idx)) avoids a 400M-row window sort."""
+    from geotile.ops.relational import broadcast_dim
     from geotile.ops.tiles import read_image_table
 
     img = _image_dir_for(sf_dir)
-    corpus = read_image_table(img, columns=["image_id", "phash"]) \
-        .take_all()
-    corpus.sort(key=lambda r: r["image_id"])
-    cidx = np.array([int(r["image_id"][4:]) for r in corpus], np.int64)
-    cph = np.array([r["phash"] for r in corpus], np.int64) \
-        .view(np.uint64)
+    # size-capped driver gather (no take_all/per-row parse); the
+    # numeric id suffix comes from an Arrow slice+cast kernel and the
+    # corpus re-sorts by that idx — the order the argmin tie-break
+    # relies on
+    _, ctbl = broadcast_dim(
+        read_image_table(img, columns=["image_id", "phash"]), "image_id")
+    cidx = pc.cast(pc.utf8_slice_codeunits(
+        ctbl["image_id"].combine_chunks(), 4),
+        pa.int64()).to_numpy(zero_copy_only=False)
+    cph = ctbl["phash"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64, copy=False).view(np.uint64)
+    o = np.argsort(cidx, kind="stable")
+    cidx, cph = np.ascontiguousarray(cidx[o]), np.ascontiguousarray(cph[o])
     cref = ray.put((cidx, cph))
 
     ds = read_image_table(img, columns=["image_id", "phash"])
 
     def nn_part(t: pa.Table) -> pa.Table:
         cidx_, cph_ = _broadcast(cref)
-        qid = np.array([int(s[4:]) for s in t["image_id"].to_pylist()],
-                       np.int64)
+        qid = pc.cast(pc.utf8_slice_codeunits(
+            t["image_id"].combine_chunks()
+            if isinstance(t["image_id"], pa.ChunkedArray)
+            else t["image_id"], 4),
+            pa.int64()).to_numpy(zero_copy_only=False)
         qph = t["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
         winners = np.empty(len(qid), np.int64)
         for lo in range(0, len(qid), 256):  # bound the XOR matrix

@@ -118,3 +118,88 @@ def test_no_fact_table_take_all():
     assert not offenders, (
         "driver-side fact/dim take_all() reintroduced (use "
         f"broadcast_dim/_dim_np or bucketed_join): {offenders}")
+
+
+# Every table that is fact-scale at the 100 TB design point — the r4
+# verdict extended the r3 ban beyond the TPC-H five to the corpus
+# tables (embeddings/documents/events) and image reads, which had
+# escaped the chained-call regex above by assigning the read to a
+# variable first (`emb = _read(...)` … `emb.take_all()`).
+GUARDED_TABLES = FACT_TABLES + ("embeddings", "documents", "events")
+
+# ops that neither contract cardinality nor leave the driver-side
+# materialization hazard behind — a take_all through ONLY these is
+# still a whole-table collect.  filter / groupby / aggregate / limit /
+# map_batches chains are allowed: those either contract or transform
+# before collecting (knn's bounded `vec_id<5` filter, count-scale
+# aggregates).
+_PASSTHROUGH = {"select_columns", "materialize", "drop_columns",
+                "rename_columns"}
+
+
+def _is_guarded_read(call):
+    """True when ``call`` is itself a guarded-table `_read` / image-
+    table read (NOT merely a call that takes one as an argument — a
+    pair-discovery op like ``minhash_lsh_pairs(_read(...))`` contracts
+    to pair scale and is outside this ban)."""
+    f = call.func
+    fname = (f.id if isinstance(f, ast.Name)
+             else f.attr if isinstance(f, ast.Attribute) else None)
+    if (fname == "_read" and len(call.args) >= 2
+            and isinstance(call.args[1], ast.Constant)
+            and call.args[1].value in GUARDED_TABLES):
+        return True
+    return fname in ("read_image_table", "_read_docs")
+
+
+def _tainted_reads(fn):
+    """Variable names bound (directly or through a pass-through chain)
+    to a guarded-table `_read` / image-table read inside ``fn``."""
+    tainted = set()
+    for node in ast.walk(fn):
+        if not (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)):
+            continue
+        v = node.value
+        while (isinstance(v, ast.Call)
+               and isinstance(v.func, ast.Attribute)
+               and v.func.attr in _PASSTHROUGH):
+            v = v.func.value
+        if isinstance(v, ast.Call) and _is_guarded_read(v):
+            tainted.add(node.targets[0].id)
+    return tainted
+
+
+def test_no_corpus_table_take_all_ast():
+    """AST taint guard: no `take_all()` on a raw guarded-table read —
+    even through an intermediate variable or select_columns chain (the
+    exact idiom the r4 verdict flagged in the three embedding-audit
+    queries). Route driver-side gathers through the size-capped
+    broadcast_dim/_dim_np/_emb_dim_np instead."""
+    offenders = []
+    for path in MODULES:
+        tree = ast.parse(path.read_text())
+        for fn in [n for n in ast.walk(tree)
+                   if isinstance(n, ast.FunctionDef)]:
+            tainted = _tainted_reads(fn)
+            if not tainted:
+                continue
+            for node in ast.walk(fn):
+                if not (isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and node.func.attr == "take_all"):
+                    continue
+                base = node.func.value
+                while (isinstance(base, ast.Call)
+                       and isinstance(base.func, ast.Attribute)
+                       and base.func.attr in _PASSTHROUGH):
+                    base = base.func.value
+                hit = ((isinstance(base, ast.Name) and base.id in tainted)
+                       or (isinstance(base, ast.Call)
+                           and _is_guarded_read(base)))
+                if hit:
+                    offenders.append(
+                        f"{path.name}:{node.lineno} in {fn.name}")
+    assert not offenders, (
+        "whole-corpus driver take_all() on a fact-scale table (use "
+        f"broadcast_dim/_dim_np/_emb_dim_np): {offenders}")
