@@ -230,6 +230,65 @@ def _band_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
+def pair_dedup(
+    pairs: rd.Dataset,
+    a: str = "a",
+    b: str = "b",
+    val: str | None = None,
+    agg: str = "max",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Distinct ``(a, b)`` rows at PAIR cardinality — the shared
+    packed-key lexsort dedup (the ``hamming_pairs`` form, promoted to a
+    primitive; closes the COVERAGE r4 open item). NOT
+    ``groupby([a, b])``: Ray's sort-based multi-key aggregate spends a
+    measured ~0.2 ms of per-GROUP Python, and a pair join has
+    row-count-many groups (8 s/task at 35k groups). Instead the pairs
+    co-partition by ``hash(a, b)`` — every duplicate of a pair lands in
+    one bucket — and each bucket dedups with ONE vectorized lexsort +
+    run-head pass.
+
+    ``val``/``agg``: optionally keep one value column, taking the
+    ``max``/``min`` over a pair's duplicates (ties and order resolved
+    by the lexsort, deterministic). Output columns: ``a, b[, val]``."""
+    if n_buckets is None:
+        n_buckets = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        aa = t[a].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        bb = t[b].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        pb = (splitmix64(splitmix64(aa) ^ bb) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return t.append_column("pb", pa.array(pb))
+
+    out_cols = [a, b] + ([val] if val else [])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="float64" if c == val else "int64")
+                 for c in out_cols})
+        aa = df[a].to_numpy(np.int64)
+        bb = df[b].to_numpy(np.int64)
+        if val is None:
+            order = np.lexsort((bb, aa))
+            aa, bb = aa[order], bb[order]
+            head = np.r_[True, (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])]
+            return pd.DataFrame({a: aa[head], b: bb[head]})
+        v = df[val].to_numpy()
+        key = -v if agg == "max" else v
+        order = np.lexsort((key, bb, aa))
+        aa, bb, v = aa[order], bb[order], v[order]
+        head = np.r_[True, (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])]
+        return pd.DataFrame({a: aa[head], b: bb[head], val: v[head]})
+
+    return (
+        pairs.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
 def minhash_lsh_pairs(
     ds: rd.Dataset,
     threshold: float = 0.5,
@@ -265,7 +324,8 @@ def minhash_lsh_pairs(
     cand = band_rows.groupby("band").map_groups(_band_pairs, batch_format="pandas")
     # candidate pairs are dimension-scale by construction (MAX_BUCKET
     # caps per-bucket blow-up); dedup pairs that collided in many bands
-    # with a groupby — the pair set never lands on the driver
+    # with the packed-key lexsort (pair_dedup) — the pair set never
+    # lands on the driver
     cand_m = cand.materialize()  # snapshot: the signing pipeline runs once
     n_cand = cand_m.count()
     empty = pa.table(
@@ -345,9 +405,9 @@ def minhash_lsh_pairs(
 
     from geotile.ops.relational import bucketed_join
 
-    pairs = cand_m.groupby(["a", "b"]).count().map_batches(
-        # Arrow-normalize (groupby over pandas blocks emits pandas
-        # blocks; bucketed_join needs the Arrow schema for null padding)
+    pairs = pair_dedup(cand_m, "a", "b").map_batches(
+        # Arrow-normalize (map_groups emits pandas blocks;
+        # bucketed_join needs the Arrow schema for null padding)
         lambda t: t.select(["a", "b"]), batch_format="pyarrow"
     )
     ids = pairs.map_batches(
@@ -706,9 +766,10 @@ def _embedding_dup_pairs_lsh(
         return t.to_pandas()
 
     pairs = allb.groupby(["tbl", "bucket"]).map_groups(bucket_pairs, batch_format="pandas")
-    out = pairs.groupby(["a", "b"]).max("cosine")
-    return out.map_batches(
-        lambda t: t.rename_columns(["a", "b", "cosine"]), batch_format="pyarrow"
+    # cross-table dedup keeping the max cosine: packed-key lexsort at
+    # pair cardinality, not a multi-key groupby (see pair_dedup)
+    return pair_dedup(pairs, "a", "b", val="cosine", agg="max").map_batches(
+        lambda t: t.select(["a", "b", "cosine"]), batch_format="pyarrow"
     )
 
 
@@ -768,15 +829,19 @@ def ngram_jaccard_pairs(
          doc so the shuffle moves one row per (doc, shingle).
       3. prefix filter: df joined back (bucketed co-partition join),
          per-doc sort by (df, g) — a consistent GLOBAL rarity order —
-         keep only the first sz - ceil(tau*sz) + 1 postings. The
+         keep only the first sz - ceil(tau*sz) + 1 postings; docs
+         co-partition by hash(doc_id) bucket and each bucket runs ONE
+         vectorized lexsort + run-position pass (not a per-doc
+         map_groups — corpus-cardinality group scheduling). The
          prefix-filtering lemma (Chaudhuri et al., SSJoin) guarantees
          any pair with J >= tau shares a shingle within both prefixes,
          so candidate generation from prefix postings alone is lossless.
       4. candidates: groupby(g-bucket) → within-bucket pandas pair
          emission with the length filter tau_den*min_sz >= tau_num*max_sz
          (no MAX_BUCKET cap — exactness wins; n mutual dups imply O(n²)
-         true pairs); distinct pairs via a (d1, d2) groupby — the pair
-         set never lands on the driver.
+         true pairs); distinct pairs via the hash(d1,d2)-bucketed
+         lexsort dedup (``pair_dedup``) — the pair set never lands on
+         the driver.
       5. verify: per-doc sorted shingle arrays for CANDIDATE docs only
          (candidate-id semi-join, same contract as minhash_lsh_pairs)
          are co-partition-joined to the pairs; exact intersect per pair.
@@ -808,17 +873,45 @@ def ngram_jaccard_pairs(
     # caller contract)
     joined = bucketed_join(postings, dfreq, "g", "g", n_buckets=n_buckets)
 
-    def prefix_fn(df: pd.DataFrame) -> pd.DataFrame:
+    def add_dbucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(d.view(np.uint64)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return t.append_column("db", pa.array(b))
+
+    def prefix_bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
         # one-sided columns come back float64 from the co-partition
         # join's NaN padding; doc_id/sz are small ints (lossless), g is
-        # the join key present on BOTH sides so it stays int64 exact
-        df = df.sort_values(["df", "g"], kind="stable")
-        sz = int(df["sz"].iloc[0])
-        plen = sz - (-(-tau_num * sz // tau_den)) + 1  # sz - ceil(tau*sz) + 1
-        out = df.head(max(plen, 0))[["doc_id", "g", "sz"]]
-        return out.astype({"doc_id": np.int64, "sz": np.int64})
+        # the join key present on BOTH sides so it stays int64 exact.
+        # One lexsort orders every doc's postings by the global (df, g)
+        # rarity order at once; the run-position test keeps each doc's
+        # first sz - ceil(tau*sz) + 1 rows — identical selection to the
+        # old per-doc map_groups without corpus-cardinality group
+        # scheduling (the ~0.5 ms/group law).
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "g": pd.Series(dtype=np.int64),
+                                 "sz": pd.Series(dtype=np.int64)})
+        d = df["doc_id"].to_numpy(np.float64).astype(np.int64)
+        g = df["g"].to_numpy(np.int64)
+        sz = df["sz"].to_numpy(np.float64).astype(np.int64)
+        f = df["df"].to_numpy(np.float64)
+        order = np.lexsort((g, f, d))
+        d, g, sz = d[order], g[order], sz[order]
+        head = np.r_[True, d[1:] != d[:-1]]
+        starts = np.flatnonzero(head)
+        run_id = np.cumsum(head) - 1
+        pos = np.arange(len(d)) - starts[run_id]
+        plen = sz - ((tau_num * sz + tau_den - 1) // tau_den) + 1
+        keep = pos < np.maximum(plen, 0)
+        return pd.DataFrame({"doc_id": d[keep], "g": g[keep],
+                             "sz": sz[keep]})
 
-    prefix = joined.groupby("doc_id").map_groups(prefix_fn, batch_format="pandas")
+    prefix = (
+        joined.map_batches(add_dbucket, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(prefix_bucket_fn, batch_format="pandas")
+    )
 
     def add_gbucket(t: pa.Table) -> pa.Table:
         g = t["g"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -855,12 +948,16 @@ def ngram_jaccard_pairs(
             {"d1": np.concatenate(out_a), "d2": np.concatenate(out_b)}
         )
 
-    cand = (
+    cand_raw = (
         prefix.map_batches(add_gbucket, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(pairs_fn, batch_format="pandas")
-        .groupby(["d1", "d2"])
-        .count()
+    )
+    # distinct (d1, d2) via the packed-key lexsort dedup — pair
+    # cardinality is row-count-many groups, exactly the multi-key
+    # groupby's worst case (see pair_dedup)
+    cand = (
+        pair_dedup(cand_raw, "d1", "d2")
         .map_batches(
             lambda t: pa.table(
                 {

@@ -70,3 +70,67 @@ def test_stops_map_missing_stops_fails_loud(tmp_path):
     ctx = GtfsContext(str(feed))
     with pytest.raises(FileNotFoundError, match="stops"):
         ctx.stops_map()
+
+
+def test_pair_dedup_distinct_and_max(ray_session):
+    """pair_dedup (the COVERAGE r4 open-item closure): distinct (a,b)
+    via hash-bucket lexsort matches a naive set dedup, and the val/agg
+    form keeps the max value per pair."""
+    import ray.data as rd
+
+    from geotile.ops.dedup import pair_dedup
+
+    rows = [{"a": 1, "b": 2, "cosine": 0.5},
+            {"a": 1, "b": 2, "cosine": 0.9},
+            {"a": 3, "b": 4, "cosine": 0.7},
+            {"a": 1, "b": 5, "cosine": 0.1},
+            {"a": 3, "b": 4, "cosine": 0.7}]
+    ds = rd.from_items(rows, override_num_blocks=3)
+
+    got = pair_dedup(ds, "a", "b").to_pandas()
+    assert sorted(map(tuple, got[["a", "b"]].values.tolist())) == [
+        (1, 2), (1, 5), (3, 4)]
+
+    got_v = pair_dedup(ds, "a", "b", val="cosine", agg="max").to_pandas()
+    got_v = got_v.sort_values(["a", "b"]).reset_index(drop=True)
+    assert got_v["cosine"].tolist() == [0.9, 0.1, 0.7]
+
+
+def test_ngram_prefix_vectorized_parity(ray_session):
+    """The bucket-vectorized prefix stage must produce the same final
+    pair set as the oracle replay on a dup-heavy fixture (exercises
+    run-position selection across multiple docs in one bucket)."""
+    import itertools
+
+    import ray.data as rd
+
+    from geotile.ops.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different document about ray data engines",
+        "the quick brown fox jumps over the lazy dog today",
+        "a completely different document about ray data engines ok",
+        "short doc",
+    ]
+    docs = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)],
+        override_num_blocks=3)
+    got = ngram_jaccard_pairs(docs, k=4, tau_num=1, tau_den=2).to_pandas()
+
+    def sset(t, k=4):
+        toks = [w for w in t.split(" ") if w]
+        return {tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = [sset(t) for t in texts]
+    want = []
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        A, B = sets[a], sets[b]
+        if not A or not B:
+            continue
+        inter, uni = len(A & B), len(A | B)
+        if inter * 2 >= uni:  # J >= 1/2
+            want.append((a, b, inter, uni))
+    assert (sorted(map(tuple, got[["d1", "d2", "inter", "uni"]]
+                       .values.tolist())) == sorted(want))
