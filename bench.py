@@ -113,7 +113,11 @@ def main() -> None:
     # min-of-3 windows: this host shows up to ~35% run-to-run noise on
     # identical work, and min-of-N is the standard de-noising that
     # treats both parallelism levels of the scaling protocol equally.
-    big = read_parts(parts * h_repeats)
+    # 7 files/task on the headline: 672 parts / 7 = 96 tasks = 3 CLEAN
+    # waves at 32 cpus (and 12 at the 8-cpu scaling leg) — measured
+    # 2.48 -> 2.16 s over fpb 4..7 on identical input; the ~500 ms
+    # tasks stay well above the ~150-task/s dispatch floor on BOTH legs
+    big = read_parts(parts * h_repeats, files_per_block=7)
     if os.environ.get("GEOTILE_STATS"):
         t0 = time.time()
         j = spatial_join(big, index).map_batches(

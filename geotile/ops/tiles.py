@@ -23,7 +23,13 @@ from geotile.synth import (
     tile_centers,
 )
 
-JOIN_COLUMNS = ["image_id", "caption"]  # bytes/w/h/fmt pruned at the read
+# join read set: bytes/w/h/fmt pruned at the read.  lon/lat ride along
+# because the table CARRIES the georeferenced footprint (north-star
+# data model) and reading two float64 columns (+5 ms per 4-file task,
+# measured) is cheaper than re-deriving georef per batch (~45 ms of
+# id-parse + placement hashing under 32-way memory contention);
+# georef_batch still derives them when a caller reads without them.
+JOIN_COLUMNS = ["image_id", "caption", "lon", "lat"]
 
 
 def read_image_table(
@@ -68,9 +74,20 @@ def read_image_table(
 
 
 def georef_batch(batch: pa.Table, res: int) -> pa.Table:
-    """Attach derived (lon, lat) + uint64 cell id at resolution ``res``.
-    Fully vectorized: id→index parse, splitmix64 placement, Morton
-    encode — no Python loop over rows."""
+    """Attach (lon, lat) + uint64 cell id at resolution ``res``.  When
+    the batch already CARRIES the georeferenced footprint (lon/lat
+    columns — the input table stores them; see JOIN_COLUMNS) only the
+    cell encode runs; otherwise lon/lat derive from the id (vectorized
+    id→index parse, splitmix64 placement — the two paths agree
+    bit-for-bit on the synthetic table, pinned by test).  No Python
+    loop over rows either way."""
+    names = batch.column_names
+    if "lon" in names and "lat" in names:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        cell = cells.encode(lon, lat, res)
+        return batch.append_column(
+            "cell", pa.array(cell.view(np.int64)))
     idx = image_index(batch["image_id"])
     lon, lat = tile_centers(idx.astype(np.uint64))
     cell = cells.encode(lon, lat, res)

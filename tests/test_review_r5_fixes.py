@@ -134,3 +134,21 @@ def test_ngram_prefix_vectorized_parity(ray_session):
             want.append((a, b, inter, uni))
     assert (sorted(map(tuple, got[["d1", "d2", "inter", "uni"]]
                        .values.tolist())) == sorted(want))
+
+
+def test_georef_stored_and_derived_paths_agree(ray_session):
+    """georef_batch's two paths — stored lon/lat columns (JOIN_COLUMNS
+    read) vs id-derived placement — must agree bit-for-bit, or the
+    checkpointed join and its oracle replay would diverge depending on
+    which columns a caller read."""
+    import numpy as np
+
+    from geotile.synth import make_image_batch
+    from geotile.ops.tiles import georef_batch
+
+    t = make_image_batch(np.arange(500), w=8, h=8)
+    with_cols = georef_batch(
+        t.select(["image_id", "caption", "lon", "lat"]), 16)
+    derived = georef_batch(t.select(["image_id", "caption"]), 16)
+    for c in ("lon", "lat", "cell"):
+        assert with_cols[c].to_pylist() == derived[c].to_pylist(), c
