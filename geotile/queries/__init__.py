@@ -41,18 +41,40 @@ del _m, _n, _seen
 
 # ---------------------------------------------------------------------------
 # Driver sample ordering: the correctness driver verifies the FIRST ~50
-# queries() keys each round.  Front-load the operators the north star is
-# actually about (the geometry core + dedup/ANN family — judge-verified
-# green in r3 but never first-party driver-sampled) plus the two
-# count-min queries whose oracle collision was fixed this round, so the
-# CORRECTNESS record becomes first-party (VERDICT r3 "Next round" #1/#5).
+# queries() keys each round.  Slots 1-16 stay the geometry/north-star
+# head (first-party green in r4); slots 17-50 ROTATE each round to
+# queries with no prior driver row (VERDICT r4 #5) so first-party
+# coverage accumulates instead of re-proving the same 50 — round 5
+# rotates in every query touched this round (the de-materialized
+# embedding audits, the pair_dedup consumers, the rebuilt
+# watermark/window aggregates) plus the never-sampled audio / video /
+# graph / sketch / image / tile families.
 _PRIORITY = (
+    # --- standing geometry / north-star head (16) ---
     "gtfs_stop_features", "gtfs_line_features", "gtfs_envelope",
     "gtfs_convex_hull", "gtfs_buffer_stats", "gtfs_dissolved_stats",
     "tile_dissolve", "tile_assignments",
     "minhash_pairs_docs", "simhash_docs", "simhash_pairs_docs",
     "fingerprint_docs", "ivf_ann", "hll_distinct_users",
     "cm_user_counts", "cm_heavy_hitters_audit",
+    # --- round-5 rotation: touched this round (8) ---
+    "triplet_violation_labels", "range_density_labels",
+    "nn1_accuracy_labels", "closest_pair_tiles",
+    "phash_hubness_images", "watermark_late_events",
+    "containment_pairs_docs", "sig_agreement_pairs_docs",
+    # --- never-sampled families (26) ---
+    "triangle_dups", "bfs_dups", "kcore_dups", "two_hop_dups",
+    "image_dup_clusters",
+    "audio_frame_energy", "audio_onsets_tracks", "audio_walsh_bands",
+    "audio_loudest_window",
+    "video_flicker_parts", "video_quadrant_motion",
+    "video_temporal_haar",
+    "bloom_semi_join_lineitem", "simhash_bit_bias",
+    "image_glcm_energy", "image_patch_sums", "otsu_threshold_images",
+    "largest_blob_images",
+    "tile_pyramid_counts", "quadkey_occupancy", "zorder_range_counts",
+    "nation_pair_revenue", "upsert_orders", "llm_corpus_prep",
+    "pq_codes_embeddings", "label_centroids",
 )
 if not set(_PRIORITY) <= set(QUERIES):
     raise AssertionError(
