@@ -687,9 +687,16 @@ def _partial_cell_counts(batch: pa.Table, coarse_res: int, salt: int) -> pa.Tabl
 
     # encode at coarse_res DIRECTLY: floor(x/(k·step)) == floor(floor(x/step)/k)
     # for the power-of-two lattice, so this equals parent(encode(·, res),
-    # coarse_res) while skipping the fine Morton interleave
-    idx = image_index(batch["image_id"])
-    lon, lat = tile_centers(idx.astype(np.uint64))
+    # coarse_res) while skipping the fine Morton interleave.  Stored
+    # footprint columns win over re-deriving placement when the read
+    # carries them (same contract as georef_batch)
+    names = batch.column_names
+    if "lon" in names and "lat" in names:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+    else:
+        idx = image_index(batch["image_id"])
+        lon, lat = tile_centers(idx.astype(np.uint64))
     coarse = cells.encode(lon, lat, coarse_res)
     uniq, counts = _unique_counts_u64(coarse)
     # salt spreads ONE hot key's partial rows over `salt` reducers: the

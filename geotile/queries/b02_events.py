@@ -1854,9 +1854,27 @@ def q_llm_corpus_prep(sf_dir: str):
             ["h64", "pfx"]).aggregate([("v", "min")])
         return g.rename_columns(["h64", "pfx", "v"])
 
+    # final dedup combine: hash-bucket co-partition + one vectorized
+    # Arrow group_by per bucket, NOT a Ray multi-key (int, string)
+    # groupby — the Aggregate's per-block fixed cost dominated this
+    # corpus-cardinality combine (the window_events r4 lesson applied
+    # at group scale; every (h64, pfx) group co-locates because the
+    # bucket key derives from h64 alone). 1.5 -> 1.17 s at sf0.1/32.
+    P = max(8, int(ray.cluster_resources().get("CPU", 16)))
+
+    def add_hb(t: pa.Table) -> pa.Table:
+        h = t["h64"].to_numpy(zero_copy_only=False)
+        return t.append_column("hb", pa.array((h % P).astype(np.int64)))
+
+    def comb(t: pa.Table) -> pa.Table:
+        g = t.group_by(["h64", "pfx"]).aggregate([("v", "min")])
+        return pa.table({"h64": g["h64"], "pfx": g["pfx"],
+                         "min(v)": g["v_min"]})
+
     survivors = (docs.map_batches(prep, batch_format="pyarrow",
                                   zero_copy_batch=True)
-                 .groupby(["h64", "pfx"]).min("v"))
+                 .map_batches(add_hb, batch_format="pyarrow")
+                 .groupby("hb").map_groups(comb, batch_format="pyarrow"))
 
     def unpack(t: pa.Table) -> pa.Table:
         v = t["min(v)"].to_numpy(zero_copy_only=False)
@@ -3592,19 +3610,23 @@ ORACLE_SQL["except_all_users"] = """
 def q_nation_pair_revenue(sf_dir: str):
     """TPC-H Q7 shape (volume shipping): revenue between every
     (supplier-nation, customer-nation) pair per ship year. The
-    dual-dimension join plan: customer resolves through TWO bucketed
-    co-partition shuffles (orders⋈customer on custkey, then
-    lineitem⋈that on orderkey — both fact-scale at 100 TB), while the
-    supplier side is a broadcast searchsorted gather (suppkey→nationkey
-    int array, ~10 MB even at 100 TB). Revenue on the per-element e4
-    lattice before summation; partials are bounded by 25×25×years so
-    the final shuffle is trivial."""
-    from geotile.ops.relational import bucketed_join
+    dual-dimension join plan, size-guarded at every hop (the
+    region_revenue strategy): orders⋈customer goes through
+    ``lookup_join`` — broadcast searchsorted while customer fits the
+    2^20-row guard (zero shuffle on orders; at the 100-TB point
+    customer exceeds the guard and the SAME call degrades to the
+    bucketed co-partition shuffle); lineitem⋈(orders×cnat) is
+    genuinely fact⋈fact-scale and stays a bucketed co-partition
+    shuffle; the supplier side is a broadcast searchsorted gather
+    (suppkey→nationkey int array, ~10 MB even at 100 TB). Revenue on
+    the per-element e4 lattice before summation; partials are bounded
+    by 25×25×years so the final shuffle is trivial."""
+    from geotile.ops.relational import bucketed_join, lookup_join
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    oc = bucketed_join(orders, cust, "o_custkey", "c_custkey",
-                       n_buckets=32, shuffle_partitions=32)
+    oc = lookup_join(orders, "o_custkey", cust, "c_custkey",
+                     "c_nationkey")
     oc = oc.map_batches(
         lambda t: pa.table({"o_orderkey": t["o_orderkey"],
                             "cnat": t["c_nationkey"].cast(pa.int64())}),
