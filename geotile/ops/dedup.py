@@ -251,6 +251,11 @@ def pair_dedup(
     ``val``/``agg``: optionally keep one value column, taking the
     ``max``/``min`` over a pair's duplicates (ties and order resolved
     by the lexsort, deterministic). Output columns: ``a, b[, val]``."""
+    if agg not in ("max", "min"):
+        # validate at the primitive's boundary (the MinHash/kmeans
+        # construction-guard convention) — a typo'd agg silently
+        # selecting the other extremum is a wrong-pair-set bug
+        raise ValueError(f"pair_dedup: agg must be 'max' or 'min', got {agg!r}")
     if n_buckets is None:
         n_buckets = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
 
@@ -265,8 +270,12 @@ def pair_dedup(
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
+            # empty frames still carry dtypes — preserve the val
+            # column's real dtype (int64 hamming vs float64 cosine) so
+            # empty groups don't emit mixed block schemas
             return pd.DataFrame(
-                {c: pd.Series(dtype="float64" if c == val else "int64")
+                {c: pd.Series(dtype=(df[c].dtype if c in df.columns
+                                     else "int64"))
                  for c in out_cols})
         aa = df[a].to_numpy(np.int64)
         bb = df[b].to_numpy(np.int64)
@@ -595,37 +604,12 @@ def hamming_pairs(
         .map_groups(band_pairs, batch_format="pandas")
     )
 
-    # distinct (a, b) with min hamming. NOT groupby(["a","b"]).min —
-    # Ray's multi-key aggregate spends ~0.2 ms of per-GROUP Python, and
-    # a pair join has row-count-many groups (measured 8 s/task on 35k
-    # groups). Instead: co-partition by hash(a,b) so a pair's (at most
-    # n_bands) duplicates co-locate, then one vectorized lexsort +
-    # run-head per bucket.
-    def add_pbucket(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).view(np.uint64)
-        b = t["b"].to_numpy(zero_copy_only=False).view(np.uint64)
-        pb = (splitmix64(splitmix64(a) ^ b) % np.uint64(n_out)).astype(np.int64)
-        return t.append_column("pb", pa.array(pb))
-
-    def dedup_min(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                 "hamming": pd.Series(dtype="int64")}
-            )
-        a = df["a"].to_numpy(np.int64)
-        b = df["b"].to_numpy(np.int64)
-        h = df["hamming"].to_numpy(np.int64)
-        order = np.lexsort((h, b, a))
-        a, b, h = a[order], b[order], h[order]
-        head = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        return pd.DataFrame({"a": a[head], "b": b[head], "hamming": h[head]})
-
-    return (
-        pairs.map_batches(add_pbucket, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(dedup_min, batch_format="pandas")
-    )
+    # distinct (a, b) with min hamming — the shared packed-key lexsort
+    # dedup (this op's original inline form is where pair_dedup came
+    # from; see its docstring for why a multi-key groupby is wrong at
+    # pair cardinality)
+    return pair_dedup(pairs, "a", "b", val="hamming", agg="min",
+                      n_buckets=n_out)
 
 
 def simhash_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
@@ -873,12 +857,6 @@ def ngram_jaccard_pairs(
     # caller contract)
     joined = bucketed_join(postings, dfreq, "g", "g", n_buckets=n_buckets)
 
-    def add_dbucket(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (splitmix64(d.view(np.uint64)) % np.uint64(n_buckets)).astype(
-            np.int64)
-        return t.append_column("db", pa.array(b))
-
     def prefix_bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
         # one-sided columns come back float64 from the co-partition
         # join's NaN padding; doc_id/sz are small ints (lossless), g is
@@ -907,9 +885,11 @@ def ngram_jaccard_pairs(
         return pd.DataFrame({"doc_id": d[keep], "g": g[keep],
                              "sz": sz[keep]})
 
+    from geotile.ops.relational import _with_bucket
+
     prefix = (
-        joined.map_batches(add_dbucket, batch_format="pyarrow")
-        .groupby("db")
+        _with_bucket(joined, "doc_id", n_buckets)
+        .groupby("bucket")
         .map_groups(prefix_bucket_fn, batch_format="pandas")
     )
 

@@ -63,14 +63,24 @@ def broadcast_dim(
     if pa.types.is_integer(col.type):
         keys = col.to_numpy(zero_copy_only=False).astype(
             np.int64, copy=False)
-    else:
-        # string keys (e.g. image_id): Arrow's C-side conversion to an
-        # object ndarray — still no interpreter-level row loop here
-        keys = col.to_numpy(zero_copy_only=False)
-    order = np.argsort(keys, kind="stable")
-    if not np.all(order[:-1] < order[1:]):  # skip the take when pre-sorted
-        tbl = tbl.take(pa.array(order))
-    return keys[order], tbl
+        order = np.argsort(keys, kind="stable")
+        if not np.all(order[:-1] < order[1:]):  # skip the take when pre-sorted
+            tbl = tbl.take(pa.array(order))
+            keys = keys[order]
+        return keys, tbl
+    # string keys (e.g. image_id): sort in Arrow's C kernel — an
+    # object-ndarray argsort would run O(n log n) Python string
+    # comparisons on the driver. Arrow's byte-lexicographic string
+    # order equals Python's code-point order on UTF-8, so downstream
+    # numpy searchsorted probes against the returned (sorted) object
+    # array stay consistent.
+    import pyarrow.compute as _pc
+
+    order = _pc.sort_indices(col)
+    order_np = order.to_numpy()
+    if not np.all(order_np[:-1] < order_np[1:]):
+        tbl = tbl.take(order)
+    return tbl[key].to_numpy(zero_copy_only=False), tbl
 
 
 def dim_lookup(

@@ -142,18 +142,15 @@ def _emb_dim_np(sf_dir: str, extra_cols: tuple[str, ...] = (),
     cap is the explicit statement that this is the SMALL-corpus path;
     at the 100 TB point the LSH-bucketed twin replaces the broadcast
     (each caller's docstring names its replacement)."""
+    from geotile.ops.ann import _emb_matrix
     from geotile.ops.relational import broadcast_dim
 
     keys, tbl = broadcast_dim(
         _read(sf_dir, "embeddings", ["vec_id", "embedding", *extra_cols]),
         "vec_id", max_rows=max_rows)
-    col = tbl["embedding"]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
-                      dtype=np.float64)
-    V = (flat.reshape(tbl.num_rows, -1) if tbl.num_rows
-         else flat.reshape(0, 0))
+    # matrix extraction shared with the ANN kernels (one place to fix
+    # list-column edge cases); only the 0-row guard lives here
+    V = _emb_matrix(tbl) if tbl.num_rows else np.zeros((0, 0))
     return (keys, V,
             *(tbl[c].to_numpy(zero_copy_only=False) for c in extra_cols))
 

@@ -152,21 +152,42 @@ def _is_guarded_read(call):
     return fname in ("read_image_table", "_read_docs")
 
 
+def _chain_base(v):
+    """Unwind a pass-through call chain to its base node."""
+    while (isinstance(v, ast.Call)
+           and isinstance(v.func, ast.Attribute)
+           and v.func.attr in _PASSTHROUGH):
+        v = v.func.value
+    return v
+
+
 def _tainted_reads(fn):
-    """Variable names bound (directly or through a pass-through chain)
-    to a guarded-table `_read` / image-table read inside ``fn``."""
-    tainted = set()
+    """Variable names bound (directly, through a pass-through chain,
+    or TRANSITIVELY via another tainted name — `e2 =
+    emb.select_columns(...)`) to a guarded-table `_read` / image-table
+    read inside ``fn``.  Handles plain and annotated assignments;
+    iterates to a fixpoint so re-bindings can't launder the taint."""
+    assigns = []
     for node in ast.walk(fn):
-        if not (isinstance(node, ast.Assign) and len(node.targets) == 1
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
                 and isinstance(node.targets[0], ast.Name)):
-            continue
-        v = node.value
-        while (isinstance(v, ast.Call)
-               and isinstance(v.func, ast.Attribute)
-               and v.func.attr in _PASSTHROUGH):
-            v = v.func.value
-        if isinstance(v, ast.Call) and _is_guarded_read(v):
-            tainted.add(node.targets[0].id)
+            assigns.append((node.targets[0].id, node.value))
+        elif (isinstance(node, ast.AnnAssign) and node.value is not None
+                and isinstance(node.target, ast.Name)):
+            assigns.append((node.target.id, node.value))
+    tainted: set = set()
+    changed = True
+    while changed:
+        changed = False
+        for name, v in assigns:
+            if name in tainted:
+                continue
+            base = _chain_base(v)
+            if ((isinstance(base, ast.Call) and _is_guarded_read(base))
+                    or (isinstance(base, ast.Name)
+                        and base.id in tainted)):
+                tainted.add(name)
+                changed = True
     return tainted
 
 
@@ -189,11 +210,7 @@ def test_no_corpus_table_take_all_ast():
                         and isinstance(node.func, ast.Attribute)
                         and node.func.attr == "take_all"):
                     continue
-                base = node.func.value
-                while (isinstance(base, ast.Call)
-                       and isinstance(base.func, ast.Attribute)
-                       and base.func.attr in _PASSTHROUGH):
-                    base = base.func.value
+                base = _chain_base(node.func.value)
                 hit = ((isinstance(base, ast.Name) and base.id in tainted)
                        or (isinstance(base, ast.Call)
                            and _is_guarded_read(base)))
