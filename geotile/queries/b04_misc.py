@@ -5415,6 +5415,60 @@ ORACLE_SQL["supplier_breadth_customers"] = """
 
 
 
+def _pair_candidate_docs(sf_dir: str, pairs_m):
+    """documents filtered to the DISTINCT ids of a materialized (a, b)
+    pair Dataset.  The id set contracts distributedly (per-batch unique
+    → id-cardinality groupby) before the size-capped broadcast — the
+    ngram_jaccard candidate-semi-join contract; the PAIR set never
+    lands on the driver."""
+    from geotile.ops.join import _cached_stage
+    from geotile.ops.relational import broadcast_dim
+
+    ids_ds = pairs_m.map_batches(
+        lambda t: pa.table({"doc_id": pa.array(np.unique(np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["b"].to_numpy(zero_copy_only=False).astype(np.int64)])))}),
+        batch_format="pyarrow").groupby("doc_id").count()
+    ck, _ct = broadcast_dim(ids_ds, "doc_id")
+    ids_ref = ray.put(pa.array(ck))
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = _cached_stage(("pairdocs", ids_ref.hex()),
+                           lambda: ray.get(ids_ref))
+        return t.filter(pc.is_in(t["doc_id"], ks))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        semi, batch_format="pyarrow")
+
+
+def _pair_payload_join(pairs_m, payload, n_buckets: int = 8):
+    """Co-partition (a, b) pairs against a per-doc ``pl`` list payload
+    on BOTH sides — the ngram_jaccard verify shape shared by the
+    containment and sig-agreement audits. Two bucketed joins with an
+    Arrow re-anchor between (pandas group outputs carry no Arrow
+    schema). Returns pandas-block rows (a, b, pl_a, pl_b)."""
+    from geotile.ops.relational import bucketed_join
+
+    side_a = payload.map_batches(
+        lambda t: t.rename_columns(["a_id", "pl_a"]), batch_format="pyarrow")
+    side_b = payload.map_batches(
+        lambda t: t.rename_columns(["b_id", "pl_b"]), batch_format="pyarrow")
+    with_a = bucketed_join(pairs_m, side_a, "a", "a_id",
+                           n_buckets=n_buckets)
+
+    def norm_a(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "a": pa.array(df["a"].to_numpy().astype(np.int64)),
+            "b": pa.array(df["b"].to_numpy().astype(np.int64)),
+            "pl_a": pa.array([list(map(int, x)) for x in df["pl_a"]],
+                             pa.list_(pa.int64())),
+        })
+
+    return bucketed_join(
+        with_a.map_batches(norm_a, batch_format="pandas"),
+        side_b, "b", "b_id", n_buckets=n_buckets)
+
+
 def q_containment_pairs_docs(sf_dir: str):
     """Asymmetric containment for the verified MinHash near-dup
     pairs: |Sa∩Sb| with both distinct-shingle set sizes — the
@@ -5422,64 +5476,67 @@ def q_containment_pairs_docs(sf_dir: str):
     embedded in another) that symmetric dedup misses. Pair discovery
     is the distributed LSH+verify stage; shingle sets recompute with
     the engine's vectorized Rabin-Karp shingling for just the paired
-    docs (pair-output scale broadcast; co-partition the pair list
-    against documents at 100 TB). Scalar shingle-set replay."""
+    docs (candidate-id semi-join), ride as a list column, and
+    co-partition against the pair list on both sides — no pair-scale
+    or corpus-scale driver materialization anywhere (the r5 rewrite
+    of the old take_all+broadcast form). Scalar shingle-set replay."""
     from geotile.ops.dedup import (_shingle_flat, hashed_tokens,
                                    minhash_lsh_pairs)
 
+    empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                          "b": pd.Series(dtype=np.int64),
+                          "inter": pd.Series(dtype=np.int64),
+                          "na": pd.Series(dtype=np.int64),
+                          "nb": pd.Series(dtype=np.int64)})
     pairs = minhash_lsh_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]),
-        threshold=0.35)
-    plist = pairs.take_all()
-    if not plist:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                             "b": pd.Series(dtype=np.int64),
-                             "inter": pd.Series(dtype=np.int64),
-                             "na": pd.Series(dtype=np.int64),
-                             "nb": pd.Series(dtype=np.int64)})
-    need = sorted({r["a"] for r in plist} | {r["b"] for r in plist})
-    need_arr = np.array(need, np.int64)
-    nref = ray.put(need_arr)
+        threshold=0.35).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    ).materialize()
+    if pairs.count() == 0:
+        return empty
 
-    def gather(t: pa.Table) -> pa.Table:
-        need_ = _broadcast(nref)
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(need_, d)
-        safe = np.minimum(pos, len(need_) - 1)
-        keep = need_[safe] == d
-        return t.filter(pa.array(keep))
+    def to_shingle_lists(t: pa.Table) -> pa.Table:
+        # per-doc DISTINCT shingles as one vectorized pass (lexsort +
+        # run-head), emitted as a list<int64> column — same per-doc
+        # sets as the old one-doc-at-a-time np.unique loop
+        h, off = hashed_tokens(t["text"])
+        sh, sh_off = _shingle_flat(h, off, 3)
+        counts = sh_off[1:] - sh_off[:-1]
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        order = np.lexsort((sh, doc_idx))
+        sd, dd = sh[order], doc_idx[order]
+        head = np.ones(len(sd), bool)
+        head[1:] = (dd[1:] != dd[:-1]) | (sd[1:] != sd[:-1])
+        sd, dd = sd[head], dd[head]
+        nc = np.bincount(dd, minlength=len(t))
+        offs = np.r_[0, np.cumsum(nc)].astype(np.int32)
+        arr = pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(sd.view(np.int64)))
+        return pa.table({"doc_id": t["doc_id"], "pl": arr})
 
-    texts = (_read(sf_dir, "documents", ["doc_id", "text"])
-             .map_batches(gather, batch_format="pyarrow")).take_all()
-    shing: dict[int, np.ndarray] = {}
-    for r in texts:
-        h, off = hashed_tokens(pa.array([r["text"]], pa.string()))
-        sh, _ = _shingle_flat(h, off, 3)
-        shing[r["doc_id"]] = np.unique(sh)
-    sref = ray.put(shing)
+    payload = _pair_candidate_docs(sf_dir, pairs).map_batches(
+        to_shingle_lists, batch_format="pyarrow").materialize()
+    joined = _pair_payload_join(pairs, payload)
 
-    ds = rd.from_arrow(pa.table(
-        {"a": pa.array([r["a"] for r in plist], pa.int64()),
-         "b": pa.array([r["b"] for r in plist], pa.int64())})) \
-        .repartition(4)
+    def cont(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        n = len(df)
+        inter = np.zeros(n, np.int64)
+        na = np.zeros(n, np.int64)
+        nb = np.zeros(n, np.int64)
+        for i, (ga, gb) in enumerate(zip(df["pl_a"], df["pl_b"])):
+            sa = np.asarray(ga, dtype=np.int64)
+            sb = np.asarray(gb, dtype=np.int64)
+            inter[i] = np.intersect1d(sa, sb, assume_unique=True).size
+            na[i], nb[i] = sa.size, sb.size
+        return pd.DataFrame({
+            "a": df["a"].to_numpy().astype(np.int64),
+            "b": df["b"].to_numpy().astype(np.int64),
+            "inter": inter, "na": na, "nb": nb})
 
-    def cont(t: pa.Table) -> pa.Table:
-        sh_ = _broadcast(sref)
-        aa = t["a"].to_numpy(zero_copy_only=False)
-        bb = t["b"].to_numpy(zero_copy_only=False)
-        inter = np.zeros(len(aa), np.int64)
-        na = np.zeros(len(aa), np.int64)
-        nb = np.zeros(len(aa), np.int64)
-        for i, (x, y) in enumerate(zip(aa.tolist(), bb.tolist())):
-            sa, sb = sh_[x], sh_[y]
-            inter[i] = len(np.intersect1d(sa, sb,
-                                          assume_unique=True))
-            na[i], nb[i] = len(sa), len(sb)
-        return pa.table({"a": t["a"], "b": t["b"],
-                         "inter": pa.array(inter),
-                         "na": pa.array(na), "nb": pa.array(nb)})
-
-    return ds.map_batches(cont, batch_format="pyarrow")
+    return joined.map_batches(cont, batch_format="pandas")
 
 
 
@@ -5858,54 +5915,55 @@ def q_sig_agreement_pairs_docs(sf_dir: str):
     how many of the 64 signature slots coincide — the unbiased
     Jaccard estimator whose gap to the exact Jaccard audits the
     signing layer end-to-end. Signatures come from the engine's
-    vectorized flat-segment signer over just the paired docs; the
-    oracle re-signs scalar-side (fold61 chain replay). Output
+    vectorized flat-segment signer over just the paired docs
+    (candidate-id semi-join; the signer's seeded rng makes worker-side
+    signatures identical to the old driver-side pass), ride as a
+    64-slot list column, and co-partition against the pair list on
+    both sides — no pair-scale driver materialization (r5 rewrite).
+    The oracle re-signs scalar-side (fold61 chain replay). Output
     (a, b, n_agree)."""
     from geotile.ops.dedup import MinHashStage, minhash_lsh_pairs
+    from geotile.ops.join import _cached_stage
 
+    empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                          "b": pd.Series(dtype=np.int64),
+                          "n_agree": pd.Series(dtype=np.int64)})
     pairs = minhash_lsh_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]),
-        threshold=0.35)
-    plist = pairs.take_all()
-    if not plist:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                             "b": pd.Series(dtype=np.int64),
-                             "n_agree": pd.Series(dtype=np.int64)})
-    need = sorted({r["a"] for r in plist} | {r["b"] for r in plist})
-    need_arr = np.array(need, np.int64)
-    nref = ray.put(need_arr)
+        threshold=0.35).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    ).materialize()
+    if pairs.count() == 0:
+        return empty
 
-    def gather(t: pa.Table) -> pa.Table:
-        need_ = _broadcast(nref)
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(need_, d)
-        safe = np.minimum(pos, len(need_) - 1)
-        return t.filter(pa.array(need_[safe] == d))
+    def to_sig_lists(t: pa.Table) -> pa.Table:
+        # same construction (and worker cache key) as the LSH signing
+        # stage — rng(1234) makes the signatures deterministic
+        stage = _cached_stage(("minhash", 64, 16, 3),
+                              lambda: MinHashStage(64, 16, 3))
+        S = stage.signatures(t["text"])  # (n, 64) uint64
+        offs = (np.arange(len(t) + 1, dtype=np.int32) * 64)
+        arr = pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(S.reshape(-1).view(np.int64)))
+        return pa.table({"doc_id": t["doc_id"], "pl": arr})
 
-    texts = (_read(sf_dir, "documents", ["doc_id", "text"])
-             .map_batches(gather, batch_format="pyarrow")).take_all()
-    stage = MinHashStage()
-    ids = [r["doc_id"] for r in texts]
-    sigs = stage.signatures(pa.array([r["text"] for r in texts],
-                                     pa.string()))
-    sref = ray.put({i: s for i, s in zip(ids, sigs)})
+    payload = _pair_candidate_docs(sf_dir, pairs).map_batches(
+        to_sig_lists, batch_format="pyarrow").materialize()
+    joined = _pair_payload_join(pairs, payload)
 
-    ds = rd.from_arrow(pa.table(
-        {"a": pa.array([r["a"] for r in plist], pa.int64()),
-         "b": pa.array([r["b"] for r in plist], pa.int64())})) \
-        .repartition(4)
-
-    def agree(t: pa.Table) -> pa.Table:
-        sh_ = _broadcast(sref)
-        aa = t["a"].to_numpy(zero_copy_only=False)
-        bb = t["b"].to_numpy(zero_copy_only=False)
+    def agree(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
         n_agree = np.array(
-            [int((sh_[x] == sh_[y]).sum())
-             for x, y in zip(aa.tolist(), bb.tolist())], np.int64)
-        return pa.table({"a": t["a"], "b": t["b"],
-                         "n_agree": pa.array(n_agree)})
+            [int((np.asarray(ga, np.int64)
+                  == np.asarray(gb, np.int64)).sum())
+             for ga, gb in zip(df["pl_a"], df["pl_b"])], np.int64)
+        return pd.DataFrame({
+            "a": df["a"].to_numpy().astype(np.int64),
+            "b": df["b"].to_numpy().astype(np.int64),
+            "n_agree": n_agree})
 
-    return ds.map_batches(agree, batch_format="pyarrow")
+    return joined.map_batches(agree, batch_format="pandas")
 
 
 
@@ -6162,6 +6220,8 @@ __defined__ = (
     '_ZQ_BOXES',
     '_ZQ_RES',
     '_audio_haar_sidecar',
+    '_pair_candidate_docs',
+    '_pair_payload_join',
     '_audio_haar_sql',
     '_audio_loudest_sidecar',
     '_audio_loudest_sql',
