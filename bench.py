@@ -101,7 +101,10 @@ def main() -> None:
         # 8->32 efficiency 0.77 -> 0.81 on identical input. (Going
         # below ~#cpus*3 blocks trades back load balance; one block
         # per file is still right for tiny part lists.)
-        nb = max(len(plist) // files_per_block, 1)
+        # floor at min(len, 8) blocks: a tiny part list (the single-
+        # replica pipelines pass 7 files) otherwise collapses to ONE
+        # read+join task and serializes the whole stage
+        nb = max(len(plist) // files_per_block, min(len(plist), 8))
         return read_image_table(plist, columns=JOIN_COLUMNS, override_num_blocks=nb)
 
     # warm the page cache + worker pools with one untimed pass

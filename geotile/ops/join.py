@@ -1023,9 +1023,36 @@ def assemble_route_fcs(
             lambda df: _route_fc(df, max_features_per_route, keep_shard=True),
             batch_format="pandas",
         )
-    return joined.groupby("route_id").map_groups(
-        lambda df: _route_fc(df, max_features_per_route), batch_format="pandas"
-    )
+    # co-partition by an int64 hash of route_id and assemble every
+    # route inside the bucket with one pandas groupby: the Ray
+    # map_groups sort compares int64 bucket keys instead of the full
+    # string route_id column (measured 2.24 s of Sort on 660k rows),
+    # and all rows of a route still co-locate because the bucket
+    # derives from route_id alone. Bucket count rides cluster width.
+    from geotile.ops.hashing import hash_strings
+
+    P = max(8, int(ray.cluster_resources().get("CPU", 16)))
+
+    def add_rb(t: pa.Table) -> pa.Table:
+        col = t["route_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rb = (hash_strings(col) % np.uint64(P)).astype(np.int64)
+        return t.append_column("rb", pa.array(rb))
+
+    def fc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"route_id": pd.Series(dtype=object),
+                                 "n_tiles": pd.Series(dtype=np.int64),
+                                 "truncated": pd.Series(dtype=bool),
+                                 "fc_json": pd.Series(dtype=object)})
+        return pd.concat(
+            [_route_fc(g.drop(columns=["rb"]), max_features_per_route)
+             for _, g in df.groupby("route_id", sort=True)],
+            ignore_index=True)
+
+    return joined.map_batches(add_rb, batch_format="pyarrow") \
+        .groupby("rb").map_groups(fc_bucket, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
