@@ -1008,20 +1008,48 @@ def assemble_route_fcs(
     image_id order must merge the shard feature lists by image_id, not
     merely concatenate them. ``write_route_fcs`` writes one
     ``<route>_shard<k>.geojson`` per row for sharded input."""
+    from geotile.ops.hashing import hash_strings
+    from geotile.synth import splitmix64
+
     if n_shards:
         from geotile.synth import image_index
 
+        P_sh = max(8, int(ray.cluster_resources().get("CPU", 16)))
+
         def add_shard(t: pa.Table) -> pa.Table:
             idx = image_index(t["image_id"])
+            shard = (idx % n_shards).astype(np.int64)
+            col = t["route_id"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # co-partition on an int64 hash of (route, shard) — same
+            # string-sort avoidance as the unsharded path below; a
+            # (route, shard) unit still co-locates whole
+            rb = (splitmix64(hash_strings(col)
+                             ^ shard.view(np.uint64))
+                  % np.uint64(P_sh)).astype(np.int64)
             return t.append_column(
-                "shard", pa.array((idx % n_shards).astype(np.int64))
-            )
+                "shard", pa.array(shard)
+            ).append_column("rb", pa.array(rb))
+
+        def fc_shard_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {"route_id": pd.Series(dtype=object),
+                     "shard": pd.Series(dtype=np.int64),
+                     "n_tiles": pd.Series(dtype=np.int64),
+                     "truncated": pd.Series(dtype=bool),
+                     "fc_json": pd.Series(dtype=object)})
+            return pd.concat(
+                [_route_fc(g.drop(columns=["rb"]),
+                           max_features_per_route, keep_shard=True)
+                 for _, g in df.groupby(["route_id", "shard"], sort=True)],
+                ignore_index=True)
 
         sharded = joined.map_batches(add_shard, batch_format="pyarrow",
                                      zero_copy_batch=True)
-        return sharded.groupby(["route_id", "shard"]).map_groups(
-            lambda df: _route_fc(df, max_features_per_route, keep_shard=True),
-            batch_format="pandas",
+        return sharded.groupby("rb").map_groups(
+            fc_shard_bucket, batch_format="pandas",
         )
     # co-partition by an int64 hash of route_id and assemble every
     # route inside the bucket with one pandas groupby: the Ray
@@ -1029,8 +1057,6 @@ def assemble_route_fcs(
     # string route_id column (measured 2.24 s of Sort on 660k rows),
     # and all rows of a route still co-locate because the bucket
     # derives from route_id alone. Bucket count rides cluster width.
-    from geotile.ops.hashing import hash_strings
-
     P = max(8, int(ray.cluster_resources().get("CPU", 16)))
 
     def add_rb(t: pa.Table) -> pa.Table:
