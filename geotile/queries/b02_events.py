@@ -3615,13 +3615,17 @@ def q_nation_pair_revenue(sf_dir: str):
     ``lookup_join`` — broadcast searchsorted while customer fits the
     2^20-row guard (zero shuffle on orders; at the 100-TB point
     customer exceeds the guard and the SAME call degrades to the
-    bucketed co-partition shuffle); lineitem⋈(orders×cnat) is
-    genuinely fact⋈fact-scale and stays a bucketed co-partition
-    shuffle; the supplier side is a broadcast searchsorted gather
-    (suppkey→nationkey int array, ~10 MB even at 100 TB). Revenue on
-    the per-element e4 lattice before summation; partials are bounded
-    by 25×25×years so the final shuffle is trivial."""
-    from geotile.ops.relational import bucketed_join, lookup_join
+    bucketed co-partition shuffle); lineitem⋈(orders×cnat) is the same
+    call with a 2^21-row guard (two int64 columns ≈ 32 MB broadcast —
+    still a per-worker-trivial ship at that size; orders is
+    fact-scale at 100 TB, so there the guard trips and the hop runs as
+    the bucketed shuffle — measured 2.7 → 1.8 s at sf0.1 where the
+    broadcast side wins); the supplier side is a broadcast
+    searchsorted gather (suppkey→nationkey int array, ~10 MB even at
+    100 TB). Revenue on the per-element e4 lattice before summation;
+    partials are bounded by 25×25×years so the final shuffle is
+    trivial."""
+    from geotile.ops.relational import lookup_join
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -3630,14 +3634,13 @@ def q_nation_pair_revenue(sf_dir: str):
     oc = oc.map_batches(
         lambda t: pa.table({"o_orderkey": t["o_orderkey"],
                             "cnat": t["c_nationkey"].cast(pa.int64())}),
-        batch_format="pyarrow").repartition(16) \
-        .materialize()  # schema-probe law; 16 blocks, not 128 slivers
+        batch_format="pyarrow")
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice",
                 "l_discount", "l_shipdate"])
-    j = bucketed_join(li, oc, "l_orderkey", "o_orderkey", n_buckets=32,
-                      shuffle_partitions=32)
+    j = lookup_join(li, "l_orderkey", oc, "o_orderkey", "cnat",
+                    max_broadcast=1 << 21)
 
     sk, snat_raw = _dim_np(sf_dir, "supplier", "s_suppkey", ["s_nationkey"])
     snat = snat_raw.astype(np.int64, copy=False)
