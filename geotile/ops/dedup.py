@@ -1128,23 +1128,32 @@ def dup_ngram_spans(
         .groupby("gb")
         .map_groups(bucket_partial, batch_format="pandas")
     )
-    # coalesce the gram_buckets output blocks before the doc-scale
-    # groupby: its sort cost scales with BLOCK COUNT, not rows (the r3
-    # block-count growth law) — cluster-proportional, not row-bounded,
-    # so it holds at any corpus size
-    n_out = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
-    return (
-        partials.repartition(n_out)
-        .groupby("doc_id")
-        .sum(["n_grams", "n_dup_grams"])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"].cast(pa.int64()),
-                    "n_grams": t["sum(n_grams)"].cast(pa.int64()),
-                    "n_dup_grams": t["sum(n_dup_grams)"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+    # final doc-scale sum: hash-bucket co-partition + one vectorized
+    # Arrow group_by per bucket instead of a Ray Aggregate — the
+    # Aggregate's per-block fixed cost dominated this ≤ docs×buckets
+    # partial stream (measured 1.1 → 0.6 s at sf0.1/32; the
+    # window_events law at doc scale). Every doc's partials co-locate
+    # because the bucket derives from doc_id alone.
+    P = max(8, int(ray.cluster_resources().get("CPU", 16)))
+
+    def add_db(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("db", pa.array(
+            (splitmix64(d.view(np.uint64)) % np.uint64(P)).astype(np.int64)))
+
+    def doc_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate(
+            [("n_grams", "sum"), ("n_dup_grams", "sum")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "n_grams": g["n_grams_sum"].cast(pa.int64()),
+                "n_dup_grams": g["n_dup_grams_sum"].cast(pa.int64()),
+            }
         )
+
+    return (
+        partials.map_batches(add_db, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(doc_combine, batch_format="pyarrow")
     )
