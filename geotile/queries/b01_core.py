@@ -183,20 +183,34 @@ def q_pricing_summary(sf_dir: str):
             }
         )
 
-    # 6-row partials per block: coalesce the slivers so the final
-    # aggregate is a 4-partition shuffle, not a 64-reduce fixed cost
-    out = ds.map_batches(partial, batch_format="pyarrow").repartition(4).groupby(
-        ["l_returnflag", "l_linestatus"]
-    ).sum(["sum_qty", "sum_rev", "n"])
-    out = _rename(out, ["l_returnflag", "l_linestatus", "sum_qty", "sum_rev", "n"])
+    # 6-row partials per block: the combine is an Arrow TREE over the
+    # bounded partial stream (the window_events law — a Ray multi-key
+    # (string, string) Aggregate pays per-block fixed cost that
+    # dwarfs this 6-group reduce); one coalesce level suffices because
+    # level 2's input is ≤ 4 × 6 rows
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_rev", "sum"), ("n", "sum")])
+        return pa.table(
+            {"l_returnflag": g["l_returnflag"],
+             "l_linestatus": g["l_linestatus"],
+             "sum_qty": g["sum_qty_sum"], "sum_rev": g["sum_rev_sum"],
+             "n": g["n_sum"]})
+
     # exact-integer lattice: double rounding differs by 1 ULP between
     # engines, so hashable float outputs are scaled to BIGINT instead
-    return out.map_batches(
-        lambda t: t.set_column(2, "sum_qty", _e(t["sum_qty"], 100))
-        .set_column(3, "sum_rev", _e(t["sum_rev"], 10000))
-        .rename_columns(["l_returnflag", "l_linestatus", "sum_qty_e2", "sum_rev_e4", "n"]),
-        batch_format="pyarrow",
-    )
+    def final(t: pa.Table) -> pa.Table:
+        t = combine(t)
+        return t.set_column(2, "sum_qty", _e(t["sum_qty"], 100)) \
+            .set_column(3, "sum_rev", _e(t["sum_rev"], 10000)) \
+            .rename_columns(["l_returnflag", "l_linestatus",
+                             "sum_qty_e2", "sum_rev_e4", "n"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(4)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
 
 
 
