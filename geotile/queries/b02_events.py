@@ -4759,16 +4759,38 @@ def q_token_pair_support_docs(sf_dir: str):
                          "j": pa.array(ju[nz].astype(np.int64)),
                          "support": pa.array(s[nz])})
 
+    # pair-count combine: hash-bucket co-partition + per-bucket Arrow
+    # group_by (a Ray multi-key (i, j) Aggregate pays per-block fixed
+    # cost at pair cardinality — the pair_dedup/window_events law);
+    # every (i, j) cell co-locates because the bucket derives from the
+    # packed pair key alone
+    from geotile.synth import splitmix64 as _sm
+
+    P = max(8, int(ray.cluster_resources().get("CPU", 16)))
+    Vn = len(vocab)
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        k = (t["i"].to_numpy(zero_copy_only=False) * Vn
+             + t["j"].to_numpy(zero_copy_only=False))
+        pb = (_sm(k.view(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return t.append_column("pb", pa.array(pb))
+
+    def comb(t: pa.Table) -> pa.Table:
+        g = t.group_by(["i", "j"]).aggregate([("support", "sum")])
+        return pa.table({"i": g["i"], "j": g["j"],
+                         "support": g["support_sum"]})
+
     agg = (docs.map_batches(pairs, batch_format="pyarrow")
-           .groupby(["i", "j"]).sum("support"))
+           .map_batches(add_pb, batch_format="pyarrow")
+           .groupby("pb").map_groups(comb, batch_format="pyarrow"))
 
     def final(t: pa.Table) -> pa.Table:
         v = _broadcast(vref)
-        s = t["sum(support)"].to_numpy()
+        s = t["support"].to_numpy(zero_copy_only=False)
         keep = s * 4 >= n_docs
         return pa.table({
-            "t1": pa.array(v[t["i"].to_numpy()[keep]]),
-            "t2": pa.array(v[t["j"].to_numpy()[keep]]),
+            "t1": pa.array(v[t["i"].to_numpy(zero_copy_only=False)[keep]]),
+            "t2": pa.array(v[t["j"].to_numpy(zero_copy_only=False)[keep]]),
             "support": pa.array(s[keep])})
 
     return agg.map_batches(final, batch_format="pyarrow")
