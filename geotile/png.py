@@ -67,6 +67,10 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = 1 + w * 3
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
+    if not filters.any():
+        # all scanlines filter 0 (what encode_png writes): the image IS
+        # the payload — skip the per-row reconstruction loop entirely
+        return np.ascontiguousarray(raw[:, 1:]).reshape(h, w, 3)
     out = np.zeros((h, w * 3), dtype=np.uint8)
     bpp = 3
     for row in range(h):
