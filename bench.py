@@ -245,11 +245,18 @@ def main() -> None:
         ("token_pair_support_docs", q_token_pair_support_docs),  # r3e: Gram matrix
         ("watermark_late_events", q_watermark_late_events),  # r3e: prefix-max
     ]:
-        t0 = time.time()
-        res = fn(SF_DIR)
-        if hasattr(res, "count"):
-            res.count()
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-N per query (default 2): single-shot timings on this
+        # host swing ±35% (same de-noising the headline's min-of-3
+        # applies); the first sample also absorbs the query's one-time
+        # worker-side UDF deserialize
+        samples = []
+        for _ in range(int(os.environ.get("GRAFT_QUERY_SAMPLES", "2"))):
+            t0 = time.time()
+            res = fn(SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
 
     out = {
         "metric": "spatial-join + tile-assignment throughput",
