@@ -104,7 +104,7 @@ def main() -> None:
         # floor at min(len, 8) blocks: a tiny part list (the single-
         # replica pipelines pass 7 files) otherwise collapses to ONE
         # read+join task and serializes the whole stage
-        nb = max(len(plist) // files_per_block, min(len(plist), 8))
+        nb = max(len(plist) // files_per_block, min(len(plist), 8), 1)
         return read_image_table(plist, columns=JOIN_COLUMNS, override_num_blocks=nb)
 
     # warm the page cache + worker pools with one untimed pass
@@ -250,7 +250,7 @@ def main() -> None:
         # applies); the first sample also absorbs the query's one-time
         # worker-side UDF deserialize
         samples = []
-        for _ in range(int(os.environ.get("GRAFT_QUERY_SAMPLES", "2"))):
+        for _ in range(max(1, int(os.environ.get("GRAFT_QUERY_SAMPLES", "2")))):
             t0 = time.time()
             res = fn(SF_DIR)
             if hasattr(res, "count"):

@@ -5417,28 +5417,21 @@ ORACLE_SQL["supplier_breadth_customers"] = """
 
 def _pair_candidate_docs(sf_dir: str, pairs_m):
     """documents filtered to the DISTINCT ids of a materialized (a, b)
-    pair Dataset.  The id set contracts distributedly (per-batch unique
-    → id-cardinality groupby) before the size-capped broadcast — the
-    ngram_jaccard candidate-semi-join contract; the PAIR set never
-    lands on the driver."""
-    from geotile.ops.join import _cached_stage
-    from geotile.ops.relational import broadcast_dim
+    pair Dataset, via the engine's size-guarded ``semi_join`` — a small
+    id set broadcasts once (per-batch unique → is_in filter) and a set
+    past the guard degrades to the bucketed co-partition join instead
+    of crashing (review fix: the previous inline broadcast had no
+    fallback past broadcast_dim's cap). The PAIR set never lands on
+    the driver."""
+    from geotile.ops.relational import semi_join
 
     ids_ds = pairs_m.map_batches(
         lambda t: pa.table({"doc_id": pa.array(np.unique(np.concatenate([
             t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
             t["b"].to_numpy(zero_copy_only=False).astype(np.int64)])))}),
-        batch_format="pyarrow").groupby("doc_id").count()
-    ck, _ct = broadcast_dim(ids_ds, "doc_id")
-    ids_ref = ray.put(pa.array(ck))
-
-    def semi(t: pa.Table) -> pa.Table:
-        ks = _cached_stage(("pairdocs", ids_ref.hex()),
-                           lambda: ray.get(ids_ref))
-        return t.filter(pc.is_in(t["doc_id"], ks))
-
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        semi, batch_format="pyarrow")
+        batch_format="pyarrow")
+    return semi_join(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     ids_ds, "doc_id", "doc_id")
 
 
 def _pair_payload_join(pairs_m, payload, n_buckets: int = 8):
@@ -5457,16 +5450,21 @@ def _pair_payload_join(pairs_m, payload, n_buckets: int = 8):
                            n_buckets=n_buckets)
 
     def norm_a(df: pd.DataFrame) -> pa.Table:
+        # pa.array consumes the numpy int64 payload arrays directly —
+        # no per-element Python (the _route_fc VERDICT r2 #1 class)
         return pa.table({
             "a": pa.array(df["a"].to_numpy().astype(np.int64)),
             "b": pa.array(df["b"].to_numpy().astype(np.int64)),
-            "pl_a": pa.array([list(map(int, x)) for x in df["pl_a"]],
-                             pa.list_(pa.int64())),
+            "pl_a": pa.array(list(df["pl_a"]), pa.list_(pa.int64())),
         })
 
-    return bucketed_join(
-        with_a.map_batches(norm_a, batch_format="pandas"),
-        side_b, "b", "b_id", n_buckets=n_buckets)
+    # materialize between the joins: bucketed_join's schema probe
+    # EXECUTES a lazy derived input once and the join runs it again
+    # (the documented caller contract) — without this the whole first
+    # pair⋈payload shuffle ran twice per query
+    normed = with_a.map_batches(norm_a, batch_format="pandas").materialize()
+    return bucketed_join(normed, side_b, "b", "b_id",
+                         n_buckets=n_buckets)
 
 
 def q_containment_pairs_docs(sf_dir: str):
@@ -5510,9 +5508,16 @@ def q_containment_pairs_docs(sf_dir: str):
         head[1:] = (dd[1:] != dd[:-1]) | (sd[1:] != sd[:-1])
         sd, dd = sd[head], dd[head]
         nc = np.bincount(dd, minlength=len(t))
-        offs = np.r_[0, np.cumsum(nc)].astype(np.int32)
+        offs64 = np.r_[0, np.cumsum(nc)]
+        if offs64[-1] >= (1 << 31):
+            # ListArray offsets are int32 — silent wrap would corrupt
+            # per-doc shingle lists (the kmeans-guard convention:
+            # fail loud at the boundary)
+            raise ValueError(
+                f"to_shingle_lists: batch shingle total {offs64[-1]} "
+                "overflows int32 list offsets — reduce batch_size")
         arr = pa.ListArray.from_arrays(
-            pa.array(offs), pa.array(sd.view(np.int64)))
+            pa.array(offs64.astype(np.int32)), pa.array(sd.view(np.int64)))
         return pa.table({"doc_id": t["doc_id"], "pl": arr})
 
     payload = _pair_candidate_docs(sf_dir, pairs).map_batches(
