@@ -152,3 +152,50 @@ def test_georef_stored_and_derived_paths_agree(ray_session):
     derived = georef_batch(t.select(["image_id", "caption"]), 16)
     for c in ("lon", "lat", "cell"):
         assert with_cols[c].to_pylist() == derived[c].to_pylist(), c
+
+
+def test_knn_pruned_scan_bit_identical(ray_session):
+    """The cell-pruned exact kNN scan must return a BIT-identical
+    (indices, distances) result to the straight all-segments scan —
+    pruning may only skip segments that provably cannot be any point's
+    minimum. Exercises the engagement threshold (n >= 4096, >= 64
+    segments) with a synthetic multi-part route set."""
+    import numpy as np
+
+    import geotile.ops.join as J
+
+    rng = np.random.default_rng(42)
+    mx, my = J.meter_frame(J._ANCHOR_LAT)
+    routes = {}
+    for r in range(3):
+        pts = np.column_stack([
+            np.linspace(-122.45 + 0.01 * r, -122.10, 40),
+            np.linspace(37.40, 37.75 + 0.005 * r, 40)
+            + rng.normal(0, 0.002, 40),
+        ])
+        routes[f"R{r}"] = [pts[:25], pts[24:]]
+
+    class S(J.KnnStage):
+        def __init__(self):
+            self.k = 2
+            self.route_ids = sorted(routes)
+            self.ring = None
+            self.lines = [
+                [np.column_stack([(p[:, 0] - J._ANCHOR_LON) * mx,
+                                  (p[:, 1] - J._ANCHOR_LAT) * my])
+                 for p in routes[r]] for r in self.route_ids]
+            self.mx, self.my = mx, my
+            self.seg = None
+
+    st = S()
+    n = 5000
+    lon = rng.uniform(-122.45, -122.10, n)
+    lat = rng.uniform(37.40, 37.75, n)
+    px = (lon - J._ANCHOR_LON) * mx
+    py = (lat - J._ANCHOR_LAT) * my
+    d_old = np.stack([st._route_dist(j, px, py)
+                      for j in range(len(st.route_ids))], axis=1)
+    ti_old, td_old = st._select_topk(d_old, 2)
+    ti_new, td_new = st._exact_scan_pruned(lon, lat, px, py, 2)
+    assert np.array_equal(ti_old, ti_new)
+    assert np.array_equal(td_old, td_new)  # bit equality, not allclose
