@@ -523,6 +523,15 @@ class KnnStage:
         ]
         self.mx, self.my = mx, my
         self.seg = None  # lazy pooled-segment index for the pruned scan
+        self.n_segs = sum(
+            max(len(p) - 1, 0) for parts in self.lines for p in parts)
+
+    def _use_pruned(self, n: int) -> bool:
+        """Dispatch gate for the cell-pruned exact scan: batch big
+        enough to amortize the per-cell center pass AND enough segments
+        for pruning to pay; small batches / tiny geometries keep the
+        straight scan (also the oracle twin)."""
+        return n >= 4096 and self.n_segs >= 64
 
     def _route_dist(self, j: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         return np.minimum.reduce(
@@ -580,6 +589,20 @@ class KnnStage:
     # 0.13 s at res 13 vs 0.85 s at res 16 vs 0.43 s unpruned on a
     # 131k-point batch)
 
+    def _seg_min_dist(self, px, py, ax, ay, dx, dy, invl,
+                      chunk: int = 1 << 17):
+        """sqrt(min over segments) with the SAME point-chunking
+        discipline as points_to_polyline_distance: the (points ×
+        segments) temporaries stay L2-resident instead of growing
+        unbounded when many points share one cell (review fix)."""
+        out = np.full(len(px), np.inf)
+        step = max(1, chunk // max(1, len(ax)))
+        for s in range(0, len(px), step):
+            d2 = self._seg_dist2(px[s:s + step], py[s:s + step],
+                                 ax, ay, dx, dy, invl)
+            out[s:s + step] = d2.min(axis=1)
+        return np.sqrt(out)
+
     def _exact_scan_pruned(self, lon, lat, px, py, k):
         """Exact all-routes distance matrix with per-cell segment
         pruning: points group by cell; per (cell, route) ONE center
@@ -587,40 +610,74 @@ class KnnStage:
         (triangle inequality — d(p,s) ≥ d(c,s) − r and best(p) ≤
         best(c) + r for the cell's half-diagonal r, so segments with
         d(c,s) > best(c) + 2r are provably out), and only the
-        surviving segments get the exact points×segments pass.  The
-        per-segment arithmetic and the route min are bit-identical to
-        the unpruned scan — measured ~3× on the corridor workload where
-        most of a route's polyline is far from any given cell."""
+        surviving segments get the exact chunked points×segments pass.
+        The per-segment arithmetic and the route min are bit-identical
+        to the unpruned scan (the threshold carries a ulp of slack so
+        exactly-at-bound geometry can't flip on rounding) — measured
+        ~3× on the corridor workload where most of a route's polyline
+        is far from any given cell.
+
+        Safety rails (review fixes): points with out-of-range lon/lat
+        — which ``cells.encode`` CLIPS into a boundary cell the point
+        is not actually inside, breaking the containment assumption —
+        take the straight unpruned scan; NaN route geometry (dc.min()
+        NaN → empty keep) likewise falls back per (cell, route),
+        matching the straight scan's NaN propagation instead of
+        crashing on an empty reduction."""
         if self.seg is None:
             self.seg = self._build_seg_pool()
         n = len(px)
         n_routes = len(self.route_ids)
-        c = cells.encode(lon, lat, self._PRUNE_RES)
+        D = np.empty((n, n_routes), np.float64)
+        in_range = ((lon >= -180.0) & (lon <= 180.0)
+                    & (lat >= -90.0) & (lat <= 90.0))
+        if not in_range.all():
+            bad = np.flatnonzero(~in_range)
+            for j in range(n_routes):
+                D[bad, j] = self._route_dist(j, px[bad], py[bad])
+        else:
+            bad = None
+        ok = np.flatnonzero(in_range) if bad is not None else None
+        lon_i = lon if ok is None else lon[ok]
+        lat_i = lat if ok is None else lat[ok]
+        px_i = px if ok is None else px[ok]
+        py_i = py if ok is None else py[ok]
+        c = cells.encode(lon_i, lat_i, self._PRUNE_RES)
         uc, inv_c = np.unique(c, return_inverse=True)
         w, s_, e_, n_b = cells.cell_bounds(uc)
         ccx = ((w + e_) * 0.5 - _ANCHOR_LON) * self.mx
         ccy = ((s_ + n_b) * 0.5 - _ANCHOR_LAT) * self.my
         rcell = np.hypot((e_ - w) * 0.5 * self.mx,
                          (n_b - s_) * 0.5 * self.my)
-        D = np.empty((n, n_routes), np.float64)
         for ui in range(len(uc)):
-            m = inv_c == ui
-            mpx, mpy = px[m], py[m]
+            idx = np.flatnonzero(inv_c == ui)
+            gidx = idx if ok is None else ok[idx]
+            mpx, mpy = px_i[idx], py_i[idx]
+            block = np.empty((len(idx), n_routes), np.float64)
             for j in range(n_routes):
                 ax, ay, dx, dy, invl, pts = self.seg[j]
                 if len(ax):
                     d2c = self._seg_dist2(ccx[ui:ui + 1], ccy[ui:ui + 1],
                                           ax, ay, dx, dy, invl)[0]
                     dc = np.sqrt(d2c)
-                    keep = dc <= dc.min() + 2.0 * rcell[ui]
-                    d2 = self._seg_dist2(mpx, mpy, ax[keep], ay[keep],
-                                         dx[keep], dy[keep], invl[keep])
-                    dj = np.sqrt(d2.min(axis=1))
+                    lo = dc.min()
+                    if np.isnan(lo):
+                        # NaN geometry: match the straight scan's NaN
+                        # propagation rather than prune everything
+                        dj = self._route_dist(j, mpx, mpy)
+                        block[:, j] = dj
+                        continue
+                    keep = dc <= np.nextafter(
+                        lo + 2.0 * rcell[ui], np.inf)
+                    dj = self._seg_min_dist(mpx, mpy, ax[keep], ay[keep],
+                                            dx[keep], dy[keep],
+                                            invl[keep])
                 else:
                     dj = np.full(len(mpx), np.inf)
                 for p in pts:  # single-point parts: hypot path as before
                     dj = np.minimum(dj, np.hypot(mpx - p[0], mpy - p[1]))
-                D[m, j] = dj
+                block[:, j] = dj
+            D[gidx] = block
         return self._select_topk(D, k)
 
     @staticmethod
@@ -696,12 +753,7 @@ class KnnStage:
                 "dist_m": pa.array([], pa.float64())})
         if self.ring is not None and n:
             top, topd = self._ring_topk(lon, lat, px, py, k)
-        elif n >= 4096 and sum(
-                max(len(p) - 1, 0) for parts in self.lines for p in parts
-        ) >= 64:
-            # batch big enough to amortize the per-cell center pass AND
-            # enough segments for pruning to pay; small batches / tiny
-            # geometries keep the straight scan (also the oracle twin)
+        elif self._use_pruned(n):
             top, topd = self._exact_scan_pruned(lon, lat, px, py, k)
         else:
             dists = np.stack(

@@ -154,26 +154,12 @@ def test_georef_stored_and_derived_paths_agree(ray_session):
         assert with_cols[c].to_pylist() == derived[c].to_pylist(), c
 
 
-def test_knn_pruned_scan_bit_identical(ray_session):
-    """The cell-pruned exact kNN scan must return a BIT-identical
-    (indices, distances) result to the straight all-segments scan —
-    pruning may only skip segments that provably cannot be any point's
-    minimum. Exercises the engagement threshold (n >= 4096, >= 64
-    segments) with a synthetic multi-part route set."""
+def _mk_knn_stage(routes):
     import numpy as np
 
     import geotile.ops.join as J
 
-    rng = np.random.default_rng(42)
     mx, my = J.meter_frame(J._ANCHOR_LAT)
-    routes = {}
-    for r in range(3):
-        pts = np.column_stack([
-            np.linspace(-122.45 + 0.01 * r, -122.10, 40),
-            np.linspace(37.40, 37.75 + 0.005 * r, 40)
-            + rng.normal(0, 0.002, 40),
-        ])
-        routes[f"R{r}"] = [pts[:25], pts[24:]]
 
     class S(J.KnnStage):
         def __init__(self):
@@ -186,11 +172,47 @@ def test_knn_pruned_scan_bit_identical(ray_session):
                  for p in routes[r]] for r in self.route_ids]
             self.mx, self.my = mx, my
             self.seg = None
+            self.n_segs = sum(max(len(p) - 1, 0)
+                              for parts in self.lines for p in parts)
 
-    st = S()
+    return S()
+
+
+def _mk_routes(seed=42, n_routes=3, n_pts=40):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    routes = {}
+    for r in range(n_routes):
+        pts = np.column_stack([
+            np.linspace(-122.45 + 0.01 * r, -122.10, n_pts),
+            np.linspace(37.40, 37.75 + 0.005 * r, n_pts)
+            + rng.normal(0, 0.002, n_pts),
+        ])
+        routes[f"R{r}"] = [pts[:n_pts // 2 + 1], pts[n_pts // 2:]]
+    return routes
+
+
+def test_knn_pruned_scan_bit_identical(ray_session):
+    """The cell-pruned exact kNN scan must return a BIT-identical
+    (indices, distances) result to the straight all-segments scan —
+    pruning may only skip segments that provably cannot be any point's
+    minimum — including for out-of-range coordinates (cells.encode
+    CLIPS them into a boundary cell they are not inside, so those
+    points must take the straight scan)."""
+    import numpy as np
+
+    import geotile.ops.join as J
+
+    rng = np.random.default_rng(42)
+    st = _mk_knn_stage(_mk_routes())
+    mx, my = st.mx, st.my
     n = 5000
     lon = rng.uniform(-122.45, -122.10, n)
     lat = rng.uniform(37.40, 37.75, n)
+    # out-of-range rows: the containment assumption breaks for these
+    lon[17] = -190.0
+    lat[23] = 91.0
     px = (lon - J._ANCHOR_LON) * mx
     py = (lat - J._ANCHOR_LAT) * my
     d_old = np.stack([st._route_dist(j, px, py)
@@ -199,3 +221,36 @@ def test_knn_pruned_scan_bit_identical(ray_session):
     ti_new, td_new = st._exact_scan_pruned(lon, lat, px, py, 2)
     assert np.array_equal(ti_old, ti_new)
     assert np.array_equal(td_old, td_new)  # bit equality, not allclose
+
+
+def test_knn_pruned_gate_and_nan_geometry(ray_session):
+    """The dispatch gate routes big batches with enough segments to
+    the pruned scan (and small ones away from it), and NaN route
+    geometry degrades to the straight scan's NaN propagation instead
+    of crashing on an empty pruned reduction."""
+    import numpy as np
+
+    import geotile.ops.join as J
+
+    st = _mk_knn_stage(_mk_routes())
+    assert st._use_pruned(5000)
+    assert not st._use_pruned(100)      # small batch
+    st_small = _mk_knn_stage(_mk_routes(n_routes=1, n_pts=5))
+    assert not st_small._use_pruned(5000)  # too few segments
+
+    bad = _mk_routes()
+    bad["R0"][0][3] = (np.nan, np.nan)
+    stn = _mk_knn_stage(bad)
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-122.45, -122.10, 4500)
+    lat = rng.uniform(37.40, 37.75, 4500)
+    px = (lon - J._ANCHOR_LON) * stn.mx
+    py = (lat - J._ANCHOR_LAT) * stn.my
+    ti, td = stn._exact_scan_pruned(lon, lat, px, py, 2)  # no crash
+    d_old = np.stack([stn._route_dist(j, px, py)
+                      for j in range(len(stn.route_ids))], axis=1)
+    _, td_old = stn._select_topk(d_old, 2)
+    # same NaN pattern and same finite values as the straight scan
+    assert np.array_equal(np.isnan(td), np.isnan(td_old))
+    f = ~np.isnan(td)
+    assert np.array_equal(td[f], td_old[f])
