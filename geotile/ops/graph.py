@@ -326,6 +326,21 @@ def pagerank_int(
 
         return contrib
 
+    def add_nb(t: pa.Table) -> pa.Table:
+        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("nb", pa.array(_bucket_of(nd, n_buckets)))
+
+    def node_combine(t: pa.Table) -> pa.Table:
+        # per-bucket Arrow combine of cross-bucket contributions — not
+        # a Ray node-scale Aggregate per round (its per-block fixed
+        # cost repeated ×iters dominated the BSP loop); every node's
+        # partials co-locate because nb derives from node alone
+        g = t.group_by("node").aggregate([("c", "sum")])
+        return pa.table(
+            {"node": g["node"],
+             "score": pc.add(g["c_sum"].cast(pa.int64()),
+                             pa.scalar(base))})
+
     for it in range(iters):
         stream = edges_b
         if scores is not None:
@@ -335,20 +350,9 @@ def pagerank_int(
         scores = (
             stream.groupby("bucket")
             .map_groups(make_contrib(scores is None), batch_format="pandas")
-            .groupby("node")
-            .sum("c")
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "node": t["node"],
-                        "score": pc.add(
-                            t["sum(c)"].cast(pa.int64()), pa.scalar(base)
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .repartition(n_buckets)
+            .map_batches(add_nb, batch_format="pyarrow")
+            .groupby("nb")
+            .map_groups(node_combine, batch_format="pyarrow")
             .materialize()
         )
     return scores
