@@ -103,24 +103,39 @@ def connected_components(
             {"src": t["src"], "dst": pa.array(np.minimum(s, d))}
         )
 
-    # the per-round repartition is load-bearing, not cosmetic: each
-    # round's union(3 branches) + groupby otherwise MULTIPLIES the
-    # label block count ~3×, and per-round wall time grows
+    # label combines are hash-bucket co-partitions + per-bucket Arrow
+    # group_by minima, NOT Ray node-scale Aggregates (per-block fixed
+    # cost × rounds — the pagerank/window_events law). The bucket
+    # groupby also bounds the label block count at ``n_buckets``,
+    # which is load-bearing: each round's union(3 branches) otherwise
+    # MULTIPLIES the block count ~3× and per-round wall time grows
     # geometrically with it (measured 1s → 2.8 → 8.1 → 28.6s/round on
-    # a 150-edge graph) — the same blocks-count-not-rows cost law the
-    # cell_tile_counts coalesce exists for. Bounding labels to
-    # ``n_buckets`` blocks holds rounds at constant cost.
+    # a 150-edge graph — the blocks-count-not-rows cost law).
+    def add_nb_src(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("nb", pa.array(_bucket_of(s, n_buckets)))
+
+    def min_by_src(t: pa.Table) -> pa.Table:
+        g = t.group_by("src").aggregate([("dst", "min")])
+        return pa.table({"node": g["src"], "lbl": g["dst_min"]})
+
     labels = (
         edges_b.map_batches(self_min, batch_format="pyarrow")
-        .groupby("src")
-        .min("dst")
-        .map_batches(
-            lambda t: t.rename_columns(["node", "lbl"]), batch_format="pyarrow"
-        )
+        .map_batches(add_nb_src, batch_format="pyarrow")
+        .groupby("nb")
+        .map_groups(min_by_src, batch_format="pyarrow")
         .repartition(n_buckets)
         .materialize()
     )
     prev_sum = labels.sum("lbl")
+
+    def add_nb_node(t: pa.Table) -> pa.Table:
+        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("nb", pa.array(_bucket_of(nd, n_buckets)))
+
+    def min_by_node(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("lbl", "min")])
+        return pa.table({"node": g["node"], "lbl": g["lbl_min"]})
 
     def tag_labels(t: pa.Table) -> pa.Table:
         node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -199,11 +214,17 @@ def connected_components(
         )
         labels = (
             msgs.union(labels)
-            .groupby("node")
-            .min("lbl")
-            .map_batches(
-                lambda t: t.rename_columns(["node", "lbl"]), batch_format="pyarrow"
-            )
+            .map_batches(add_nb_node, batch_format="pyarrow")
+            .groupby("nb")
+            .map_groups(min_by_node, batch_format="pyarrow")
+            # STILL load-bearing with the bucket combine: map_groups'
+            # output block count tracks its sort's partition count,
+            # which tracks the (3-branch union) input block count — so
+            # without this coalesce the label block count compounds
+            # every round and per-round wall time grows geometrically
+            # (re-measured in-round: the r5 bucket-combine edit briefly
+            # dropped it and the 150-edge CC test went from seconds to
+            # unbounded)
             .repartition(n_buckets)
             .materialize()
         )
@@ -353,6 +374,9 @@ def pagerank_int(
             .map_batches(add_nb, batch_format="pyarrow")
             .groupby("nb")
             .map_groups(node_combine, batch_format="pyarrow")
+            .repartition(n_buckets)  # bound the per-round block growth
+            # (map_groups blocks track the union's partition count —
+            # the connected_components lesson)
             .materialize()
         )
     return scores
